@@ -1,0 +1,1239 @@
+"""C/C++ frontend: pure-Python tokenizer + recursive-descent parser emitting
+Joern-style CPG nodes (joern_spark.frontends.astnode.N trees).
+
+Reproduces the reference c2cpg lowering semantics (NOT its code — the
+reference uses Eclipse CDT + Scala):
+
+* expression lowering to ``<operator>.*`` CALL nodes —
+  c2cpg/.../astcreation/AstForExpressionsCreator.scala:33-81
+* implicit ``cond != 0`` wrapping of if/while/do/for conditions unless the
+  condition root is a CALL, BLOCK or LITERAL —
+  c2cpg/.../astcreation/AstForStatementsCreator.scala:560-591
+  (pointer-typed identifiers compare against ``NULL``)
+* fullname conventions — c2cpg/.../astcreation/FullNameProvider.scala:52-103
+  (C functions = bare name; C++ methods = qualified name + ":" + signature,
+  ``::`` → ``.``)
+* case labels are JUMP_TARGET nodes named ``case``/``default`` followed by
+  the case expression as a sibling node (CfgCreator.scala:273-281 relies on
+  this shape).
+
+This module is deliberately dependency-free so it can run inside Arrow-batched
+``mapInPandas`` workers with one parser instance per partition.
+"""
+
+from __future__ import annotations
+
+import re
+
+from joern_spark import model as M
+from joern_spark.frontends.astnode import N
+
+KEYWORDS = frozenset(
+    """auto break case char const continue default do double else enum extern
+    float for goto if inline int long register return short signed sizeof
+    static struct switch typedef union unsigned void volatile while
+    class namespace template typename public private protected virtual
+    override final new delete try catch throw operator this nullptr bool
+    true false using friend explicit constexpr mutable""".split()
+)
+
+TYPE_KEYWORDS = frozenset(
+    """void char short int long float double signed unsigned bool auto
+    const volatile struct union enum class typename constexpr""".split()
+)
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>//[^\n]*|/\*.*?\*/)
+  | (?P<num>0[xX][0-9a-fA-F]+[uUlL]*|\d+\.\d*(?:[eE][+-]?\d+)?[fFlL]?|\.\d+[fFlL]?|\d+[uUlL]*[fFlL]?)
+  | (?P<str>"(?:\\.|[^"\\])*")
+  | (?P<char>'(?:\\.|[^'\\])*')
+  | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<punct><<=|>>=|\.\.\.|->\*|<<|>>|<=|>=|==|!=|&&|\|\||\+\+|--|\+=|-=|\*=|/=|%=|&=|\^=|\|=|->|::|[{}()\[\];,.<>+\-*/%&|^~!?=:])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+class Tok:
+    __slots__ = ("t", "v", "a", "b", "line")
+
+    def __init__(self, t, v, a, b, line):
+        self.t, self.v, self.a, self.b, self.line = t, v, a, b, line
+
+    def __repr__(self):  # pragma: no cover
+        return f"Tok({self.t},{self.v!r})"
+
+
+def tokenize(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    line = 1
+    i, n = 0, len(src)
+    while i < n:
+        # preprocessor lines (with backslash continuations) are skipped whole
+        if src[i] == "#" and (i == 0 or src[i - 1] == "\n" or src[:i].rstrip(" \t").endswith("\n") or src[:i].strip() == ""):
+            j = i
+            while j < n:
+                k = src.find("\n", j)
+                if k == -1:
+                    j = n
+                    break
+                if src[k - 1] == "\\":
+                    j = k + 1
+                    continue
+                j = k
+                break
+            line += src.count("\n", i, j)
+            i = j
+            continue
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            i += 1  # skip unknown byte
+            continue
+        kind = m.lastgroup
+        text = m.group()
+        if kind in ("ws", "comment"):
+            line += text.count("\n")
+        else:
+            t = kind
+            if kind == "id" and text in KEYWORDS:
+                t = "kw"
+            toks.append(Tok(t, text, m.start(), m.end(), line))
+        i = m.end()
+    return toks
+
+
+class ParseError(Exception):
+    pass
+
+
+class CParser:
+    """One instance per file. ``parse()`` returns list of root N nodes."""
+
+    MAX_TOKENS = 400_000
+
+    def __init__(self, content: str, path: str, lang: str):
+        self.src = content
+        self.path = path
+        self.lang = lang  # "c" or "cpp"
+        self.toks = tokenize(content)
+        if len(self.toks) > self.MAX_TOKENS:
+            raise ParseError(f"file too large: {len(self.toks)} tokens")
+        self.pos = 0
+        self.scopes: list[dict[str, N]] = [{}]
+        self.ns: list[str] = []  # namespace / class qualifier stack
+        self.global_block = f"{path}:{M.GLOBAL}"
+        self.typedefs: set[str] = set()
+        self.declared_types: dict[str, str] = {}  # simple name -> qualified fullname
+
+    # ---------------- token helpers ----------------
+    def peek(self, k=0) -> Tok | None:
+        p = self.pos + k
+        return self.toks[p] if p < len(self.toks) else None
+
+    def at(self, v, k=0) -> bool:
+        t = self.peek(k)
+        return t is not None and t.v == v
+
+    def at_any(self, vs, k=0) -> bool:
+        t = self.peek(k)
+        return t is not None and t.v in vs
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise ParseError("unexpected EOF")
+        self.pos += 1
+        return t
+
+    def expect(self, v) -> Tok:
+        t = self.next()
+        if t.v != v:
+            raise ParseError(f"expected {v!r} got {t.v!r} at line {t.line}")
+        return t
+
+    def slice(self, a: Tok, b: Tok) -> str:
+        return self.src[a.a : b.b].strip()
+
+    def skip_balanced(self, open_v, close_v):
+        depth = 0
+        while True:
+            t = self.next()
+            if t.v == open_v:
+                depth += 1
+            elif t.v == close_v:
+                depth -= 1
+                if depth == 0:
+                    return t
+
+    # ---------------- scope ----------------
+    def push_scope(self):
+        self.scopes.append({})
+
+    def pop_scope(self):
+        self.scopes.pop()
+
+    def declare(self, name: str, node: N):
+        self.scopes[-1][name] = node
+
+    def lookup(self, name: str) -> N | None:
+        for s in reversed(self.scopes):
+            if name in s:
+                return s[name]
+        return None
+
+    def qual(self, name: str) -> str:
+        return ".".join(self.ns + [name]) if self.ns else name
+
+    # ---------------- type parsing ----------------
+    def looks_like_type(self) -> bool:
+        t = self.peek()
+        if t is None:
+            return False
+        if t.t == "kw" and t.v in TYPE_KEYWORDS:
+            return True
+        if t.t == "id":
+            if t.v in self.typedefs or t.v.endswith("_t"):
+                return True
+            # `Ident Ident`, `Ident * Ident` and `Ident &Ident` declaration shapes
+            k = 1
+            while self.at("::", k) or (self.peek(k) and self.peek(k).t == "id" and self.at("::", k + 1)):
+                k += 1
+            stars = 0
+            while self.at_any(("*", "&"), k + stars):
+                stars += 1
+            nxt = self.peek(k + stars)
+            if nxt is not None and nxt.t == "id" and stars > 0:
+                after = self.peek(k + stars + 1)
+                if after is not None and after.v in ("=", ";", ",", "[", ")"):
+                    return True
+            if nxt is not None and nxt.t == "id" and k > 1:
+                return True
+            if stars == 0 and nxt is not None and nxt.t == "id" and k == 1:
+                after = self.peek(2)
+                if after is not None and after.v in ("=", ";", ",", "[", "(", ")"):
+                    return True
+        return False
+
+    def parse_type(self) -> str:
+        """Consume a type spec; return normalized type string (``::`` → ``.``,
+        template args stripped like FullNameProvider.stripTemplateTags)."""
+        parts: list[str] = []
+        saw_core = False
+        while True:
+            t = self.peek()
+            if t is None:
+                break
+            if t.t == "kw" and t.v in TYPE_KEYWORDS:
+                if t.v in ("struct", "union", "enum", "class", "typename"):
+                    self.next()
+                    continue  # elaborated specifier: keep the tag name only
+                parts.append(self.next().v)
+                saw_core = True
+                continue
+            if t.t == "id" and not saw_core:
+                parts.append(self.next().v)
+                saw_core = True
+                # qualified names
+                while self.at("::"):
+                    self.next()
+                    parts[-1] += "." + self.next().v
+                # template args — strip
+                if self.at("<"):
+                    self.skip_balanced("<", ">")
+                continue
+            break
+        ptr = ""
+        while self.at_any(("*", "&")):
+            ptr += "*" if self.next().v == "*" else ""
+        base = " ".join(p for p in parts if p not in ("const", "volatile", "static", "inline", "extern", "register", "constexpr"))
+        base = self.declared_types.get(base, base)
+        return (base + ptr) if base else ("ANY" + ptr)
+
+    # ---------------- entry ----------------
+    def parse(self) -> list[N]:
+        roots: list[N] = []
+        while self.peek() is not None:
+            node = self.parse_top_level()
+            if node is not None:
+                if isinstance(node, list):
+                    roots.extend(node)
+                else:
+                    roots.append(node)
+        return roots
+
+    def parse_top_level(self):
+        t = self.peek()
+        if t is None:
+            return None
+        if t.v == ";":
+            self.next()
+            return None
+        if t.v == "namespace":
+            return self.parse_namespace()
+        if t.v in ("template",):
+            # skip `template <...>` prefix, parse what follows
+            self.next()
+            if self.at("<"):
+                self.skip_balanced("<", ">")
+            return self.parse_top_level()
+        if t.v == "typedef":
+            return self.parse_typedef()
+        if t.v == "using":
+            # using alias = type;  / using namespace x;
+            start = self.next()
+            if self.peek() and self.peek().t == "id" and self.at("=", 1):
+                alias = self.next().v
+                self.next()
+                target = self.parse_type()
+                if self.at(";"):
+                    self.next()
+                self.typedefs.add(alias)
+                return N(M.TYPE_DECL, code=self.slice(start, self.toks[self.pos - 1]),
+                         name=alias, full_name=self.qual(alias),
+                         alias_type_full_name=target, line=start.line,
+                         ast_parent_type=M.NAMESPACE_BLOCK,
+                         ast_parent_full_name=self.global_block)
+            while self.peek() is not None and not self.at(";"):
+                self.next()
+            if self.at(";"):
+                self.next()
+            return None
+        if t.v in ("struct", "class", "union") and self.peek(1) is not None and self.peek(1).t == "id" \
+                and self.peek(2) is not None and self.peek(2).v in ("{", ":"):
+            return self.parse_class()
+        if t.v == "enum":
+            self.next()
+            if self.at("class") or self.at("struct"):
+                self.next()
+            name = self.next().v if self.peek() and self.peek().t == "id" else ""
+            if self.at(":"):
+                self.next()
+                self.parse_type()
+            if self.at("{"):
+                self.skip_balanced("{", "}")
+            if self.at(";"):
+                self.next()
+            if name:
+                return N(M.TYPE_DECL, code=f"enum {name}", name=name,
+                         full_name=self.qual(name), line=t.line,
+                         ast_parent_type=M.NAMESPACE_BLOCK,
+                         ast_parent_full_name=self.global_block)
+            return None
+        if t.v == "extern" and self.peek(1) is not None and self.peek(1).t == "str":
+            self.next(); self.next()
+            if self.at("{"):
+                self.next()
+                out = []
+                while not self.at("}"):
+                    r = self.parse_top_level()
+                    if r is not None:
+                        out.extend(r if isinstance(r, list) else [r])
+                self.next()
+                return out
+            return self.parse_top_level()
+        # function definition / prototype / global var
+        return self.parse_declaration_or_function()
+
+    def parse_namespace(self):
+        self.next()
+        name = self.next().v if self.peek() and self.peek().t == "id" else ""
+        self.expect("{")
+        self.ns.append(name)
+        out: list[N] = []
+        while self.peek() is not None and not self.at("}"):
+            r = self.parse_top_level()
+            if r is not None:
+                out.extend(r if isinstance(r, list) else [r])
+        if self.at("}"):
+            self.next()
+        self.ns.pop()
+        return out
+
+    def parse_typedef(self):
+        start = self.next()
+        ty = self.parse_type()
+        name = ""
+        while self.peek() is not None and not self.at(";"):
+            tk = self.next()
+            if tk.t == "id":
+                name = tk.v
+        if self.at(";"):
+            self.next()
+        if not name:
+            return None
+        self.typedefs.add(name)
+        return N(M.TYPE_DECL, code=self.slice(start, self.toks[self.pos - 1]),
+                 name=name, full_name=self.qual(name), alias_type_full_name=ty,
+                 line=start.line, ast_parent_type=M.NAMESPACE_BLOCK,
+                 ast_parent_full_name=self.global_block)
+
+    # ---------------- class / struct ----------------
+    def parse_class(self) -> N:
+        kw = self.next()  # struct/class/union
+        name_tok = self.next()
+        name = name_tok.v
+        full = self.qual(name)
+        inherits: list[str] = []
+        if self.at(":"):
+            self.next()
+            while True:
+                while self.at_any(("public", "private", "protected", "virtual")):
+                    self.next()
+                base = self.parse_type()
+                if base:
+                    # resolve unqualified base names declared earlier in an
+                    # enclosing namespace (FullNameProvider qualifies bases)
+                    inherits.append(self.declared_types.get(base, base))
+                if self.at(","):
+                    self.next()
+                    continue
+                break
+        decl = N(M.TYPE_DECL, code=f"{kw.v} {name}", name=name, full_name=full,
+                 inherits_from=inherits or None, line=kw.line,
+                 ast_parent_type=M.NAMESPACE_BLOCK,
+                 ast_parent_full_name=self.global_block)
+        self.typedefs.add(name)
+        self.declared_types[name] = full
+        self.expect("{")
+        self.ns.append(name)
+        while self.peek() is not None and not self.at("}"):
+            if self.at_any(("public", "private", "protected")) and self.at(":", 1):
+                self.next(); self.next()
+                continue
+            if self.at(";"):
+                self.next()
+                continue
+            member = self.parse_class_member(full)
+            if member is not None:
+                decl.add(*member) if isinstance(member, list) else decl.add(member)
+        if self.at("}"):
+            self.next()
+        if self.at(";"):
+            self.next()
+        self.ns.pop()
+        return decl
+
+    def parse_class_member(self, class_full: str):
+        is_virtual = False
+        while self.at_any(("virtual", "static", "inline", "explicit", "friend", "constexpr", "mutable")):
+            if self.at("virtual"):
+                is_virtual = True
+            self.next()
+        start = self.peek()
+        # constructor / destructor
+        if self.at("~") or (start is not None and start.t == "id" and start.v == class_full.split(".")[-1] and self.at("(", 1)):
+            dtor = self.at("~")
+            if dtor:
+                self.next()
+            nm = self.next().v
+            nm = ("~" + nm) if dtor else M.CONSTRUCTOR
+            return self.parse_function_rest("void", nm, start, class_full, dynamic=is_virtual)
+        ty = self.parse_type()
+        if self.peek() is None:
+            return None
+        nm_tok = self.peek()
+        if nm_tok.t != "id" and nm_tok.v != "operator":
+            # unparseable member — skip to ; or }
+            while self.peek() is not None and not self.at_any((";", "}")):
+                if self.at("{"):
+                    self.skip_balanced("{", "}")
+                    return None
+                self.next()
+            if self.at(";"):
+                self.next()
+            return None
+        name = self.next().v
+        if name == "operator":
+            sym = ""
+            while self.peek() is not None and not self.at("("):
+                sym += self.next().v
+            name = "operator" + sym
+        if self.at("("):
+            return self.parse_function_rest(ty, name, start, class_full, dynamic=is_virtual)
+        # member variable(s)
+        members = [N(M.MEMBER, code=f"{ty} {name}", name=name, type_full_name=ty, line=start.line)]
+        while self.at(","):
+            self.next()
+            nm2 = self.next().v
+            members.append(N(M.MEMBER, code=f"{ty} {nm2}", name=nm2, type_full_name=ty, line=start.line))
+        while self.peek() is not None and not self.at(";"):
+            self.next()
+        if self.at(";"):
+            self.next()
+        return members
+
+    # ---------------- functions ----------------
+    def parse_declaration_or_function(self):
+        start = self.peek()
+        save = self.pos
+        while self.at_any(("static", "inline", "extern", "const", "constexpr", "virtual")):
+            self.next()
+        ty = self.parse_type()
+        t = self.peek()
+        if t is None:
+            return None
+        if t.t != "id":
+            # could be an expression statement at top level — skip safely
+            self.pos = save
+            self.skip_to_semicolon()
+            return None
+        name = self.next().v
+        while self.at("::"):  # out-of-class definition Class::method
+            self.next()
+            ty_cls = name
+            name = self.next().v
+            self.ns.append(ty_cls)
+            try:
+                if self.at("("):
+                    return self.parse_function_rest(ty, name, start, self.qual(""), trailing_ns=1)
+            finally:
+                self.ns.pop()
+        if self.at("("):
+            return self.parse_function_rest(ty, name, start, None)
+        # global variable: skip to ;
+        self.skip_to_semicolon()
+        return None
+
+    def skip_to_semicolon(self):
+        while self.peek() is not None and not self.at(";"):
+            if self.at("{"):
+                self.skip_balanced("{", "}")
+                return
+            self.next()
+        if self.at(";"):
+            self.next()
+
+    def parse_function_rest(self, ret_ty: str, name: str, start: Tok, class_full: str | None,
+                            dynamic: bool = False, trailing_ns: int = 0):
+        """At '(' of a function declarator."""
+        self.expect("(")
+        params: list[tuple[str, str, bool]] = []  # (type, name, variadic)
+        while not self.at(")"):
+            if self.at("..."):
+                self.next()
+                params.append(("", "...", True))
+                continue
+            if self.at("void") and self.at(")", 1):
+                self.next()
+                continue
+            pty = self.parse_type()
+            pname = ""
+            if self.peek() is not None and self.peek().t == "id":
+                pname = self.next().v
+            while self.at("["):
+                self.skip_balanced("[", "]")
+                pty += "*"
+            if self.at("="):  # default arg
+                self.next()
+                depth = 0
+                while self.peek() is not None and (depth > 0 or not self.at_any((",", ")"))):
+                    v = self.next().v
+                    depth += v in "([<"
+                    depth -= v in ")]>"
+            params.append((pty, pname, False))
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        while self.at_any(("const", "override", "final", "noexcept")):
+            self.next()
+        if self.at("->"):  # trailing return type
+            self.next()
+            ret_ty = self.parse_type()
+        if self.at(";"):  # prototype — no METHOD node (MethodStubCreator covers calls)
+            self.next()
+            return None
+        if not self.at("{"):
+            self.skip_to_semicolon()
+            return None
+
+        sig_params = ",".join(p[0] for p in params if not p[2])
+        signature = f"{ret_ty}({sig_params})"
+        if self.lang == "cpp":
+            q = self.qual(name) if class_full is None else f"{class_full.rstrip('.')}" + ("." if class_full and not class_full.endswith(".") else "") + name
+            if class_full is not None and class_full.endswith("."):
+                q = class_full + name
+            full_name = f"{q}:{signature}"
+        else:
+            full_name = name if class_full is None else f"{class_full}.{name}"
+        parent_type = M.TYPE_DECL if class_full else M.NAMESPACE_BLOCK
+        parent_full = class_full if class_full else self.global_block
+
+        method = N(M.METHOD, code=f"{ret_ty} {name} ({sig_params})", name=name,
+                   full_name=full_name, signature=signature, line=start.line,
+                   ast_parent_type=parent_type, ast_parent_full_name=parent_full)
+        self.push_scope()
+        for i, (pty, pname, var) in enumerate(params, start=1):
+            p = N(M.METHOD_PARAMETER_IN, code=f"{pty} {pname}".strip() if not var else "...",
+                  name=pname or f"param{i}", type_full_name=pty or M.ANY,
+                  param_index=i, is_variadic=var, line=start.line,
+                  evaluation_strategy=M.BY_VALUE)
+            method.add(p)
+            if pname:
+                self.declare(pname, p)
+        body = self.parse_compound()
+        method.add(body)
+        method.add(N(M.METHOD_RETURN, code="RET", type_full_name=ret_ty,
+                     evaluation_strategy=M.BY_VALUE, line=start.line))
+        self.pop_scope()
+        return method
+
+    # ---------------- statements ----------------
+    def parse_compound(self) -> N:
+        open_tok = self.expect("{")
+        block = N(M.BLOCK, code="", line=open_tok.line, type_full_name="void")
+        self.push_scope()
+        while self.peek() is not None and not self.at("}"):
+            block.add(*self.parse_statement())
+        if self.at("}"):
+            self.next()
+        self.pop_scope()
+        return block
+
+    def parse_statement(self) -> list[N]:
+        t = self.peek()
+        if t is None:
+            return []
+        v = t.v
+        if v == ";":
+            self.next()
+            return []
+        if v == "{":
+            return [self.parse_compound()]
+        if v == "if":
+            return [self.parse_if()]
+        if v == "while":
+            return [self.parse_while()]
+        if v == "do":
+            return [self.parse_do()]
+        if v == "for":
+            return [self.parse_for()]
+        if v == "switch":
+            return [self.parse_switch()]
+        if v == "try":
+            return [self.parse_try()]
+        if v == "throw":
+            return [self.parse_throw()]
+        if v == "return":
+            return [self.parse_return()]
+        if v == "break":
+            self.next()
+            semi = self.expect(";")
+            return [N(M.CONTROL_STRUCTURE, code=self.slice(t, semi),
+                      control_structure_type=M.CS_BREAK, line=t.line)]
+        if v == "continue":
+            self.next()
+            semi = self.expect(";")
+            return [N(M.CONTROL_STRUCTURE, code=self.slice(t, semi),
+                      control_structure_type=M.CS_CONTINUE, line=t.line)]
+        if v == "goto":
+            return self.parse_goto()
+        # label:  (identifier followed by ':', not '::')
+        if t.t == "id" and self.at(":", 1) and not self.at("::", 1):
+            return self.parse_label()
+        # declaration?
+        if (t.t == "kw" and t.v in TYPE_KEYWORDS) or (t.t == "id" and self.looks_like_type()):
+            save = self.pos
+            decl = self.try_parse_declaration()
+            if decl is not None:
+                return decl
+            self.pos = save
+        # expression statement
+        expr = self.parse_expression()
+        if self.at(";"):
+            self.next()
+        return [expr] if expr is not None else []
+
+    def parse_label(self) -> list[N]:
+        label_tok = self.next()
+        self.expect(":")
+        inner = self.parse_statement()
+        # code spans `label: <stmt>` — matches CDT rawSignature of the label stmt
+        end_tok = self.toks[self.pos - 1]
+        code = self.slice(label_tok, end_tok)
+        jt = N(M.JUMP_TARGET, code=code, name=label_tok.v, line=label_tok.line)
+        return [jt] + inner
+
+    def parse_goto(self) -> list[N]:
+        g = self.next()
+        if self.at("*"):
+            # GNU computed goto lowers to TWO siblings: the GOTO node (code
+            # "goto *;", jumps to every label) followed by the label-name
+            # expression — c2cpg AstForStatementsCreator.astsForGnuGotoStatement
+            expr = self.parse_expression()  # parses `*ptr` as indirection
+            if self.at(";"):
+                self.next()
+            node = N(M.CONTROL_STRUCTURE, code="goto *;",
+                     control_structure_type=M.CS_GOTO, jump_label="*", line=g.line)
+            return [node, expr]
+        label = self.next().v
+        semi = self.expect(";")
+        return [N(M.CONTROL_STRUCTURE, code=self.slice(g, semi),
+                  control_structure_type=M.CS_GOTO, jump_label=label, line=g.line)]
+
+    def parse_return(self) -> N:
+        r = self.next()
+        expr = None
+        if not self.at(";"):
+            expr = self.parse_expression()
+        semi = self.expect(";")
+        node = N(M.RETURN, code=self.slice(r, semi), line=r.line)
+        if expr is not None:
+            expr.arg_index = 1
+            node.add(expr)
+        return node
+
+    def parse_throw(self) -> N:
+        th = self.next()
+        expr = None
+        if not self.at(";"):
+            expr = self.parse_expression()
+        if self.at(";"):
+            self.next()
+        node = N(M.CONTROL_STRUCTURE, code="throw", control_structure_type=M.CS_THROW, line=th.line)
+        if expr is not None:
+            expr.arg_index = 1
+            node.add(expr)
+        return node
+
+    def parse_condition_parens(self):
+        self.expect("(")
+        cond = self.parse_expression()
+        close = self.expect(")")
+        return cond, close
+
+    def wrap_condition(self, cond: N) -> N:
+        """Implicit `x != 0` / `ptr != NULL` wrap — reference
+        AstForStatementsCreator.wrapInNullComparison (c2cpg, :560-591)."""
+        if cond is None:
+            return cond
+        if cond.kind in (M.CALL, M.BLOCK, M.LITERAL):
+            return cond
+        is_ptr = cond.kind == M.IDENTIFIER and cond.type_full_name.endswith("*")
+        null_code = "NULL" if is_ptr else "0"
+        lit = N(M.LITERAL, code=null_code, line=cond.line,
+                type_full_name=(M.ANY if is_ptr else "int"), arg_index=2)
+        call = N(M.CALL, code=f"{cond.code} != {null_code}", name=M.OP_NOT_EQUALS,
+                 method_full_name=M.OP_NOT_EQUALS, dispatch_type=M.STATIC_DISPATCH,
+                 type_full_name="int", line=cond.line)
+        cond.arg_index = 1
+        call.add(cond, lit)
+        return call
+
+    def parse_if(self) -> N:
+        kw = self.next()
+        cond, close = self.parse_condition_parens()
+        node = N(M.CONTROL_STRUCTURE, code=f"if ({self.src[kw.b:close.a].strip().lstrip('(')})",
+                 control_structure_type=M.CS_IF, line=kw.line)
+        node.code = "if (" + self.src[self.toks_index_after(kw).a:close.a] + ")"
+        cond = self.wrap_condition(cond)
+        cond.role = M.ROLE_CONDITION
+        node.add(cond)
+        then = self.parse_statement()
+        body = self.as_block(then, role=M.ROLE_WHEN_TRUE, line=kw.line)
+        node.add(body)
+        if self.at("else"):
+            e = self.next()
+            els_stmt = self.parse_statement()
+            els = N(M.CONTROL_STRUCTURE, code="else", control_structure_type=M.CS_ELSE,
+                    role=M.ROLE_WHEN_FALSE, line=e.line)
+            els.add(*els_stmt)
+            node.add(els)
+        return node
+
+    def toks_index_after(self, tok: Tok) -> Tok:
+        # first token after `tok` — used for code slices like `if (<...>)`
+        for t in self.toks:
+            if t.a >= tok.b:
+                return t
+        return tok
+
+    def as_block(self, stmts: list[N], role: str, line: int) -> N:
+        if len(stmts) == 1 and stmts[0].kind == M.BLOCK:
+            stmts[0].role = role
+            return stmts[0]
+        b = N(M.BLOCK, code="", role=role, line=line, type_full_name="void")
+        b.add(*stmts)
+        return b
+
+    def parse_while(self) -> N:
+        kw = self.next()
+        self.expect("(")
+        cond = self.parse_expression()
+        close = self.expect(")")
+        code = f"while ({self.src[kw.b:close.a].strip().lstrip('(').strip()})"
+        node = N(M.CONTROL_STRUCTURE, code=code, control_structure_type=M.CS_WHILE, line=kw.line)
+        cond = self.wrap_condition(cond)
+        cond.role = M.ROLE_CONDITION
+        node.add(cond)
+        body = self.as_block(self.parse_statement(), role=M.ROLE_WHEN_TRUE, line=kw.line)
+        node.add(body)
+        return node
+
+    def parse_do(self) -> N:
+        kw = self.next()
+        node = N(M.CONTROL_STRUCTURE, code="do", control_structure_type=M.CS_DO, line=kw.line)
+        body = self.as_block(self.parse_statement(), role=M.ROLE_DO_BODY, line=kw.line)
+        node.add(body)
+        self.expect("while")
+        self.expect("(")
+        cond = self.parse_expression()
+        self.expect(")")
+        if self.at(";"):
+            self.next()
+        cond = self.wrap_condition(cond)
+        cond.role = M.ROLE_CONDITION
+        node.add(cond)
+        return node
+
+    def parse_for(self) -> N:
+        kw = self.next()
+        self.expect("(")
+        node = N(M.CONTROL_STRUCTURE, code="for", control_structure_type=M.CS_FOR, line=kw.line)
+        self.push_scope()
+        # init
+        if not self.at(";"):
+            if self.looks_like_type() or (self.peek() and self.peek().t == "kw" and self.peek().v in TYPE_KEYWORDS):
+                decls = self.try_parse_declaration(consume_semi=False)
+                if decls:
+                    locals_ = [d for d in decls if d.kind == M.LOCAL]
+                    inits = [d for d in decls if d.kind != M.LOCAL]
+                    node.add(*locals_)
+                    if inits:
+                        init = self.as_block(inits, role=M.ROLE_FOR_INIT, line=kw.line) if len(inits) > 1 else inits[0]
+                        init.role = M.ROLE_FOR_INIT
+                        node.add(init)
+            else:
+                init = self.parse_expression()
+                if init is not None:
+                    init.role = M.ROLE_FOR_INIT
+                    node.add(init)
+        self.expect(";")
+        # condition
+        if not self.at(";"):
+            cond = self.parse_expression()
+            cond = self.wrap_condition(cond)
+            cond.role = M.ROLE_CONDITION
+            node.add(cond)
+        self.expect(";")
+        # update
+        if not self.at(")"):
+            upd = self.parse_expression()
+            if upd is not None:
+                upd.role = M.ROLE_FOR_UPDATE
+                node.add(upd)
+        self.expect(")")
+        body = self.as_block(self.parse_statement(), role=M.ROLE_FOR_BODY, line=kw.line)
+        node.add(body)
+        self.pop_scope()
+        return node
+
+    def parse_switch(self) -> N:
+        kw = self.next()
+        self.expect("(")
+        cond = self.parse_expression()
+        close = self.expect(")")
+        code = f"switch ({self.src[kw.b:close.a].strip().lstrip('(').strip()})"
+        node = N(M.CONTROL_STRUCTURE, code=code, control_structure_type=M.CS_SWITCH, line=kw.line)
+        cond.role = M.ROLE_CONDITION  # switch condition is NOT wrapped
+        node.add(cond)
+        open_tok = self.expect("{")
+        body = N(M.BLOCK, code="", role=M.ROLE_WHEN_TRUE, line=open_tok.line, type_full_name="void")
+        self.push_scope()
+        while self.peek() is not None and not self.at("}"):
+            if self.at("case"):
+                c = self.next()
+                expr = self.parse_expression()
+                colon = self.expect(":")
+                code_txt = self.slice(c, colon)
+                body.add(N(M.JUMP_TARGET, code=code_txt, name=f"case {expr.code}", line=c.line))
+                body.add(expr)  # case expression is a CFG node sibling (CfgCreator.scala:273-281)
+                continue
+            if self.at("default"):
+                d = self.next()
+                colon = self.expect(":")
+                body.add(N(M.JUMP_TARGET, code="default:", name="default", line=d.line))
+                continue
+            body.add(*self.parse_statement())
+        if self.at("}"):
+            self.next()
+        self.pop_scope()
+        node.add(body)
+        return node
+
+    def parse_try(self) -> N:
+        kw = self.next()
+        node = N(M.CONTROL_STRUCTURE, code="try", control_structure_type=M.CS_TRY, line=kw.line)
+        body = self.parse_compound()
+        body.role = M.ROLE_TRY_BODY
+        node.add(body)
+        while self.at("catch"):
+            c = self.next()
+            catch = N(M.CONTROL_STRUCTURE, code="catch", control_structure_type=M.CS_CATCH,
+                      role=M.ROLE_CATCH_BODY, line=c.line)
+            self.push_scope()
+            if self.at("("):
+                self.next()
+                if self.at("..."):
+                    self.next()
+                else:
+                    pty = self.parse_type()
+                    if self.peek() is not None and self.peek().t == "id":
+                        pn = self.next()
+                        loc = N(M.LOCAL, code=f"{pty} {pn.v}", name=pn.v,
+                                type_full_name=pty, line=pn.line)
+                        catch.add(loc)
+                        self.declare(pn.v, loc)
+                self.expect(")")
+            cb = self.parse_compound()
+            catch.add(cb)
+            self.pop_scope()
+            node.add(catch)
+        return node
+
+    def try_parse_declaration(self, consume_semi: bool = True) -> list[N] | None:
+        """`int x = 1, *y;` → [LOCAL x, CALL x = 1, LOCAL y]."""
+        start = self.peek()
+        base_ty = self.parse_type()
+        if self.peek() is None or self.peek().t != "id":
+            return None
+        out: list[N] = []
+        while True:
+            ptr = ""
+            while self.at_any(("*", "&")):
+                ptr += "*" if self.next().v == "*" else ""
+            if self.peek() is None or self.peek().t != "id":
+                return None
+            name_tok = self.next()
+            name = name_tok.v
+            ty = base_ty + ptr
+            while self.at("["):
+                self.skip_balanced("[", "]")
+                ty += "*"
+            loc = N(M.LOCAL, code=f"{ty} {name}", name=name, type_full_name=ty, line=name_tok.line)
+            out.append(loc)
+            self.declare(name, loc)
+            if self.at("="):
+                self.next()
+                init = self.parse_assignment_expr()
+                ident = N(M.IDENTIFIER, code=name, name=name, type_full_name=ty,
+                          line=name_tok.line, arg_index=1)
+                ident.ref_target = loc
+                init.arg_index = 2
+                call = N(M.CALL, code=f"{name} = {init.code}", name=M.OP_ASSIGNMENT,
+                         method_full_name=M.OP_ASSIGNMENT,
+                         dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
+                         line=name_tok.line)
+                call.add(ident, init)
+                out.append(call)
+            elif self.at("(") and self.lang == "cpp":
+                # constructor-call initializer — lower like assignment of <init> call
+                self.skip_balanced("(", ")")
+            if self.at(","):
+                self.next()
+                continue
+            break
+        if consume_semi:
+            if not self.at(";"):
+                return None
+            self.next()
+        return out
+
+    # ---------------- expressions ----------------
+    PRECEDENCE = {
+        "*": 13, "/": 13, "%": 13,
+        "+": 12, "-": 12,
+        "<<": 11, ">>": 11,
+        "<": 10, "<=": 10, ">": 10, ">=": 10,
+        "==": 9, "!=": 9,
+        "&": 8, "^": 7, "|": 6,
+        "&&": 5, "||": 4,
+    }
+    ASSIGN_OPS = frozenset(("=", "+=", "-=", "*=", "/=", "%=", "<<=", ">>=", "&=", "^=", "|="))
+
+    def parse_expression(self) -> N:
+        return self.parse_assignment_expr()
+
+    def parse_assignment_expr(self) -> N:
+        lhs_start = self.peek()
+        lhs = self.parse_ternary()
+        if self.peek() is not None and self.peek().v in self.ASSIGN_OPS:
+            op_tok = self.next()
+            rhs = self.parse_assignment_expr()  # right-assoc
+            end = self.toks[self.pos - 1]
+            opname = M.BINARY_OPERATOR_MAP[op_tok.v]
+            lhs.arg_index, rhs.arg_index = 1, 2
+            call = N(M.CALL, code=self.slice(lhs_start, end), name=opname,
+                     method_full_name=opname, dispatch_type=M.STATIC_DISPATCH,
+                     line=op_tok.line, type_full_name=lhs.type_full_name)
+            call.add(lhs, rhs)
+            return call
+        return lhs
+
+    def parse_ternary(self) -> N:
+        start = self.peek()
+        cond = self.parse_binary(4)
+        if self.at("?"):
+            q = self.next()
+            cond.arg_index = 1
+            then = None
+            if not self.at(":"):  # GNU `x ? : z`
+                then = self.parse_expression()
+                then.arg_index = 2
+            self.expect(":")
+            els = self.parse_ternary()
+            els.arg_index = 3
+            end = self.toks[self.pos - 1]
+            call = N(M.CALL, code=self.slice(start, end), name=M.OP_CONDITIONAL,
+                     method_full_name=M.OP_CONDITIONAL,
+                     dispatch_type=M.STATIC_DISPATCH, line=q.line)
+            call.add(cond, then, els)
+            return call
+        return cond
+
+    def parse_binary(self, min_prec: int) -> N:
+        start = self.peek()
+        lhs = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t is None or t.v not in self.PRECEDENCE or self.PRECEDENCE[t.v] < min_prec:
+                return lhs
+            op_tok = self.next()
+            prec = self.PRECEDENCE[op_tok.v]
+            rhs = self.parse_binary(prec + 1)
+            end = self.toks[self.pos - 1]
+            opname = M.BINARY_OPERATOR_MAP[op_tok.v]
+            lhs.arg_index, rhs.arg_index = 1, 2
+            call = N(M.CALL, code=self.slice(start, end), name=opname,
+                     method_full_name=opname, dispatch_type=M.STATIC_DISPATCH,
+                     line=op_tok.line, type_full_name="int" if op_tok.v in ("<", ">", "<=", ">=", "==", "!=", "&&", "||") else M.ANY)
+            call.add(lhs, rhs)
+            lhs = call
+
+    def parse_unary(self) -> N:
+        t = self.peek()
+        if t is None:
+            raise ParseError("EOF in expression")
+        if t.v == "&&":
+            # GNU address-of-label: &&foo
+            amp = self.next()
+            label_tok = self.next()
+            ident = N(M.IDENTIFIER, code=label_tok.v, name=label_tok.v,
+                      line=label_tok.line, arg_index=1)
+            call = N(M.CALL, code=f"&&{label_tok.v}", name=M.OP_ADDRESS_OF,
+                     method_full_name=M.OP_ADDRESS_OF, dispatch_type=M.STATIC_DISPATCH, line=amp.line)
+            call.add(ident)
+            return call
+        if t.v in ("++", "--", "+", "-", "*", "&", "~", "!"):
+            op_tok = self.next()
+            operand = self.parse_unary()
+            end = self.toks[self.pos - 1]
+            opname = M.UNARY_OPERATOR_MAP[op_tok.v]
+            operand.arg_index = 1
+            call = N(M.CALL, code=self.slice(op_tok, end), name=opname,
+                     method_full_name=opname, dispatch_type=M.STATIC_DISPATCH, line=op_tok.line)
+            call.add(operand)
+            return call
+        if t.v == "sizeof":
+            op_tok = self.next()
+            if self.at("("):
+                self.next()
+                if self.looks_like_type():
+                    ty = self.parse_type()
+                    close = self.expect(")")
+                    arg = N(M.TYPE_REF, code=ty, type_full_name=ty, line=op_tok.line, arg_index=1)
+                else:
+                    arg = self.parse_expression()
+                    arg.arg_index = 1
+                    close = self.expect(")")
+            else:
+                arg = self.parse_unary()
+                arg.arg_index = 1
+                close = self.toks[self.pos - 1]
+            call = N(M.CALL, code=self.slice(op_tok, close), name=M.OP_SIZEOF,
+                     method_full_name=M.OP_SIZEOF, dispatch_type=M.STATIC_DISPATCH, line=op_tok.line)
+            call.add(arg)
+            return call
+        if t.v == "new" and self.lang == "cpp":
+            op_tok = self.next()
+            ty = self.parse_type()
+            args: list[N] = []
+            if self.at("("):
+                self.next()
+                while not self.at(")"):
+                    a = self.parse_assignment_expr()
+                    args.append(a)
+                    if self.at(","):
+                        self.next()
+                self.next()
+            end = self.toks[self.pos - 1]
+            call = N(M.CALL, code=self.slice(op_tok, end), name=M.OP_NEW,
+                     method_full_name=M.OP_NEW, dispatch_type=M.STATIC_DISPATCH,
+                     line=op_tok.line, type_full_name=ty)
+            tref = N(M.TYPE_REF, code=ty, type_full_name=ty, line=op_tok.line, arg_index=1)
+            call.add(tref)
+            for i, a in enumerate(args, start=2):
+                a.arg_index = i
+                call.add(a)
+            return call
+        if t.v == "delete" and self.lang == "cpp":
+            op_tok = self.next()
+            if self.at("["):
+                self.skip_balanced("[", "]")
+            operand = self.parse_unary()
+            end = self.toks[self.pos - 1]
+            operand.arg_index = 1
+            call = N(M.CALL, code=self.slice(op_tok, end), name=M.OP_DELETE,
+                     method_full_name=M.OP_DELETE, dispatch_type=M.STATIC_DISPATCH, line=op_tok.line)
+            call.add(operand)
+            return call
+        if t.v == "(":
+            # cast or parenthesized expression
+            save = self.pos
+            self.next()
+            if self.looks_like_type():
+                ty = self.parse_type()
+                if self.at(")"):
+                    self.next()
+                    # must be followed by something castable
+                    nxt = self.peek()
+                    if nxt is not None and (nxt.t in ("id", "num", "str", "char") or nxt.v in ("(", "*", "&", "!", "~", "-", "+")):
+                        operand = self.parse_unary()
+                        end = self.toks[self.pos - 1]
+                        tref = N(M.TYPE_REF, code=ty, type_full_name=ty, line=t.line, arg_index=1)
+                        operand.arg_index = 2
+                        call = N(M.CALL, code=self.slice(t, end), name=M.OP_CAST,
+                                 method_full_name=M.OP_CAST, dispatch_type=M.STATIC_DISPATCH,
+                                 line=t.line, type_full_name=ty)
+                        call.add(tref, operand)
+                        return call
+            self.pos = save
+            self.next()
+            inner = self.parse_expression()
+            self.expect(")")
+            return self.parse_postfix_ops(inner, t)
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> N:
+        t = self.next()
+        if t.t == "num":
+            node = N(M.LITERAL, code=t.v, line=t.line,
+                     type_full_name="double" if ("." in t.v or "e" in t.v.lower() and not t.v.lower().startswith("0x")) else "int")
+        elif t.t == "str":
+            node = N(M.LITERAL, code=t.v, line=t.line, type_full_name="char*")
+        elif t.t == "char":
+            node = N(M.LITERAL, code=t.v, line=t.line, type_full_name="char")
+        elif t.v in ("true", "false", "nullptr"):
+            node = N(M.LITERAL, code=t.v, line=t.line,
+                     type_full_name="bool" if t.v != "nullptr" else M.ANY)
+        elif t.v == "this":
+            node = N(M.IDENTIFIER, code="this", name="this", line=t.line,
+                     type_full_name=(self.ns[-1] + "*") if self.ns else M.ANY)
+        elif t.t == "id" or t.t == "kw":
+            name = t.v
+            while self.at("::"):
+                self.next()
+                name += "." + self.next().v
+            decl = self.lookup(name)
+            node = N(M.IDENTIFIER, code=t.v if "." not in name else name, name=name, line=t.line,
+                     type_full_name=decl.type_full_name if decl is not None else M.ANY)
+            if decl is not None:
+                node.ref_target = decl
+        else:
+            raise ParseError(f"unexpected token {t.v!r} in expression at line {t.line}")
+        return self.parse_postfix_ops(node, t)
+
+    def parse_postfix_ops(self, node: N, start: Tok) -> N:
+        while True:
+            if self.at("("):
+                node = self.build_call(node, start)
+            elif self.at("["):
+                self.next()
+                idx = self.parse_expression()
+                close = self.expect("]")
+                opname = M.OP_INDIRECT_INDEX_ACCESS if node.type_full_name.endswith("*") else M.OP_INDEX_ACCESS
+                node.arg_index, idx.arg_index = 1, 2
+                call = N(M.CALL, code=self.slice(start, close), name=opname,
+                         method_full_name=opname, dispatch_type=M.STATIC_DISPATCH, line=start.line)
+                call.add(node, idx)
+                node = call
+            elif self.at(".") or self.at("->"):
+                arrow = self.next().v == "->"
+                fld_tok = self.next()
+                if self.at("("):
+                    # member call: receiver.method(args)
+                    node = self.build_member_call(node, fld_tok, start, arrow)
+                    continue
+                opname = M.OP_INDIRECT_FIELD_ACCESS if arrow else M.OP_FIELD_ACCESS
+                fld = N(M.FIELD_IDENTIFIER, code=fld_tok.v, name=fld_tok.v,
+                        canonical_name=fld_tok.v, line=fld_tok.line, arg_index=2)
+                node.arg_index = 1
+                call = N(M.CALL, code=self.slice(start, fld_tok), name=opname,
+                         method_full_name=opname, dispatch_type=M.STATIC_DISPATCH, line=start.line)
+                call.add(node, fld)
+                node = call
+            elif self.at("++") or self.at("--"):
+                op_tok = self.next()
+                opname = M.POSTFIX_OPERATOR_MAP[op_tok.v]
+                node.arg_index = 1
+                call = N(M.CALL, code=self.slice(start, op_tok), name=opname,
+                         method_full_name=opname, dispatch_type=M.STATIC_DISPATCH, line=start.line)
+                call.add(node)
+                node = call
+            else:
+                return node
+
+    def build_call(self, callee: N, start: Tok) -> N:
+        self.next()  # (
+        args: list[N] = []
+        while not self.at(")"):
+            a = self.parse_assignment_expr()
+            args.append(a)
+            if self.at(","):
+                self.next()
+        close = self.expect(")")
+        if callee.kind == M.IDENTIFIER and callee.ref_target is None:
+            # direct named call — static dispatch, methodFullName = name (C)
+            name = callee.name
+            full = name if self.lang == "c" else name
+            call = N(M.CALL, code=self.slice(start, close), name=name.split(".")[-1],
+                     method_full_name=full, dispatch_type=M.STATIC_DISPATCH, line=start.line)
+        else:
+            # call through expression / function pointer
+            callee.role = M.ROLE_RECEIVER
+            callee.arg_index = 0
+            call = N(M.CALL, code=self.slice(start, close), name=callee.code,
+                     method_full_name=M.UNKNOWN_FULL_NAME,
+                     dispatch_type=M.DYNAMIC_DISPATCH, line=start.line)
+            call.add(callee)
+        for i, a in enumerate(args, start=1):
+            a.arg_index = i
+            call.add(a)
+        return call
+
+    def build_member_call(self, receiver: N, fld_tok: Tok, start: Tok, arrow: bool) -> N:
+        self.next()  # (
+        args: list[N] = []
+        while not self.at(")"):
+            a = self.parse_assignment_expr()
+            args.append(a)
+            if self.at(","):
+                self.next()
+        close = self.expect(")")
+        recv_ty = receiver.type_full_name.rstrip("*")
+        mfn = f"{recv_ty}.{fld_tok.v}" if recv_ty and recv_ty != M.ANY else M.UNKNOWN_FULL_NAME
+        call = N(M.CALL, code=self.slice(start, close), name=fld_tok.v,
+                 method_full_name=mfn, dispatch_type=M.DYNAMIC_DISPATCH,
+                 line=start.line, signature="")
+        receiver.role = M.ROLE_RECEIVER
+        receiver.arg_index = 0
+        call.add(receiver)
+        for i, a in enumerate(args, start=1):
+            a.arg_index = i
+            call.add(a)
+        return call
+
+
+def parse_c_file(repo: str, path: str, commit: str, lang: str, content: str) -> list[N]:
+    return CParser(content, path, lang).parse()
