@@ -1,0 +1,215 @@
+"""Deterministic source-corpus synthesis (FIXTURES.md §1/§8).
+
+Two generators:
+
+* ``fixture_rows()`` — the small golden corpus: programs adapted from the
+  reference's own test fixtures (tests/code/c/test.c, uaf.c,
+  jssrc/simple.js, javasrc/MethodTest.java and the CFG test shapes), embedded
+  verbatim so expected triples are stable.
+* ``bench_source(spark, n_files)`` — the scale corpus, generated entirely
+  JVM-side from ``spark.range``: file content is a ``format_string`` over
+  templates with id-derived symbol names. No driver-side materialization, no
+  Python in the loop — a 10^8-file corpus is a metadata-only plan.
+  Deliberate skew (FIXTURES.md §8): one mega-repo holds ~20% of files and hot
+  external symbols (printf/malloc) appear in >50% of files, exercising the
+  AQE-skew / broadcast join paths.
+
+COMMIT is a constant 40-hex string for synthetic data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+COMMIT = "f" * 40
+
+FIXTURE_C_TEST = """#include <stdio.h>
+
+int main() {
+    print_number(42);
+    return 0;
+}
+
+void print_number(int x) {
+    printf(x);
+    return;
+}
+"""
+
+FIXTURE_C_UAF = """#include <stdlib.h>
+
+void *bad() {
+\tvoid *x = NULL;
+\tfree(x);
+\treturn x;
+}
+
+void *false_positive() {
+    void *x = NULL;
+\tfree(x);
+\tx = NULL;
+\treturn x;
+}
+
+int main(int argc, char * argv[]){
+    bad();
+}
+"""
+
+FIXTURE_C_CFG = """int cfg_kitchen_sink(int x, int y) {
+  int z = x && y;
+  if (x) { z = 1; } else { z = 2; }
+  while (x < 10) { x += 1; if (x == 5) { continue; } if (x == 7) { break; } }
+  do { y = y - 1; } while (y > 0);
+  for (int i = 0; i < x; i += 1) { z += i; }
+  switch (z) { case 1: y = 1; break; case 2: y = 2; default: y = 0; }
+  return x ? y : z;
+}
+"""
+
+FIXTURE_CPP_SHAPES = """namespace geo {
+class Shape {
+ public:
+  int sides;
+  virtual int area(int s) { return s * s; }
+};
+class Circle : public Shape {
+ public:
+  int area(int s) { return s * 3; }
+};
+class Square : public Shape {
+ public:
+  int area(int s) { return s * 4; }
+};
+}
+int measure(geo::Shape *p) { return p->area(2); }
+int pick(geo::Circle *c) { return c->area(1) + measure(c); }
+"""
+
+FIXTURE_JAVA_METHODS = """package io.test.methods;
+
+public class MethodTest extends BaseTest {
+
+  public static int staticMethod(int var) {
+    return var;
+  }
+
+  public int nonStaticMethod(int var) {
+    return var;
+  }
+
+  public int callsStatic(int v) {
+    return staticMethod(v);
+  }
+
+  public String callsNoExternalMethod() {
+    return internalMethod();
+  }
+
+  private String internalMethod() {
+    return "";
+  }
+}
+"""
+
+FIXTURE_JS_SIMPLE = """const mysql = require('mysql');
+
+var connection = mysql.createConnection();
+
+function getUserInput() {
+    return "";
+}
+
+function lookForProperty(property) {
+    var query = property;
+    queryDatabase(query);
+}
+
+function queryDatabase(sql) {
+    var result = "";
+    connection.query("SELECT * from " + sql);
+    return result;
+}
+
+var input = getUserInput();
+lookForProperty(input);
+"""
+
+
+def fixture_rows() -> list[tuple[str, str, str, str, str]]:
+    return [
+        ("fixtures/c-basics", "src/test.c", COMMIT, "c", FIXTURE_C_TEST),
+        ("fixtures/c-basics", "src/uaf.c", COMMIT, "c", FIXTURE_C_UAF),
+        ("fixtures/c-basics", "src/cfg.c", COMMIT, "c", FIXTURE_C_CFG),
+        ("fixtures/cpp-shapes", "src/shapes.cpp", COMMIT, "cpp", FIXTURE_CPP_SHAPES),
+        ("fixtures/java-methods", "src/MethodTest.java", COMMIT, "java", FIXTURE_JAVA_METHODS),
+        ("fixtures/js-simple", "src/simple.js", COMMIT, "javascript", FIXTURE_JS_SIMPLE),
+    ]
+
+
+def fixture_source(spark: SparkSession, langs: tuple[str, ...] | None = None) -> DataFrame:
+    rows = fixture_rows()
+    if langs:
+        rows = [r for r in rows if r[3] in langs]
+    return spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+
+
+# --------------------------------------------------------------------------- #
+# Bench corpus — JVM-side generation.
+# --------------------------------------------------------------------------- #
+
+# One C template; %1$s-style arg reuse is not in Spark's format_string, so the
+# symbol suffix is passed repeatedly.
+BENCH_C_TEMPLATE = r"""#include <stdio.h>
+#include <stdlib.h>
+
+int helper_%s(int a, int b) {
+  int t = a + b;
+  if (t > %s) { t = t * 2; } else { t = t - 1; }
+  return t;
+}
+
+int compute_%s(int n) {
+  int acc = 0;
+  char *buf = malloc(64);
+  for (int i = 0; i < n; i += 1) {
+    acc += helper_%s(i, n);
+    if (acc > 1000) { break; }
+    if (acc < 0) { continue; }
+  }
+  while (acc > 0 && n > 1) { acc = acc - n; }
+  do { n = n - 1; } while (n > 0);
+  switch (acc) {
+    case 0: acc = 1; break;
+    case 1: acc = 2;
+    default: acc = extern_sink_%s(acc);
+  }
+  printf("%s", acc);
+  free(buf);
+  return acc > 0 ? acc : 0 - acc;
+}
+"""
+
+
+def bench_source(spark: SparkSession, n_files: int, n_repos: int = 97,
+                 partitions: int | None = None) -> DataFrame:
+    """n_files synthetic C files. repo f(id) with a skewed mega-repo (~20%%),
+    hot externals printf/malloc everywhere, cross-file unresolved calls
+    (extern_sink_*) shared across each repo to exercise stubs + linking."""
+    df = spark.range(0, n_files, 1, partitions or spark.sparkContext.defaultParallelism * 2)
+    sym = F.conv(F.col("id").cast("string"), 10, 16)  # hex symbol suffix
+    repo = (F.when(F.pmod("id", 5) == 0, F.lit("megarepo"))
+            .otherwise(F.concat(F.lit("repo_"), F.pmod("id", F.lit(n_repos)).cast("string"))))
+    # shared sink symbol per repo → hot unresolved fullname (skew in stub join)
+    sink_sym = F.pmod("id", F.lit(n_repos)).cast("string")
+    content = F.format_string(
+        BENCH_C_TEMPLATE.replace('printf("%s", acc)', 'printf("%%d", acc)'),
+        sym, F.pmod("id", 100).cast("string"), sym, sym, sink_sym,
+    )
+    return df.select(
+        repo.alias("repo"),
+        F.concat(F.lit("src/gen_"), sym, F.lit(".c")).alias("path"),
+        F.lit(COMMIT).alias("commit"),
+        F.lit("c").alias("lang"),
+        content.alias("content"),
+    )

@@ -72,10 +72,11 @@ def sha256_hex(content: str) -> str:
 
 
 def flatten_file(
-    repo: str, path: str, commit: str, lang: str, content: str, roots: Iterable[N]
+    repo: str, path: str, commit: str, lang: str, content: str, roots: Iterable[N],
+    sha: str | None = None,
 ) -> list[dict]:
     """Preorder-flatten a file's AST roots into raw-row dicts."""
-    sha = sha256_hex(content)
+    sha = sha if sha is not None else sha256_hex(content)
     rows: list[dict] = []
     counter = [0]
 

@@ -312,6 +312,25 @@ RAW_NODE_FIELDS = [
     ("is_external", T.BooleanType()),
     ("line", T.IntegerType()),
     ("parse_error", T.StringType()),  # non-empty => file-level parse failure row
+    # fused intraprocedural edges (CFG/DOMINATE/POST_DOMINATE/CDG/REACHING_DEF)
+    # attached to METHOD rows as file-local idx pairs; exploded JVM-side.
+    # Avoids re-shuffling the AST for the per-method passes: the parser already
+    # holds the whole file (reference parallelism axis: per-method ForkJoin
+    # parts, CfgCreationPass.scala:19 — here the file partition subsumes it).
+    (
+        "intra_edges",
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("src", T.LongType()),
+                    T.StructField("dst", T.LongType()),
+                    T.StructField("label", T.StringType()),
+                    T.StructField("kind", T.StringType()),
+                    T.StructField("variable", T.StringType()),
+                ]
+            )
+        ),
+    ),
 ]
 
 RAW_NODE_SCHEMA = T.StructType([T.StructField(n, t, True) for n, t in RAW_NODE_FIELDS])
@@ -385,6 +404,7 @@ def raw_node(**kw):
         "is_external": False,
         "line": 0,
         "parse_error": "",
+        "intra_edges": None,
     }
     row.update(kw)
     return row

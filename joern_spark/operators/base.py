@@ -1,0 +1,316 @@
+"""Base linking layer — reference passes #2-#12 (SURVEY.md §2A), re-expressed
+as DataFrame ops.
+
+Scale design note: node ids are content-derived (xxhash64 over stable keys),
+so every edge whose *target identity* is a pure function of a fullname becomes
+a PROJECTION instead of a join:
+
+* EVAL_TYPE   → type id  = xxhash64('TYPE', type_full_name)
+* INHERITS_FROM / ALIAS_OF → same
+* SOURCE_FILE → file id  = xxhash64('FILE', repo, path, commit)
+* AST link to the per-file <global> NAMESPACE_BLOCK → computable id
+
+The reference executes all of these as batched hash-map lookups inside one
+JVM (LinkingUtil.scala:35-119, batches of 100). Distributed, the projection
+form eliminates the shuffle entirely. Joins remain only where *existence*
+matters (TYPE→TYPE_DECL REF, anti-join stub creation, call linking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from joern_spark import model as M
+
+NODE_COLS = [f.name for f in M.RAW_NODE_SCHEMA.fields] + M.NODE_ID_COLS
+
+
+def _mk_nodes(df: DataFrame, **exprs) -> DataFrame:
+    """Project df into the canonical wide node schema, defaulting columns."""
+    defaults = {
+        "repo": F.lit(""), "path": F.lit(""), "commit": F.lit(""), "lang": F.lit(""),
+        "sha256": F.lit(""), "node_idx": F.lit(-1).cast("long"),
+        "parent_idx": F.lit(-1).cast("long"), "method_idx": F.lit(-1).cast("long"),
+        "ref_idx": F.lit(-1).cast("long"), "kind": F.lit(""), "name": F.lit(""),
+        "full_name": F.lit(""), "signature": F.lit(""), "code": F.lit(""),
+        "order": F.lit(0), "arg_index": F.lit(-1), "role": F.lit(""),
+        "dispatch_type": F.lit(""), "type_full_name": F.lit(M.ANY),
+        "method_full_name": F.lit(""), "control_structure_type": F.lit(""),
+        "jump_label": F.lit(""), "canonical_name": F.lit(""),
+        "ast_parent_type": F.lit(""), "ast_parent_full_name": F.lit(""),
+        "inherits_from": F.lit(None).cast("array<string>"),
+        "alias_type_full_name": F.lit(""), "evaluation_strategy": F.lit(""),
+        "param_index": F.lit(-1), "is_variadic": F.lit(False),
+        "is_external": F.lit(False), "line": F.lit(0), "parse_error": F.lit(""),
+        "intra_edges": F.lit(None).cast(
+            "array<struct<src:bigint,dst:bigint,label:string,kind:string,variable:string>>"),
+        "id": F.lit(None).cast("long"), "parent_id": F.lit(None).cast("long"),
+        "method_id": F.lit(None).cast("long"), "ref_id": F.lit(None).cast("long"),
+    }
+    defaults.update(exprs)
+    return df.select(*[defaults[c].alias(c) for c in NODE_COLS])
+
+
+def _edge(src, dst, label, variable=None):
+    return [src.alias("src"), dst.alias("dst"), F.lit(label).alias("label"),
+            (F.lit(None).cast("string") if variable is None else variable).alias("variable")]
+
+
+def type_id(col):
+    return F.xxhash64(F.lit("TYPE"), col)
+
+
+def file_id():
+    return F.xxhash64(F.lit("FILE"), F.col("repo"), F.col("path"), F.col("commit"))
+
+
+def nsb_id():
+    return F.xxhash64(F.lit("NSB"), F.col("repo"), F.col("path"), F.col("commit"))
+
+
+# --------------------------------------------------------------------------- #
+# Pass 2 — TypeNodePass (x2cpg/.../frontend/TypeNodePass.scala:39-59)
+# --------------------------------------------------------------------------- #
+
+def used_type_fullnames(nodes: DataFrame) -> DataFrame:
+    used = nodes.select(F.col("type_full_name").alias("fn"))
+    decl = nodes.filter(F.col("kind") == M.TYPE_DECL).select(F.col("full_name").alias("fn"))
+    inh = nodes.filter(F.col("inherits_from").isNotNull()).select(
+        F.explode("inherits_from").alias("fn"))
+    alias = nodes.filter(F.col("alias_type_full_name") != "").select(
+        F.col("alias_type_full_name").alias("fn"))
+    return (used.unionByName(decl).unionByName(inh).unionByName(alias)
+            .filter((F.col("fn") != "") & F.col("fn").isNotNull())
+            .distinct())
+
+
+def type_nodes(nodes: DataFrame) -> DataFrame:
+    fns = used_type_fullnames(nodes)
+    return _mk_nodes(
+        fns,
+        id=type_id(F.col("fn")),
+        kind=F.lit(M.TYPE),
+        name=F.element_at(F.split(F.col("fn"), r"\."), -1),
+        full_name=F.col("fn"),
+        type_full_name=F.col("fn"),
+    )
+
+
+# Pass 12 — TypeEvalPass (x2cpg/.../base/TypeEvalPass.scala:9-42): projection.
+EVAL_TYPE_KINDS = [M.METHOD_PARAMETER_IN, M.METHOD_PARAMETER_OUT, M.METHOD_RETURN,
+                   M.MEMBER, M.LITERAL, M.CALL, M.LOCAL, M.IDENTIFIER, M.BLOCK,
+                   M.METHOD_REF, M.TYPE_REF, M.UNKNOWN]
+
+
+def eval_type_edges(nodes: DataFrame) -> DataFrame:
+    n = nodes.filter(F.col("kind").isin(EVAL_TYPE_KINDS)
+                     & (F.col("type_full_name") != "") & F.col("type_full_name").isNotNull())
+    return n.select(*_edge(F.col("id"), type_id(F.col("type_full_name")), M.EVAL_TYPE))
+
+
+# --------------------------------------------------------------------------- #
+# Pass 3 — FileCreationPass (+ SOURCE_FILE edges), pass 0 — per-file
+# NAMESPACE_BLOCK (MetaDataPass.scala:28-35)
+# --------------------------------------------------------------------------- #
+
+def file_nodes(nodes: DataFrame) -> DataFrame:
+    files = nodes.select("repo", "path", "commit", "lang").distinct()
+    return _mk_nodes(
+        files, repo=F.col("repo"), path=F.col("path"), commit=F.col("commit"),
+        lang=F.col("lang"), id=file_id(), kind=F.lit(M.FILE),
+        name=F.col("path"), full_name=F.col("path"),
+    )
+
+
+def namespace_block_nodes(nodes: DataFrame) -> DataFrame:
+    files = nodes.select("repo", "path", "commit", "lang").distinct()
+    return _mk_nodes(
+        files, repo=F.col("repo"), path=F.col("path"), commit=F.col("commit"),
+        lang=F.col("lang"), id=nsb_id(), kind=F.lit(M.NAMESPACE_BLOCK),
+        name=F.lit(M.GLOBAL),
+        full_name=F.concat_ws(":", F.col("path"), F.lit(M.GLOBAL)),
+        parent_id=file_id(),
+    )
+
+
+def source_file_edges(nodes: DataFrame) -> DataFrame:
+    decls = nodes.filter(F.col("kind").isin(M.METHOD, M.TYPE_DECL)
+                         & (F.col("path") != ""))
+    d = decls.select(*_edge(F.col("id"), file_id(), M.SOURCE_FILE))
+    nsb = (nodes.select("repo", "path", "commit").distinct()
+           .select(*_edge(nsb_id(), file_id(), M.SOURCE_FILE)))
+    return d.unionByName(nsb)
+
+
+# --------------------------------------------------------------------------- #
+# Pass 5 — TypeDeclStubCreator (left-anti join, TypeDeclStubCreator.scala:24-34)
+# --------------------------------------------------------------------------- #
+
+def type_decl_stubs(nodes: DataFrame) -> DataFrame:
+    fns = used_type_fullnames(nodes)
+    decls = nodes.filter(F.col("kind") == M.TYPE_DECL).select(
+        F.col("full_name").alias("fn")).distinct()
+    missing = fns.join(decls, "fn", "left_anti")
+    return _mk_nodes(
+        missing, id=F.xxhash64(F.lit("TYPE_DECL_STUB"), F.col("fn")),
+        kind=F.lit(M.TYPE_DECL),
+        name=F.element_at(F.split(F.col("fn"), r"\."), -1),
+        full_name=F.col("fn"), is_external=F.lit(True),
+    )
+
+
+def type_ref_edges(nodes_with_stubs: DataFrame) -> DataFrame:
+    """REF: TYPE → TYPE_DECL by fullname (TypeRefPass.scala:16-29). A real
+    join: target is whichever decl (real or stub) owns the fullname."""
+    types = nodes_with_stubs.filter(F.col("kind") == M.TYPE).select(
+        F.col("id").alias("src"), F.col("full_name").alias("fn"))
+    decls = (nodes_with_stubs.filter(F.col("kind") == M.TYPE_DECL)
+             .select(F.col("id").alias("dst"), F.col("full_name").alias("fn"))
+             .dropDuplicates(["fn"]))
+    return (types.join(decls, "fn")
+            .select("src", "dst", F.lit(M.REF).alias("label"),
+                    F.lit(None).cast("string").alias("variable")))
+
+
+# --------------------------------------------------------------------------- #
+# Pass 6 — MethodStubCreator (MethodStubCreator.scala:26-91): one external
+# METHOD stub (+params via explode(sequence), RET) per called-but-undefined
+# methodFullName; arg counts reconciled via min/max aggregation.
+# --------------------------------------------------------------------------- #
+
+def method_stub_nodes(nodes: DataFrame) -> DataFrame:
+    calls = nodes.filter((F.col("kind") == M.CALL)
+                         & (F.col("method_full_name") != "")
+                         & (F.col("method_full_name") != M.UNKNOWN_FULL_NAME))
+    methods = nodes.filter(F.col("kind") == M.METHOD).select(
+        F.col("full_name").alias("method_full_name")).distinct()
+
+    # arg count per call = max arg_index among children (projection-friendly:
+    # the parser stored it; recompute via groupBy on the parent id)
+    argc = (nodes.filter((F.col("arg_index") >= 1) & F.col("parent_id").isNotNull())
+            .groupBy(F.col("parent_id").alias("call_id"))
+            .agg(F.max("arg_index").alias("nargs")))
+
+    unresolved = (calls.join(methods, "method_full_name", "left_anti")
+                  .join(argc, calls["id"] == argc["call_id"], "left")
+                  .groupBy("method_full_name")
+                  .agg(F.first("name").alias("name"),
+                       F.first("signature").alias("signature"),
+                       F.max(F.coalesce(F.col("nargs"), F.lit(0))).alias("max_args")))
+
+    stub_id = F.xxhash64(F.lit("METHOD_STUB"), F.col("method_full_name"))
+    stubs = _mk_nodes(
+        unresolved, id=stub_id, kind=F.lit(M.METHOD), name=F.col("name"),
+        full_name=F.col("method_full_name"), signature=F.col("signature"),
+        code=F.col("name"), is_external=F.lit(True),
+    )
+    params_src = unresolved.filter(F.col("max_args") >= 1).select(
+        "method_full_name", F.explode(F.sequence(F.lit(1), F.col("max_args"))).alias("pi"))
+    params = _mk_nodes(
+        params_src,
+        id=F.xxhash64(F.lit("METHOD_STUB_P"), F.col("method_full_name"), F.col("pi")),
+        kind=F.lit(M.METHOD_PARAMETER_IN),
+        name=F.concat(F.lit("p"), F.col("pi")),
+        code=F.concat(F.lit("p"), F.col("pi")),
+        order=F.col("pi"), param_index=F.col("pi"),
+        evaluation_strategy=F.lit(M.BY_VALUE), is_external=F.lit(True),
+        parent_id=F.xxhash64(F.lit("METHOD_STUB"), F.col("method_full_name")),
+    )
+    rets = _mk_nodes(
+        unresolved,
+        id=F.xxhash64(F.lit("METHOD_STUB_R"), F.col("method_full_name")),
+        kind=F.lit(M.METHOD_RETURN), code=F.lit("RET"),
+        evaluation_strategy=F.lit(M.BY_VALUE), is_external=F.lit(True),
+        parent_id=stub_id,
+    )
+    return stubs.unionByName(params).unionByName(rets)
+
+
+# --------------------------------------------------------------------------- #
+# Pass 8 — MethodDecoratorPass (MethodDecoratorPass.scala:20-57):
+# METHOD_PARAMETER_OUT clone per by-reference PARAM_IN + PARAMETER_LINK.
+# --------------------------------------------------------------------------- #
+
+def parameter_out_nodes(nodes: DataFrame) -> DataFrame:
+    pins = nodes.filter(F.col("kind") == M.METHOD_PARAMETER_IN)
+    return _mk_nodes(
+        pins, repo=F.col("repo"), path=F.col("path"), commit=F.col("commit"),
+        lang=F.col("lang"), id=F.xxhash64(F.lit("POUT"), F.col("id")),
+        kind=F.lit(M.METHOD_PARAMETER_OUT), name=F.col("name"),
+        code=F.col("code"), order=F.col("order"), param_index=F.col("param_index"),
+        type_full_name=F.col("type_full_name"),
+        evaluation_strategy=F.lit(M.BY_SHARING),
+        parent_id=F.col("parent_id"), method_id=F.col("method_id"),
+    )
+
+
+def parameter_link_edges(nodes: DataFrame) -> DataFrame:
+    pins = nodes.filter(F.col("kind") == M.METHOD_PARAMETER_IN)
+    return pins.select(*_edge(F.col("id"), F.xxhash64(F.lit("POUT"), F.col("id")),
+                              M.PARAMETER_LINK))
+
+
+# --------------------------------------------------------------------------- #
+# Pass 9 — AstLinkerPass (AstLinkerPass.scala:12-61) + DECLARES extraction.
+# --------------------------------------------------------------------------- #
+
+def ast_link_and_declares_edges(nodes: DataFrame) -> DataFrame:
+    pending = nodes.filter((F.col("ast_parent_full_name") != "")
+                           & F.col("kind").isin(M.METHOD, M.TYPE_DECL, M.MEMBER))
+
+    # parent = per-file <global> NAMESPACE_BLOCK: computable id → projection
+    to_nsb = (pending.filter(F.col("ast_parent_type") == M.NAMESPACE_BLOCK)
+              .select(*_edge(nsb_id(), F.col("id"), M.AST)))
+
+    # parent = TYPE_DECL / METHOD by fullname: join against decl dimension
+    decl_parents = (nodes.filter(F.col("kind").isin(M.TYPE_DECL, M.METHOD))
+                    .select(F.col("id").alias("pid"), F.col("kind").alias("pkind"),
+                            F.col("full_name").alias("pfn"))
+                    .dropDuplicates(["pkind", "pfn"]))
+    to_decl = (pending.filter(F.col("ast_parent_type") != M.NAMESPACE_BLOCK)
+               .join(decl_parents,
+                     (F.col("ast_parent_full_name") == F.col("pfn"))
+                     & (F.col("ast_parent_type") == F.col("pkind")))
+               )
+    ast = to_decl.select(*_edge(F.col("pid"), F.col("id"), M.AST))
+    declares = (to_decl.filter(F.col("pkind") == M.TYPE_DECL)
+                .select(*_edge(F.col("pid"), F.col("id"), M.DECLARES)))
+    return to_nsb.unionByName(ast).unionByName(declares)
+
+
+# --------------------------------------------------------------------------- #
+# Pass 16/17 — TypeHierarchyPass / AliasLinkerPass: projections.
+# --------------------------------------------------------------------------- #
+
+def inherits_edges(nodes: DataFrame) -> DataFrame:
+    d = nodes.filter((F.col("kind") == M.TYPE_DECL) & F.col("inherits_from").isNotNull())
+    e = d.select(F.col("id").alias("src"), F.explode("inherits_from").alias("parent_fn"))
+    return e.select(*_edge(F.col("src"), type_id(F.col("parent_fn")), M.INHERITS_FROM))
+
+
+def alias_edges(nodes: DataFrame) -> DataFrame:
+    d = nodes.filter((F.col("kind") == M.TYPE_DECL) & (F.col("alias_type_full_name") != ""))
+    return d.select(*_edge(F.col("id"), type_id(F.col("alias_type_full_name")), M.ALIAS_OF))
+
+
+def run_base(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """All base-layer passes → (extra_nodes, extra_edges)."""
+    extra_nodes = (
+        type_nodes(nodes)
+        .unionByName(file_nodes(nodes))
+        .unionByName(namespace_block_nodes(nodes))
+        .unionByName(type_decl_stubs(nodes))
+        .unionByName(method_stub_nodes(nodes))
+        .unionByName(parameter_out_nodes(nodes))
+    )
+    all_nodes = nodes.unionByName(extra_nodes)
+    extra_edges = (
+        eval_type_edges(nodes)
+        .unionByName(source_file_edges(nodes))
+        .unionByName(type_ref_edges(all_nodes))
+        .unionByName(parameter_link_edges(nodes))
+        .unionByName(ast_link_and_declares_edges(all_nodes))
+        .unionByName(inherits_edges(all_nodes))
+        .unionByName(alias_edges(all_nodes))
+    )
+    return extra_nodes, extra_edges

@@ -1,0 +1,134 @@
+"""Call-graph layer — reference passes #19-#22 (SURVEY.md §2A).
+
+* MethodRefLinker  (MethodRefLinker.scala:12-28)   — equi-join on fullname.
+* StaticCallLinker (StaticCallLinker.scala:15-38)  — THE flagship hash join:
+  calls ⋈ methods on fullname. At 10^12-file scale the probe side is wildly
+  skewed on hot external symbols (printf/malloc/require). Strategy:
+  (a) the build side (one row per distinct method fullname) is deduplicated
+      first, so the join is N:1;
+  (b) if the method dimension is small enough we broadcast it outright —
+      the distributed analogue of the reference's methodMap hashmap
+      (DynamicCallLinker.scala:40-51);
+  (c) otherwise AQE skew-join splitting handles the hot keys
+      (spark.sql.adaptive.skewJoin.enabled, set in session.py).
+* DynamicCallLinker (DynamicCallLinker.scala:29-221) — SAFEDISPATCH-style:
+  candidates = subclasses*(receiver static type) × lookup(name); inheritance
+  transitive closure computed by an iterative self-join to fixpoint (depth-
+  bounded driver loop with localCheckpoint to cut lineage).
+* NaiveCallLinker  (NaiveCallLinker.scala:14-27)   — remaining unlinked calls
+  joined to methods by bare name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from joern_spark import model as M
+
+BROADCAST_METHOD_LIMIT = 2_000_000  # rows; ~100MB of (fullname,id) fits executors
+
+
+def _edge(src, dst, label):
+    return [src.alias("src"), dst.alias("dst"), F.lit(label).alias("label"),
+            F.lit(None).cast("string").alias("variable")]
+
+
+def method_dimension(nodes: DataFrame) -> DataFrame:
+    """One row per method fullname (FullNameUniquenessPass dedup via window —
+    C2Cpg.scala:45-48): internal definitions win over external stubs."""
+    m = nodes.filter(F.col("kind") == M.METHOD).select(
+        F.col("full_name").alias("m_fn"), F.col("id").alias("m_id"),
+        F.col("name").alias("m_name"), F.col("is_external"),
+        F.col("ast_parent_full_name").alias("m_parent"),
+        F.col("signature").alias("m_sig"))
+    w = Window.partitionBy("m_fn").orderBy(F.col("is_external").cast("int"), F.col("m_id"))
+    return m.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def static_call_edges(nodes: DataFrame, broadcast: bool | None = None) -> DataFrame:
+    calls = nodes.filter((F.col("kind") == M.CALL)
+                         & (F.col("dispatch_type") == M.STATIC_DISPATCH)
+                         & (F.col("method_full_name") != "")
+                         & (F.col("method_full_name") != M.UNKNOWN_FULL_NAME))
+    dim = method_dimension(nodes)
+    if broadcast is None:
+        # cheap cardinality probe on the build side only
+        broadcast = dim.limit(BROADCAST_METHOD_LIMIT).count() < BROADCAST_METHOD_LIMIT
+    rhs = F.broadcast(dim) if broadcast else dim
+    j = calls.join(rhs, calls["method_full_name"] == rhs["m_fn"], "inner")
+    return j.select(*_edge(F.col("id"), F.col("m_id"), M.CALL_EDGE))
+
+
+def method_ref_edges(nodes: DataFrame) -> DataFrame:
+    refs = nodes.filter((F.col("kind") == M.METHOD_REF) & (F.col("method_full_name") != ""))
+    dim = method_dimension(nodes)
+    j = refs.join(F.broadcast(dim), refs["method_full_name"] == dim["m_fn"], "inner")
+    return j.select(*_edge(F.col("id"), F.col("m_id"), M.REF))
+
+
+def inheritance_closure(nodes: DataFrame, max_depth: int = 20) -> DataFrame:
+    """(ancestor_fn, descendant_fn) transitive closure of INHERITS_FROM —
+    the reference's subclass cache (DynamicCallLinker.scala:37-42,94-111) as
+    an iterative self-join with per-iteration checkpointing."""
+    base = (nodes.filter((F.col("kind") == M.TYPE_DECL) & F.col("inherits_from").isNotNull())
+            .select(F.col("full_name").alias("desc"), F.explode("inherits_from").alias("anc"))
+            .distinct())
+    closure = base.localCheckpoint(eager=True)
+    frontier = closure
+    for _ in range(max_depth):
+        step = (frontier.alias("f")
+                .join(base.alias("b"), F.col("f.anc") == F.col("b.desc"))
+                .select(F.col("f.desc").alias("desc"), F.col("b.anc").alias("anc"))
+                .distinct())
+        new = step.join(closure, ["desc", "anc"], "left_anti").localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        closure = closure.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    return closure
+
+
+def dynamic_call_edges(nodes: DataFrame, closure: DataFrame | None = None) -> DataFrame:
+    """CALL edges for DYNAMIC_DISPATCH: resolve `T.name` against T and every
+    subclass of T that declares `name` (SAFEDISPATCH candidate set,
+    DynamicCallLinker.scala:63-70)."""
+    calls = (nodes.filter((F.col("kind") == M.CALL)
+                          & (F.col("dispatch_type") == M.DYNAMIC_DISPATCH)
+                          & (F.col("method_full_name") != "")
+                          & (F.col("method_full_name") != M.UNKNOWN_FULL_NAME))
+             .withColumn("recv_type", F.expr(r"regexp_replace(method_full_name, '\\.[^.]+$', '')"))
+             .withColumn("call_name", F.element_at(F.split("method_full_name", r"\."), -1)))
+    if closure is None:
+        closure = inheritance_closure(nodes)
+    closure = closure.select(F.col("anc").alias("recv_type"), F.col("desc").alias("impl_type"))
+    # candidate receiver types: the static type itself + all transitive subtypes
+    self_row = calls.select("recv_type").distinct().withColumn("impl_type", F.col("recv_type"))
+    cand_types = closure.unionByName(self_row).distinct()
+
+    methods = (method_dimension(nodes)
+               .filter(F.col("m_parent") != "")
+               .select(F.col("m_parent").alias("impl_type"), F.col("m_name").alias("call_name"),
+                       F.col("m_id")))
+    cands = cand_types.join(F.broadcast(methods), "impl_type")
+    j = calls.join(cands, ["recv_type", "call_name"])
+    return j.select(*_edge(F.col("id"), F.col("m_id"), M.CALL_EDGE))
+
+
+def naive_call_edges(nodes: DataFrame, linked: DataFrame) -> DataFrame:
+    """Fallback: remaining unlinked calls joined to internal methods by bare
+    name (NaiveCallLinker.scala:14-27)."""
+    calls = nodes.filter(F.col("kind") == M.CALL).select("id", "name")
+    unlinked = calls.join(linked.select(F.col("src").alias("id")).distinct(), "id", "left_anti")
+    methods = (method_dimension(nodes).filter(~F.col("is_external"))
+               .select(F.col("m_name").alias("name"), "m_id")
+               .dropDuplicates(["name"]))
+    j = unlinked.join(F.broadcast(methods), "name")
+    return j.select(*_edge(F.col("id"), F.col("m_id"), M.CALL_EDGE))
+
+
+def run_callgraph(nodes: DataFrame) -> DataFrame:
+    static = static_call_edges(nodes)
+    dyn = dynamic_call_edges(nodes)
+    linked = static.unionByName(dyn)
+    naive = naive_call_edges(nodes, linked)
+    return linked.unionByName(naive).unionByName(method_ref_edges(nodes))

@@ -1,0 +1,184 @@
+"""Parse stage: source table → raw CPG node rows (+ fused intraprocedural
+edges) via ``mapInPandas``.
+
+Replicates reference pass #1 (AstCreationPass — per-file ForkJoin parts,
+c2cpg/.../passes/AstCreationPass.scala:80-120) as the Spark partitioning
+axis: each Arrow batch of (repo, path, commit, lang, content) rows is parsed
+in-process; per-file failures degrade to a single ``parse_error`` row instead
+of failing the task (at 10^12-file scale some files WILL be pathological).
+
+When ``fuse_intraprocedural`` is on (default), the CFG / dominator / CDG /
+reaching-def kernels run inside the same stage on the just-built AST — the
+per-method passes of the reference (CfgCreationPass, CfgDominatorPass,
+CdgPass, ReachingDefPass) collapse into the parse stage with ZERO extra
+shuffle, because method locality ⊂ file locality.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from joern_spark import model as M
+
+RAW_COLS = [f.name for f in M.RAW_NODE_SCHEMA.fields]
+
+
+def _parse_one(repo: str, path: str, commit: str, lang: str, content: str,
+               sha: str, fuse: bool) -> list[dict]:
+    from joern_spark.frontends.astnode import flatten_file, parse_error_row
+
+    try:
+        if lang in ("c", "cpp", "c++", "h", "hpp"):
+            from joern_spark.frontends.clike import parse_c_file
+            roots = parse_c_file(repo, path, commit, "cpp" if lang in ("cpp", "c++", "hpp") else "c", content)
+        elif lang == "java":
+            from joern_spark.frontends.javasrc import parse_java_file
+            roots = parse_java_file(repo, path, commit, content)
+        elif lang in ("javascript", "js"):
+            from joern_spark.frontends.jssrc import parse_js_file
+            roots = parse_js_file(repo, path, commit, content)
+        else:
+            return [parse_error_row(repo, path, commit, lang, content, f"unsupported lang: {lang}")]
+        rows = flatten_file(repo, path, commit, lang, content, roots, sha=sha)
+        if fuse and rows:
+            _fuse_intra_edges(rows)
+        return rows
+    except RecursionError:
+        return [parse_error_row(repo, path, commit, lang, content, "recursion limit")]
+    except Exception as e:  # noqa: BLE001 — per-file isolation by design
+        return [parse_error_row(repo, path, commit, lang, content, f"{type(e).__name__}: {e}")]
+
+
+def _fuse_intra_edges(rows: list[dict]) -> None:
+    """Run the per-method control-flow kernels and attach edge arrays to the
+    METHOD rows (reaching-def is a separate stage for now)."""
+    from joern_spark.operators.controlflow import cfg_for_method, dominator_edges
+
+    by_method: dict[int, list[dict]] = {}
+    methods = []
+    for r in rows:
+        if r["kind"] == M.METHOD:
+            methods.append(r)
+        if r["method_idx"] >= 0:
+            by_method.setdefault(r["method_idx"], []).append(r)
+    for m in methods:
+        mrows = by_method.get(m["node_idx"], []) + [m]
+        cfg = cfg_for_method(mrows, m)
+        edges = [{"src": s, "dst": d, "label": M.CFG, "kind": k, "variable": None}
+                 for s, d, k in cfg]
+        exit_idx = next((r["node_idx"] for r in mrows
+                         if r["kind"] == M.METHOD_RETURN and r["parent_idx"] == m["node_idx"]), None)
+        if cfg and exit_idx is not None:
+            dom, pdom, cdg = dominator_edges(cfg, m["node_idx"], exit_idx)
+            edges += [{"src": s, "dst": d, "label": M.DOMINATE, "kind": "", "variable": None} for s, d in dom]
+            edges += [{"src": s, "dst": d, "label": M.POST_DOMINATE, "kind": "", "variable": None} for s, d in pdom]
+            edges += [{"src": s, "dst": d, "label": M.CDG, "kind": "", "variable": None} for s, d in cdg]
+        try:
+            from joern_spark.operators.dataflow import reaching_def_edges
+            ddg = reaching_def_edges(mrows, m, cfg)
+            edges += [{"src": s, "dst": d, "label": M.REACHING_DEF, "kind": "", "variable": v}
+                      for s, d, v in ddg]
+        except ImportError:
+            pass
+        m["intra_edges"] = edges
+
+
+def parse_source(source: DataFrame, fuse_intraprocedural: bool = True) -> DataFrame:
+    """source(repo,path,commit,lang,content) → raw node rows.
+
+    The sha256 lineage column is computed JVM-side (F.sha2) and carried
+    through the Python workers untouched — the per-row invariant.
+    """
+    src = source.withColumn("sha256", F.sha2(F.col("content"), 256))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sys.setrecursionlimit(50_000)
+        for pdf in batches:
+            out: list[dict] = []
+            for t in pdf.itertuples(index=False):
+                out.extend(_parse_one(t.repo, t.path, t.commit, t.lang,
+                                      t.content, t.sha256, fuse_intraprocedural))
+            if out:
+                yield pd.DataFrame(out, columns=RAW_COLS)
+
+    return src.mapInPandas(run, schema=M.RAW_NODE_SCHEMA)
+
+
+# --------------------------------------------------------------------------- #
+# Id resolution + edge derivation — all JVM-side expressions, no UDFs.
+# --------------------------------------------------------------------------- #
+
+def _fid(idx_col: str):
+    """Deterministic 64-bit id from (repo,path,commit,idx) — distributed-safe
+    replacement for the reference's sequence ids."""
+    return F.xxhash64(F.col("repo"), F.col("path"), F.col("commit"), F.col(idx_col))
+
+
+def with_ids(raw: DataFrame) -> DataFrame:
+    """Attach global ids; drop parse-error rows into a side relation callers
+    can split off via ``parse_error != ''``."""
+    return (
+        raw.withColumn("id", _fid("node_idx"))
+        .withColumn("parent_id", F.when(F.col("parent_idx") >= 0, _fid("parent_idx")))
+        .withColumn("method_id", F.when(F.col("method_idx") >= 0, _fid("method_idx")))
+        .withColumn("ref_id", F.when(F.col("ref_idx") >= 0, _fid("ref_idx")))
+    )
+
+
+def ast_edges(nodes: DataFrame) -> DataFrame:
+    """AST + ARGUMENT + RECEIVER + typed shortcut + REF + CONTAINS edges —
+    pure projections over the parse output (no join, no shuffle): the parser
+    already resolved every one of these file-locally.
+
+    Reference equivalents: Ast.withChild/argEdges (Ast.scala:85-121),
+    VariableScopeManager REF links (:334-358), ContainsEdgePass.scala:15-48
+    (made a projection by carrying method_idx from the parser).
+    """
+    n = nodes.filter(F.col("parse_error") == "")
+
+    ast = (n.filter(F.col("parent_id").isNotNull())
+           .select(F.col("parent_id").alias("src"), F.col("id").alias("dst"),
+                   F.lit(M.AST).alias("label"), F.lit(None).cast("string").alias("variable")))
+
+    role_map = F.create_map(*[F.lit(x) for kv in M.ROLE_EDGE_LABELS.items() for x in kv])
+    roles = (n.filter((F.col("role") != "") & F.col("parent_id").isNotNull())
+             .select(F.col("parent_id").alias("src"), F.col("id").alias("dst"),
+                     role_map[F.col("role")].alias("label"),
+                     F.lit(None).cast("string").alias("variable")))
+
+    # ARGUMENT edges come from CALL/RETURN parents (CallAstBuilder.scala:25-55).
+    # The parser only assigns arg_index under call-like parents, so this is a
+    # projection — no self-join needed to look up the parent kind.
+    args = (n.filter((F.col("arg_index") >= 0) & F.col("parent_id").isNotNull())
+            .select(F.col("parent_id").alias("src"), F.col("id").alias("dst"),
+                    F.lit(M.ARGUMENT).alias("label"),
+                    F.col("arg_index").cast("string").alias("variable")))
+
+    refs = (n.filter(F.col("ref_id").isNotNull())
+            .select(F.col("id").alias("src"), F.col("ref_id").alias("dst"),
+                    F.lit(M.REF).alias("label"), F.lit(None).cast("string").alias("variable")))
+
+    contains = (n.filter(F.col("method_id").isNotNull()
+                         & (~F.col("kind").isin(M.METHOD, M.METHOD_PARAMETER_IN,
+                                                M.METHOD_PARAMETER_OUT, M.METHOD_RETURN,
+                                                M.LOCAL, M.MODIFIER, M.TYPE_DECL, M.MEMBER)))
+                .select(F.col("method_id").alias("src"), F.col("id").alias("dst"),
+                        F.lit(M.CONTAINS).alias("label"), F.lit(None).cast("string").alias("variable")))
+
+    return ast.unionByName(roles).unionByName(args).unionByName(refs).unionByName(contains)
+
+
+def intra_edges(nodes: DataFrame) -> DataFrame:
+    """Explode the fused per-method edge arrays into global-id edge rows."""
+    m = nodes.filter((F.col("kind") == M.METHOD) & F.col("intra_edges").isNotNull())
+    e = m.select("repo", "path", "commit", F.explode("intra_edges").alias("e"))
+    return e.select(
+        F.xxhash64("repo", "path", "commit", F.col("e.src")).alias("src"),
+        F.xxhash64("repo", "path", "commit", F.col("e.dst")).alias("dst"),
+        F.col("e.label").alias("label"),
+        F.col("e.variable").alias("variable"),
+    )
