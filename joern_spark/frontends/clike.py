@@ -50,7 +50,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>"(?:\\.|[^"\\])*")
   | (?P<char>'(?:\\.|[^'\\])*')
   | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<punct><<=|>>=|\.\.\.|->\*|<<|>>|<=|>=|==|!=|&&|\|\||\+\+|--|\+=|-=|\*=|/=|%=|&=|\^=|\|=|->|::|[{}()\[\];,.<>+\-*/%&|^~!?=:])
+  | (?P<punct><<=|>>=|\.\.\.|->\*|<<|>>|<=|>=|==|!=|&&|\|\||\+\+|--|\+=|-=|\*=|/=|%=|&=|\^=|\|=|->|::|[{}()\[\];,.<>+\-*/%&|^~!?=:@])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -66,7 +66,7 @@ class Tok:
         return f"Tok({self.t},{self.v!r})"
 
 
-def tokenize(src: str) -> list[Tok]:
+def tokenize(src: str, keywords: frozenset = KEYWORDS) -> list[Tok]:
     toks: list[Tok] = []
     line = 1
     i, n = 0, len(src)
@@ -97,7 +97,7 @@ def tokenize(src: str) -> list[Tok]:
             line += text.count("\n")
         else:
             t = kind
-            if kind == "id" and text in KEYWORDS:
+            if kind == "id" and text in keywords:
                 t = "kw"
             toks.append(Tok(t, text, m.start(), m.end(), line))
         i = m.end()
@@ -112,12 +112,13 @@ class CParser:
     """One instance per file. ``parse()`` returns list of root N nodes."""
 
     MAX_TOKENS = 400_000
+    KEYWORD_SET = KEYWORDS
 
     def __init__(self, content: str, path: str, lang: str):
         self.src = content
         self.path = path
         self.lang = lang  # "c" or "cpp"
-        self.toks = tokenize(content)
+        self.toks = tokenize(content, self.KEYWORD_SET)
         if len(self.toks) > self.MAX_TOKENS:
             raise ParseError(f"file too large: {len(self.toks)} tokens")
         self.pos = 0

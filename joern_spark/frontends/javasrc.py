@@ -1,0 +1,885 @@
+"""Java frontend: recursive-descent parser emitting Joern-style CPG nodes.
+
+Reproduces the reference javasrc2cpg *conventions* (not its code — the
+reference wraps JavaParser in Scala):
+
+* method fullname ``package.Class.method:returnType(paramTypes)`` —
+  javasrc2cpg/src/main/scala/io/joern/javasrc2cpg/util/Util.scala:15-17
+* constructors named ``<init>`` (x2cpg/.../Defines.scala:25-28)
+* unresolved calls get ``<unresolvedNamespace>.name:<unresolvedSignature>(n)``
+  (x2cpg/.../Defines.scala:11-22)
+* ``class A extends B implements C`` → TYPE_DECL.inheritsFromTypeFullName
+  (consumed by TypeHierarchyPass.scala:14-31 → INHERITS_FROM triples)
+* member access lowers to ``<operator>.fieldAccess`` CALLs
+  (FieldAccessLinkerPass.scala:23-34 links them to MEMBERs)
+* Java conditions are boolean — NO implicit ``!= 0`` wrap (that is c2cpg-only,
+  AstForStatementsCreator.scala:560-591)
+
+Implementation note: subclasses the C/C++ recursive-descent machinery in
+``clike.py`` (statements, precedence-climbing expressions) and overrides the
+Java-divergent surface: top level (package/import/annotations), class bodies
+(modifiers, fields, constructors), generics-aware type parsing, foreach,
+try/finally, instanceof, ``new``, lambdas, and the fullname/signature scheme.
+"""
+
+from __future__ import annotations
+
+from joern_spark import model as M
+from joern_spark.frontends.astnode import N
+from joern_spark.frontends.clike import CParser, ParseError, Tok
+
+JAVA_KEYWORDS = frozenset(
+    """abstract assert boolean break byte case catch char class const continue
+    default do double else enum extends final finally float for goto if
+    implements import instanceof int interface long native new package
+    private protected public return short static strictfp super switch
+    synchronized this throw throws transient try void volatile while
+    record sealed permits true false null""".split()
+)
+# NB: contextual keywords (var, yield) stay identifiers — `int var` is legal.
+
+JAVA_TYPE_KEYWORDS = frozenset(
+    "boolean byte char short int long float double void".split()
+)
+
+MODIFIERS = frozenset(
+    """public private protected static final abstract native synchronized
+    transient volatile strictfp sealed default""".split()
+)
+
+# java.lang implicit imports — resolved like javasrc2cpg's TypeInfoCalculator
+JAVA_LANG = {
+    n: f"java.lang.{n}"
+    for n in """String Object Integer Long Double Float Boolean Byte Short
+    Character Math System Thread Runnable Exception RuntimeException Error
+    Throwable StringBuilder StringBuffer Class Iterable Comparable Number
+    Void CharSequence IllegalArgumentException IllegalStateException
+    NullPointerException IndexOutOfBoundsException
+    UnsupportedOperationException""".split()
+}
+
+
+class JavaParser(CParser):
+    KEYWORD_SET = JAVA_KEYWORDS
+
+    def __init__(self, content: str, path: str):
+        super().__init__(content, path, "java")
+        self.package = ""
+        self.imports: dict[str, str] = {}  # simple name -> fqn
+        self.lambda_counter = 0
+        # methods declared per class fullname: name -> (fullname, is_static)
+        self.class_methods: dict[str, dict[str, tuple[str, bool]]] = {}
+
+    # ---------------- naming ----------------
+    def resolve_type(self, name: str) -> str:
+        if not name:
+            return M.ANY
+        base = name.rstrip("[]*")
+        suffix = name[len(base):].replace("*", "[]")
+        if base in self.declared_types:
+            return self.declared_types[base] + suffix
+        if base in self.imports:
+            return self.imports[base] + suffix
+        if base in JAVA_LANG:
+            return JAVA_LANG[base] + suffix
+        return name.replace("*", "[]")
+
+    def qual(self, name: str) -> str:
+        parts = ([self.package] if self.package else []) + self.ns + [name]
+        return ".".join(p for p in parts if p)
+
+    # ---------------- type parsing (generics, arrays, varargs) -------------
+    def parse_java_type(self) -> str:
+        t = self.peek()
+        if t is None:
+            return M.ANY
+        if t.v == "?":  # wildcard
+            self.next()
+            if self.at_any(("extends", "super")):
+                self.next()
+                self.parse_java_type()
+            return M.ANY
+        name = self.next().v
+        while self.at(".") and self.peek(1) is not None and self.peek(1).t == "id":
+            self.next()
+            name += "." + self.next().v
+        if self.at("<"):
+            self.skip_balanced("<", ">")  # strip generics like template tags
+        dims = ""
+        while self.at("[") and self.at("]", 1):
+            self.next(); self.next()
+            dims += "[]"
+        return name + dims
+
+    def looks_like_java_type(self) -> bool:
+        t = self.peek()
+        if t is None:
+            return False
+        if t.t == "kw" and t.v in JAVA_TYPE_KEYWORDS:
+            return True
+        if t.t != "id":
+            return False
+        # Ident [<...>] [[]...] Ident  — declaration shape
+        k = 1
+        while self.at(".", k) and self.peek(k + 1) is not None and self.peek(k + 1).t == "id":
+            k += 2
+        if self.at("<", k):
+            depth = 0
+            while self.peek(k) is not None:
+                v = self.peek(k).v
+                if v == "<":
+                    depth += 1
+                elif v == ">":
+                    depth -= 1
+                    if depth == 0:
+                        k += 1
+                        break
+                elif v == ";" or v == "{":
+                    return False
+                k += 1
+        while self.at("[", k) and self.at("]", k + 1):
+            k += 2
+        nxt = self.peek(k)
+        return nxt is not None and nxt.t == "id"
+
+    def skip_annotations(self):
+        while self.at("@"):
+            self.next()
+            if self.peek() is not None and self.peek().t in ("id", "kw"):
+                self.next()
+                while self.at(".") and self.peek(1) is not None:
+                    self.next(); self.next()
+                if self.at("("):
+                    self.skip_balanced("(", ")")
+
+    # ---------------- top level ----------------
+    def parse(self) -> list[N]:
+        roots: list[N] = []
+        while self.peek() is not None:
+            t = self.peek()
+            self.skip_annotations()
+            if self.peek() is None:
+                break
+            t = self.peek()
+            if t.v == "package":
+                self.next()
+                parts = [self.next().v]
+                while self.at("."):
+                    self.next()
+                    parts.append(self.next().v)
+                if self.at(";"):
+                    self.next()
+                self.package = ".".join(parts)
+                continue
+            if t.v == "import":
+                self.next()
+                if self.at("static"):
+                    self.next()
+                parts = [self.next().v]
+                star = False
+                while self.at("."):
+                    self.next()
+                    if self.at("*"):
+                        self.next()
+                        star = True
+                        break
+                    parts.append(self.next().v)
+                if self.at(";"):
+                    self.next()
+                if not star and parts:
+                    self.imports[parts[-1]] = ".".join(parts)
+                continue
+            if t.v == ";":
+                self.next()
+                continue
+            node = self.parse_type_decl()
+            if node is not None:
+                roots.append(node)
+        return roots
+
+    def parse_type_decl(self) -> N | None:
+        self.skip_annotations()
+        while self.at_any(MODIFIERS):
+            self.next()
+        t = self.peek()
+        if t is None:
+            return None
+        if t.v in ("class", "interface", "enum", "record"):
+            return self.parse_java_class(t.v)
+        # stray token — skip to avoid infinite loop
+        self.next()
+        return None
+
+    def parse_java_class(self, kw: str) -> N:
+        kw_tok = self.next()
+        name = self.next().v
+        full = self.qual(name)
+        self.declared_types[name] = full
+        self.typedefs.add(name)
+        if self.at("<"):
+            self.skip_balanced("<", ">")
+        if kw == "record" and self.at("("):
+            self.skip_balanced("(", ")")
+        inherits: list[str] = []
+        while self.at_any(("extends", "implements", "permits")):
+            which = self.next().v
+            while True:
+                base = self.parse_java_type()
+                if which != "permits":
+                    inherits.append(self.resolve_type(base))
+                if self.at(","):
+                    self.next()
+                    continue
+                break
+        decl = N(M.TYPE_DECL, code=f"{kw} {name}", name=name, full_name=full,
+                 inherits_from=inherits or None, line=kw_tok.line,
+                 ast_parent_type=M.NAMESPACE_BLOCK,
+                 ast_parent_full_name=self.global_block)
+        self.expect("{")
+        self.ns.append(name)
+        self.class_methods.setdefault(full, {})
+        # pre-scan member signatures so intra-class calls resolve regardless of
+        # declaration order (JavaParser-style symbol solving, single file)
+        self._prescan_members(full)
+        while self.peek() is not None and not self.at("}"):
+            member = self.parse_member(full, kw)
+            if member is not None:
+                decl.add(*member) if isinstance(member, list) else decl.add(member)
+        if self.at("}"):
+            self.next()
+        self.ns.pop()
+        return decl
+
+    def _prescan_members(self, class_full: str):
+        """Scan ahead (token-level) to register method name→fullname before
+        parsing bodies, so forward references link."""
+        save = self.pos
+        depth = 0
+        i = self.pos
+        toks = self.toks
+        n = len(toks)
+        while i < n:
+            v = toks[i].v
+            if v == "{":
+                depth += 1
+            elif v == "}":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif v == "(" and depth == 0 and i > self.pos:
+                # method candidate: ident before '('
+                j = i - 1
+                if toks[j].t == "id":
+                    mname = toks[j].v
+                    # find return type token(s) before name; detect static
+                    k = j - 1
+                    is_static = False
+                    ret = "void"
+                    # walk back over type tokens
+                    tp_end = k
+                    while k >= 0 and toks[k].v in ("]", "[", ">", "<") :
+                        k -= 1
+                    if k >= 0 and (toks[k].t == "id" or (toks[k].t == "kw" and toks[k].v in JAVA_TYPE_KEYWORDS)):
+                        ret = toks[k].v
+                        k -= 1
+                    while k >= 0 and toks[k].v in MODIFIERS:
+                        if toks[k].v == "static":
+                            is_static = True
+                        k -= 1
+                    # param types: scan inside parens at same depth
+                    ptypes: list[str] = []
+                    d2 = 0
+                    m2 = i
+                    expect_type = True
+                    while m2 < n:
+                        vv = toks[m2].v
+                        if vv == "(":
+                            d2 += 1
+                        elif vv == ")":
+                            d2 -= 1
+                            if d2 == 0:
+                                break
+                        elif d2 == 1 and expect_type and (toks[m2].t == "id" or (toks[m2].t == "kw" and toks[m2].v in JAVA_TYPE_KEYWORDS)):
+                            ptypes.append(self.resolve_type(toks[m2].v))
+                            expect_type = False
+                        elif d2 == 1 and vv == ",":
+                            expect_type = True
+                        m2 += 1
+                    if mname == class_full.split(".")[-1]:
+                        fullname = f"{class_full}.{M.CONSTRUCTOR}:void({','.join(ptypes)})"
+                        self.class_methods[class_full][M.CONSTRUCTOR] = (fullname, False)
+                    else:
+                        sig = f"{self.resolve_type(ret)}({','.join(ptypes)})"
+                        self.class_methods[class_full][mname] = (f"{class_full}.{mname}:{sig}", is_static)
+                    # skip past this member's body/semicolon
+            i += 1
+        self.pos = save
+
+    def parse_member(self, class_full: str, class_kw: str):
+        self.skip_annotations()
+        is_static = False
+        while self.at_any(MODIFIERS):
+            if self.at("static"):
+                is_static = True
+            self.next()
+        if self.at(";"):
+            self.next()
+            return None
+        if self.at("{"):  # instance/static initializer block
+            blk = self.parse_compound()
+            return None if not blk.children else blk
+        t = self.peek()
+        if t is None:
+            return None
+        if t.v in ("class", "interface", "enum", "record"):
+            return self.parse_java_class(t.v)
+        if self.at("<"):  # generic method type params
+            self.skip_balanced("<", ">")
+        start = self.peek()
+        # constructor
+        cls_simple = class_full.split(".")[-1]
+        if start is not None and start.t == "id" and start.v == cls_simple and self.at("(", 1):
+            self.next()
+            return self.parse_java_method("void", M.CONSTRUCTOR, start, class_full,
+                                          is_static=False)
+        if class_kw == "enum" and start is not None and start.t == "id" and not self.looks_like_java_type():
+            # enum constants: IDENT [,(args)] ... until ';'
+            while self.peek() is not None and not self.at(";") and not self.at("}"):
+                if self.at("("):
+                    self.skip_balanced("(", ")")
+                elif self.at("{"):
+                    self.skip_balanced("{", "}")
+                else:
+                    self.next()
+            if self.at(";"):
+                self.next()
+            return None
+        ty = self.resolve_type(self.parse_java_type())
+        if self.peek() is None or self.peek().t != "id":
+            # skip unparseable
+            while self.peek() is not None and not self.at_any((";", "}")):
+                if self.at("{"):
+                    self.skip_balanced("{", "}")
+                    return None
+                self.next()
+            if self.at(";"):
+                self.next()
+            return None
+        name = self.next().v
+        if self.at("("):
+            return self.parse_java_method(ty, name, start, class_full, is_static=is_static)
+        # field(s)
+        members = [N(M.MEMBER, code=f"{ty} {name}", name=name, type_full_name=ty,
+                     line=start.line, ast_parent_type=M.TYPE_DECL,
+                     ast_parent_full_name=class_full)]
+        self.declare(name, members[0])
+        while self.peek() is not None and not self.at(";"):
+            if self.at(","):
+                self.next()
+                if self.peek() is not None and self.peek().t == "id":
+                    nm2 = self.next().v
+                    mb = N(M.MEMBER, code=f"{ty} {nm2}", name=nm2, type_full_name=ty,
+                           line=start.line, ast_parent_type=M.TYPE_DECL,
+                           ast_parent_full_name=class_full)
+                    members.append(mb)
+                    self.declare(nm2, mb)
+                continue
+            if self.at("{"):
+                self.skip_balanced("{", "}")
+                continue
+            if self.at("("):
+                self.skip_balanced("(", ")")
+                continue
+            self.next()
+        if self.at(";"):
+            self.next()
+        return members
+
+    def parse_java_method(self, ret_ty: str, name: str, start: Tok,
+                          class_full: str, is_static: bool):
+        self.expect("(")
+        params: list[tuple[str, str, bool]] = []
+        while not self.at(")"):
+            self.skip_annotations()
+            while self.at("final"):
+                self.next()
+            pty = self.resolve_type(self.parse_java_type())
+            variadic = False
+            if self.at("..."):
+                self.next()
+                variadic = True
+                pty += "[]"
+            pname = self.next().v if self.peek() is not None and self.peek().t == "id" else ""
+            while self.at("[") and self.at("]", 1):
+                self.next(); self.next()
+                pty += "[]"
+            params.append((pty, pname, variadic))
+            if self.at(","):
+                self.next()
+        self.expect(")")
+        if self.at("throws"):
+            self.next()
+            self.parse_java_type()
+            while self.at(","):
+                self.next()
+                self.parse_java_type()
+        sig = f"{ret_ty}({','.join(p[0] for p in params)})"
+        full_name = f"{class_full}.{name}:{sig}"
+        if self.at(";"):  # abstract/interface method — still a METHOD decl
+            self.next()
+            body = None
+        elif self.at("{"):
+            body = True
+        else:
+            self.skip_to_semicolon()
+            return None
+        method = N(M.METHOD, code=f"{ret_ty} {name}({','.join(p[0] for p in params)})",
+                   name=name, full_name=full_name, signature=sig, line=start.line,
+                   ast_parent_type=M.TYPE_DECL, ast_parent_full_name=class_full)
+        self.push_scope()
+        if not is_static:
+            this = N(M.METHOD_PARAMETER_IN, code="this", name="this",
+                     type_full_name=class_full, param_index=0, line=start.line,
+                     evaluation_strategy=M.BY_SHARING)
+            method.add(this)
+            self.declare("this", this)
+        for i, (pty, pname, var) in enumerate(params, start=1):
+            p = N(M.METHOD_PARAMETER_IN, code=f"{pty} {pname}".strip(), name=pname,
+                  type_full_name=pty, param_index=i, is_variadic=var,
+                  line=start.line, evaluation_strategy=M.BY_SHARING)
+            method.add(p)
+            if pname:
+                self.declare(pname, p)
+        if body:
+            method.add(self.parse_compound())
+        method.add(N(M.METHOD_RETURN, code="RET", type_full_name=ret_ty,
+                     evaluation_strategy=M.BY_VALUE, line=start.line))
+        self.pop_scope()
+        return method
+
+    # ---------------- statements: Java deltas ----------------
+    def wrap_condition(self, cond: N) -> N:
+        return cond  # Java conditions are boolean — no !=0 wrap
+
+    def parse_statement(self) -> list[N]:
+        t = self.peek()
+        if t is None:
+            return []
+        if t.v == "finally":  # handled by parse_try; defensive skip
+            self.next()
+            return [self.parse_compound()]
+        if t.v in ("synchronized",) and self.at("(", 1):
+            self.next()
+            self.skip_balanced("(", ")")
+            return [self.parse_compound()]
+        if t.v == "assert":
+            self.next()
+            expr = self.parse_expression()
+            if self.at(":"):
+                self.next()
+                self.parse_expression()
+            if self.at(";"):
+                self.next()
+            return [expr] if expr is not None else []
+        if t.v in ("break", "continue") and self.peek(1) is not None and self.peek(1).t == "id":
+            kw = self.next()
+            label = self.next().v
+            semi = self.expect(";")
+            cst = M.CS_BREAK if kw.v == "break" else M.CS_CONTINUE
+            return [N(M.CONTROL_STRUCTURE, code=self.slice(kw, semi),
+                      control_structure_type=cst, jump_label=label, line=kw.line)]
+        return super().parse_statement()
+
+    def parse_for(self) -> N:
+        # foreach: for (T x : coll) body
+        save = self.pos
+        kw = self.peek()
+        self.next()
+        self.expect("(")
+        is_foreach = False
+        depth = 1
+        k = self.pos
+        while k < len(self.toks) and depth > 0:
+            v = self.toks[k].v
+            if v == "(":
+                depth += 1
+            elif v == ")":
+                depth -= 1
+            elif v == ";" and depth == 1:
+                break
+            elif v == ":" and depth == 1:
+                is_foreach = True
+                break
+            k += 1
+        self.pos = save
+        if not is_foreach:
+            return super().parse_for()
+        kw_tok = self.next()
+        self.expect("(")
+        self.push_scope()
+        ty = self.resolve_type(self.parse_java_type())
+        name_tok = self.next()
+        loc = N(M.LOCAL, code=f"{ty} {name_tok.v}", name=name_tok.v,
+                type_full_name=ty, line=name_tok.line)
+        self.declare(name_tok.v, loc)
+        self.expect(":")
+        coll = self.parse_expression()
+        self.expect(")")
+        node = N(M.CONTROL_STRUCTURE, code="for", control_structure_type=M.CS_FOR,
+                 line=kw_tok.line)
+        node.add(loc)
+        coll.role = M.ROLE_CONDITION  # iterable drives the loop
+        node.add(coll)
+        body = self.as_block(self.parse_statement(), role=M.ROLE_FOR_BODY, line=kw_tok.line)
+        node.add(body)
+        self.pop_scope()
+        return node
+
+    def parse_try(self) -> N:
+        kw = self.next()
+        node = N(M.CONTROL_STRUCTURE, code="try", control_structure_type=M.CS_TRY, line=kw.line)
+        if self.at("("):  # try-with-resources
+            self.next()
+            self.push_scope()
+            while not self.at(")"):
+                if self.looks_like_java_type():
+                    ty = self.resolve_type(self.parse_java_type())
+                    if self.peek() is not None and self.peek().t == "id":
+                        nm = self.next()
+                        loc = N(M.LOCAL, code=f"{ty} {nm.v}", name=nm.v,
+                                type_full_name=ty, line=nm.line)
+                        node.add(loc)
+                        self.declare(nm.v, loc)
+                        if self.at("="):
+                            self.next()
+                            init = self.parse_assignment_expr()
+                            node.add(init)
+                if self.at(";"):
+                    self.next()
+                elif not self.at(")"):
+                    self.next()
+            self.next()
+        body = self.parse_compound()
+        body.role = M.ROLE_TRY_BODY
+        node.add(body)
+        while self.at("catch"):
+            c = self.next()
+            catch = N(M.CONTROL_STRUCTURE, code="catch", control_structure_type=M.CS_CATCH,
+                      role=M.ROLE_CATCH_BODY, line=c.line)
+            self.push_scope()
+            self.expect("(")
+            while self.at("final"):
+                self.next()
+            ty = self.resolve_type(self.parse_java_type())
+            while self.at("|"):  # multi-catch
+                self.next()
+                self.parse_java_type()
+            if self.peek() is not None and self.peek().t == "id":
+                pn = self.next()
+                loc = N(M.LOCAL, code=f"{ty} {pn.v}", name=pn.v,
+                        type_full_name=ty, line=pn.line)
+                catch.add(loc)
+                self.declare(pn.v, loc)
+            self.expect(")")
+            catch.add(self.parse_compound())
+            self.pop_scope()
+            node.add(catch)
+        if self.at("finally"):
+            f = self.next()
+            fin = N(M.CONTROL_STRUCTURE, code="finally", control_structure_type=M.CS_FINALLY,
+                    role=M.ROLE_FINALLY_BODY, line=f.line)
+            fin.add(self.parse_compound())
+            node.add(fin)
+        return node
+
+    def looks_like_type(self) -> bool:
+        # reuse statement-level declaration detection with Java shapes
+        t = self.peek()
+        if t is None:
+            return False
+        if t.t == "kw" and t.v in JAVA_TYPE_KEYWORDS:
+            return True
+        return self.looks_like_java_type()
+
+    def try_parse_declaration(self, consume_semi: bool = True):
+        """`final T x = e, y;` → [LOCAL x, CALL x = e, LOCAL y]."""
+        start = self.peek()
+        while self.at("final"):
+            self.next()
+        base_ty = self.resolve_type(self.parse_java_type())
+        if self.peek() is None or self.peek().t != "id":
+            return None
+        out: list[N] = []
+        while True:
+            if self.peek() is None or self.peek().t != "id":
+                return None
+            name_tok = self.next()
+            name = name_tok.v
+            ty = base_ty
+            while self.at("[") and self.at("]", 1):
+                self.next(); self.next()
+                ty += "[]"
+            loc = N(M.LOCAL, code=f"{ty} {name}", name=name, type_full_name=ty,
+                    line=name_tok.line)
+            out.append(loc)
+            self.declare(name, loc)
+            if self.at("="):
+                self.next()
+                init = self.parse_assignment_expr()
+                ident = N(M.IDENTIFIER, code=name, name=name, type_full_name=ty,
+                          line=name_tok.line, arg_index=1)
+                ident.ref_target = loc
+                init.arg_index = 2
+                call = N(M.CALL, code=f"{name} = {init.code}", name=M.OP_ASSIGNMENT,
+                         method_full_name=M.OP_ASSIGNMENT,
+                         dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
+                         line=name_tok.line)
+                call.add(ident, init)
+                out.append(call)
+            if self.at(","):
+                self.next()
+                continue
+            break
+        if consume_semi:
+            if not self.at(";"):
+                return None
+            self.next()
+        return out
+
+    # ---------------- expressions: Java deltas ----------------
+    def parse_unary(self) -> N:
+        t = self.peek()
+        if t is None:
+            raise ParseError("EOF in expression")
+        if t.v == "new":
+            return self.parse_new()
+        # lambda `(a, b) -> expr` or `x -> expr`
+        if t.v == "(" or t.t == "id":
+            k = self.pos
+            if t.v == "(":
+                depth = 0
+                while k < len(self.toks):
+                    v = self.toks[k].v
+                    if v == "(":
+                        depth += 1
+                    elif v == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k += 1
+                if k + 1 < len(self.toks) and self.toks[k + 1].v == "->":
+                    return self.parse_lambda()
+            elif self.at("->", 1):
+                return self.parse_lambda()
+        if t.v == "(":
+            # Java cast: (Type) expr
+            save = self.pos
+            self.next()
+            if self.looks_like_cast_type():
+                ty = self.resolve_type(self.parse_java_type())
+                if self.at(")"):
+                    self.next()
+                    nxt = self.peek()
+                    if nxt is not None and (nxt.t in ("id", "num", "str", "char")
+                                           or nxt.v in ("(", "!", "~", "this", "new")):
+                        operand = self.parse_unary()
+                        end = self.toks[self.pos - 1]
+                        tref = N(M.TYPE_REF, code=ty, type_full_name=ty, line=t.line, arg_index=1)
+                        operand.arg_index = 2
+                        call = N(M.CALL, code=self.slice(t, end), name=M.OP_CAST,
+                                 method_full_name=M.OP_CAST, dispatch_type=M.STATIC_DISPATCH,
+                                 line=t.line, type_full_name=ty)
+                        call.add(tref, operand)
+                        return call
+            self.pos = save
+        return super().parse_unary()
+
+    def looks_like_cast_type(self) -> bool:
+        t = self.peek()
+        if t is None:
+            return False
+        if t.t == "kw" and t.v in JAVA_TYPE_KEYWORDS:
+            return True
+        if t.t != "id":
+            return False
+        # (Ident) expr — only treat as cast for known/imported/declared types
+        base = t.v
+        return base in self.declared_types or base in self.imports or base in JAVA_LANG
+
+    def parse_binary(self, min_prec: int) -> N:
+        lhs = super().parse_binary(min_prec)
+        while self.at("instanceof"):
+            op = self.next()
+            ty = self.resolve_type(self.parse_java_type())
+            if self.peek() is not None and self.peek().t == "id":
+                self.next()  # pattern variable
+            tref = N(M.TYPE_REF, code=ty, type_full_name=ty, line=op.line, arg_index=2)
+            lhs.arg_index = 1
+            call = N(M.CALL, code=f"{lhs.code} instanceof {ty}", name=M.OP_INSTANCE_OF,
+                     method_full_name=M.OP_INSTANCE_OF, dispatch_type=M.STATIC_DISPATCH,
+                     line=op.line, type_full_name="boolean")
+            call.add(lhs, tref)
+            lhs = call
+        return lhs
+
+    def parse_new(self) -> N:
+        op_tok = self.next()
+        ty = self.resolve_type(self.parse_java_type())
+        if self.at("["):  # array creation
+            while self.at("["):
+                self.next()
+                if not self.at("]"):
+                    self.parse_expression()
+                self.expect("]")
+                ty += "[]"
+            end = self.toks[self.pos - 1]
+            if self.at("{"):
+                end = self.skip_balanced("{", "}")
+            call = N(M.CALL, code=self.slice(op_tok, end), name=M.OP_ALLOC,
+                     method_full_name=M.OP_ALLOC, dispatch_type=M.STATIC_DISPATCH,
+                     line=op_tok.line, type_full_name=ty)
+            return call
+        args: list[N] = []
+        if self.at("("):
+            self.next()
+            while not self.at(")"):
+                a = self.parse_assignment_expr()
+                args.append(a)
+                if self.at(","):
+                    self.next()
+            self.next()
+        end = self.toks[self.pos - 1]
+        if self.at("{"):  # anonymous class body — skip
+            end = self.skip_balanced("{", "}")
+        # javasrc2cpg-style: constructor invocation CALL named <init> with
+        # methodFullName Type.<init>:void(...) (Defines.scala:25)
+        known = self.class_methods.get(ty, {}).get(M.CONSTRUCTOR)
+        mfn = known[0] if known else f"{ty}.{M.CONSTRUCTOR}:void({','.join(M.ANY for _ in args)})"
+        call = N(M.CALL, code=self.slice(op_tok, end), name=M.CONSTRUCTOR,
+                 method_full_name=mfn, dispatch_type=M.STATIC_DISPATCH,
+                 line=op_tok.line, type_full_name=ty)
+        for i, a in enumerate(args, start=1):
+            a.arg_index = i
+            call.add(a)
+        return call
+
+    def parse_lambda(self) -> N:
+        start = self.peek()
+        self.lambda_counter += 1
+        lam_name = f"{M.LAMBDA_PREFIX}{self.lambda_counter - 1}"
+        owner = ".".join(([self.package] if self.package else []) + self.ns)
+        full = f"{owner}.{lam_name}" if owner else lam_name
+        method = N(M.METHOD, code="<lambda>", name=lam_name, full_name=full,
+                   signature=f"{M.ANY}()", line=start.line,
+                   ast_parent_type=M.TYPE_DECL,
+                   ast_parent_full_name=owner or self.global_block)
+        self.push_scope()
+        params: list[str] = []
+        if self.at("("):
+            self.next()
+            while not self.at(")"):
+                if self.looks_like_java_type() and self.peek(1) is not None and self.peek(1).t == "id":
+                    self.parse_java_type()
+                if self.peek() is not None and self.peek().t == "id":
+                    params.append(self.next().v)
+                if self.at(","):
+                    self.next()
+            self.next()
+        else:
+            params.append(self.next().v)
+        for i, pname in enumerate(params, start=1):
+            p = N(M.METHOD_PARAMETER_IN, code=pname, name=pname, param_index=i,
+                  line=start.line, evaluation_strategy=M.BY_SHARING)
+            method.add(p)
+            self.declare(pname, p)
+        self.expect("->")
+        if self.at("{"):
+            method.add(self.parse_compound())
+        else:
+            body = self.parse_assignment_expr()
+            blk = N(M.BLOCK, code="", line=start.line, type_full_name="void")
+            ret = N(M.RETURN, code=f"return {body.code}", line=body.line)
+            body.arg_index = 1
+            ret.add(body)
+            blk.add(ret)
+            method.add(blk)
+        method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
+                     evaluation_strategy=M.BY_VALUE, line=start.line))
+        self.pop_scope()
+        ref = N(M.METHOD_REF, code="<lambda>", method_full_name=full, line=start.line)
+        # lambda METHOD hangs off the same parent; METHOD_REF is the expression
+        ref.add(method)
+        return ref
+
+    def build_call(self, callee: N, start: Tok) -> N:
+        self.next()  # (
+        args: list[N] = []
+        while not self.at(")"):
+            a = self.parse_assignment_expr()
+            args.append(a)
+            if self.at(","):
+                self.next()
+        close = self.expect(")")
+        name = callee.name if callee.kind == M.IDENTIFIER else callee.code
+        # intra-class resolution against the pre-scanned member table
+        resolved = None
+        is_static = False
+        cls_full = ".".join(([self.package] if self.package else []) + self.ns)
+        info = self.class_methods.get(cls_full, {}).get(name)
+        if info is not None:
+            resolved, is_static = info
+        if resolved is not None:
+            mfn = resolved
+            dispatch = M.STATIC_DISPATCH if is_static else M.DYNAMIC_DISPATCH
+        else:
+            mfn = (f"{M.UNRESOLVED_NAMESPACE}.{name}:"
+                   f"{M.UNRESOLVED_SIGNATURE}({len(args)})")
+            dispatch = M.STATIC_DISPATCH
+        call = N(M.CALL, code=self.slice(start, close), name=name,
+                 method_full_name=mfn, dispatch_type=dispatch,
+                 signature=resolved.split(":", 1)[1] if resolved and ":" in resolved else "",
+                 line=start.line)
+        for i, a in enumerate(args, start=1):
+            a.arg_index = i
+            call.add(a)
+        return call
+
+    def build_member_call(self, receiver: N, fld_tok: Tok, start: Tok, arrow: bool) -> N:
+        self.next()  # (
+        args: list[N] = []
+        while not self.at(")"):
+            a = self.parse_assignment_expr()
+            args.append(a)
+            if self.at(","):
+                self.next()
+        close = self.expect(")")
+        recv_ty = self.resolve_type(receiver.type_full_name)
+        name = fld_tok.v
+        info = self.class_methods.get(recv_ty, {}).get(name)
+        if info is not None:
+            mfn, is_static = info
+            dispatch = M.STATIC_DISPATCH if is_static else M.DYNAMIC_DISPATCH
+            sig = mfn.split(":", 1)[1]
+        elif recv_ty and recv_ty != M.ANY:
+            mfn = f"{recv_ty}.{name}:{M.UNRESOLVED_SIGNATURE}({len(args)})"
+            dispatch = M.DYNAMIC_DISPATCH
+            sig = ""
+        else:
+            mfn = (f"{M.UNRESOLVED_NAMESPACE}.{name}:"
+                   f"{M.UNRESOLVED_SIGNATURE}({len(args)})")
+            dispatch = M.DYNAMIC_DISPATCH
+            sig = ""
+        call = N(M.CALL, code=self.slice(start, close), name=name,
+                 method_full_name=mfn, dispatch_type=dispatch, signature=sig,
+                 line=start.line)
+        receiver.role = M.ROLE_RECEIVER
+        receiver.arg_index = 0
+        call.add(receiver)
+        for i, a in enumerate(args, start=1):
+            a.arg_index = i
+            call.add(a)
+        return call
+
+
+def parse_java_file(repo: str, path: str, commit: str, content: str) -> list[N]:
+    return JavaParser(content, path).parse()

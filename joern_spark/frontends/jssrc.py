@@ -1,0 +1,790 @@
+"""JavaScript frontend: recursive-descent parser emitting Joern-style CPG
+nodes.
+
+Reproduces the reference jssrc2cpg *conventions* (not its code — the
+reference wraps Babel output in Scala):
+
+* per-file pseudo-method ``:program`` wrapping top-level statements
+  (jssrc2cpg/.../astcreation/AstCreator — program method)
+* function fullname ``filename:scopePath:name`` with a uniquing counter for
+  same-scope collisions (jssrc2cpg/.../AstCreatorHelper.scala:200-220);
+  anonymous functions ``<lambda>N`` (x2cpg/.../Defines.scala:35)
+* dynamic calls with unknown targets → methodFullName ``<unknownFullName>``
+  (x2cpg/.../Defines.scala:32)
+* member access lowers to ``<operator>.fieldAccess``; JS conditions are not
+  ``!= 0``-wrapped (that is c2cpg-only)
+
+Subclasses the shared recursive-descent machinery in ``clike.py`` with a
+JS-specific tokenizer (regex literals, template strings) and overrides for
+var/let/const, function declarations/expressions/arrows, classes,
+for-in/for-of, object/array literals, and the name/dispatch scheme.
+"""
+
+from __future__ import annotations
+
+import re
+
+from joern_spark import model as M
+from joern_spark.frontends.astnode import N
+from joern_spark.frontends.clike import CParser, ParseError, Tok
+
+JS_KEYWORDS = frozenset(
+    """break case catch class const continue debugger default delete do else
+    export extends finally for function if import in instanceof let new of
+    return static super switch this throw try typeof var void while with
+    yield async await get set true false null undefined""".split()
+)
+
+_JS_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>//[^\n]*|/\*.*?\*/)
+  | (?P<num>0[xXbBoO][0-9a-fA-F]+n?|\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?n?)
+  | (?P<str>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*'|`(?:\\.|[^`\\])*`)
+  | (?P<id>[A-Za-z_$][A-Za-z0-9_$]*)
+  | (?P<punct>===|!==|\*\*=|<<=|>>>=|>>=|\.\.\.|=>|\?\.|\?\?=|\?\?|\*\*|<<|>>>|>>|<=|>=|==|!=|&&=|\|\|=|&&|\|\||\+\+|--|\+=|-=|\*=|/=|%=|&=|\^=|\|=|[{}()\[\];,.<>+\-*/%&|^~!?=:@#])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+# tokens after which a `/` starts a regex literal, not division
+_REGEX_PREV_OK = frozenset(
+    "( [ { , ; : ! & | ? + - * % ^ ~ < > = == === != !== && || => return typeof "
+    "instanceof in of new delete void case do else".split()
+)
+
+OP_EXPONENT = M.OP + "exponentiation"
+OP_NULLISH = M.OP + "nullishCoalescing"
+OP_TYPEOF = M.OP + "typeOf"
+OP_VOID = M.OP + "void"
+OP_SPREAD = M.OP + "spread"
+OP_IN = M.OP + "in"
+
+
+def tokenize_js(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    line = 1
+    i, n = 0, len(src)
+    prev_significant: Tok | None = None
+    while i < n:
+        c = src[i]
+        if c == "/" and (i + 1 < n and src[i + 1] not in "/*"):
+            # regex literal heuristic
+            prev_ok = prev_significant is None or prev_significant.v in _REGEX_PREV_OK \
+                or (prev_significant.t == "kw" and prev_significant.v not in ("this", "true", "false", "null", "undefined"))
+            if prev_ok:
+                j = i + 1
+                in_class = False
+                while j < n:
+                    ch = src[j]
+                    if ch == "\\":
+                        j += 2
+                        continue
+                    if ch == "[":
+                        in_class = True
+                    elif ch == "]":
+                        in_class = False
+                    elif ch == "/" and not in_class:
+                        break
+                    elif ch == "\n":
+                        break
+                    j += 1
+                if j < n and src[j] == "/":
+                    j += 1
+                    while j < n and src[j].isalpha():
+                        j += 1
+                    tok = Tok("str", src[i:j], i, j, line)
+                    toks.append(tok)
+                    prev_significant = tok
+                    i = j
+                    continue
+        m = _JS_TOKEN_RE.match(src, i)
+        if not m:
+            i += 1
+            continue
+        kind = m.lastgroup
+        text = m.group()
+        if kind in ("ws", "comment"):
+            line += text.count("\n")
+        else:
+            t = kind
+            if kind == "id" and text in JS_KEYWORDS:
+                t = "kw"
+            if text == "?.":  # optional chaining lowers like plain access
+                text = "."
+            tok = Tok(t, text, m.start(), m.end(), line)
+            toks.append(tok)
+            prev_significant = tok
+            line += text.count("\n")
+        i = m.end()
+    return toks
+
+
+class JsParser(CParser):
+    MAX_TOKENS = 400_000
+
+    def __init__(self, content: str, path: str):
+        # bypass CParser.__init__ tokenizer
+        self.src = content
+        self.path = path
+        self.lang = "javascript"
+        self.toks = tokenize_js(content)
+        if len(self.toks) > self.MAX_TOKENS:
+            raise ParseError(f"file too large: {len(self.toks)} tokens")
+        self.pos = 0
+        self.scopes = [{}]
+        self.ns = []
+        self.global_block = f"{path}:{M.GLOBAL}"
+        self.typedefs = set()
+        self.declared_types = {}
+        self.scope_path: list[str] = []  # function-name path for fullnames
+        self.lambda_counter = 0
+        self.name_counts: dict[str, int] = {}  # same-scope uniquing
+
+    # ---------------- naming ----------------
+    def fullname(self, name: str) -> str:
+        scope = ":".join([M.PROGRAM_METHOD.lstrip(":")] + self.scope_path)
+        base = f"{self.path}:{scope}:{name}" if name else f"{self.path}:{scope}"
+        cnt = self.name_counts.get(base, 0)
+        self.name_counts[base] = cnt + 1
+        return base if cnt == 0 else f"{base}{cnt}"
+
+    # ---------------- entry ----------------
+    def _hoist_top_level_functions(self):
+        """JS function declarations hoist: pre-declare top-level `function f`
+        so forward calls resolve (the reference resolves via Babel scoping)."""
+        depth = 0
+        for k, tok in enumerate(self.toks):
+            v = tok.v
+            if v in ("{", "("):
+                depth += 1
+            elif v in ("}", ")"):
+                depth -= 1
+            elif v == "function" and depth == 0 and k + 1 < len(self.toks) \
+                    and self.toks[k + 1].t == "id":
+                name = self.toks[k + 1].v
+                full = f"{self.path}:{M.PROGRAM_METHOD.lstrip(':')}:{name}"
+                marker = N(M.METHOD_REF, code=name, method_full_name=full,
+                           line=tok.line)
+                self.scopes[0].setdefault(name, marker)
+
+    def parse(self) -> list[N]:
+        self._hoist_top_level_functions()
+        program = N(M.METHOD, code="<program>", name=M.PROGRAM_METHOD,
+                    full_name=f"{self.path}:{M.PROGRAM_METHOD.lstrip(':')}",
+                    signature="", line=1, ast_parent_type=M.NAMESPACE_BLOCK,
+                    ast_parent_full_name=self.global_block)
+        block = N(M.BLOCK, code="", line=1, type_full_name=M.ANY)
+        while self.peek() is not None:
+            try:
+                block.add(*self.parse_statement())
+            except ParseError:
+                # re-sync: skip one token and continue (file-level robustness)
+                if self.peek() is None:
+                    break
+                self.next()
+        program.add(block)
+        program.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
+                      evaluation_strategy=M.BY_VALUE, line=1))
+        return [program]
+
+    # ---------------- statements ----------------
+    def wrap_condition(self, cond: N) -> N:
+        return cond  # JS conditions are truthy — no !=0 wrap
+
+    def looks_like_type(self) -> bool:
+        return False  # no C-style declarations in JS
+
+    def parse_statement(self) -> list[N]:
+        t = self.peek()
+        if t is None:
+            return []
+        v = t.v
+        if v in ("var", "let", "const"):
+            return self.parse_var_decl()
+        if v == "function":
+            m = self.parse_function(statement=True)
+            return [m] if m is not None else []
+        if v == "class":
+            c = self.parse_js_class()
+            return [c] if c is not None else []
+        if v in ("import", "export"):
+            return self.parse_import_export()
+        if v == "async" and self.at("function", 1):
+            self.next()
+            m = self.parse_function(statement=True)
+            return [m] if m is not None else []
+        if v == "debugger":
+            self.next()
+            if self.at(";"):
+                self.next()
+            return []
+        if v == "for":
+            # for-in / for-of
+            save = self.pos
+            self.next()
+            self.expect("(")
+            depth = 1
+            k = self.pos
+            has_semi, in_of = False, None
+            while k < len(self.toks) and depth > 0:
+                vv = self.toks[k].v
+                if vv == "(":
+                    depth += 1
+                elif vv == ")":
+                    depth -= 1
+                elif depth == 1 and vv == ";":
+                    has_semi = True
+                    break
+                elif depth == 1 and vv in ("in", "of"):
+                    in_of = vv
+                    break
+                k += 1
+            self.pos = save
+            if not has_semi and in_of:
+                return [self.parse_for_in_of()]
+            return [super().parse_statement()]
+        return super().parse_statement()
+
+    def parse_import_export(self) -> list[N]:
+        t = self.next()
+        if t.v == "export":
+            if self.at("default"):
+                self.next()
+            return self.parse_statement()
+        # import ... — record as IMPORT node; skip to ;
+        start = t
+        while self.peek() is not None and not self.at(";"):
+            if self.at("{"):
+                self.skip_balanced("{", "}")
+                continue
+            self.next()
+        semi = self.toks[self.pos - 1]
+        if self.at(";"):
+            semi = self.next()
+        return [N(M.IMPORT, code=self.slice(start, semi), line=t.line)]
+
+    def parse_var_decl(self) -> list[N]:
+        kw = self.next()  # var/let/const
+        out: list[N] = []
+        while True:
+            if self.at("[") or self.at("{"):
+                # destructuring — lower to UNKNOWN + skip pattern
+                self.skip_balanced(self.peek().v, "]" if self.at("[") else "}")
+                if self.at("="):
+                    self.next()
+                    init = self.parse_assignment_expr()
+                    out.append(init)
+                if self.at(","):
+                    self.next()
+                    continue
+                break
+            if self.peek() is None or self.peek().t not in ("id", "kw"):
+                break
+            name_tok = self.next()
+            name = name_tok.v
+            loc = N(M.LOCAL, code=name, name=name, type_full_name=M.ANY,
+                    line=name_tok.line)
+            out.append(loc)
+            self.declare(name, loc)
+            if self.at("="):
+                self.next()
+                init = self.parse_assignment_expr()
+                ident = N(M.IDENTIFIER, code=name, name=name, line=name_tok.line,
+                          arg_index=1, type_full_name=M.ANY)
+                ident.ref_target = loc
+                init.arg_index = 2
+                call = N(M.CALL, code=f"{name} = {init.code}", name=M.OP_ASSIGNMENT,
+                         method_full_name=M.OP_ASSIGNMENT,
+                         dispatch_type=M.STATIC_DISPATCH, line=name_tok.line)
+                call.add(ident, init)
+                out.append(call)
+                # function expression assigned to a var: remember for linking
+                if init.kind == M.METHOD_REF and init.method_full_name:
+                    loc.method_full_name = init.method_full_name
+            if self.at(","):
+                self.next()
+                continue
+            break
+        if self.at(";"):
+            self.next()
+        return out
+
+    def parse_for_in_of(self) -> N:
+        kw_tok = self.next()
+        self.expect("(")
+        self.push_scope()
+        if self.at_any(("var", "let", "const")):
+            self.next()
+        name_tok = self.next()
+        loc = N(M.LOCAL, code=name_tok.v, name=name_tok.v, type_full_name=M.ANY,
+                line=name_tok.line)
+        self.declare(name_tok.v, loc)
+        self.next()  # in / of
+        coll = self.parse_expression()
+        self.expect(")")
+        node = N(M.CONTROL_STRUCTURE, code="for", control_structure_type=M.CS_FOR,
+                 line=kw_tok.line)
+        node.add(loc)
+        coll.role = M.ROLE_CONDITION
+        node.add(coll)
+        body = self.as_block(self.parse_statement(), role=M.ROLE_FOR_BODY,
+                             line=kw_tok.line)
+        node.add(body)
+        self.pop_scope()
+        return node
+
+    # ---------------- functions ----------------
+    def parse_function(self, statement: bool, name_hint: str = "") -> N | None:
+        kw = self.next()  # 'function'
+        if self.at("*"):
+            self.next()
+        name = ""
+        if self.peek() is not None and self.peek().t == "id":
+            name = self.next().v
+        if not name:
+            self.lambda_counter += 1
+            name = name_hint or f"{M.LAMBDA_PREFIX}{self.lambda_counter - 1}"
+        full = self.fullname(name)
+        method = N(M.METHOD, code=f"function {name}", name=name, full_name=full,
+                   signature="", line=kw.line, ast_parent_type=M.METHOD,
+                   ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD.lstrip(':')}")
+        if statement and name and not name.startswith(M.LAMBDA_PREFIX):
+            fn_marker = N(M.METHOD_REF, code=name, method_full_name=full, line=kw.line)
+            self.declare(name, fn_marker)
+        self.push_scope()
+        self.scope_path.append(name)
+        self.expect("(")
+        i = 0
+        while not self.at(")"):
+            if self.at("..."):
+                self.next()
+            if self.peek() is not None and self.peek().t in ("id", "kw"):
+                i += 1
+                pn = self.next()
+                p = N(M.METHOD_PARAMETER_IN, code=pn.v, name=pn.v, param_index=i,
+                      type_full_name=M.ANY, line=pn.line,
+                      evaluation_strategy=M.BY_SHARING)
+                method.add(p)
+                self.declare(pn.v, p)
+                if self.at("="):  # default value
+                    self.next()
+                    self.parse_assignment_expr()
+            elif self.at("{") or self.at("["):
+                self.skip_balanced(self.peek().v, "}" if self.at("{") else "]")
+                i += 1
+            if self.at(","):
+                self.next()
+        self.next()
+        method.add(self.parse_compound())
+        method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
+                     evaluation_strategy=M.BY_VALUE, line=kw.line))
+        self.scope_path.pop()
+        self.pop_scope()
+        if statement:
+            return method
+        ref = N(M.METHOD_REF, code=f"function {name}", method_full_name=full,
+                line=kw.line)
+        ref.add(method)
+        return ref
+
+    def parse_arrow(self, start_tok: Tok) -> N:
+        """At the start of an arrow function (params already ahead)."""
+        self.lambda_counter += 1
+        name = f"{M.LAMBDA_PREFIX}{self.lambda_counter - 1}"
+        full = self.fullname(name)
+        method = N(M.METHOD, code="=>", name=name, full_name=full, signature="",
+                   line=start_tok.line, ast_parent_type=M.METHOD,
+                   ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD.lstrip(':')}")
+        self.push_scope()
+        self.scope_path.append(name)
+        i = 0
+        if self.at("("):
+            self.next()
+            while not self.at(")"):
+                if self.at("..."):
+                    self.next()
+                if self.peek() is not None and self.peek().t in ("id", "kw"):
+                    i += 1
+                    pn = self.next()
+                    p = N(M.METHOD_PARAMETER_IN, code=pn.v, name=pn.v, param_index=i,
+                          type_full_name=M.ANY, line=pn.line,
+                          evaluation_strategy=M.BY_SHARING)
+                    method.add(p)
+                    self.declare(pn.v, p)
+                    if self.at("="):
+                        self.next()
+                        self.parse_assignment_expr()
+                elif self.at("{") or self.at("["):
+                    self.skip_balanced(self.peek().v, "}" if self.at("{") else "]")
+                if self.at(","):
+                    self.next()
+            self.next()
+        else:
+            pn = self.next()
+            p = N(M.METHOD_PARAMETER_IN, code=pn.v, name=pn.v, param_index=1,
+                  type_full_name=M.ANY, line=pn.line,
+                  evaluation_strategy=M.BY_SHARING)
+            method.add(p)
+            self.declare(pn.v, p)
+        self.expect("=>")
+        if self.at("{"):
+            method.add(self.parse_compound())
+        else:
+            body = self.parse_assignment_expr()
+            blk = N(M.BLOCK, code="", line=start_tok.line, type_full_name=M.ANY)
+            ret = N(M.RETURN, code=f"return {body.code}", line=body.line)
+            body.arg_index = 1
+            ret.add(body)
+            blk.add(ret)
+            method.add(blk)
+        method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
+                     evaluation_strategy=M.BY_VALUE, line=start_tok.line))
+        self.scope_path.pop()
+        self.pop_scope()
+        ref = N(M.METHOD_REF, code="=>", method_full_name=full, line=start_tok.line)
+        ref.add(method)
+        return ref
+
+    def parse_js_class(self) -> N:
+        kw = self.next()
+        name = self.next().v if self.peek() is not None and self.peek().t == "id" else ""
+        full = self.fullname(name)
+        inherits: list[str] = []
+        if self.at("extends"):
+            self.next()
+            base = self.parse_expression_no_assign_simple()
+            inherits.append(base)
+        decl = N(M.TYPE_DECL, code=f"class {name}", name=name, full_name=full,
+                 inherits_from=inherits or None, line=kw.line,
+                 ast_parent_type=M.NAMESPACE_BLOCK,
+                 ast_parent_full_name=self.global_block)
+        self.declared_types[name] = full
+        self.expect("{")
+        self.ns.append(name)
+        self.scope_path.append(name)
+        while self.peek() is not None and not self.at("}"):
+            if self.at(";"):
+                self.next()
+                continue
+            while self.at_any(("static", "async", "get", "set")) and not self.at("(", 1):
+                self.next()
+            if self.peek() is None:
+                break
+            mt = self.peek()
+            if mt.t in ("id", "kw", "str"):
+                mname = self.next().v.strip("'\"")
+                if self.at("("):
+                    mfull = self.fullname(mname)
+                    method = N(M.METHOD, code=mname, name=mname, full_name=mfull,
+                               signature="", line=mt.line,
+                               ast_parent_type=M.TYPE_DECL,
+                               ast_parent_full_name=full)
+                    self.push_scope()
+                    self.scope_path.append(mname)
+                    self.next()
+                    i = 0
+                    while not self.at(")"):
+                        if self.peek() is not None and self.peek().t in ("id", "kw"):
+                            i += 1
+                            pn = self.next()
+                            p = N(M.METHOD_PARAMETER_IN, code=pn.v, name=pn.v,
+                                  param_index=i, type_full_name=M.ANY, line=pn.line,
+                                  evaluation_strategy=M.BY_SHARING)
+                            method.add(p)
+                            self.declare(pn.v, p)
+                        elif self.at(","):
+                            pass
+                        else:
+                            self.next()
+                            continue
+                        if self.at(","):
+                            self.next()
+                    self.next()
+                    method.add(self.parse_compound())
+                    method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
+                                 evaluation_strategy=M.BY_VALUE, line=mt.line))
+                    self.scope_path.pop()
+                    self.pop_scope()
+                    decl.add(method)
+                    continue
+                if self.at("="):  # class field
+                    self.next()
+                    self.parse_assignment_expr()
+                    if self.at(";"):
+                        self.next()
+                    decl.add(N(M.MEMBER, code=mname, name=mname,
+                               type_full_name=M.ANY, line=mt.line))
+                    continue
+                decl.add(N(M.MEMBER, code=mname, name=mname, type_full_name=M.ANY,
+                           line=mt.line))
+                if self.at(";"):
+                    self.next()
+                continue
+            self.next()
+        if self.at("}"):
+            self.next()
+        self.scope_path.pop()
+        self.ns.pop()
+        return decl
+
+    def parse_expression_no_assign_simple(self) -> str:
+        parts = [self.next().v]
+        while self.at("."):
+            self.next()
+            parts.append(self.next().v)
+        return ".".join(parts)
+
+    # ---------------- expressions ----------------
+    PRECEDENCE = dict(CParser.PRECEDENCE)
+    PRECEDENCE.update({"===": 9, "!==": 9, "**": 14, "??": 4, "in": 10,
+                       "instanceof": 10})
+
+    def parse_unary(self) -> N:
+        t = self.peek()
+        if t is None:
+            raise ParseError("EOF in expression")
+        v = t.v
+        if v == "function" or (v == "async" and self.at("function", 1)):
+            if v == "async":
+                self.next()
+            return self.parse_function(statement=False)
+        if v == "class":
+            cls = self.parse_js_class()
+            return cls
+        # arrow detection: ( ... ) =>   |   ident =>
+        if v == "(":
+            depth = 0
+            k = self.pos
+            while k < len(self.toks):
+                vv = self.toks[k].v
+                if vv == "(":
+                    depth += 1
+                elif vv == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if k + 1 < len(self.toks) and self.toks[k + 1].v == "=>":
+                return self.parse_arrow(t)
+        elif t.t == "id" and self.at("=>", 1):
+            return self.parse_arrow(t)
+        if v == "new":
+            op_tok = self.next()
+            callee = self.parse_postfix_callee()
+            args: list[N] = []
+            if self.at("("):
+                self.next()
+                while not self.at(")"):
+                    args.append(self.parse_assignment_expr())
+                    if self.at(","):
+                        self.next()
+                self.next()
+            end = self.toks[self.pos - 1]
+            call = N(M.CALL, code=self.slice(op_tok, end), name=M.OP_NEW,
+                     method_full_name=M.OP_NEW, dispatch_type=M.STATIC_DISPATCH,
+                     line=op_tok.line)
+            callee.arg_index = 0
+            callee.role = M.ROLE_RECEIVER
+            call.add(callee)
+            for i, a in enumerate(args, start=1):
+                a.arg_index = i
+                call.add(a)
+            return call
+        if v in ("typeof", "void", "delete"):
+            op_tok = self.next()
+            operand = self.parse_unary()
+            opname = {"typeof": OP_TYPEOF, "void": OP_VOID,
+                      "delete": M.OP_DELETE}[v]
+            operand.arg_index = 1
+            call = N(M.CALL, code=f"{v} {operand.code}", name=opname,
+                     method_full_name=opname, dispatch_type=M.STATIC_DISPATCH,
+                     line=op_tok.line)
+            call.add(operand)
+            return call
+        if v == "await":
+            self.next()
+            return self.parse_unary()
+        if v == "...":
+            op_tok = self.next()
+            operand = self.parse_unary()
+            operand.arg_index = 1
+            call = N(M.CALL, code=f"...{operand.code}", name=OP_SPREAD,
+                     method_full_name=OP_SPREAD, dispatch_type=M.STATIC_DISPATCH,
+                     line=op_tok.line)
+            call.add(operand)
+            return call
+        if v == "{":
+            return self.parse_postfix_ops(self.parse_object_literal(), t)
+        if v == "[":
+            return self.parse_postfix_ops(self.parse_array_literal(), t)
+        return super().parse_unary()
+
+    def parse_postfix_callee(self) -> N:
+        """Parse a new-expression callee without consuming the ( args )."""
+        t = self.next()
+        node = N(M.IDENTIFIER, code=t.v, name=t.v, line=t.line, type_full_name=M.ANY)
+        while self.at("."):
+            self.next()
+            fld = self.next()
+            f = N(M.FIELD_IDENTIFIER, code=fld.v, name=fld.v, canonical_name=fld.v,
+                  line=fld.line, arg_index=2)
+            node.arg_index = 1
+            call = N(M.CALL, code=f"{node.code}.{fld.v}", name=M.OP_FIELD_ACCESS,
+                     method_full_name=M.OP_FIELD_ACCESS,
+                     dispatch_type=M.STATIC_DISPATCH, line=fld.line)
+            call.add(node, f)
+            node = call
+        return node
+
+    def parse_object_literal(self) -> N:
+        open_tok = self.next()
+        block = N(M.BLOCK, code="{...}", line=open_tok.line, type_full_name=M.ANY)
+        while self.peek() is not None and not self.at("}"):
+            if self.at(","):
+                self.next()
+                continue
+            if self.at("..."):
+                self.next()
+                block.add(self.parse_assignment_expr())
+                continue
+            key = self.next()
+            if self.at("("):  # method shorthand
+                # reuse class-method-ish parse: treat as lambda
+                self.lambda_counter += 1
+                name = key.v.strip("'\"")
+                full = self.fullname(name)
+                method = N(M.METHOD, code=name, name=name, full_name=full,
+                           signature="", line=key.line, ast_parent_type=M.METHOD,
+                           ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD.lstrip(':')}")
+                self.push_scope()
+                self.scope_path.append(name)
+                self.next()
+                i = 0
+                while not self.at(")"):
+                    if self.peek() is not None and self.peek().t in ("id", "kw"):
+                        i += 1
+                        pn = self.next()
+                        p = N(M.METHOD_PARAMETER_IN, code=pn.v, name=pn.v,
+                              param_index=i, type_full_name=M.ANY, line=pn.line,
+                              evaluation_strategy=M.BY_SHARING)
+                        method.add(p)
+                        self.declare(pn.v, p)
+                    if self.at(","):
+                        self.next()
+                self.next()
+                method.add(self.parse_compound())
+                method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
+                             evaluation_strategy=M.BY_VALUE, line=key.line))
+                self.scope_path.pop()
+                self.pop_scope()
+                ref = N(M.METHOD_REF, code=name, method_full_name=full, line=key.line)
+                ref.add(method)
+                block.add(ref)
+                continue
+            if self.at(":"):
+                self.next()
+                val = self.parse_assignment_expr()
+                val.arg_index = len(block.children) + 1
+                block.add(val)
+            if self.at("["):  # computed key — skip
+                self.skip_balanced("[", "]")
+        if self.at("}"):
+            self.next()
+        return block
+
+    def parse_array_literal(self) -> N:
+        open_tok = self.next()
+        call = N(M.CALL, code="[...]", name=M.OP_ARRAY_INITIALIZER,
+                 method_full_name=M.OP_ARRAY_INITIALIZER,
+                 dispatch_type=M.STATIC_DISPATCH, line=open_tok.line)
+        i = 0
+        while self.peek() is not None and not self.at("]"):
+            if self.at(","):
+                self.next()
+                continue
+            el = self.parse_assignment_expr()
+            i += 1
+            el.arg_index = i
+            call.add(el)
+        if self.at("]"):
+            self.next()
+        return call
+
+    def parse_postfix(self) -> N:
+        t = self.peek()
+        if t is not None and t.t == "kw" and t.v in ("null", "undefined"):
+            self.next()
+            node = N(M.LITERAL, code=t.v, line=t.line, type_full_name=M.ANY)
+            return self.parse_postfix_ops(node, t)
+        if t is not None and t.t == "str" and t.v.startswith("`"):
+            self.next()
+            node = N(M.LITERAL, code=t.v, line=t.line, type_full_name="__ecma.String")
+            return self.parse_postfix_ops(node, t)
+        return super().parse_postfix()
+
+    def build_call(self, callee: N, start: Tok) -> N:
+        self.next()  # (
+        args: list[N] = []
+        while not self.at(")"):
+            args.append(self.parse_assignment_expr())
+            if self.at(","):
+                self.next()
+        close = self.expect(")")
+        if callee.kind == M.IDENTIFIER:
+            decl = self.lookup(callee.name)
+            target = getattr(decl, "method_full_name", "") if decl is not None else ""
+            if decl is not None and decl.kind == M.METHOD_REF and decl.method_full_name:
+                mfn, dispatch = decl.method_full_name, M.STATIC_DISPATCH
+            elif decl is not None and target:
+                # var f = function(){} — call through the binding
+                mfn, dispatch = target, M.STATIC_DISPATCH
+            else:
+                mfn, dispatch = M.UNKNOWN_FULL_NAME, M.DYNAMIC_DISPATCH
+            call = N(M.CALL, code=self.slice(start, close), name=callee.name,
+                     method_full_name=mfn, dispatch_type=dispatch, line=start.line)
+        else:
+            callee.role = M.ROLE_RECEIVER
+            callee.arg_index = 0
+            call = N(M.CALL, code=self.slice(start, close), name=callee.code,
+                     method_full_name=M.UNKNOWN_FULL_NAME,
+                     dispatch_type=M.DYNAMIC_DISPATCH, line=start.line)
+            call.add(callee)
+        for i, a in enumerate(args, start=1):
+            a.arg_index = i
+            call.add(a)
+        return call
+
+    def build_member_call(self, receiver: N, fld_tok: Tok, start: Tok, arrow: bool) -> N:
+        self.next()  # (
+        args: list[N] = []
+        while not self.at(")"):
+            args.append(self.parse_assignment_expr())
+            if self.at(","):
+                self.next()
+        close = self.expect(")")
+        call = N(M.CALL, code=self.slice(start, close), name=fld_tok.v,
+                 method_full_name=M.UNKNOWN_FULL_NAME,
+                 dispatch_type=M.DYNAMIC_DISPATCH, line=start.line)
+        receiver.role = M.ROLE_RECEIVER
+        receiver.arg_index = 0
+        call.add(receiver)
+        for i, a in enumerate(args, start=1):
+            a.arg_index = i
+            call.add(a)
+        return call
+
+
+# operator additions for JS binary tokens
+from joern_spark.frontends import clike as _clike  # noqa: E402
+
+M.BINARY_OPERATOR_MAP.setdefault("===", M.OP + "equals")
+M.BINARY_OPERATOR_MAP.setdefault("!==", M.OP + "notEquals")
+M.BINARY_OPERATOR_MAP.setdefault("**", OP_EXPONENT)
+M.BINARY_OPERATOR_MAP.setdefault("??", OP_NULLISH)
+M.BINARY_OPERATOR_MAP.setdefault("in", OP_IN)
+M.BINARY_OPERATOR_MAP.setdefault("instanceof", M.OP_INSTANCE_OF)
+
+
+def parse_js_file(repo: str, path: str, commit: str, content: str) -> list[N]:
+    return JsParser(content, path).parse()

@@ -51,9 +51,10 @@ def static_call_edges(nodes: DataFrame, broadcast: bool | None = None) -> DataFr
                          & (F.col("method_full_name") != "")
                          & (F.col("method_full_name") != M.UNKNOWN_FULL_NAME))
     dim = method_dimension(nodes)
-    if broadcast is None:
-        # cheap cardinality probe on the build side only
-        broadcast = dim.limit(BROADCAST_METHOD_LIMIT).count() < BROADCAST_METHOD_LIMIT
+    # broadcast=None → leave the physical strategy to AQE: the deduplicated
+    # method dimension is tiny relative to the call side at any scale where it
+    # matters, and AQE converts to broadcast-hash at runtime from real stats
+    # (no eager cardinality probe job).
     rhs = F.broadcast(dim) if broadcast else dim
     j = calls.join(rhs, calls["method_full_name"] == rhs["m_fn"], "inner")
     return j.select(*_edge(F.col("id"), F.col("m_id"), M.CALL_EDGE))
@@ -128,7 +129,12 @@ def naive_call_edges(nodes: DataFrame, linked: DataFrame) -> DataFrame:
 
 def run_callgraph(nodes: DataFrame) -> DataFrame:
     static = static_call_edges(nodes)
-    dyn = dynamic_call_edges(nodes)
-    linked = static.unionByName(dyn)
+    # Early exit mirroring the reference (DynamicCallLinker.scala:56-59):
+    # the iterative inheritance-closure loop only runs when dynamic-dispatch
+    # call sites actually exist — one cheap probe vs many eager jobs.
+    has_dynamic = not nodes.filter(
+        (F.col("kind") == M.CALL) & (F.col("dispatch_type") == M.DYNAMIC_DISPATCH)
+    ).isEmpty()
+    linked = static.unionByName(dynamic_call_edges(nodes)) if has_dynamic else static
     naive = naive_call_edges(nodes, linked)
     return linked.unionByName(naive).unionByName(method_ref_edges(nodes))

@@ -118,6 +118,11 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
         if edges_out is None:
             edges_out = _write_stage(edges, out_dir, "edges", fp, partition_by=["label"])
         all_nodes, edges = all_nodes_out, edges_out
+    else:
+        # callers typically run several queries over the result — cache the
+        # final relations so each action does not replay the whole DAG
+        all_nodes = all_nodes.persist()
+        edges = edges.persist()
 
     return {"nodes": all_nodes, "edges": edges, "errors": errors}
 
