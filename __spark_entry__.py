@@ -1,38 +1,262 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Two query families:
+
+* ``cpg_*`` — the code-property-graph pipeline (the north star). Input is the
+  deterministic fixture corpus (BASELINE.json input_hint: the engine's input
+  is a source-code table, synthesized at small scale — see FIXTURES.md §1);
+  the oracle is a pure-Python single-node re-implementation
+  (joern_spark/oracle.py) rendered as DuckDB VALUES SQL, so the driver
+  validates the distributed plan (hash ids, joins, groupBys, shuffles)
+  against a trusted sequential run.
+* data-pipeline queries (dedup / text analysis / ANN / rollups) — run on the
+  sf_dir documents/embeddings/events parquet with genuine DuckDB SQL oracles
+  (same md5-based hashing on both engines → bit-exact comparison).
+
+The CPG is built ONCE per session and cached; each query is then a small
+join/projection over the cached nodes/edges relations.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+_CPG_CACHE: dict[int, dict] = {}
+
+
+def _code_fingerprint() -> str:
+    """Hash of the engine source — stale parquet checkpoints from older code
+    must not satisfy a newer run."""
+    import glob
+    import hashlib
+    h = hashlib.sha256()
+    for p in sorted(glob.glob("/root/repo/joern_spark/**/*.py", recursive=True)):
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _cpg(spark: SparkSession) -> dict:
+    key = id(spark)
+    if key not in _CPG_CACHE:
+        from joern_spark.corpus import fixture_source
+        from joern_spark.plans.pipeline import build_cpg, source_fingerprint
+        src = fixture_source(spark)
+        fp = f"{source_fingerprint(src)}:{_code_fingerprint()}"
+        out = build_cpg(spark, src, out_dir="/tmp/joern_spark_cpg/fixtures",
+                        fingerprint=fp)
+        _CPG_CACHE[key] = out
+    return _CPG_CACHE[key]
+
+
+def _s(col):
+    return F.col(col).cast("string")
+
+
+# --------------------------------------------------------------------------- #
+# CPG queries (fixture corpus; sf_dir unused except where noted)
+# --------------------------------------------------------------------------- #
+
+def q_cpg_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _cpg(spark)["nodes"]
+    return (n.filter((F.col("kind") == "METHOD") & ~F.col("is_external")
+                     & (F.col("path") != ""))
+            .select(_s("lang").alias("lang"), _s("path").alias("path"),
+                    _s("full_name").alias("method_full_name"))
+            .distinct())
+
+
+def q_cpg_method_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _cpg(spark)["nodes"]
+    params = n.filter((F.col("kind") == "METHOD_PARAMETER_IN")
+                      & F.col("lang").isin("c", "cpp", "java")).select(
+        "parent_id", "name", "param_index")
+    methods = n.filter(F.col("kind") == "METHOD").select(
+        F.col("id").alias("parent_id"), F.col("full_name").alias("m_full_name"))
+    return (params.join(methods, "parent_id")
+            .select(_s("m_full_name").alias("method_full_name"),
+                    _s("name").alias("param_name"),
+                    F.col("param_index").cast("long").alias("param_index"))
+            .distinct())
+
+
+def q_cpg_static_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _cpg(spark)
+    n, e = c["nodes"], c["edges"]
+    calls = n.filter((F.col("kind") == "CALL")
+                     & (F.col("dispatch_type") == "STATIC_DISPATCH")).select(
+        F.col("id").alias("src"), F.col("method_id").alias("caller_mid"),
+        F.col("method_full_name").alias("call_target"))
+    methods = n.filter((F.col("kind") == "METHOD") & ~F.col("is_external")).select(
+        F.col("id").alias("dst"), F.col("full_name").alias("callee_full_name"))
+    callers = n.filter(F.col("kind") == "METHOD").select(
+        F.col("id").alias("caller_mid"), F.col("full_name").alias("caller_full_name"))
+    return (e.filter(F.col("label") == "CALL")
+            .join(calls, "src").join(methods, "dst")
+            .filter(F.col("call_target") == F.col("callee_full_name"))
+            .join(callers, "caller_mid")
+            .select(_s("caller_full_name").alias("caller_full_name"),
+                    _s("callee_full_name").alias("callee_full_name"))
+            .distinct())
+
+
+def _cfg_like(spark, label, path_suffix, with_var=False):
+    c = _cpg(spark)
+    n, e = c["nodes"], c["edges"]
+    nn = n.filter(F.col("path").endswith(path_suffix))
+    src = nn.select(F.col("id").alias("src"), F.col("code").alias("src_code"),
+                    F.col("method_id").alias("mid"), F.col("kind").alias("src_kind"),
+                    F.col("full_name").alias("src_fn"))
+    dst = nn.select(F.col("id").alias("dst"), F.col("code").alias("dst_code"))
+    methods = nn.filter(F.col("kind") == "METHOD").select(
+        F.col("id").alias("mid2"), F.col("full_name").alias("method_full_name"))
+    j = (e.filter(F.col("label") == label).join(src, "src").join(dst, "dst")
+         .withColumn("mid_eff", F.when(F.col("src_kind") == "METHOD",
+                                       F.col("src")).otherwise(F.col("mid")))
+         .join(methods, F.col("mid_eff") == F.col("mid2")))
+    cols = [_s("method_full_name").alias("method_full_name"),
+            _s("src_code").alias("src_code"), _s("dst_code").alias("dst_code")]
+    if with_var:
+        cols.append(F.coalesce(_s("variable"), F.lit("")).alias("variable"))
+    return j.select(*cols).distinct()
+
+
+def q_cpg_cfg_succ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cfg_like(spark, "CFG", "src/cfg.c")
+
+
+def q_cpg_reaching_def(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cfg_like(spark, "REACHING_DEF", "src/uaf.c", with_var=True)
+
+
+def q_cpg_inherits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _cpg(spark)
+    n, e = c["nodes"], c["edges"]
+    src = n.filter(F.col("kind") == "TYPE_DECL").select(
+        F.col("id").alias("src"), F.col("full_name").alias("type_full_name"))
+    dst = n.filter(F.col("kind") == "TYPE").select(
+        F.col("id").alias("dst"), F.col("full_name").alias("parent_full_name"))
+    return (e.filter(F.col("label") == "INHERITS_FROM")
+            .join(src, "src").join(dst, "dst")
+            .select(_s("type_full_name").alias("type_full_name"),
+                    _s("parent_full_name").alias("parent_full_name"))
+            .distinct())
+
+
+def q_cpg_declares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _cpg(spark)
+    n, e = c["nodes"], c["edges"]
+    src = n.filter(F.col("kind") == "TYPE_DECL").select(
+        F.col("id").alias("src"), F.col("full_name").alias("type_full_name"))
+    dst = n.select(F.col("id").alias("dst"), F.col("name").alias("decl_name"))
+    return (e.filter(F.col("label") == "DECLARES")
+            .join(src, "src").join(dst, "dst")
+            .select(_s("type_full_name").alias("type_full_name"),
+                    _s("decl_name").alias("decl_name"))
+            .distinct())
+
+
+def q_cpg_operator_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _cpg(spark)["nodes"]
+    return (n.filter((F.col("kind") == "CALL")
+                     & F.col("name").startswith("<operator>."))
+            .groupBy(_s("name").alias("op_name"))
+            .agg(F.count("*").alias("n")))
+
+
+def q_cpg_sha_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _cpg(spark)["nodes"]
+    return (n.filter(F.col("path") != "")
+            .select(_s("path").alias("path"), _s("sha256").alias("sha256"))
+            .filter(F.col("sha256") != "")
+            .distinct())
+
+
+def q_cpg_method_stubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _cpg(spark)["nodes"]
+    return (n.filter((F.col("kind") == "METHOD") & F.col("is_external"))
+            .select(_s("full_name").alias("method_full_name"))
+            .distinct())
+
+
+def _cpg_oracles() -> dict[str, str]:
+    from joern_spark import oracle as O
+    return {
+        "cpg_methods": O.values_sql(
+            O.expected_methods(), ["lang", "path", "method_full_name"]),
+        "cpg_method_params": O.values_sql(
+            O.expected_method_params(),
+            ["method_full_name", "param_name", "param_index"]),
+        "cpg_static_calls": O.values_sql(
+            O.expected_static_calls(), ["caller_full_name", "callee_full_name"]),
+        "cpg_cfg_succ": O.values_sql(
+            O.expected_cfg_succ("src/cfg.c"),
+            ["method_full_name", "src_code", "dst_code"]),
+        "cpg_reaching_def": O.values_sql(
+            O.expected_reaching_defs("src/uaf.c"),
+            ["method_full_name", "src_code", "dst_code", "variable"]),
+        "cpg_inherits": O.values_sql(
+            O.expected_inherits(), ["type_full_name", "parent_full_name"]),
+        "cpg_declares": O.values_sql(
+            O.expected_declares(), ["type_full_name", "decl_name"]),
+        "cpg_operator_calls": O.values_sql(
+            O.expected_operator_counts(), ["op_name", "n"]),
+        "cpg_sha_lineage": O.values_sql(
+            O.expected_sha_lineage(), ["path", "sha256"]),
+        "cpg_method_stubs": O.values_sql(
+            sorted({(fn,) for _, fn in O.expected_method_stubs()}),
+            ["method_full_name"]),
+    }
+
+
+CPG_QUERIES = {
+    "cpg_methods": q_cpg_methods,
+    "cpg_method_params": q_cpg_method_params,
+    "cpg_static_calls": q_cpg_static_calls,
+    "cpg_cfg_succ": q_cpg_cfg_succ,
+    "cpg_reaching_def": q_cpg_reaching_def,
+    "cpg_inherits": q_cpg_inherits,
+    "cpg_declares": q_cpg_declares,
+    "cpg_operator_calls": q_cpg_operator_calls,
+    "cpg_sha_lineage": q_cpg_sha_lineage,
+    "cpg_method_stubs": q_cpg_method_stubs,
+}
+
+
+# --------------------------------------------------------------------------- #
+# Driver contract
+# --------------------------------------------------------------------------- #
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the name-keyed CPG triple relation (subj, pred, obj) from
+    the fixture corpus, plus a lineage row for the sf0.001 documents table
+    (proves the sf0.001 parquet loads)."""
+    from joern_spark.plans.pipeline import name_keyed_triples
+    c = _cpg(spark)
+    triples = name_keyed_triples(c["nodes"], c["edges"]).select(
+        _s("subj").alias("subj"), _s("pred").alias("pred"),
+        _s("obj").alias("obj"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    meta = docs.agg(F.count("*").alias("n")).select(
+        F.lit("corpus:documents:sf0.001").alias("subj"),
+        F.lit("ROW_COUNT").alias("pred"), _s("n").alias("obj"))
+    return triples.unionByName(meta)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from joern_spark.datapipe import DATA_QUERIES
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(CPG_QUERIES)
+    for name, (fn, _sql) in DATA_QUERIES.items():
+        out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from joern_spark.datapipe import DATA_QUERIES
+    out = _cpg_oracles()
+    for name, (_fn, sql) in DATA_QUERIES.items():
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -151,7 +151,10 @@ def fixture_source(spark: SparkSession, langs: tuple[str, ...] | None = None) ->
     rows = fixture_rows()
     if langs:
         rows = [r for r in rows if r[3] in langs]
-    return spark.createDataFrame(rows, "repo string, path string, commit string, lang string, content string")
+    # one partition per file — empty python workers are pure overhead
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).coalesce(len(rows))
 
 
 # --------------------------------------------------------------------------- #

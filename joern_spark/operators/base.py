@@ -84,8 +84,8 @@ def used_type_fullnames(nodes: DataFrame) -> DataFrame:
             .distinct())
 
 
-def type_nodes(nodes: DataFrame) -> DataFrame:
-    fns = used_type_fullnames(nodes)
+def type_nodes(nodes: DataFrame, fns: DataFrame | None = None) -> DataFrame:
+    fns = fns if fns is not None else used_type_fullnames(nodes)
     return _mk_nodes(
         fns,
         id=type_id(F.col("fn")),
@@ -134,20 +134,18 @@ def namespace_block_nodes(nodes: DataFrame) -> DataFrame:
 
 
 def source_file_edges(nodes: DataFrame) -> DataFrame:
-    decls = nodes.filter(F.col("kind").isin(M.METHOD, M.TYPE_DECL)
-                         & (F.col("path") != ""))
-    d = decls.select(*_edge(F.col("id"), file_id(), M.SOURCE_FILE))
-    nsb = (nodes.select("repo", "path", "commit").distinct()
-           .select(*_edge(nsb_id(), file_id(), M.SOURCE_FILE)))
-    return d.unionByName(nsb)
+    """NSB → FILE only: decl → FILE edges are emitted by the fused
+    projection pass (operators.parse.ast_edges)."""
+    return (nodes.select("repo", "path", "commit").distinct()
+            .select(*_edge(nsb_id(), file_id(), M.SOURCE_FILE)))
 
 
 # --------------------------------------------------------------------------- #
 # Pass 5 — TypeDeclStubCreator (left-anti join, TypeDeclStubCreator.scala:24-34)
 # --------------------------------------------------------------------------- #
 
-def type_decl_stubs(nodes: DataFrame) -> DataFrame:
-    fns = used_type_fullnames(nodes)
+def type_decl_stubs(nodes: DataFrame, fns: DataFrame | None = None) -> DataFrame:
+    fns = fns if fns is not None else used_type_fullnames(nodes)
     decls = nodes.filter(F.col("kind") == M.TYPE_DECL).select(
         F.col("full_name").alias("fn")).distinct()
     missing = fns.join(decls, "fn", "left_anti")
@@ -191,12 +189,15 @@ def method_stub_nodes(nodes: DataFrame) -> DataFrame:
             .groupBy(F.col("parent_id").alias("call_id"))
             .agg(F.max("arg_index").alias("nargs")))
 
+    # consumed by three row-generators (stubs, params, rets) — materialize
+    # once instead of re-running the anti-join + agg per consumer
     unresolved = (calls.join(methods, "method_full_name", "left_anti")
                   .join(argc, calls["id"] == argc["call_id"], "left")
                   .groupBy("method_full_name")
                   .agg(F.first("name").alias("name"),
                        F.first("signature").alias("signature"),
-                       F.max(F.coalesce(F.col("nargs"), F.lit(0))).alias("max_args")))
+                       F.max(F.coalesce(F.col("nargs"), F.lit(0))).alias("max_args"))
+                  .persist())
 
     stub_id = F.xxhash64(F.lit("METHOD_STUB"), F.col("method_full_name"))
     stubs = _mk_nodes(
@@ -295,20 +296,22 @@ def alias_edges(nodes: DataFrame) -> DataFrame:
 
 def run_base(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
     """All base-layer passes → (extra_nodes, extra_edges)."""
+    fns = used_type_fullnames(nodes).persist()
     extra_nodes = (
-        type_nodes(nodes)
+        type_nodes(nodes, fns)
         .unionByName(file_nodes(nodes))
         .unionByName(namespace_block_nodes(nodes))
-        .unionByName(type_decl_stubs(nodes))
+        .unionByName(type_decl_stubs(nodes, fns))
         .unionByName(method_stub_nodes(nodes))
         .unionByName(parameter_out_nodes(nodes))
-    )
+    ).coalesce(nodes.sparkSession.sparkContext.defaultParallelism).persist()
     all_nodes = nodes.unionByName(extra_nodes)
+    # EVAL_TYPE / decl-SOURCE_FILE / PARAMETER_LINK are emitted by the fused
+    # projection pass in operators.parse.ast_edges (single scan); the
+    # remaining base edges genuinely need joins or the stub dimensions.
     extra_edges = (
-        eval_type_edges(nodes)
-        .unionByName(source_file_edges(nodes))
+        source_file_edges(nodes)
         .unionByName(type_ref_edges(all_nodes))
-        .unionByName(parameter_link_edges(nodes))
         .unionByName(ast_link_and_declares_edges(all_nodes))
         .unionByName(inherits_edges(all_nodes))
         .unionByName(alias_edges(all_nodes))

@@ -45,12 +45,13 @@ def method_dimension(nodes: DataFrame) -> DataFrame:
     return m.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
 
 
-def static_call_edges(nodes: DataFrame, broadcast: bool | None = None) -> DataFrame:
+def static_call_edges(nodes: DataFrame, broadcast: bool | None = None,
+                      dim: DataFrame | None = None) -> DataFrame:
     calls = nodes.filter((F.col("kind") == M.CALL)
                          & (F.col("dispatch_type") == M.STATIC_DISPATCH)
                          & (F.col("method_full_name") != "")
                          & (F.col("method_full_name") != M.UNKNOWN_FULL_NAME))
-    dim = method_dimension(nodes)
+    dim = dim if dim is not None else method_dimension(nodes)
     # broadcast=None → leave the physical strategy to AQE: the deduplicated
     # method dimension is tiny relative to the call side at any scale where it
     # matters, and AQE converts to broadcast-hash at runtime from real stats
@@ -60,9 +61,9 @@ def static_call_edges(nodes: DataFrame, broadcast: bool | None = None) -> DataFr
     return j.select(*_edge(F.col("id"), F.col("m_id"), M.CALL_EDGE))
 
 
-def method_ref_edges(nodes: DataFrame) -> DataFrame:
+def method_ref_edges(nodes: DataFrame, dim: DataFrame | None = None) -> DataFrame:
     refs = nodes.filter((F.col("kind") == M.METHOD_REF) & (F.col("method_full_name") != ""))
-    dim = method_dimension(nodes)
+    dim = dim if dim is not None else method_dimension(nodes)
     j = refs.join(F.broadcast(dim), refs["method_full_name"] == dim["m_fn"], "inner")
     return j.select(*_edge(F.col("id"), F.col("m_id"), M.REF))
 
@@ -89,7 +90,8 @@ def inheritance_closure(nodes: DataFrame, max_depth: int = 20) -> DataFrame:
     return closure
 
 
-def dynamic_call_edges(nodes: DataFrame, closure: DataFrame | None = None) -> DataFrame:
+def dynamic_call_edges(nodes: DataFrame, closure: DataFrame | None = None,
+                       dim: DataFrame | None = None) -> DataFrame:
     """CALL edges for DYNAMIC_DISPATCH: resolve `T.name` against T and every
     subclass of T that declares `name` (SAFEDISPATCH candidate set,
     DynamicCallLinker.scala:63-70)."""
@@ -106,7 +108,7 @@ def dynamic_call_edges(nodes: DataFrame, closure: DataFrame | None = None) -> Da
     self_row = calls.select("recv_type").distinct().withColumn("impl_type", F.col("recv_type"))
     cand_types = closure.unionByName(self_row).distinct()
 
-    methods = (method_dimension(nodes)
+    methods = ((dim if dim is not None else method_dimension(nodes))
                .filter(F.col("m_parent") != "")
                .select(F.col("m_parent").alias("impl_type"), F.col("m_name").alias("call_name"),
                        F.col("m_id")))
@@ -115,12 +117,14 @@ def dynamic_call_edges(nodes: DataFrame, closure: DataFrame | None = None) -> Da
     return j.select(*_edge(F.col("id"), F.col("m_id"), M.CALL_EDGE))
 
 
-def naive_call_edges(nodes: DataFrame, linked: DataFrame) -> DataFrame:
+def naive_call_edges(nodes: DataFrame, linked: DataFrame,
+                     dim: DataFrame | None = None) -> DataFrame:
     """Fallback: remaining unlinked calls joined to internal methods by bare
     name (NaiveCallLinker.scala:14-27)."""
     calls = nodes.filter(F.col("kind") == M.CALL).select("id", "name")
     unlinked = calls.join(linked.select(F.col("src").alias("id")).distinct(), "id", "left_anti")
-    methods = (method_dimension(nodes).filter(~F.col("is_external"))
+    methods = ((dim if dim is not None else method_dimension(nodes))
+               .filter(~F.col("is_external"))
                .select(F.col("m_name").alias("name"), "m_id")
                .dropDuplicates(["name"]))
     j = unlinked.join(F.broadcast(methods), "name")
@@ -128,13 +132,22 @@ def naive_call_edges(nodes: DataFrame, linked: DataFrame) -> DataFrame:
 
 
 def run_callgraph(nodes: DataFrame) -> DataFrame:
-    static = static_call_edges(nodes)
+    # The method dimension feeds four linkers — materialize it once
+    # (DataFrame references are re-evaluated per consumer, there is no
+    # common-subexpression elimination across branches).
+    dim = method_dimension(nodes).persist()
+    dim.count()
+    static = static_call_edges(nodes, dim=dim)
     # Early exit mirroring the reference (DynamicCallLinker.scala:56-59):
     # the iterative inheritance-closure loop only runs when dynamic-dispatch
     # call sites actually exist — one cheap probe vs many eager jobs.
     has_dynamic = not nodes.filter(
         (F.col("kind") == M.CALL) & (F.col("dispatch_type") == M.DYNAMIC_DISPATCH)
     ).isEmpty()
-    linked = static.unionByName(dynamic_call_edges(nodes)) if has_dynamic else static
-    naive = naive_call_edges(nodes, linked)
-    return linked.unionByName(naive).unionByName(method_ref_edges(nodes))
+    linked = static.unionByName(dynamic_call_edges(nodes, dim=dim)) if has_dynamic else static
+    # naive linking consumes `linked` twice (anti-join + final union) —
+    # materialize before both consumers scan it
+    linked = linked.persist()
+    linked.count()
+    naive = naive_call_edges(nodes, linked, dim=dim)
+    return linked.unionByName(naive).unionByName(method_ref_edges(nodes, dim=dim))

@@ -130,46 +130,57 @@ def with_ids(raw: DataFrame) -> DataFrame:
 
 
 def ast_edges(nodes: DataFrame) -> DataFrame:
-    """AST + ARGUMENT + RECEIVER + typed shortcut + REF + CONTAINS edges —
-    pure projections over the parse output (no join, no shuffle): the parser
-    already resolved every one of these file-locally.
+    """All projection-derived edges in ONE scan of the parse output: AST +
+    typed shortcut + ARGUMENT + REF + CONTAINS + EVAL_TYPE + SOURCE_FILE +
+    PARAMETER_LINK. Each row emits its candidate edges into an array that is
+    exploded and null-filtered — a single narrow stage instead of eight
+    union branches re-scanning the cache (no join, no shuffle: the parser
+    resolved everything file-locally, and EVAL_TYPE/SOURCE_FILE targets are
+    pure id-hash functions of row columns).
 
     Reference equivalents: Ast.withChild/argEdges (Ast.scala:85-121),
     VariableScopeManager REF links (:334-358), ContainsEdgePass.scala:15-48
-    (made a projection by carrying method_idx from the parser).
+    (projection via parser-carried method_idx), TypeEvalPass.scala:9-42,
+    FileCreationPass.scala:41-55, MethodDecoratorPass.scala:50.
     """
-    n = nodes.filter(F.col("parse_error") == "")
+    from joern_spark.operators.base import EVAL_TYPE_KINDS, file_id, type_id
 
-    ast = (n.filter(F.col("parent_id").isNotNull())
-           .select(F.col("parent_id").alias("src"), F.col("id").alias("dst"),
-                   F.lit(M.AST).alias("label"), F.lit(None).cast("string").alias("variable")))
+    n = nodes.filter(F.col("parse_error") == "")
+    null_s = F.lit(None).cast("string")
+
+    def edge(cond, src, dst, label, variable=None):
+        e = F.struct(src.cast("long").alias("src"), dst.cast("long").alias("dst"),
+                     (label if not isinstance(label, str) else F.lit(label)).alias("label"),
+                     (variable if variable is not None else null_s).alias("variable"))
+        return F.when(cond, e)
 
     role_map = F.create_map(*[F.lit(x) for kv in M.ROLE_EDGE_LABELS.items() for x in kv])
-    roles = (n.filter((F.col("role") != "") & F.col("parent_id").isNotNull())
-             .select(F.col("parent_id").alias("src"), F.col("id").alias("dst"),
-                     role_map[F.col("role")].alias("label"),
-                     F.lit(None).cast("string").alias("variable")))
-
-    # ARGUMENT edges come from CALL/RETURN parents (CallAstBuilder.scala:25-55).
-    # The parser only assigns arg_index under call-like parents, so this is a
-    # projection — no self-join needed to look up the parent kind.
-    args = (n.filter((F.col("arg_index") >= 0) & F.col("parent_id").isNotNull())
-            .select(F.col("parent_id").alias("src"), F.col("id").alias("dst"),
-                    F.lit(M.ARGUMENT).alias("label"),
-                    F.col("arg_index").cast("string").alias("variable")))
-
-    refs = (n.filter(F.col("ref_id").isNotNull())
-            .select(F.col("id").alias("src"), F.col("ref_id").alias("dst"),
-                    F.lit(M.REF).alias("label"), F.lit(None).cast("string").alias("variable")))
-
-    contains = (n.filter(F.col("method_id").isNotNull()
-                         & (~F.col("kind").isin(M.METHOD, M.METHOD_PARAMETER_IN,
-                                                M.METHOD_PARAMETER_OUT, M.METHOD_RETURN,
-                                                M.LOCAL, M.MODIFIER, M.TYPE_DECL, M.MEMBER)))
-                .select(F.col("method_id").alias("src"), F.col("id").alias("dst"),
-                        F.lit(M.CONTAINS).alias("label"), F.lit(None).cast("string").alias("variable")))
-
-    return ast.unionByName(roles).unionByName(args).unionByName(refs).unionByName(contains)
+    candidates = F.array(
+        edge(F.col("parent_id").isNotNull(), F.col("parent_id"), F.col("id"), M.AST),
+        edge((F.col("role") != "") & F.col("parent_id").isNotNull(),
+             F.col("parent_id"), F.col("id"), role_map[F.col("role")]),
+        # ARGUMENT comes only from CALL/RETURN parents: the parser assigns
+        # arg_index only under call-like parents (CallAstBuilder.scala:25-55)
+        edge((F.col("arg_index") >= 0) & F.col("parent_id").isNotNull(),
+             F.col("parent_id"), F.col("id"), M.ARGUMENT,
+             F.col("arg_index").cast("string")),
+        edge(F.col("ref_id").isNotNull(), F.col("id"), F.col("ref_id"), M.REF),
+        edge(F.col("method_id").isNotNull()
+             & (~F.col("kind").isin(M.METHOD, M.METHOD_PARAMETER_IN,
+                                    M.METHOD_PARAMETER_OUT, M.METHOD_RETURN,
+                                    M.LOCAL, M.MODIFIER, M.TYPE_DECL, M.MEMBER)),
+             F.col("method_id"), F.col("id"), M.CONTAINS),
+        edge(F.col("kind").isin(EVAL_TYPE_KINDS)
+             & (F.col("type_full_name") != "") & F.col("type_full_name").isNotNull(),
+             F.col("id"), type_id(F.col("type_full_name")), M.EVAL_TYPE),
+        edge(F.col("kind").isin(M.METHOD, M.TYPE_DECL) & (F.col("path") != ""),
+             F.col("id"), file_id(), M.SOURCE_FILE),
+        edge(F.col("kind") == M.METHOD_PARAMETER_IN,
+             F.col("id"), F.xxhash64(F.lit("POUT"), F.col("id")), M.PARAMETER_LINK),
+    )
+    return (n.select(F.explode(candidates).alias("e"))
+            .filter(F.col("e").isNotNull())
+            .select("e.src", "e.dst", "e.label", "e.variable"))
 
 
 def intra_edges(nodes: DataFrame) -> DataFrame:

@@ -1,0 +1,207 @@
+"""Pure-Python single-node oracle for the CPG pipeline.
+
+Computes expected query results over the fixture corpus WITHOUT Spark: files
+are parsed sequentially with the same frontends, then each query's expected
+rows are derived with plain dict/set logic — a simple, independent
+re-implementation of what the distributed pipeline computes with joins,
+groupBys and id-hashing. The driver compares the Spark result against these
+rows rendered as DuckDB ``VALUES`` SQL, so any divergence introduced by the
+distributed plan (id collisions, join bugs, shuffle nondeterminism, wrong
+aliasing) is caught.
+
+This mirrors the reference's own test strategy: golden expectations derived
+from a trusted sequential run (Code2CpgFixture / succOf oracle,
+x2cpg/src/test/.../testfixtures/CfgTestFixture.scala:44-57).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from joern_spark import model as M
+from joern_spark.corpus import fixture_rows
+from joern_spark.operators.parse import _parse_one
+
+
+@lru_cache(maxsize=1)
+def local_files() -> list[tuple[str, str, str, str, list[dict]]]:
+    """[(repo, path, commit, lang, rows)] for the fixture corpus, parsed
+    sequentially (fused intraprocedural edges included)."""
+    import hashlib
+    out = []
+    for repo, path, commit, lang, content in fixture_rows():
+        sha = hashlib.sha256(content.encode()).hexdigest()
+        rows = _parse_one(repo, path, commit, lang, content, sha, True)
+        assert not any(r["parse_error"] for r in rows), (path, rows[0]["parse_error"])
+        out.append((repo, path, commit, lang, rows))
+    return out
+
+
+def _methods():
+    for repo, path, commit, lang, rows in local_files():
+        for r in rows:
+            if r["kind"] == M.METHOD:
+                yield lang, path, r, rows
+
+
+# --------------------------------------------------------------------------- #
+# Expected result sets (sorted lists of tuples)
+# --------------------------------------------------------------------------- #
+
+def expected_methods() -> list[tuple[str, str, str]]:
+    """(lang, path, method_full_name) for every parsed (internal) method."""
+    return sorted({(lang, path, r["full_name"]) for lang, path, r, _ in _methods()})
+
+
+def expected_method_params() -> list[tuple[str, str, int]]:
+    """(method_full_name, param_name, param_index) for c/cpp/java methods."""
+    out = set()
+    for lang, path, m, rows in _methods():
+        if lang not in ("c", "cpp", "java"):
+            continue
+        for r in rows:
+            if r["kind"] == M.METHOD_PARAMETER_IN and r["parent_idx"] == m["node_idx"]:
+                out.add((m["full_name"], r["name"], r["param_index"]))
+    return sorted(out)
+
+
+def expected_static_calls() -> list[tuple[str, str]]:
+    """(caller_full_name, callee_full_name) where the callee is a parsed
+    method anywhere in the corpus *of the same language* — the static-linking
+    hash join re-derived with sets."""
+    methods_by_lang: dict[str, dict[str, str]] = {}
+    for lang, path, m, rows in _methods():
+        methods_by_lang.setdefault(lang, {})[m["full_name"]] = m["full_name"]
+    out = set()
+    for repo, path, commit, lang, rows in local_files():
+        by_idx = {r["node_idx"]: r for r in rows}
+        for r in rows:
+            if r["kind"] != M.CALL or r["dispatch_type"] != M.STATIC_DISPATCH:
+                continue
+            callee = r["method_full_name"]
+            if callee in methods_by_lang.get(lang, {}):
+                caller = by_idx.get(r["method_idx"])
+                if caller is not None:
+                    out.add((caller["full_name"], callee))
+    return sorted(out)
+
+
+def expected_cfg_succ(path_suffix: str) -> list[tuple[str, str, str]]:
+    """(method_full_name, src_code, dst_code) CFG triples for one file —
+    entry/exit use the reference's markers (method code / RET)."""
+    out = set()
+    for repo, path, commit, lang, rows in local_files():
+        if not path.endswith(path_suffix):
+            continue
+        by_idx = {r["node_idx"]: r for r in rows}
+        for r in rows:
+            if r["kind"] != M.METHOD or not r["intra_edges"]:
+                continue
+            for e in r["intra_edges"]:
+                if e["label"] != M.CFG:
+                    continue
+                s, d = by_idx[e["src"]], by_idx[e["dst"]]
+                out.add((r["full_name"], s["code"], d["code"]))
+    return sorted(out)
+
+
+def expected_reaching_defs(path_suffix: str) -> list[tuple[str, str, str, str]]:
+    """(method_full_name, src_code, dst_code, variable) REACHING_DEF rows."""
+    out = set()
+    for repo, path, commit, lang, rows in local_files():
+        if not path.endswith(path_suffix):
+            continue
+        by_idx = {r["node_idx"]: r for r in rows}
+        for r in rows:
+            if r["kind"] != M.METHOD or not r["intra_edges"]:
+                continue
+            for e in r["intra_edges"]:
+                if e["label"] != M.REACHING_DEF:
+                    continue
+                s, d = by_idx[e["src"]], by_idx[e["dst"]]
+                out.add((r["full_name"], s["code"], d["code"], e["variable"] or ""))
+    return sorted(out)
+
+
+def expected_inherits() -> list[tuple[str, str]]:
+    """(type_decl_full_name, parent_type_full_name)."""
+    out = set()
+    for repo, path, commit, lang, rows in local_files():
+        for r in rows:
+            if r["kind"] == M.TYPE_DECL and r["inherits_from"]:
+                for p in r["inherits_from"]:
+                    out.add((r["full_name"], p))
+    return sorted(out)
+
+
+def expected_declares() -> list[tuple[str, str]]:
+    """(type_decl_full_name, declared METHOD/MEMBER name) from ast-parent
+    linking — the DECLARES relation."""
+    out = set()
+    for repo, path, commit, lang, rows in local_files():
+        decls = {r["full_name"] for r in rows if r["kind"] == M.TYPE_DECL}
+        for r in rows:
+            if r["kind"] in (M.METHOD, M.MEMBER) \
+                    and r["ast_parent_type"] == M.TYPE_DECL \
+                    and r["ast_parent_full_name"] in decls:
+                out.add((r["ast_parent_full_name"], r["name"]))
+    return sorted(out)
+
+
+def expected_operator_counts() -> list[tuple[str, int]]:
+    """(operator_name, count) of <operator>.* lowered calls, whole corpus."""
+    counts: dict[str, int] = {}
+    for repo, path, commit, lang, rows in local_files():
+        for r in rows:
+            if r["kind"] == M.CALL and r["name"].startswith("<operator>."):
+                counts[r["name"]] = counts.get(r["name"], 0) + 1
+    return sorted(counts.items())
+
+
+def expected_sha_lineage() -> list[tuple[str, str]]:
+    """(path, sha256(content)) — the per-row invariant."""
+    import hashlib
+    return sorted(
+        (path, hashlib.sha256(content.encode()).hexdigest())
+        for repo, path, commit, lang, content in fixture_rows()
+    )
+
+
+def expected_method_stubs() -> list[tuple[str, str]]:
+    """(lang, method_full_name) of called-but-undefined names → the
+    MethodStubCreator anti-join re-derived with sets."""
+    defined: dict[str, set] = {}
+    for lang, path, m, rows in _methods():
+        defined.setdefault(lang, set()).add(m["full_name"])
+    out = set()
+    for repo, path, commit, lang, rows in local_files():
+        for r in rows:
+            if r["kind"] == M.CALL and r["method_full_name"] \
+                    and r["method_full_name"] != M.UNKNOWN_FULL_NAME \
+                    and r["method_full_name"] not in defined.get(lang, set()):
+                out.add((lang, r["method_full_name"]))
+    return sorted(out)
+
+
+# --------------------------------------------------------------------------- #
+# VALUES SQL rendering
+# --------------------------------------------------------------------------- #
+
+def _sql_lit(v) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return f"CAST({v} AS BIGINT)"
+    if isinstance(v, float):
+        return repr(v)
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def values_sql(rows: list[tuple], cols: list[str]) -> str:
+    """Render expected rows as a DuckDB VALUES relation."""
+    if not rows:
+        sel = ", ".join(f"NULL AS {c}" for c in cols)
+        return f"SELECT {sel} WHERE 1 = 0"
+    body = ",\n  ".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES\n  {body}\n) AS t({', '.join(cols)})"

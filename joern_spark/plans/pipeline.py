@@ -103,6 +103,10 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
 
     # ---- stage 2: base linking ----------------------------------------------
     extra_nodes, base_edges = B.run_base(ok)
+    # materialize the cached stub/type dimensions BEFORE the edge DAG runs:
+    # evaluating everything as one action re-computes shared cached subplans
+    # that several branches scan concurrently before the cache fills
+    extra_nodes.count()
     all_nodes = ok.unionByName(extra_nodes)
 
     # ---- stage 3: edges ------------------------------------------------------
@@ -120,9 +124,13 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
         all_nodes, edges = all_nodes_out, edges_out
     else:
         # callers typically run several queries over the result — cache the
-        # final relations so each action does not replay the whole DAG
-        all_nodes = all_nodes.persist()
-        edges = edges.persist()
+        # final relations so each action does not replay the whole DAG.
+        # The multi-branch union carries branches × input partitions of tiny
+        # splits; coalesce to ~2/core so cached scans are task-overhead-free
+        # (the same knob a cluster run sets via shuffle.partitions).
+        par = spark.sparkContext.defaultParallelism * 2
+        all_nodes = all_nodes.coalesce(par).persist()
+        edges = edges.coalesce(par).persist()
 
     return {"nodes": all_nodes, "edges": edges, "errors": errors}
 
