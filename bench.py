@@ -74,6 +74,15 @@ def main():
             pass
 
     # ---- training-data operators at sf_dir ------------------------------- #
+    if os.environ.get("BENCH_CPG_ONLY"):
+        total = round(time.time() - t_all, 3)
+        print(json.dumps({
+            "metric": "cpg_build_total", "value": total, "unit": "sec",
+            "queries": timings, "sf": sf, "bench_files": n_files,
+            "cpg_nodes": n_nodes, "cpg_edges": n_edges,
+            "files_per_sec": files_per_sec,
+        }))
+        return
     for name, (fn, _sql) in DATA_QUERIES.items():
         t0 = time.time()
         df = fn(spark, sf_dir)

@@ -86,6 +86,13 @@ int measure(geo::Shape *p) { return p->area(2); }
 int pick(geo::Circle *c) { return c->area(1) + measure(c); }
 """
 
+FIXTURE_C_STRUCTS = """struct point { int x; int y; };
+
+int norm2(struct point *p) { return p->x * p->x + p->y * p->y; }
+
+int getx(struct point s) { return s.x; }
+"""
+
 FIXTURE_JAVA_METHODS = """package io.test.methods;
 
 public class MethodTest extends BaseTest {
@@ -141,6 +148,7 @@ def fixture_rows() -> list[tuple[str, str, str, str, str]]:
         ("fixtures/c-basics", "src/test.c", COMMIT, "c", FIXTURE_C_TEST),
         ("fixtures/c-basics", "src/uaf.c", COMMIT, "c", FIXTURE_C_UAF),
         ("fixtures/c-basics", "src/cfg.c", COMMIT, "c", FIXTURE_C_CFG),
+        ("fixtures/c-basics", "src/structs.c", COMMIT, "c", FIXTURE_C_STRUCTS),
         ("fixtures/cpp-shapes", "src/shapes.cpp", COMMIT, "cpp", FIXTURE_CPP_SHAPES),
         ("fixtures/java-methods", "src/MethodTest.java", COMMIT, "java", FIXTURE_JAVA_METHODS),
         ("fixtures/js-simple", "src/simple.js", COMMIT, "javascript", FIXTURE_JS_SIMPLE),

@@ -1125,9 +1125,11 @@ class CParser:
             node = N(M.LITERAL, code=t.v, line=t.line, type_full_name="char*")
         elif t.t == "char":
             node = N(M.LITERAL, code=t.v, line=t.line, type_full_name="char")
-        elif t.v in ("true", "false", "nullptr"):
+        elif t.v in ("true", "false", "nullptr", "NULL"):
+            # NULL is a macro expanding to a literal — CDT (with macro
+            # handling) emits a LITERAL here, so do we
             node = N(M.LITERAL, code=t.v, line=t.line,
-                     type_full_name="bool" if t.v != "nullptr" else M.ANY)
+                     type_full_name="bool" if t.v in ("true", "false") else M.ANY)
         elif t.v == "this":
             node = N(M.IDENTIFIER, code="this", name="this", line=t.line,
                      type_full_name=(self.ns[-1] + "*") if self.ns else M.ANY)

@@ -1,0 +1,327 @@
+"""Read-side traversal DSL over the (nodes, edges) relations — the Spark
+re-expression of the reference's Scala step DSL (SURVEY.md §2B).
+
+The reference executes traversals as lazy Iterator chains
+(semanticcpg/.../language/Steps.scala:18-53); here every step composes a
+DataFrame plan (node set ≡ DataFrame of node rows) and Catalyst optimizes
+the whole chain — predicate pushdown and join reordering the reference never
+had. ``.l()`` / ``.df`` materializes.
+
+Step inventory mapped (reference file:line in each method's docstring):
+starters (NodeTypeStarters.scala:14-91), property filters, type-narrowing
+filters (AstNodeTraversal.scala:96-211), AST walks (AstNodeTraversal.scala:
+14-95), expression context (ExpressionTraversal.scala:14-70), method
+structure (MethodTraversal.scala:16-171), call graph (callgraphextension),
+CFG/dominators, and dataflow ``reachableBy`` (ExtendedCfgNode.scala:15-60)
+as an iterative frontier join over REACHING_DEF triples.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from joern_spark import model as M
+
+
+class Cpg:
+    """Entry point: ``Cpg(nodes, edges)`` then ``cpg.method("main").l()``."""
+
+    def __init__(self, nodes: DataFrame, edges: DataFrame):
+        self.nodes = nodes
+        self.edges = edges
+
+    # ---- starters (NodeTypeStarters.scala:14-91) -------------------------- #
+    def all(self) -> "Steps":
+        return Steps(self, self.nodes)
+
+    def _kind(self, kind: str, name: str | None = None) -> "Steps":
+        df = self.nodes.filter(F.col("kind") == kind)
+        s = Steps(self, df)
+        return s.name(name) if name is not None else s
+
+    def method(self, name: str | None = None) -> "Steps":
+        return self._kind(M.METHOD, name)
+
+    def call(self, name: str | None = None) -> "Steps":
+        return self._kind(M.CALL, name)
+
+    def type_decl(self, name: str | None = None) -> "Steps":
+        return self._kind(M.TYPE_DECL, name)
+
+    def literal(self, code: str | None = None) -> "Steps":
+        s = self._kind(M.LITERAL)
+        return s.code(code) if code is not None else s
+
+    def identifier(self, name: str | None = None) -> "Steps":
+        return self._kind(M.IDENTIFIER, name)
+
+    def parameter(self, name: str | None = None) -> "Steps":
+        return self._kind(M.METHOD_PARAMETER_IN, name)
+
+    def local(self, name: str | None = None) -> "Steps":
+        return self._kind(M.LOCAL, name)
+
+    def member(self, name: str | None = None) -> "Steps":
+        return self._kind(M.MEMBER, name)
+
+    def ret(self) -> "Steps":
+        return self._kind(M.RETURN)
+
+    def control_structure(self, cs_type: str | None = None) -> "Steps":
+        s = self._kind(M.CONTROL_STRUCTURE)
+        if cs_type:
+            s = Steps(self, s.df.filter(F.col("control_structure_type") == cs_type))
+        return s
+
+    def if_block(self) -> "Steps":
+        return self.control_structure(M.CS_IF)
+
+    def file(self) -> "Steps":
+        return self._kind(M.FILE)
+
+    # operator sugar (operatorextension/NodeTypeStarters.scala:22)
+    def assignment(self) -> "Steps":
+        return Steps(self, self.nodes.filter(
+            (F.col("kind") == M.CALL) & F.col("name").isin(sorted(M.ASSIGNMENT_OPS))))
+
+    def array_access(self) -> "Steps":
+        return Steps(self, self.nodes.filter(
+            (F.col("kind") == M.CALL)
+            & F.col("name").isin(M.OP_INDEX_ACCESS, M.OP_INDIRECT_INDEX_ACCESS,
+                                 M.OP_COMPUTED_MEMBER_ACCESS)))
+
+    def field_access(self) -> "Steps":
+        return Steps(self, self.nodes.filter(
+            (F.col("kind") == M.CALL)
+            & F.col("name").isin(M.OP_FIELD_ACCESS, M.OP_INDIRECT_FIELD_ACCESS)))
+
+
+class Steps:
+    """A traversal position: a DataFrame of node rows (full node schema)."""
+
+    def __init__(self, cpg: Cpg, df: DataFrame):
+        self.cpg = cpg
+        self.df = df
+
+    # ---- generic -------------------------------------------------------- #
+    def filter(self, cond) -> "Steps":
+        return Steps(self.cpg, self.df.filter(cond))
+
+    def dedup(self) -> "Steps":
+        return Steps(self.cpg, self.df.dropDuplicates(["id"]))
+
+    def l(self, cols: list[str] | None = None) -> list:
+        out = self.df.select(*(cols or ["id", "kind", "name", "full_name", "code"]))
+        return out.collect()
+
+    def count(self) -> int:
+        return self.df.count()
+
+    # ---- property filters ------------------------------------------------ #
+    def name(self, regex: str) -> "Steps":
+        return Steps(self.cpg, self.df.filter(F.col("name").rlike(f"^(?:{regex})$")))
+
+    def name_exact(self, name: str) -> "Steps":
+        return Steps(self.cpg, self.df.filter(F.col("name") == name))
+
+    def full_name(self, regex: str) -> "Steps":
+        return Steps(self.cpg, self.df.filter(F.col("full_name").rlike(f"^(?:{regex})$")))
+
+    def full_name_exact(self, fn: str) -> "Steps":
+        return Steps(self.cpg, self.df.filter(F.col("full_name") == fn))
+
+    def signature_exact(self, sig: str) -> "Steps":
+        return Steps(self.cpg, self.df.filter(F.col("signature") == sig))
+
+    def code(self, regex: str) -> "Steps":
+        return Steps(self.cpg, self.df.filter(F.col("code").rlike(regex)))
+
+    def code_exact(self, code: str) -> "Steps":
+        return Steps(self.cpg, self.df.filter(F.col("code") == code))
+
+    def external(self) -> "Steps":
+        return Steps(self.cpg, self.df.filter(F.col("is_external")))
+
+    def internal(self) -> "Steps":
+        return Steps(self.cpg, self.df.filter(~F.col("is_external")))
+
+    # ---- type-narrowing (AstNodeTraversal.scala:96-211) ------------------- #
+    def is_kind(self, kind: str) -> "Steps":
+        return Steps(self.cpg, self.df.filter(F.col("kind") == kind))
+
+    def is_call(self) -> "Steps":
+        return self.is_kind(M.CALL)
+
+    def is_identifier(self) -> "Steps":
+        return self.is_kind(M.IDENTIFIER)
+
+    def is_literal(self) -> "Steps":
+        return self.is_kind(M.LITERAL)
+
+    def is_control_structure(self) -> "Steps":
+        return self.is_kind(M.CONTROL_STRUCTURE)
+
+    def is_return(self) -> "Steps":
+        return self.is_kind(M.RETURN)
+
+    # ---- edge plumbing --------------------------------------------------- #
+    def _ids(self) -> DataFrame:
+        return self.df.select("id")
+
+    def _hop(self, label: str, forward: bool) -> "Steps":
+        e = self.cpg.edges.filter(F.col("label") == label)
+        if forward:
+            j = self._ids().join(e, F.col("id") == F.col("src")).select(
+                F.col("dst").alias("nid"))
+        else:
+            j = self._ids().join(e, F.col("id") == F.col("dst")).select(
+                F.col("src").alias("nid"))
+        out = j.distinct().join(self.cpg.nodes, F.col("nid") == F.col("id")).drop("nid")
+        return Steps(self.cpg, out)
+
+    def _closure(self, label: str, forward: bool, max_depth: int = 64) -> "Steps":
+        """Transitive closure by iterative frontier join (driver loop with
+        localCheckpoint to cut lineage) — the Spark form of `.repeat`."""
+        e = self.cpg.edges.filter(F.col("label") == label).select(
+            "src", "dst").localCheckpoint(eager=False)
+        a, b = ("src", "dst") if forward else ("dst", "src")
+        frontier = self._ids().select(F.col("id").alias("nid")).distinct() \
+            .localCheckpoint(eager=True)
+        seen = frontier
+        for _ in range(max_depth):
+            step = (frontier.join(e, frontier["nid"] == e[a])
+                    .select(F.col(b).alias("nid")).distinct())
+            new = step.join(seen, "nid", "left_anti").localCheckpoint(eager=True)
+            if new.isEmpty():
+                break
+            seen = seen.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
+        start = self._ids().select(F.col("id").alias("nid"))
+        reached = seen.join(start, "nid", "left_anti")
+        out = reached.join(self.cpg.nodes, F.col("nid") == F.col("id")).drop("nid")
+        return Steps(self.cpg, out)
+
+    # ---- AST walks (AstNodeTraversal.scala:14-95) ------------------------- #
+    def ast_children(self) -> "Steps":
+        n = self.cpg.nodes
+        lhs = self.df.select(F.col("id").alias("lid")).distinct()
+        j = lhs.join(n, F.col("lid") == F.col("parent_id")).drop("lid")
+        return Steps(self.cpg, j)
+
+    def ast_parent(self) -> "Steps":
+        p = self.df.select(F.col("parent_id").alias("pid")).filter(
+            F.col("pid").isNotNull()).distinct()
+        out = p.join(self.cpg.nodes, F.col("pid") == F.col("id")).drop("pid")
+        return Steps(self.cpg, out)
+
+    def ast(self) -> "Steps":
+        """Whole subtree (incl. self) — iterative parent-child closure."""
+        down = self._closure(M.AST, forward=True)
+        return Steps(self.cpg, self.df.unionByName(down.df).dropDuplicates(["id"]))
+
+    def in_ast(self) -> "Steps":
+        return self._closure(M.AST, forward=False)
+
+    def ast_siblings(self) -> "Steps":
+        p = self.df.select(F.col("parent_id").alias("pid"), F.col("id").alias("self_id"))
+        sib = p.join(self.cpg.nodes, F.col("pid") == F.col("parent_id")) \
+            .filter(F.col("id") != F.col("self_id")).drop("pid", "self_id")
+        return Steps(self.cpg, sib.dropDuplicates(["id"]))
+
+    # ---- expression context (ExpressionTraversal.scala:14-70) -------------- #
+    def argument(self, i: int | None = None) -> "Steps":
+        out = self._hop(M.ARGUMENT, forward=True)
+        if i is not None:
+            out = Steps(self.cpg, out.df.filter(F.col("arg_index") == i))
+        return out
+
+    def in_call(self) -> "Steps":
+        return self._hop(M.ARGUMENT, forward=False)
+
+    def receiver(self) -> "Steps":
+        return self._hop(M.RECEIVER, forward=True)
+
+    def condition(self) -> "Steps":
+        return self._hop("CONDITION", forward=True)
+
+    # ---- method structure (MethodTraversal.scala:16-171) ------------------- #
+    def parameter(self) -> "Steps":
+        n = self.cpg.nodes.filter(F.col("kind") == M.METHOD_PARAMETER_IN)
+        lhs = self.df.select(F.col("id").alias("lid")).distinct()
+        return Steps(self.cpg, lhs.join(n, F.col("lid") == F.col("parent_id")).drop("lid"))
+
+    def local(self) -> "Steps":
+        n = self.cpg.nodes.filter(F.col("kind") == M.LOCAL)
+        mids = self.df.select(F.col("id").alias("mid"))
+        return Steps(self.cpg, mids.join(n, F.col("mid") == F.col("method_id")).drop("mid"))
+
+    def method(self) -> "Steps":
+        """Enclosing method of any expression node."""
+        mids = self.df.select(F.col("method_id").alias("mid")).filter(
+            F.col("mid").isNotNull()).distinct()
+        return Steps(self.cpg, mids.join(self.cpg.nodes, F.col("mid") == F.col("id")).drop("mid"))
+
+    def contains(self) -> "Steps":
+        return self._hop(M.CONTAINS, forward=True)
+
+    def method_return(self) -> "Steps":
+        n = self.cpg.nodes.filter(F.col("kind") == M.METHOD_RETURN)
+        lhs = self.df.select(F.col("id").alias("lid")).distinct()
+        return Steps(self.cpg, lhs.join(n, F.col("lid") == F.col("parent_id")).drop("lid"))
+
+    # ---- CFG / dominators -------------------------------------------------- #
+    def cfg_next(self) -> "Steps":
+        return self._hop(M.CFG, forward=True)
+
+    def cfg_prev(self) -> "Steps":
+        return self._hop(M.CFG, forward=False)
+
+    def dominated_by(self) -> "Steps":
+        return self._closure(M.DOMINATE, forward=False)
+
+    def dominates(self) -> "Steps":
+        return self._closure(M.DOMINATE, forward=True)
+
+    def post_dominates(self) -> "Steps":
+        return self._closure(M.POST_DOMINATE, forward=True)
+
+    def cdg_out(self) -> "Steps":
+        return self._hop(M.CDG, forward=True)
+
+    # ---- call graph (callgraphextension/MethodTraversal.scala:13-66) ------- #
+    def callee(self) -> "Steps":
+        """From CALL sites to target METHODs (CALL edges)."""
+        return self._hop(M.CALL_EDGE, forward=True)
+
+    def call_in(self) -> "Steps":
+        """From METHODs to the CALL sites that invoke them."""
+        return self._hop(M.CALL_EDGE, forward=False)
+
+    def caller(self) -> "Steps":
+        """From METHODs to the methods that call them."""
+        return self.call_in().method()
+
+    def call_out(self) -> "Steps":
+        """From METHODs to the methods they call (via contained call sites)."""
+        n = self.cpg.nodes.filter(F.col("kind") == M.CALL)
+        mids = self.df.select(F.col("id").alias("mid"))
+        calls = mids.join(n, F.col("mid") == F.col("method_id")).drop("mid")
+        return Steps(self.cpg, calls).callee()
+
+    # ---- data flow (ExtendedCfgNode.scala:15-60) --------------------------- #
+    def ddg_in(self) -> "Steps":
+        return self._hop(M.REACHING_DEF, forward=False)
+
+    def ddg_out(self) -> "Steps":
+        return self._hop(M.REACHING_DEF, forward=True)
+
+    def reachable_by(self, sources: "Steps", max_depth: int = 64) -> "Steps":
+        """Which of ``sources`` reach any of these sinks over REACHING_DEF
+        edges — the reference solves this backwards from each sink with a
+        work-stealing task pool (Engine.scala:96-140); distributed, the whole
+        sink set advances as ONE frontier per iteration, deduped with a
+        left-anti join (the memoization table)."""
+        back = self._closure(M.REACHING_DEF, forward=False, max_depth=max_depth)
+        reached = self.df.unionByName(back.df).select("id").distinct()
+        out = sources.df.join(reached, "id", "left_semi")
+        return Steps(self.cpg, out)

@@ -1,0 +1,105 @@
+"""Traversal-DSL golden tests over the fixture CPG (reference semantics:
+semanticcpg step DSL, e.g. cpg.method.name(X).parameter / .caller /
+.reachableBy — SURVEY.md §2B)."""
+
+from __future__ import annotations
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+
+@pytest.fixture(scope="module")
+def cpg():
+    from joern_spark.session import get_spark
+    from joern_spark.query import Cpg
+    import __spark_entry__ as entry
+
+    spark = get_spark(app="dsl_tests")
+    out = entry._cpg(spark)  # checkpoint-cached fixture CPG
+    return Cpg(out["nodes"], out["edges"])
+
+
+def names(steps, col="name"):
+    return sorted({r[col] for r in steps.df.select(col).collect()})
+
+
+def test_method_parameter(cpg):
+    ps = cpg.method("main").parameter()
+    assert ("argc", "argv") == tuple(sorted(names(ps)))
+
+
+def test_method_starter_regex(cpg):
+    ms = cpg.method("print_.*")
+    assert names(ms, "full_name") == ["print_number"]
+
+
+def test_caller(cpg):
+    callers = cpg.method("print_number").caller()
+    assert names(callers, "full_name") == ["main"]
+
+
+def test_callee_includes_stub(cpg):
+    callees = cpg.method("print_number").call_out()
+    assert "printf" in names(callees, "full_name")
+
+
+def test_call_argument(cpg):
+    args = cpg.call("free").argument(1)
+    assert names(args, "code") == ["x"]
+
+
+def test_assignment_target(cpg):
+    targets = cpg.assignment().argument(1).is_identifier()
+    assert "x" in names(targets)
+
+
+def test_ast_subtree(cpg):
+    sub = cpg.method("print_number").ast().is_call()
+    assert "printf" in names(sub)
+
+
+def test_ast_parent_child_roundtrip(cpg):
+    kids = cpg.method("main").ast_children()
+    kinds = names(kids, "kind")
+    assert "BLOCK" in kinds and "METHOD_RETURN" in kinds
+
+
+def test_control_structures(cpg):
+    kitchen = cpg.method("cfg_kitchen_sink").ast().is_control_structure()
+    cs = names(kitchen, "control_structure_type")
+    for t in ("IF", "WHILE", "DO", "FOR", "SWITCH", "BREAK", "CONTINUE"):
+        assert t in cs, cs
+
+
+def test_cfg_next(cpg):
+    nxt = cpg.literal().code_exact("42").cfg_next()
+    assert "print_number(42)" in names(nxt, "code")
+
+
+def test_in_call(cpg):
+    calls = cpg.literal().code_exact("42").in_call()
+    assert names(calls) == ["print_number"]
+
+
+def test_reachable_by(cpg):
+    sinks = cpg.call("free").argument(1)
+    sources = cpg.literal().code_exact("NULL")
+    reached = sinks.reachable_by(sources)
+    assert reached.count() >= 1
+
+
+def test_method_return(cpg):
+    rets = cpg.method("bad").method_return()
+    assert names(rets, "code") == ["RET"]
+
+
+def test_field_access_sugar(cpg):
+    fa = cpg.field_access()
+    assert fa.count() >= 1  # cpp shapes: p->area / this.name etc.
+
+
+def test_dominates(cpg):
+    # the entry METHOD node dominates every CFG node in its method
+    dom = cpg.method("print_number").dominates()
+    assert "printf(x)" in names(dom, "code")
