@@ -91,8 +91,13 @@ def flatten_file(
 
     def emit(node: N, parent_idx: int, method_idx: int, order: int):
         m_idx = node.idx if node.kind == M.METHOD else method_idx
+        nargs = -1
+        if node.kind == M.CALL:
+            nargs = max((c.arg_index for c in node.children if c.arg_index >= 1),
+                        default=0)
         rows.append(
             M.raw_node(
+                nargs=nargs,
                 repo=repo, path=path, commit=commit, lang=lang, sha256=sha,
                 node_idx=node.idx, parent_idx=parent_idx,
                 method_idx=method_idx if node.kind != M.METHOD else method_idx,

@@ -41,9 +41,12 @@ def _mk_nodes(df: DataFrame, **exprs) -> DataFrame:
         "inherits_from": F.lit(None).cast("array<string>"),
         "alias_type_full_name": F.lit(""), "evaluation_strategy": F.lit(""),
         "param_index": F.lit(-1), "is_variadic": F.lit(False),
-        "is_external": F.lit(False), "line": F.lit(0), "parse_error": F.lit(""),
-        "intra_edges": F.lit(None).cast(
-            "array<struct<src:bigint,dst:bigint,label:string,kind:string,variable:string>>"),
+        "is_external": F.lit(False), "nargs": F.lit(-1),
+        "line": F.lit(0), "parse_error": F.lit(""),
+        "ie_src": F.lit(None).cast("array<bigint>"),
+        "ie_dst": F.lit(None).cast("array<bigint>"),
+        "ie_label": F.lit(None).cast("array<int>"),
+        "ie_var": F.lit(None).cast("array<string>"),
         "id": F.lit(None).cast("long"), "parent_id": F.lit(None).cast("long"),
         "method_id": F.lit(None).cast("long"), "ref_id": F.lit(None).cast("long"),
     }
@@ -73,13 +76,20 @@ def nsb_id():
 # --------------------------------------------------------------------------- #
 
 def used_type_fullnames(nodes: DataFrame) -> DataFrame:
-    used = nodes.select(F.col("type_full_name").alias("fn"))
-    decl = nodes.filter(F.col("kind") == M.TYPE_DECL).select(F.col("full_name").alias("fn"))
-    inh = nodes.filter(F.col("inherits_from").isNotNull()).select(
-        F.explode("inherits_from").alias("fn"))
-    alias = nodes.filter(F.col("alias_type_full_name") != "").select(
-        F.col("alias_type_full_name").alias("fn"))
-    return (used.unionByName(decl).unionByName(inh).unionByName(alias)
+    """All referenced type fullnames in ONE scan of the node table (the
+    reference collects the same set via its TypeNodePass accumulator,
+    TypeNodePass.scala:39-59). Four union branches would scan + shuffle the
+    big table four times; a per-row candidate array + explode keeps it to one
+    scan feeding one distinct."""
+    cand = F.concat(
+        F.array(
+            F.col("type_full_name"),
+            F.when(F.col("kind") == M.TYPE_DECL, F.col("full_name")),
+            F.when(F.col("alias_type_full_name") != "", F.col("alias_type_full_name")),
+        ),
+        F.coalesce(F.col("inherits_from"), F.array()),
+    )
+    return (nodes.select(F.explode(cand).alias("fn"))
             .filter((F.col("fn") != "") & F.col("fn").isNotNull())
             .distinct())
 
@@ -113,8 +123,13 @@ def eval_type_edges(nodes: DataFrame) -> DataFrame:
 # NAMESPACE_BLOCK (MetaDataPass.scala:28-35)
 # --------------------------------------------------------------------------- #
 
-def file_nodes(nodes: DataFrame) -> DataFrame:
-    files = nodes.select("repo", "path", "commit", "lang").distinct()
+def file_dimension(nodes: DataFrame) -> DataFrame:
+    """One row per source file WITHOUT a distinct/shuffle: the preorder root
+    row (node_idx == 0) is unique per file by construction."""
+    return nodes.filter(F.col("node_idx") == 0).select("repo", "path", "commit", "lang")
+
+
+def file_nodes(files: DataFrame) -> DataFrame:
     return _mk_nodes(
         files, repo=F.col("repo"), path=F.col("path"), commit=F.col("commit"),
         lang=F.col("lang"), id=file_id(), kind=F.lit(M.FILE),
@@ -122,8 +137,7 @@ def file_nodes(nodes: DataFrame) -> DataFrame:
     )
 
 
-def namespace_block_nodes(nodes: DataFrame) -> DataFrame:
-    files = nodes.select("repo", "path", "commit", "lang").distinct()
+def namespace_block_nodes(files: DataFrame) -> DataFrame:
     return _mk_nodes(
         files, repo=F.col("repo"), path=F.col("path"), commit=F.col("commit"),
         lang=F.col("lang"), id=nsb_id(), kind=F.lit(M.NAMESPACE_BLOCK),
@@ -133,11 +147,10 @@ def namespace_block_nodes(nodes: DataFrame) -> DataFrame:
     )
 
 
-def source_file_edges(nodes: DataFrame) -> DataFrame:
+def source_file_edges(files: DataFrame) -> DataFrame:
     """NSB → FILE only: decl → FILE edges are emitted by the fused
     projection pass (operators.parse.ast_edges)."""
-    return (nodes.select("repo", "path", "commit").distinct()
-            .select(*_edge(nsb_id(), file_id(), M.SOURCE_FILE)))
+    return files.select(*_edge(nsb_id(), file_id(), M.SOURCE_FILE))
 
 
 # --------------------------------------------------------------------------- #
@@ -157,17 +170,27 @@ def type_decl_stubs(nodes: DataFrame, fns: DataFrame | None = None) -> DataFrame
     )
 
 
-def type_ref_edges(nodes_with_stubs: DataFrame) -> DataFrame:
-    """REF: TYPE → TYPE_DECL by fullname (TypeRefPass.scala:16-29). A real
-    join: target is whichever decl (real or stub) owns the fullname."""
-    types = nodes_with_stubs.filter(F.col("kind") == M.TYPE).select(
-        F.col("id").alias("src"), F.col("full_name").alias("fn"))
-    decls = (nodes_with_stubs.filter(F.col("kind") == M.TYPE_DECL)
-             .select(F.col("id").alias("dst"), F.col("full_name").alias("fn"))
-             .dropDuplicates(["fn"]))
-    return (types.join(decls, "fn")
-            .select("src", "dst", F.lit(M.REF).alias("label"),
+def type_ref_edges(fns: DataFrame, type_decl_dim: DataFrame) -> DataFrame:
+    """REF: TYPE → TYPE_DECL by fullname (TypeRefPass.scala:16-29). TYPE node
+    ids are pure functions of the fullname, so this is a join of two SMALL
+    dimensions (distinct fullnames × distinct decls) — the big node table is
+    never touched."""
+    types = fns.select(type_id(F.col("fn")).alias("src"), F.col("fn"))
+    return (types.join(type_decl_dim, "fn")
+            .select("src", F.col("decl_id").alias("dst"),
+                    F.lit(M.REF).alias("label"),
                     F.lit(None).cast("string").alias("variable")))
+
+
+def type_decl_dimension(nodes: DataFrame, fns: DataFrame) -> DataFrame:
+    """(fn, decl_id) for every TYPE_DECL — real decls win over stubs, which
+    by construction exist exactly for fns with no real decl."""
+    real = (nodes.filter(F.col("kind") == M.TYPE_DECL)
+            .select(F.col("full_name").alias("fn"), F.col("id").alias("decl_id"))
+            .dropDuplicates(["fn"]))
+    stubs = (fns.join(real.select("fn"), "fn", "left_anti")
+             .select("fn", F.xxhash64(F.lit("TYPE_DECL_STUB"), F.col("fn")).alias("decl_id")))
+    return real.unionByName(stubs)
 
 
 # --------------------------------------------------------------------------- #
@@ -176,27 +199,22 @@ def type_ref_edges(nodes_with_stubs: DataFrame) -> DataFrame:
 # methodFullName; arg counts reconciled via min/max aggregation.
 # --------------------------------------------------------------------------- #
 
-def method_stub_nodes(nodes: DataFrame) -> DataFrame:
-    calls = nodes.filter((F.col("kind") == M.CALL)
-                         & (F.col("method_full_name") != "")
-                         & (F.col("method_full_name") != M.UNKNOWN_FULL_NAME))
-    methods = nodes.filter(F.col("kind") == M.METHOD).select(
-        F.col("full_name").alias("method_full_name")).distinct()
-
-    # arg count per call = max arg_index among children (projection-friendly:
-    # the parser stored it; recompute via groupBy on the parent id)
-    argc = (nodes.filter((F.col("arg_index") >= 1) & F.col("parent_id").isNotNull())
-            .groupBy(F.col("parent_id").alias("call_id"))
-            .agg(F.max("arg_index").alias("nargs")))
+def method_stub_nodes(call_sites: DataFrame, methods_dim: DataFrame) -> DataFrame:
+    """``call_sites`` is the small persisted CALL dimension (id, name,
+    signature, method_full_name, dispatch_type, nargs) — the parser recorded
+    nargs per call, so arg-count reconciliation is a groupBy over call sites
+    only (the reference's min/max reconciliation, MethodStubCreator.scala:59-66)."""
+    calls = call_sites.filter((F.col("method_full_name") != "")
+                              & (F.col("method_full_name") != M.UNKNOWN_FULL_NAME))
+    methods = methods_dim.select(F.col("m_fn").alias("method_full_name"))
 
     # consumed by three row-generators (stubs, params, rets) — materialize
     # once instead of re-running the anti-join + agg per consumer
     unresolved = (calls.join(methods, "method_full_name", "left_anti")
-                  .join(argc, calls["id"] == argc["call_id"], "left")
                   .groupBy("method_full_name")
                   .agg(F.first("name").alias("name"),
                        F.first("signature").alias("signature"),
-                       F.max(F.coalesce(F.col("nargs"), F.lit(0))).alias("max_args"))
+                       F.max(F.greatest("nargs", F.lit(0))).alias("max_args"))
                   .persist())
 
     stub_id = F.xxhash64(F.lit("METHOD_STUB"), F.col("method_full_name"))
@@ -255,7 +273,7 @@ def parameter_link_edges(nodes: DataFrame) -> DataFrame:
 # Pass 9 — AstLinkerPass (AstLinkerPass.scala:12-61) + DECLARES extraction.
 # --------------------------------------------------------------------------- #
 
-def ast_link_and_declares_edges(nodes: DataFrame) -> DataFrame:
+def ast_link_and_declares_edges(nodes: DataFrame, type_decl_dim: DataFrame) -> DataFrame:
     pending = nodes.filter((F.col("ast_parent_full_name") != "")
                            & F.col("kind").isin(M.METHOD, M.TYPE_DECL, M.MEMBER))
 
@@ -263,11 +281,17 @@ def ast_link_and_declares_edges(nodes: DataFrame) -> DataFrame:
     to_nsb = (pending.filter(F.col("ast_parent_type") == M.NAMESPACE_BLOCK)
               .select(*_edge(nsb_id(), F.col("id"), M.AST)))
 
-    # parent = TYPE_DECL / METHOD by fullname: join against decl dimension
-    decl_parents = (nodes.filter(F.col("kind").isin(M.TYPE_DECL, M.METHOD))
-                    .select(F.col("id").alias("pid"), F.col("kind").alias("pkind"),
-                            F.col("full_name").alias("pfn"))
-                    .dropDuplicates(["pkind", "pfn"]))
+    # parent = TYPE_DECL / METHOD by fullname: join against the decl
+    # dimensions (real methods + real/stub type decls — both small)
+    method_parents = (nodes.filter(F.col("kind") == M.METHOD)
+                      .select(F.col("id").alias("pid"),
+                              F.lit(M.METHOD).alias("pkind"),
+                              F.col("full_name").alias("pfn"))
+                      .dropDuplicates(["pfn"]))
+    typedecl_parents = type_decl_dim.select(
+        F.col("decl_id").alias("pid"), F.lit(M.TYPE_DECL).alias("pkind"),
+        F.col("fn").alias("pfn"))
+    decl_parents = method_parents.unionByName(typedecl_parents)
     to_decl = (pending.filter(F.col("ast_parent_type") != M.NAMESPACE_BLOCK)
                .join(decl_parents,
                      (F.col("ast_parent_full_name") == F.col("pfn"))
@@ -294,26 +318,32 @@ def alias_edges(nodes: DataFrame) -> DataFrame:
     return d.select(*_edge(F.col("id"), type_id(F.col("alias_type_full_name")), M.ALIAS_OF))
 
 
-def run_base(nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """All base-layer passes → (extra_nodes, extra_edges)."""
-    fns = used_type_fullnames(nodes).persist()
+def run_base(nodes: DataFrame, fns: DataFrame, call_sites: DataFrame,
+             methods_dim: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """All base-layer passes → (extra_nodes, extra_edges).
+
+    ``fns`` / ``call_sites`` / ``methods_dim`` are the small persisted
+    dimensions the pipeline extracted from the parse output in single pruned
+    scans; every pass here is a projection or a small-dimension join — the
+    big node table is touched only by filters Parquet can push down."""
+    files = file_dimension(nodes)
+    decl_dim = type_decl_dimension(nodes, fns)
     extra_nodes = (
         type_nodes(nodes, fns)
-        .unionByName(file_nodes(nodes))
-        .unionByName(namespace_block_nodes(nodes))
+        .unionByName(file_nodes(files))
+        .unionByName(namespace_block_nodes(files))
         .unionByName(type_decl_stubs(nodes, fns))
-        .unionByName(method_stub_nodes(nodes))
+        .unionByName(method_stub_nodes(call_sites, methods_dim))
         .unionByName(parameter_out_nodes(nodes))
     ).coalesce(nodes.sparkSession.sparkContext.defaultParallelism).persist()
-    all_nodes = nodes.unionByName(extra_nodes)
     # EVAL_TYPE / decl-SOURCE_FILE / PARAMETER_LINK are emitted by the fused
     # projection pass in operators.parse.ast_edges (single scan); the
     # remaining base edges genuinely need joins or the stub dimensions.
     extra_edges = (
-        source_file_edges(nodes)
-        .unionByName(type_ref_edges(all_nodes))
-        .unionByName(ast_link_and_declares_edges(all_nodes))
-        .unionByName(inherits_edges(all_nodes))
-        .unionByName(alias_edges(all_nodes))
+        source_file_edges(files)
+        .unionByName(type_ref_edges(fns, decl_dim))
+        .unionByName(ast_link_and_declares_edges(nodes, decl_dim))
+        .unionByName(inherits_edges(nodes))
+        .unionByName(alias_edges(nodes))
     )
     return extra_nodes, extra_edges

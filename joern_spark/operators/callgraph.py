@@ -45,13 +45,11 @@ def method_dimension(nodes: DataFrame) -> DataFrame:
     return m.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
 
 
-def static_call_edges(nodes: DataFrame, broadcast: bool | None = None,
-                      dim: DataFrame | None = None) -> DataFrame:
-    calls = nodes.filter((F.col("kind") == M.CALL)
-                         & (F.col("dispatch_type") == M.STATIC_DISPATCH)
-                         & (F.col("method_full_name") != "")
-                         & (F.col("method_full_name") != M.UNKNOWN_FULL_NAME))
-    dim = dim if dim is not None else method_dimension(nodes)
+def static_call_edges(call_sites: DataFrame, dim: DataFrame,
+                      broadcast: bool | None = None) -> DataFrame:
+    calls = call_sites.filter((F.col("dispatch_type") == M.STATIC_DISPATCH)
+                              & (F.col("method_full_name") != "")
+                              & (F.col("method_full_name") != M.UNKNOWN_FULL_NAME))
     # broadcast=None → leave the physical strategy to AQE: the deduplicated
     # method dimension is tiny relative to the call side at any scale where it
     # matters, and AQE converts to broadcast-hash at runtime from real stats
@@ -90,15 +88,15 @@ def inheritance_closure(nodes: DataFrame, max_depth: int = 20) -> DataFrame:
     return closure
 
 
-def dynamic_call_edges(nodes: DataFrame, closure: DataFrame | None = None,
+def dynamic_call_edges(nodes: DataFrame, call_sites: DataFrame,
+                       closure: DataFrame | None = None,
                        dim: DataFrame | None = None) -> DataFrame:
     """CALL edges for DYNAMIC_DISPATCH: resolve `T.name` against T and every
     subclass of T that declares `name` (SAFEDISPATCH candidate set,
     DynamicCallLinker.scala:63-70)."""
-    calls = (nodes.filter((F.col("kind") == M.CALL)
-                          & (F.col("dispatch_type") == M.DYNAMIC_DISPATCH)
-                          & (F.col("method_full_name") != "")
-                          & (F.col("method_full_name") != M.UNKNOWN_FULL_NAME))
+    calls = (call_sites.filter((F.col("dispatch_type") == M.DYNAMIC_DISPATCH)
+                               & (F.col("method_full_name") != "")
+                               & (F.col("method_full_name") != M.UNKNOWN_FULL_NAME))
              .withColumn("recv_type", F.expr(r"regexp_replace(method_full_name, '\\.[^.]+$', '')"))
              .withColumn("call_name", F.element_at(F.split("method_full_name", r"\."), -1)))
     if closure is None:
@@ -117,37 +115,41 @@ def dynamic_call_edges(nodes: DataFrame, closure: DataFrame | None = None,
     return j.select(*_edge(F.col("id"), F.col("m_id"), M.CALL_EDGE))
 
 
-def naive_call_edges(nodes: DataFrame, linked: DataFrame,
-                     dim: DataFrame | None = None) -> DataFrame:
+def naive_call_edges(call_sites: DataFrame, linked: DataFrame,
+                     dim: DataFrame) -> DataFrame:
     """Fallback: remaining unlinked calls joined to internal methods by bare
     name (NaiveCallLinker.scala:14-27)."""
-    calls = nodes.filter(F.col("kind") == M.CALL).select("id", "name")
+    calls = call_sites.select("id", "name")
     unlinked = calls.join(linked.select(F.col("src").alias("id")).distinct(), "id", "left_anti")
-    methods = ((dim if dim is not None else method_dimension(nodes))
-               .filter(~F.col("is_external"))
+    methods = (dim.filter(~F.col("is_external"))
                .select(F.col("m_name").alias("name"), "m_id")
                .dropDuplicates(["name"]))
     j = unlinked.join(F.broadcast(methods), "name")
     return j.select(*_edge(F.col("id"), F.col("m_id"), M.CALL_EDGE))
 
 
-def run_callgraph(nodes: DataFrame) -> DataFrame:
-    # The method dimension feeds four linkers — materialize it once
-    # (DataFrame references are re-evaluated per consumer, there is no
-    # common-subexpression elimination across branches).
-    dim = method_dimension(nodes).persist()
-    dim.count()
-    static = static_call_edges(nodes, dim=dim)
+def run_callgraph(nodes: DataFrame, call_sites: DataFrame | None = None,
+                  dim: DataFrame | None = None) -> DataFrame:
+    """``nodes`` = full node relation (incl. stubs); ``call_sites`` the small
+    persisted CALL dimension; ``dim`` the full deduplicated method dimension.
+    Probes and anti-joins run against the dimensions only — the big table is
+    scanned once per genuinely row-producing linker."""
+    if call_sites is None:
+        call_sites = nodes.filter(F.col("kind") == M.CALL).select(
+            "id", "name", "signature", "method_full_name", "dispatch_type", "nargs")
+    if dim is None:
+        dim = method_dimension(nodes).persist()
+    static = static_call_edges(call_sites, dim)
     # Early exit mirroring the reference (DynamicCallLinker.scala:56-59):
     # the iterative inheritance-closure loop only runs when dynamic-dispatch
-    # call sites actually exist — one cheap probe vs many eager jobs.
-    has_dynamic = not nodes.filter(
-        (F.col("kind") == M.CALL) & (F.col("dispatch_type") == M.DYNAMIC_DISPATCH)
-    ).isEmpty()
-    linked = static.unionByName(dynamic_call_edges(nodes, dim=dim)) if has_dynamic else static
+    # call sites actually exist — one cheap probe on the call dimension.
+    has_dynamic = not call_sites.filter(
+        F.col("dispatch_type") == M.DYNAMIC_DISPATCH).isEmpty()
+    linked = (static.unionByName(dynamic_call_edges(nodes, call_sites, dim=dim))
+              if has_dynamic else static)
     # naive linking consumes `linked` twice (anti-join + final union) —
     # materialize before both consumers scan it
     linked = linked.persist()
     linked.count()
-    naive = naive_call_edges(nodes, linked, dim=dim)
+    naive = naive_call_edges(call_sites, linked, dim)
     return linked.unionByName(naive).unionByName(method_ref_edges(nodes, dim=dim))

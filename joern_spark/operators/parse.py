@@ -65,26 +65,30 @@ def _fuse_intra_edges(rows: list[dict]) -> None:
             methods.append(r)
         if r["method_idx"] >= 0:
             by_method.setdefault(r["method_idx"], []).append(r)
+    cfg_code, dom_code, pdom_code, cdg_code, rdef_code = (
+        M.IE_CODE[M.CFG], M.IE_CODE[M.DOMINATE], M.IE_CODE[M.POST_DOMINATE],
+        M.IE_CODE[M.CDG], M.IE_CODE[M.REACHING_DEF])
     for m in methods:
         mrows = by_method.get(m["node_idx"], []) + [m]
         cfg = cfg_for_method(mrows, m)
-        edges = [{"src": s, "dst": d, "label": M.CFG, "kind": k, "variable": None}
-                 for s, d, k in cfg]
+        srcs = [s for s, _, _ in cfg]
+        dsts = [d for _, d, _ in cfg]
+        labels = [cfg_code] * len(cfg)
+        variables: list = [None] * len(cfg)
         exit_idx = next((r["node_idx"] for r in mrows
                          if r["kind"] == M.METHOD_RETURN and r["parent_idx"] == m["node_idx"]), None)
         if cfg and exit_idx is not None:
             dom, pdom, cdg = dominator_edges(cfg, m["node_idx"], exit_idx)
-            edges += [{"src": s, "dst": d, "label": M.DOMINATE, "kind": "", "variable": None} for s, d in dom]
-            edges += [{"src": s, "dst": d, "label": M.POST_DOMINATE, "kind": "", "variable": None} for s, d in pdom]
-            edges += [{"src": s, "dst": d, "label": M.CDG, "kind": "", "variable": None} for s, d in cdg]
+            for pairs, code in ((dom, dom_code), (pdom, pdom_code), (cdg, cdg_code)):
+                for s, d in pairs:
+                    srcs.append(s); dsts.append(d); labels.append(code); variables.append(None)
         try:
             from joern_spark.operators.dataflow import reaching_def_edges
-            ddg = reaching_def_edges(mrows, m, cfg)
-            edges += [{"src": s, "dst": d, "label": M.REACHING_DEF, "kind": "", "variable": v}
-                      for s, d, v in ddg]
+            for s, d, v in reaching_def_edges(mrows, m, cfg):
+                srcs.append(s); dsts.append(d); labels.append(rdef_code); variables.append(v)
         except ImportError:
             pass
-        m["intra_edges"] = edges
+        m["ie_src"], m["ie_dst"], m["ie_label"], m["ie_var"] = srcs, dsts, labels, variables
 
 
 def parse_source(source: DataFrame, fuse_intraprocedural: bool = True) -> DataFrame:
@@ -184,12 +188,15 @@ def ast_edges(nodes: DataFrame) -> DataFrame:
 
 
 def intra_edges(nodes: DataFrame) -> DataFrame:
-    """Explode the fused per-method edge arrays into global-id edge rows."""
-    m = nodes.filter((F.col("kind") == M.METHOD) & F.col("intra_edges").isNotNull())
-    e = m.select("repo", "path", "commit", F.explode("intra_edges").alias("e"))
+    """Explode the fused per-method parallel edge arrays into global-id edge
+    rows; the label dictionary (M.IE_LABELS) is decoded JVM-side."""
+    label_lut = F.array(*[F.lit(x) for x in M.IE_LABELS])
+    m = nodes.filter((F.col("kind") == M.METHOD) & F.col("ie_src").isNotNull())
+    e = m.select("repo", "path", "commit",
+                 F.explode(F.arrays_zip("ie_src", "ie_dst", "ie_label", "ie_var")).alias("e"))
     return e.select(
-        F.xxhash64("repo", "path", "commit", F.col("e.src")).alias("src"),
-        F.xxhash64("repo", "path", "commit", F.col("e.dst")).alias("dst"),
-        F.col("e.label").alias("label"),
-        F.col("e.variable").alias("variable"),
+        F.xxhash64("repo", "path", "commit", F.col("e.ie_src")).alias("src"),
+        F.xxhash64("repo", "path", "commit", F.col("e.ie_dst")).alias("dst"),
+        F.element_at(label_lut, F.col("e.ie_label") + 1).alias("label"),
+        F.col("e.ie_var").alias("variable"),
     )

@@ -95,12 +95,13 @@ def expected_cfg_succ(path_suffix: str) -> list[tuple[str, str, str]]:
             continue
         by_idx = {r["node_idx"]: r for r in rows}
         for r in rows:
-            if r["kind"] != M.METHOD or not r["intra_edges"]:
+            if r["kind"] != M.METHOD or not r["ie_src"]:
                 continue
-            for e in r["intra_edges"]:
-                if e["label"] != M.CFG:
+            cfg_code = M.IE_CODE[M.CFG]
+            for s_i, d_i, lbl in zip(r["ie_src"], r["ie_dst"], r["ie_label"]):
+                if lbl != cfg_code:
                     continue
-                s, d = by_idx[e["src"]], by_idx[e["dst"]]
+                s, d = by_idx[s_i], by_idx[d_i]
                 out.add((r["full_name"], s["code"], d["code"]))
     return sorted(out)
 
@@ -113,13 +114,15 @@ def expected_reaching_defs(path_suffix: str) -> list[tuple[str, str, str, str]]:
             continue
         by_idx = {r["node_idx"]: r for r in rows}
         for r in rows:
-            if r["kind"] != M.METHOD or not r["intra_edges"]:
+            if r["kind"] != M.METHOD or not r["ie_src"]:
                 continue
-            for e in r["intra_edges"]:
-                if e["label"] != M.REACHING_DEF:
+            rdef_code = M.IE_CODE[M.REACHING_DEF]
+            for s_i, d_i, lbl, var in zip(r["ie_src"], r["ie_dst"],
+                                          r["ie_label"], r["ie_var"]):
+                if lbl != rdef_code:
                     continue
-                s, d = by_idx[e["src"]], by_idx[e["dst"]]
-                out.add((r["full_name"], s["code"], d["code"], e["variable"] or ""))
+                s, d = by_idx[s_i], by_idx[d_i]
+                out.add((r["full_name"], s["code"], d["code"], var or ""))
     return sorted(out)
 
 

@@ -85,34 +85,67 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
                     "errors": done_nodes.filter(F.col("parse_error") != "")}
 
     # ---- stage 1: parse (+ fused per-method passes) -------------------------
+    # The parse output is ALWAYS checkpointed to parquet, even for ad-hoc
+    # (out_dir=None) runs: a dozen downstream branches (base passes, edge
+    # derivation, four call linkers, final counts) each scan it, and a cached
+    # in-memory copy of the wide rows (ie_* arrays) both risks eviction →
+    # silent Python re-parse and defeats column pruning. A parquet stage
+    # boundary gives every consumer a pruned columnar scan — the same reason
+    # the reference hands off cpg.bin between frontend and console
+    # (CpgGenerator.scala:28-48).
     nodes = None
     if out_dir:
         nodes = _resume(spark, out_dir, "nodes", fp)
+    else:
+        import tempfile
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        out_dir_adhoc = tempfile.mkdtemp(prefix="joern_spark_parse_", dir=base)
     if nodes is None:
         raw = parse_source(source, fuse_intraprocedural=fuse_intraprocedural)
         nodes = with_ids(raw)
         if out_dir:
             nodes = _write_stage(nodes, out_dir, "nodes", fp, partition_by=["lang"])
         else:
-            # several downstream branches (base passes, call graph, edge
-            # derivation) reuse the parse output — never re-run Python parsers
-            nodes = nodes.persist()
+            path = os.path.join(out_dir_adhoc, "nodes")
+            nodes.write.mode("overwrite").parquet(path)
+            nodes = spark.read.parquet(path)
 
     errors = nodes.filter(F.col("parse_error") != "")
     ok = nodes.filter(F.col("parse_error") == "")
 
+    # ---- shared dimensions (one pruned scan each, persisted) ----------------
+    # Every base pass and call linker works off these small relations; the
+    # big node table is only re-read by the genuinely row-producing edge
+    # derivations (ast_edges / intra_edges), each a single pruned scan.
+    fns = B.used_type_fullnames(ok).persist()
+    call_sites = ok.filter(F.col("kind") == M.CALL).select(
+        "id", "name", "signature", "method_full_name", "dispatch_type", "nargs"
+    ).persist()
+    methods_real = CG.method_dimension(ok).persist()
+
     # ---- stage 2: base linking ----------------------------------------------
-    extra_nodes, base_edges = B.run_base(ok)
+    extra_nodes, base_edges = B.run_base(ok, fns, call_sites, methods_real)
     # materialize the cached stub/type dimensions BEFORE the edge DAG runs:
     # evaluating everything as one action re-computes shared cached subplans
     # that several branches scan concurrently before the cache fills
     extra_nodes.count()
     all_nodes = ok.unionByName(extra_nodes)
 
+    # full method dimension = real definitions + the external stubs run_base
+    # just created (stub fullnames are disjoint from real ones by the
+    # anti-join construction, so no re-dedup is needed)
+    stub_dim = (extra_nodes.filter(F.col("kind") == M.METHOD)
+                .select(F.col("full_name").alias("m_fn"), F.col("id").alias("m_id"),
+                        F.col("name").alias("m_name"), F.col("is_external"),
+                        F.col("ast_parent_full_name").alias("m_parent"),
+                        F.col("signature").alias("m_sig")))
+    dim_full = methods_real.unionByName(stub_dim)
+
     # ---- stage 3: edges ------------------------------------------------------
     edges = ast_edges(ok).unionByName(intra_edges(ok)).unionByName(base_edges)
     if run_callgraph:
-        edges = edges.unionByName(CG.run_callgraph(all_nodes))
+        edges = edges.unionByName(
+            CG.run_callgraph(all_nodes, call_sites=call_sites, dim=dim_full))
 
     if out_dir:
         all_nodes_out = _resume(spark, out_dir, "all_nodes", fp)

@@ -28,10 +28,17 @@ def get_spark(master: str | None = None, app: str = "joern_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
+    # Shuffle/spill scratch on tmpfs when available: local-mode benches are
+    # otherwise at the mercy of /tmp disk latency (a real cluster would use
+    # instance-local NVMe for the same reason).
+    if os.path.isdir("/dev/shm"):
+        scratch = "/dev/shm/joern_spark_local"
+        os.makedirs(scratch, exist_ok=True)
+        b = b.config("spark.local.dir", scratch)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
