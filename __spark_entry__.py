@@ -174,6 +174,35 @@ def q_cpg_sha_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+def q_cpg_canonical_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-linking output: unresolved stub symbols → canonical internal
+    definition fullname (joern_spark.operators.linking; north-rule stage)."""
+    from joern_spark.operators.callgraph import method_dimension
+    from joern_spark.operators.linking import canonical_symbol_map
+    n = _cpg(spark)["nodes"]
+    dim = method_dimension(n)
+    mp = canonical_symbol_map(dim)
+    alias_fn = dim.select("m_id", F.col("m_fn").alias("alias_full_name"))
+    return (mp.join(alias_fn, "m_id")
+            .select(_s("alias_full_name").alias("alias_full_name"),
+                    _s("canon_fn").alias("canon_full_name"))
+            .filter(F.col("alias_full_name") != F.col("canon_full_name"))
+            .distinct())
+
+
+def q_cpg_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(repo,lang) lineage/metric rows over the parsed node rows
+    (node_idx >= 0 excludes derived stub/dimension nodes)."""
+    from joern_spark.plans.pipeline import partition_metrics
+    n = _cpg(spark)["nodes"].filter(F.col("node_idx") >= 0)
+    m = partition_metrics(n)
+    return m.select(_s("repo").alias("repo"), _s("lang").alias("lang"),
+                    F.col("n_files").cast("long").alias("n_files"),
+                    F.col("n_nodes").cast("long").alias("n_nodes"),
+                    F.col("n_methods").cast("long").alias("n_methods"),
+                    F.col("n_calls").cast("long").alias("n_calls"))
+
+
 def q_cpg_method_stubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _cpg(spark)["nodes"]
     return (n.filter((F.col("kind") == "METHOD") & F.col("is_external"))
@@ -205,6 +234,12 @@ def _cpg_oracles() -> dict[str, str]:
             O.expected_operator_counts(), ["op_name", "n"]),
         "cpg_sha_lineage": O.values_sql(
             O.expected_sha_lineage(), ["path", "sha256"]),
+        "cpg_canonical_aliases": O.values_sql(
+            O.expected_canonical_aliases(),
+            ["alias_full_name", "canon_full_name"]),
+        "cpg_partition_metrics": O.values_sql(
+            O.expected_partition_metrics(),
+            ["repo", "lang", "n_files", "n_nodes", "n_methods", "n_calls"]),
         "cpg_method_stubs": O.values_sql(
             sorted({(fn,) for _, fn in O.expected_method_stubs()}),
             ["method_full_name"]),
@@ -221,6 +256,8 @@ CPG_QUERIES = {
     "cpg_declares": q_cpg_declares,
     "cpg_operator_calls": q_cpg_operator_calls,
     "cpg_sha_lineage": q_cpg_sha_lineage,
+    "cpg_canonical_aliases": q_cpg_canonical_aliases,
+    "cpg_partition_metrics": q_cpg_partition_metrics,
     "cpg_method_stubs": q_cpg_method_stubs,
 }
 

@@ -119,6 +119,26 @@ public class MethodTest extends BaseTest {
 }
 """
 
+FIXTURE_JAVA_USE = """package io.test.cross;
+
+public class UseHelper {
+
+  public int run(int v) {
+    return tripler(v) + 1;
+  }
+}
+"""
+
+FIXTURE_JAVA_HELPERS = """package io.test.cross;
+
+public class Helpers {
+
+  public int tripler(int v) {
+    return v * 3;
+  }
+}
+"""
+
 FIXTURE_JS_SIMPLE = """const mysql = require('mysql');
 
 var connection = mysql.createConnection();
@@ -151,6 +171,8 @@ def fixture_rows() -> list[tuple[str, str, str, str, str]]:
         ("fixtures/c-basics", "src/structs.c", COMMIT, "c", FIXTURE_C_STRUCTS),
         ("fixtures/cpp-shapes", "src/shapes.cpp", COMMIT, "cpp", FIXTURE_CPP_SHAPES),
         ("fixtures/java-methods", "src/MethodTest.java", COMMIT, "java", FIXTURE_JAVA_METHODS),
+        ("fixtures/java-cross", "src/UseHelper.java", COMMIT, "java", FIXTURE_JAVA_USE),
+        ("fixtures/java-cross", "src/Helpers.java", COMMIT, "java", FIXTURE_JAVA_HELPERS),
         ("fixtures/js-simple", "src/simple.js", COMMIT, "javascript", FIXTURE_JS_SIMPLE),
     ]
 

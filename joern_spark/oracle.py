@@ -186,6 +186,93 @@ def expected_method_stubs() -> list[tuple[str, str]]:
     return sorted(out)
 
 
+def expected_partition_metrics() -> list[tuple[str, str, int, int, int, int]]:
+    """(repo, lang, n_files, n_nodes, n_methods, n_calls) over parsed rows."""
+    agg: dict[tuple[str, str], list[int]] = {}
+    for repo, path, commit, lang, rows in local_files():
+        a = agg.setdefault((repo, lang), [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(rows)
+        a[2] += sum(1 for r in rows if r["kind"] == M.METHOD)
+        a[3] += sum(1 for r in rows if r["kind"] == M.CALL)
+    return sorted((repo, lang, *v) for (repo, lang), v in agg.items())
+
+
+def expected_canonical_aliases() -> list[tuple[str, str]]:
+    """(alias_full_name, canon_full_name) — the entity-linking stage
+    re-derived sequentially: unresolved stubs candidate-paired to compatible
+    internal definitions by (name, arity), components collapsed with
+    union-find, canonical = lexicographically-first internal fullname."""
+    import re
+
+    internals: dict[str, tuple[str, str]] = {}
+    for lang, path, m, rows in _methods():
+        internals.setdefault(m["full_name"], (m["name"], m["signature"]))
+    stub_names: dict[str, str] = {}
+    for repo, path, commit, lang, rows in local_files():
+        for r in rows:
+            fn = r["method_full_name"]
+            if r["kind"] == M.CALL and fn and fn != M.UNKNOWN_FULL_NAME \
+                    and fn not in internals:
+                stub_names.setdefault(fn, r["name"])
+
+    def stub_arity(fn):
+        m_ = re.search(r"<unresolvedSignature>\((\d+)\)", fn)
+        return int(m_.group(1)) if m_ else None
+
+    def sig_arity(sig):
+        m_ = re.search(r"\((.*)\)", sig)
+        if not m_:
+            return None
+        inner = m_.group(1)
+        return 0 if inner == "" else len(inner.split(","))
+
+    name_freq: dict[str, int] = {}
+    for fn, (name, _sig) in internals.items():
+        name_freq[name] = name_freq.get(name, 0) + 1
+
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    for sfn, sname in stub_names.items():
+        if not sname or sname.startswith("<operator>"):
+            continue
+        if not (M.UNRESOLVED_NAMESPACE in sfn or M.UNRESOLVED_SIGNATURE in sfn
+                or sfn == sname):
+            continue
+        sa = stub_arity(sfn)
+        for ifn, (iname, isig) in internals.items():
+            if iname != sname or name_freq[iname] > 100:
+                continue
+            if sa is not None and isig != "" and sig_arity(isig) != sa:
+                continue
+            union(sfn, ifn)
+
+    comps: dict[str, list[str]] = {}
+    for node in list(parent):
+        comps.setdefault(find(node), []).append(node)
+    out = set()
+    for members in comps.values():
+        if len(members) < 2:
+            continue
+        internal_fns = sorted(m_ for m_ in members if m_ in internals)
+        canon = internal_fns[0] if internal_fns else sorted(members)[0]
+        for m_ in members:
+            if m_ != canon:
+                out.add((m_, canon))
+    return sorted(out)
+
+
 # --------------------------------------------------------------------------- #
 # VALUES SQL rendering
 # --------------------------------------------------------------------------- #

@@ -82,7 +82,8 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
         done_edges = _resume(spark, out_dir, "edges", fp)
         if done_nodes is not None and done_all is not None and done_edges is not None:
             return {"nodes": done_all, "edges": done_edges,
-                    "errors": done_nodes.filter(F.col("parse_error") != "")}
+                    "errors": done_nodes.filter(F.col("parse_error") != ""),
+                    "canonical": None}
 
     # ---- stage 1: parse (+ fused per-method passes) -------------------------
     # The parse output is ALWAYS checkpointed to parquet, even for ad-hoc
@@ -143,9 +144,19 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
 
     # ---- stage 3: edges ------------------------------------------------------
     edges = ast_edges(ok).unionByName(intra_edges(ok)).unionByName(base_edges)
+    canonical = None
     if run_callgraph:
         edges = edges.unionByName(
             CG.run_callgraph(all_nodes, call_sites=call_sites, dim=dim_full))
+        # ---- stage 3b: entity linking / canonicalization --------------------
+        # (north rule): unresolved stub symbols alias-paired to compatible
+        # internal definitions, collapsed via large-star/small-star connected
+        # components; CALL edges rewritten through the canonical map.
+        from joern_spark.operators.linking import (canonical_symbol_map,
+                                                   canonicalize_call_edges)
+        canonical = canonical_symbol_map(dim_full)
+        if not canonical.isEmpty():
+            edges = canonicalize_call_edges(edges, canonical)
 
     if out_dir:
         all_nodes_out = _resume(spark, out_dir, "all_nodes", fp)
@@ -165,7 +176,46 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
         all_nodes = all_nodes.coalesce(par).persist()
         edges = edges.coalesce(par).persist()
 
-    return {"nodes": all_nodes, "edges": edges, "errors": errors}
+    return {"nodes": all_nodes, "edges": edges, "errors": errors,
+            "canonical": canonical}
+
+
+# --------------------------------------------------------------------------- #
+# Per-partition lineage & metrics (north rule: "materialized as partitioned
+# graph tables with per-partition lineage and metric rows").
+# --------------------------------------------------------------------------- #
+
+def partition_metrics(nodes: DataFrame) -> DataFrame:
+    """One row per output partition key (repo, lang): file count, node count,
+    per-kind headline counts, parse failures, and an order-insensitive sha256
+    roll-up (xor of per-file content hashes) — joined against the input's
+    roll-up this proves per-row content equality end-to-end without shipping
+    content. The reference's analogue is the per-pass diff-graph row counts
+    it logs per overlay (X2Cpg.scala:374-388); here they are queryable rows
+    next to the data."""
+    per_file = nodes.filter(F.col("node_idx") == 0).select(
+        "repo", "lang", F.xxhash64("repo", "path", "commit", "sha256").alias("fh"))
+    files = per_file.groupBy("repo", "lang").agg(
+        F.count("*").alias("n_files"),
+        F.expr("bit_xor(fh)").alias("sha_rollup"))
+    counts = (nodes.groupBy("repo", "lang").agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.when(F.col("kind") == M.METHOD, 1).otherwise(0)).alias("n_methods"),
+        F.sum(F.when(F.col("kind") == M.CALL, 1).otherwise(0)).alias("n_calls"),
+        F.sum(F.when(F.col("parse_error") != "", 1).otherwise(0)).alias("n_parse_errors")))
+    return files.join(counts, ["repo", "lang"])
+
+
+def source_sha_rollup(source: DataFrame) -> DataFrame:
+    """The same roll-up computed directly on the input table — equality with
+    partition_metrics' sha_rollup is the per-row content invariant."""
+    return (source
+            .select("repo", "lang",
+                    F.xxhash64("repo", "path", "commit",
+                               F.sha2("content", 256)).alias("fh"))
+            .groupBy("repo", "lang")
+            .agg(F.count("*").alias("n_files"),
+                 F.expr("bit_xor(fh)").alias("sha_rollup")))
 
 
 # --------------------------------------------------------------------------- #
