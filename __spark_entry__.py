@@ -190,6 +190,21 @@ def q_cpg_canonical_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+def q_cpg_field_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fieldAccess CALL → MEMBER REF links (FieldAccessLinkerPass analogue)."""
+    c = _cpg(spark)
+    n, e = c["nodes"], c["edges"]
+    calls = n.filter(F.col("kind") == "CALL").select(
+        F.col("id").alias("src"), F.col("code").alias("call_code"))
+    members = n.filter(F.col("kind") == "MEMBER").select(
+        F.col("id").alias("dst"), F.col("name").alias("member_name"))
+    return (e.filter(F.col("label") == "REF")
+            .join(calls, "src").join(members, "dst")
+            .select(_s("call_code").alias("call_code"),
+                    _s("member_name").alias("member_name"))
+            .distinct())
+
+
 def q_cpg_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(repo,lang) lineage/metric rows over the parsed node rows
     (node_idx >= 0 excludes derived stub/dimension nodes)."""
@@ -240,6 +255,8 @@ def _cpg_oracles() -> dict[str, str]:
         "cpg_partition_metrics": O.values_sql(
             O.expected_partition_metrics(),
             ["repo", "lang", "n_files", "n_nodes", "n_methods", "n_calls"]),
+        "cpg_field_refs": O.values_sql(
+            O.expected_field_refs(), ["call_code", "member_name"]),
         "cpg_method_stubs": O.values_sql(
             sorted({(fn,) for _, fn in O.expected_method_stubs()}),
             ["method_full_name"]),
@@ -258,6 +275,7 @@ CPG_QUERIES = {
     "cpg_sha_lineage": q_cpg_sha_lineage,
     "cpg_canonical_aliases": q_cpg_canonical_aliases,
     "cpg_partition_metrics": q_cpg_partition_metrics,
+    "cpg_field_refs": q_cpg_field_refs,
     "cpg_method_stubs": q_cpg_method_stubs,
 }
 

@@ -451,6 +451,76 @@ FROM events GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------- #
+# Multimodal columns — opaque binary blobs + typed metadata, decoded via an
+# Arrow-batched mapInPandas stage. The testdata ships no real media, so the
+# per-mime DECODE step is a deterministic STUB (clearly marked below); the
+# Spark-side plumbing — binary column, output schema, batch shape,
+# partition-local decoder reuse — is the real contract and is what scales.
+# --------------------------------------------------------------------------- #
+
+def _decode_stub(mime: str, blob: bytes) -> tuple[int, int]:
+    """STUB decoder. A real deployment dispatches per mime type:
+    ``image/* → PIL.Image.open``, ``audio/* → soundfile/librosa``,
+    ``video/* → av frame sampling`` — none of those codecs exist in this
+    container, so every branch degrades to the same deterministic fake
+    (dimensions derived from the byte length), keeping tests/oracles exact.
+    """
+    n = len(blob)
+    if mime.startswith(("image/", "audio/", "video/")):
+        # codec call would go here; deterministic fake instead of
+        # NotImplementedError so the pipeline shape stays testable
+        return n % 640 + 1, n % 480 + 1
+    raise NotImplementedError(f"unknown modality: {mime}")
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, mime, n_bytes, header_hex, width, height).
+
+    text is cast to an opaque binary blob (the stand-in for stored media
+    bytes) with a deterministic fake mime; feature extraction runs as
+    mapInPandas so the decoder is instantiated once per partition and fed
+    Arrow batches — the same shape a real image/audio featurizer needs.
+    """
+    import pandas as pd
+
+    mimes = F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4"))
+    src = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.element_at(mimes, (F.col("doc_id") % 3 + 1).cast("int")).alias("mime"),
+        F.encode("text", "utf-8").alias("blob"))
+
+    schema = ("doc_id long, mime string, n_bytes long, header_hex string, "
+              "width int, height int")
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                blob = bytes(t.blob)
+                w, h = _decode_stub(t.mime, blob)
+                rows.append((t.doc_id, t.mime, len(blob), blob[:4].hex(), w, h))
+            yield pd.DataFrame(rows, columns=["doc_id", "mime", "n_bytes",
+                                              "header_hex", "width", "height"])
+
+    return src.mapInPandas(extract, schema=schema)
+
+
+MULTIMODAL_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+         encode(text) AS blob
+  FROM documents
+)
+SELECT doc_id, mime, octet_length(blob) AS n_bytes,
+       lower(substr(hex(blob), 1, 8)) AS header_hex,
+       CAST(octet_length(blob) % 640 + 1 AS INT) AS width,
+       CAST(octet_length(blob) % 480 + 1 AS INT) AS height
+FROM b
+"""
+
+
+# --------------------------------------------------------------------------- #
 # Registry: name -> (fn, oracle_sql | None)
 # --------------------------------------------------------------------------- #
 
@@ -467,4 +537,5 @@ DATA_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "ann_knn_lsh": (knn_lsh, None),
     "emb_label_stats": (label_centroid_stats, CENTROID_SQL),
     "events_daily_rollup": (events_daily, EVENTS_DAILY_SQL),
+    "mm_blob_features": (multimodal_features, MULTIMODAL_SQL),
 }

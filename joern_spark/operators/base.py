@@ -304,6 +304,37 @@ def ast_link_and_declares_edges(nodes: DataFrame, type_decl_dim: DataFrame) -> D
 
 
 # --------------------------------------------------------------------------- #
+# Pass 18 — FieldAccessLinkerPass (typerelations/FieldAccessLinkerPass.scala:
+# 23-60): REF from `<operator>.fieldAccess` CALLs to the MEMBER they touch,
+# keyed by (evalType(base) stripped of pointer decoration, field name).
+# --------------------------------------------------------------------------- #
+
+def field_access_ref_edges(nodes: DataFrame) -> DataFrame:
+    fa_calls = (nodes.filter((F.col("kind") == M.CALL)
+                             & F.col("name").isin(M.OP_FIELD_ACCESS,
+                                                  M.OP_INDIRECT_FIELD_ACCESS))
+                .select(F.col("id").alias("call_id")))
+    base = (nodes.filter((F.col("arg_index") == 1) & F.col("parent_id").isNotNull())
+            .select(F.col("parent_id").alias("call_id"),
+                    F.regexp_replace("type_full_name", r"[*\s&]+$", "").alias("owner")))
+    fld = (nodes.filter((F.col("kind") == M.FIELD_IDENTIFIER)
+                        & (F.col("arg_index") == 2))
+           .select(F.col("parent_id").alias("call_id"),
+                   F.col("canonical_name").alias("fname")))
+    # member owner = the enclosing TYPE_DECL (AST parent); frontends leave
+    # astParent* empty on MEMBER rows, the tree edge carries the ownership
+    owners = nodes.filter(F.col("kind") == M.TYPE_DECL).select(
+        F.col("id").alias("parent_id"), F.col("full_name").alias("owner"))
+    members = (nodes.filter(F.col("kind") == M.MEMBER)
+               .join(owners, "parent_id")
+               .select(F.col("id").alias("dst"), "owner",
+                       F.col("name").alias("fname")))
+    j = (fa_calls.join(base, "call_id").join(fld, "call_id")
+         .join(members, ["owner", "fname"]))
+    return j.select(*_edge(F.col("call_id"), F.col("dst"), M.REF))
+
+
+# --------------------------------------------------------------------------- #
 # Pass 16/17 — TypeHierarchyPass / AliasLinkerPass: projections.
 # --------------------------------------------------------------------------- #
 
@@ -345,5 +376,6 @@ def run_base(nodes: DataFrame, fns: DataFrame, call_sites: DataFrame,
         .unionByName(ast_link_and_declares_edges(nodes, decl_dim))
         .unionByName(inherits_edges(nodes))
         .unionByName(alias_edges(nodes))
+        .unionByName(field_access_ref_edges(nodes))
     )
     return extra_nodes, extra_edges

@@ -186,6 +186,39 @@ def expected_method_stubs() -> list[tuple[str, str]]:
     return sorted(out)
 
 
+def expected_field_refs() -> list[tuple[str, str]]:
+    """(call_code, member_name) for fieldAccess CALL → MEMBER REF links
+    (FieldAccessLinkerPass re-derived): base-arg type (pointer decoration
+    stripped) + field name must match a MEMBER of that TYPE_DECL anywhere in
+    the corpus."""
+    import re
+    members = set()
+    for repo, path, commit, lang, rows in local_files():
+        by_idx = {r["node_idx"]: r for r in rows}
+        for r in rows:
+            if r["kind"] == M.MEMBER:
+                p = by_idx.get(r["parent_idx"])
+                if p is not None and p["kind"] == M.TYPE_DECL:
+                    members.add((p["full_name"], r["name"]))
+    out = set()
+    for repo, path, commit, lang, rows in local_files():
+        calls = {r["node_idx"]: r for r in rows
+                 if r["kind"] == M.CALL
+                 and r["name"] in (M.OP_FIELD_ACCESS, M.OP_INDIRECT_FIELD_ACCESS)}
+        base: dict[int, str] = {}
+        fld: dict[int, str] = {}
+        for r in rows:
+            if r["parent_idx"] in calls and r["arg_index"] == 1:
+                base[r["parent_idx"]] = re.sub(r"[*\s&]+$", "", r["type_full_name"])
+            if r["parent_idx"] in calls and r["arg_index"] == 2 \
+                    and r["kind"] == M.FIELD_IDENTIFIER:
+                fld[r["parent_idx"]] = r["canonical_name"]
+        for ci, c in calls.items():
+            if ci in base and ci in fld and (base[ci], fld[ci]) in members:
+                out.add((c["code"], fld[ci]))
+    return sorted(out)
+
+
 def expected_partition_metrics() -> list[tuple[str, str, int, int, int, int]]:
     """(repo, lang, n_files, n_nodes, n_methods, n_calls) over parsed rows."""
     agg: dict[tuple[str, str], list[int]] = {}

@@ -6,12 +6,14 @@ throughput at both and the scaling efficiency
 The sandbox is a virtualized 32-core guest whose deliverable CPU drifts with
 host load (measured 3x swings in a single-process busy-loop calibration).
 Single-shot timings at two parallelism levels can therefore invert purely
-from host noise. Mitigation: runs ALTERNATE between the two configs, each
-config keeps its fastest sample (least-contended), and a one-process
-calibration burn is recorded next to every sample so drift is visible in the
-report.
+from host noise. Mitigations: runs ALTERNATE between the two configs, each
+config keeps its fastest sample (least-contended), a one-process calibration
+burn is recorded next to every sample, and scaling is evidenced at more than
+one (N, 4N) pair — a smaller pair (4, 16) stays within what a contended host
+can actually deliver, the full pair (8, 32) needs the whole guest.
 
-Usage: python tools/bench_scaling.py [n_files] [rounds] [N_lo] [N_hi]
+Usage: python tools/bench_scaling.py [n_files] [rounds] [pairs]
+  pairs: comma list like "4:16,8:32" (default)
 """
 
 from __future__ import annotations
@@ -50,12 +52,7 @@ def run(cpus: int, n_files: int) -> dict:
     return json.loads(line)
 
 
-def main():
-    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
-    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 4 * n_lo
-
+def bench_pair(n_lo: int, n_hi: int, n_files: int, rounds: int):
     samples: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     for r in range(rounds):
         for cpus in (n_hi, n_lo) if r % 2 == 0 else (n_lo, n_hi):
@@ -63,64 +60,64 @@ def main():
             res = run(cpus, n_files)
             res["calibration_units_per_sec"] = cal
             samples[cpus].append(res)
-            print(json.dumps({"round": r, "cpus": cpus, "cal": cal,
+            print(json.dumps({"pair": f"{n_lo}:{n_hi}", "round": r,
+                              "cpus": cpus, "cal": cal,
                               "cpg_build": res["queries"]["cpg_build"]}),
                   flush=True)
-
     best = {c: min(s, key=lambda x: x["queries"]["cpg_build"])
             for c, s in samples.items()}
     t_lo = best[n_lo]["queries"]["cpg_build"]
     t_hi = best[n_hi]["queries"]["cpg_build"]
     fps_lo, fps_hi = n_files / t_lo, n_files / t_hi
     eff = (fps_hi / fps_lo) / (n_hi / n_lo)
-    report = {
-        "n_files": n_files,
-        "rounds": rounds,
-        f"local{n_lo}": {"cpg_build_sec": t_lo, "files_per_sec": round(fps_lo, 2),
-                         "all_sec": [s["queries"]["cpg_build"] for s in samples[n_lo]],
-                         "cal": [s["calibration_units_per_sec"] for s in samples[n_lo]]},
-        f"local{n_hi}": {"cpg_build_sec": t_hi, "files_per_sec": round(fps_hi, 2),
-                         "all_sec": [s["queries"]["cpg_build"] for s in samples[n_hi]],
-                         "cal": [s["calibration_units_per_sec"] for s in samples[n_hi]]},
-        f"speedup_{n_lo}_to_{n_hi}": round(fps_hi / fps_lo, 3),
-        "scaling_efficiency": round(eff, 3),
-        "nodes": best[n_hi]["cpg_nodes"], "edges": best[n_hi]["cpg_edges"],
-    }
-    print(json.dumps(report))
+    return {"n_lo": n_lo, "n_hi": n_hi, "t_lo": t_lo, "t_hi": t_hi,
+            "fps_lo": fps_lo, "fps_hi": fps_hi, "eff": eff,
+            "samples": samples, "best": best}
 
-    lo_rows = "\n".join(
-        f"| local[{n_lo}] r{i} | {s['queries']['cpg_build']:.1f} | "
-        f"{n_files / s['queries']['cpg_build']:.1f} | {s['calibration_units_per_sec']} |"
-        for i, s in enumerate(samples[n_lo]))
-    hi_rows = "\n".join(
-        f"| local[{n_hi}] r{i} | {s['queries']['cpg_build']:.1f} | "
-        f"{n_files / s['queries']['cpg_build']:.1f} | {s['calibration_units_per_sec']} |"
-        for i, s in enumerate(samples[n_hi]))
-    md = f"""# BENCH — scaling evidence
 
-Two-parallelism-level run of the identical CPG-construction job (parse →
-base link → call graph → fused CFG/DDG) on the same {n_files}-file synthetic
-skewed C corpus (FIXTURES.md §8), per the north rule's N vs 4N criterion
-(sandbox has no multi-node cluster; parallelism levels stand in for executor
-counts; N = {n_lo}).
+def main():
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    pairs = [tuple(map(int, p.split(":")))
+             for p in (sys.argv[3] if len(sys.argv) > 3 else "4:16,8:32").split(",")]
 
-The guest's deliverable CPU drifts with host load (the calibration column is
-a single-process busy-loop, units/sec — higher = faster host at that
-moment). Runs alternate configs and each config scores its fastest sample.
+    results = [bench_pair(lo, hi, n_files, rounds) for lo, hi in pairs]
+    print(json.dumps([{k: (round(v, 3) if isinstance(v, float) else v)
+                       for k, v in r.items() if k not in ("samples", "best")}
+                      for r in results]))
+
+    sections = []
+    for r in results:
+        rows = "\n".join(
+            f"| local[{c}] r{i} | {s['queries']['cpg_build']:.1f} | "
+            f"{n_files / s['queries']['cpg_build']:.1f} | {s['calibration_units_per_sec']} |"
+            for c in (r["n_lo"], r["n_hi"])
+            for i, s in enumerate(r["samples"][c]))
+        sections.append(f"""## Pair N={r["n_lo"]} vs 4N={r["n_hi"]}
 
 | run | cpg build (s) | files/sec | host calibration |
 |---|---|---|---|
-{lo_rows}
-{hi_rows}
+{rows}
 
-* best local[{n_lo}]: {t_lo:.1f}s ({fps_lo:.1f} files/sec)
-* best local[{n_hi}]: {t_hi:.1f}s ({fps_hi:.1f} files/sec)
-* speedup {n_lo}→{n_hi} cores: **{fps_hi / fps_lo:.2f}×** (ideal {n_hi // n_lo}×)
-* **scaling efficiency: {eff:.3f}** (target ≥ 0.8)
-* output graph: {best[n_hi]["cpg_nodes"]:,} nodes / {best[n_hi]["cpg_edges"]:,} edges
+* best local[{r["n_lo"]}]: {r["t_lo"]:.1f}s ({r["fps_lo"]:.1f} files/sec); best local[{r["n_hi"]}]: {r["t_hi"]:.1f}s ({r["fps_hi"]:.1f} files/sec)
+* speedup {r["n_lo"]}→{r["n_hi"]}: **{r["fps_hi"] / r["fps_lo"]:.2f}×** (ideal 4×) → **scaling efficiency {r["eff"]:.3f}** (target ≥ 0.8)
+""")
+    g = results[-1]["best"][results[-1]["n_hi"]]
+    md = f"""# BENCH — scaling evidence
+
+Identical CPG-construction job (parse → base link → call graph → entity
+linking → fused CFG/DDG) on the same {n_files}-file synthetic skewed C
+corpus (FIXTURES.md §8), per the north rule's N vs 4N criterion (sandbox has
+no multi-node cluster; local[N] parallelism levels stand in for executor
+counts). Methodology for host-load drift: alternating runs, per-config best
+sample, single-process calibration burn recorded per run (units/sec — higher
+= faster host at that moment; observed 3× drift across minutes).
+
+{chr(10).join(sections)}
+* output graph: {g["cpg_nodes"]:,} nodes / {g["cpg_edges"]:,} edges
 * per-run JSON: see `BENCH_r*.json` (driver) and `bench.py`
 
-Reproduce: `python tools/bench_scaling.py {n_files} {rounds} {n_lo} {n_hi}`
+Reproduce: `python tools/bench_scaling.py {n_files} {rounds} 4:16,8:32`
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
