@@ -48,6 +48,10 @@ def main():
     n_nodes = out["nodes"].count()
     build_sec = time.time() - t0
     timings["cpg_build"] = round(build_sec, 3)
+    # stage split: the parse→triples extraction stage (per-file, the
+    # throughput-critical scalable stage) vs linking + materialization (a
+    # fixed-latency DAG tail at small corpus sizes)
+    timings.update(out.get("timings", {}))
     files_per_sec = round(n_files / build_sec, 2)
 
     # a traversal-style query over the built CPG: top callees by in-degree

@@ -147,9 +147,8 @@ def run_callgraph(nodes: DataFrame, call_sites: DataFrame | None = None,
         F.col("dispatch_type") == M.DYNAMIC_DISPATCH).isEmpty()
     linked = (static.unionByName(dynamic_call_edges(nodes, call_sites, dim=dim))
               if has_dynamic else static)
-    # naive linking consumes `linked` twice (anti-join + final union) —
-    # materialize before both consumers scan it
+    # naive linking consumes `linked` twice (anti-join + final union); lazy
+    # persist dedupes most of the recompute without an extra warm-up job
     linked = linked.persist()
-    linked.count()
     naive = naive_call_edges(call_sites, linked, dim)
     return linked.unionByName(naive).unionByName(method_ref_edges(nodes, dim=dim))

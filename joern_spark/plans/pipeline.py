@@ -101,6 +101,8 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
         import tempfile
         base = "/dev/shm" if os.path.isdir("/dev/shm") else None
         out_dir_adhoc = tempfile.mkdtemp(prefix="joern_spark_parse_", dir=base)
+    timings: dict[str, float] = {}
+    t_parse = time.time()
     if nodes is None:
         raw = parse_source(source, fuse_intraprocedural=fuse_intraprocedural)
         nodes = with_ids(raw)
@@ -110,6 +112,8 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
             path = os.path.join(out_dir_adhoc, "nodes")
             nodes.write.mode("overwrite").parquet(path)
             nodes = spark.read.parquet(path)
+    timings["parse_extract_sec"] = round(time.time() - t_parse, 3)
+    t_link = time.time()
 
     errors = nodes.filter(F.col("parse_error") != "")
     ok = nodes.filter(F.col("parse_error") == "")
@@ -126,10 +130,10 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
 
     # ---- stage 2: base linking ----------------------------------------------
     extra_nodes, base_edges = B.run_base(ok, fns, call_sites, methods_real)
-    # materialize the cached stub/type dimensions BEFORE the edge DAG runs:
-    # evaluating everything as one action re-computes shared cached subplans
-    # that several branches scan concurrently before the cache fills
-    extra_nodes.count()
+    # (no eager materialization: every extra job pays fixed scheduling
+    # latency that does not scale with cores; concurrent first-computations
+    # of the small persisted dims inside one action cost less than a
+    # sequential warm-up job each)
     all_nodes = ok.unionByName(extra_nodes)
 
     # full method dimension = real definitions + the external stubs run_base
@@ -167,17 +171,20 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
             edges_out = _write_stage(edges, out_dir, "edges", fp, partition_by=["label"])
         all_nodes, edges = all_nodes_out, edges_out
     else:
-        # callers typically run several queries over the result — cache the
-        # final relations so each action does not replay the whole DAG.
-        # The multi-branch union carries branches × input partitions of tiny
-        # splits; coalesce to ~2/core so cached scans are task-overhead-free
-        # (the same knob a cluster run sets via shuffle.partitions).
-        par = spark.sparkContext.defaultParallelism * 2
-        all_nodes = all_nodes.coalesce(par).persist()
-        edges = edges.coalesce(par).persist()
+        # callers typically run several queries over the result — materialize
+        # the final edge relation as parquet on tmpfs rather than a
+        # deserialized in-memory cache: caching tens of millions of edge
+        # objects is GC-bound and does not scale with cores, while a columnar
+        # write parallelizes and every later query gets a pruned scan.
+        # all_nodes = parquet parse output ∪ small cached extras — cheap to
+        # recompute per query, no materialization needed.
+        epath = os.path.join(out_dir_adhoc, "edges")
+        edges.write.mode("overwrite").parquet(epath)
+        edges = spark.read.parquet(epath)
 
+    timings["link_materialize_sec"] = round(time.time() - t_link, 3)
     return {"nodes": all_nodes, "edges": edges, "errors": errors,
-            "canonical": canonical}
+            "canonical": canonical, "timings": timings}
 
 
 # --------------------------------------------------------------------------- #
