@@ -15,10 +15,12 @@ CALL edges.
 Skew handling:
 * Candidate pairs join stubs↔internals on the bare method name. Method names
   are Zipfian (`get`, `main`, `init`…); a global name-equi-join would square
-  the hot keys. Names above ``HOT_NAME_FREQ`` therefore pair only within the
-  same repo (hot symbols are almost always library-locals anyway), and the
-  hot-name dictionary is tiny → broadcast — the distributed analogue of the
-  reference's in-memory methodMap.
+  the hot keys. Names above ``HOT_NAME_FREQ`` are therefore *excluded from
+  linking*: at corpus scale a name defined in >100 distinct places carries no
+  linkage signal (any pairing would be a guess), and excluding them is what
+  keeps the join skew-free. The hot-name set itself is tiny → the cold-name
+  filter ships as a broadcast — the distributed analogue of the reference's
+  in-memory methodMap.
 * Applying the canonical map to the edge relation is an N:1 join against a
   small mapping → broadcast; at dictionary sizes beyond broadcast reach the
   salted-join helper (joern_spark.functions.salted_join) spreads residual
@@ -75,15 +77,35 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
                 .filter(F.col("u") != F.col("v"))
                 .distinct())
 
+    def _sig(df):
+        # order-insensitive set signature in ONE job: (count, xor of row
+        # hashes). Both iterates are distinct sets, so equal signatures ⇔
+        # equal sets up to a 64-bit hash collision — vs the previous two
+        # exceptAll jobs per iteration, this halves driver round-trips in
+        # the loop (the CC tail is fixed-latency-dominated at sandbox sizes).
+        r = df.agg(F.count("*").alias("c"),
+                   F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
+        return (r["c"], r["h"])
+
     e = (pairs.select("u", "v").filter(F.col("u") != F.col("v"))
          .distinct().localCheckpoint(eager=True))
+    sig = _sig(e)
+    converged = False
     for _ in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        converged = (new_e.exceptAll(e).isEmpty()
-                     and e.exceptAll(new_e).isEmpty())
+        new_sig = _sig(new_e)
         e = new_e
-        if converged:
+        if new_sig == sig:
+            converged = True
             break
+        sig = new_sig
+    if not converged:
+        # a partially merged component map would silently yield wrong roots
+        # downstream (canonicalization would rewrite edges through an
+        # inconsistent mapping) — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "raise max_iter (component diameter exceeds 2^max_iter)")
 
     # at the fixpoint the edge list is a star: (node, root) with root < node
     return e.groupBy("u").agg(F.min("v").alias("root")).select(
@@ -101,7 +123,7 @@ def _stub_arity(col):
     return F.when(ex != "", ex.cast("int"))
 
 
-def candidate_alias_pairs(dim: DataFrame, repo_of_stub: DataFrame | None = None,
+def candidate_alias_pairs(dim: DataFrame,
                           hot_name_freq: int = HOT_NAME_FREQ) -> DataFrame:
     """(u, v) symbol-id pairs linking unresolved external stubs to compatible
     internal definitions. ``dim`` = the full method dimension
@@ -172,7 +194,14 @@ def canonical_symbol_map(dim: DataFrame,
              .select("root",
                      F.coalesce(F.col("internal.m_id"), F.col("any.m_id")).alias("canon_id"),
                      F.coalesce(F.col("internal.m_fn"), F.col("any.m_fn")).alias("canon_fn")))
-    return (members.join(canon, "root")
+    # Only external stubs are ever re-pointed. A shared unresolved stub can
+    # bridge two same-name internal definitions into one CC component; emitting
+    # mapping rows for the internal members would let canonicalize_call_edges
+    # rewrite correctly static-linked CALL edges from one internal method onto
+    # another. The reference never repoints a resolved internal target
+    # (StaticCallLinker.scala:23-28 links only by exact fullname), so the map
+    # covers stub ids only.
+    return (with_meta.filter(F.col("is_external")).join(canon, "root")
             .filter(F.col("node") != F.col("canon_id"))
             .select(F.col("node").alias("m_id"), "canon_id", "canon_fn"))
 

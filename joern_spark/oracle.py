@@ -301,7 +301,10 @@ def expected_canonical_aliases() -> list[tuple[str, str]]:
         internal_fns = sorted(m_ for m_ in members if m_ in internals)
         canon = internal_fns[0] if internal_fns else sorted(members)[0]
         for m_ in members:
-            if m_ != canon:
+            # only external stubs are re-pointed; internal definitions bridged
+            # into a component by a shared stub keep their identity (mirrors
+            # canonical_symbol_map's is_external restriction)
+            if m_ != canon and m_ not in internals:
                 out.add((m_, canon))
     return sorted(out)
 

@@ -29,6 +29,32 @@ def _manifest_path(out_dir: str, stage: str) -> str:
     return os.path.join(out_dir, stage, "_manifest.json")
 
 
+# Ad-hoc (out_dir=None) builds checkpoint to a RAM-backed scratch dir; every
+# dir created in this process is removed at interpreter exit so repeated
+# builds (test suites, bench loops) don't accumulate tmpfs usage across runs.
+_ADHOC_DIRS: list[str] = []
+
+
+def _adhoc_scratch_dir() -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    base = None
+    if os.path.isdir("/dev/shm"):
+        st = os.statvfs("/dev/shm")
+        # fall back to disk when tmpfs is nearly full (graph parquet for a
+        # large corpus would OOM the RAM disk)
+        if st.f_bavail * st.f_frsize > 4 << 30:
+            base = "/dev/shm"
+    d = tempfile.mkdtemp(prefix="joern_spark_parse_", dir=base)
+    if not _ADHOC_DIRS:
+        atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
+                                 for p in _ADHOC_DIRS])
+    _ADHOC_DIRS.append(d)
+    return d
+
+
 def _write_stage(df: DataFrame, out_dir: str, stage: str, fingerprint: str,
                  partition_by: list[str] | None = None) -> DataFrame:
     path = os.path.join(out_dir, stage)
@@ -98,9 +124,7 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
     if out_dir:
         nodes = _resume(spark, out_dir, "nodes", fp)
     else:
-        import tempfile
-        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-        out_dir_adhoc = tempfile.mkdtemp(prefix="joern_spark_parse_", dir=base)
+        out_dir_adhoc = _adhoc_scratch_dir()
     timings: dict[str, float] = {}
     t_parse = time.time()
     if nodes is None:

@@ -69,7 +69,19 @@ def write_graph_tables(out: dict[str, DataFrame], location: str,
     if out.get("canonical") is not None:
         (out["canonical"].write.mode(mode).format(TABLE_FORMAT)
          .save(os.path.join(location, "canonical")))
-    (partition_metrics(nodes.filter(F.col("node_idx") >= 0))
+    # Failed parses are the expected case at scale (parse.py docstring):
+    # build_cpg splits them out of `nodes`, so they must (a) be persisted as
+    # their own table and (b) feed the lineage metrics — otherwise the
+    # documented sha_rollup/n_files equality with source_sha_rollup silently
+    # breaks as soon as one file fails to parse, and failed files vanish.
+    metrics_input = nodes.filter(F.col("node_idx") >= 0)
+    errors = out.get("errors")
+    if errors is not None:
+        (errors.write.mode(mode).format(TABLE_FORMAT)
+         .save(os.path.join(location, "errors")))
+        metrics_input = metrics_input.unionByName(
+            errors.filter(F.col("node_idx") >= 0))
+    (partition_metrics(metrics_input)
      .write.mode(mode).format(TABLE_FORMAT)
      .save(os.path.join(location, "metrics")))
 
@@ -80,7 +92,8 @@ def read_graph_tables(spark: SparkSession, location: str) -> dict[str, DataFrame
         "edges": spark.read.format(TABLE_FORMAT).load(os.path.join(location, "edges")),
         "metrics": spark.read.format(TABLE_FORMAT).load(os.path.join(location, "metrics")),
     }
-    canon = os.path.join(location, "canonical")
-    if os.path.isdir(canon):
-        out["canonical"] = spark.read.format(TABLE_FORMAT).load(canon)
+    for extra in ("canonical", "errors"):
+        p = os.path.join(location, extra)
+        if os.path.isdir(p):
+            out[extra] = spark.read.format(TABLE_FORMAT).load(p)
     return out

@@ -71,6 +71,34 @@ def test_source_table_roundtrip_and_metrics(spark, tmp_path_factory):
         read_source_table(spark, os.path.join(graph_dir, "metrics"))
 
 
+def test_sink_metrics_cover_parse_failures(spark, tmp_path_factory):
+    """Lineage metrics must account for EVERY input row, including files that
+    fail to parse — n_files/sha_rollup equality with the source roll-up is the
+    per-row content invariant and failed files land in an `errors` table."""
+    from joern_spark.corpus import fixture_source
+    from joern_spark.plans.pipeline import build_cpg, source_sha_rollup
+    from joern_spark.sources import read_graph_tables, write_graph_tables
+
+    bad = spark.createDataFrame(
+        [("fixtures/broken", "src/bad.xyz", "f" * 40, "fortran", "PRINT *, 1")],
+        "repo string, path string, commit string, lang string, content string")
+    src = fixture_source(spark).unionByName(bad)
+
+    graph_dir = str(tmp_path_factory.mktemp("tables_err") / "graph")
+    out = build_cpg(spark, src)
+    assert out["errors"].count() == 1
+    write_graph_tables(out, graph_dir)
+    back = read_graph_tables(spark, graph_dir)
+
+    assert "errors" in back and back["errors"].count() == 1
+    got = {(r["repo"], r["lang"]): (r["n_files"], r["sha_rollup"])
+           for r in back["metrics"].collect()}
+    want = {(r["repo"], r["lang"]): (r["n_files"], r["sha_rollup"])
+            for r in source_sha_rollup(src).collect()}
+    assert got == want
+    assert ("fixtures/broken", "fortran") in got
+
+
 def test_multimodal_features_shape(spark):
     from joern_spark.datapipe import multimodal_features
     df = multimodal_features(spark, "/root/testdata/sf0.001")
