@@ -225,6 +225,19 @@ def q_cpg_method_stubs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+def q_cpg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north-star metric: P/R per (lang, relation) vs golden expectations
+    hand-transcribed from the reference's own test suites (citations in
+    joern_spark/parity/corpus_*.py). Runs the full distributed path (Arrow
+    mapInPandas parse + fused intra-method kernels + closure joins); the
+    DuckDB oracle pins the same scores computed by the sequential extractor.
+    The north rule target is precision_bp and recall_bp >= 9500 per row."""
+    from joern_spark.parity.spark_facts import parity_scores
+    return parity_scores(spark).select(
+        _s("lang").alias("lang"), _s("relation").alias("relation"),
+        "tp", "fp", "fn", "precision_bp", "recall_bp")
+
+
 def _cpg_oracles() -> dict[str, str]:
     from joern_spark import oracle as O
     return {
@@ -260,7 +273,23 @@ def _cpg_oracles() -> dict[str, str]:
         "cpg_method_stubs": O.values_sql(
             sorted({(fn,) for _, fn in O.expected_method_stubs()}),
             ["method_full_name"]),
+        "cpg_parity": _parity_oracle_sql(),
     }
+
+
+def _parity_oracle_sql() -> str:
+    """Sequential (pure-Python) parity scores rendered as VALUES — the
+    Spark-vs-DuckDB hash equality proves the distributed extractor computes
+    the same facts as the sequential one; the scores themselves measure
+    parity vs the transcribed reference expectations."""
+    from joern_spark import oracle as O
+    from joern_spark.parity import score_corpus
+    _rows, summary = score_corpus()
+    vals = [(lang, rel, tp, fp, fn, round(p * 10000), round(r * 10000))
+            for lang, rel, tp, fp, fn, p, r in summary]
+    return O.values_sql(
+        vals, ["lang", "relation", "tp", "fp", "fn",
+               "precision_bp", "recall_bp"])
 
 
 CPG_QUERIES = {
@@ -277,6 +306,7 @@ CPG_QUERIES = {
     "cpg_partition_metrics": q_cpg_partition_metrics,
     "cpg_field_refs": q_cpg_field_refs,
     "cpg_method_stubs": q_cpg_method_stubs,
+    "cpg_parity": q_cpg_parity,
 }
 
 

@@ -704,6 +704,13 @@ class CParser:
         close = self.expect(")")
         return cond, close
 
+    def empty_loop_condition(self, kw: Tok) -> N | None:
+        """`for (;;)` condition placeholder — C emits none (the loop body
+        runs unconditionally, CfgCreationPassTests `for-empty-all`); jssrc
+        overrides this with a `true` literal (Babel lowering, jssrc2cpg
+        SimpleCfgCreationPassTests `for-loop with empty condition`)."""
+        return None
+
     def wrap_condition(self, cond: N) -> N:
         """Implicit `x != 0` / `ptr != NULL` wrap — reference
         AstForStatementsCreator.wrapInNullComparison (c2cpg, :560-591)."""
@@ -817,6 +824,11 @@ class CParser:
             cond = self.wrap_condition(cond)
             cond.role = M.ROLE_CONDITION
             node.add(cond)
+        else:
+            cond = self.empty_loop_condition(kw)
+            if cond is not None:
+                cond.role = M.ROLE_CONDITION
+                node.add(cond)
         self.expect(";")
         # update
         if not self.at(")"):

@@ -140,6 +140,8 @@ class JsParser(CParser):
         self.scope_path: list[str] = []  # function-name path for fullnames
         self.lambda_counter = 0
         self.name_counts: dict[str, int] = {}  # same-scope uniquing
+        self.tmp_counter = 0  # `_tmp_N` temporaries (per file, like the
+        # reference's usedVariableNames in jssrc2cpg AstCreator)
 
     # ---------------- naming ----------------
     def fullname(self, name: str) -> str:
@@ -192,6 +194,68 @@ class JsParser(CParser):
     def wrap_condition(self, cond: N) -> N:
         return cond  # JS conditions are truthy — no !=0 wrap
 
+    def empty_loop_condition(self, kw):
+        # `for (;;)` gets a literal `true` condition
+        # (jssrc2cpg SimpleCfgCreationPassTests.scala:576-583)
+        return N(M.LITERAL, code="true", line=kw.line, type_full_name=M.ANY)
+
+    def parse_return(self) -> N:
+        # JS return code has no trailing semicolon ("return x",
+        # SimpleCfgCreationPassTests.scala:224-229) and ASI allows omitting it
+        r = self.next()
+        expr = None
+        if self.peek() is not None and not self.at(";") and not self.at("}"):
+            expr = self.parse_expression()
+        end = self.toks[self.pos - 1]
+        code = self.slice(r, end) if expr is not None else "return"
+        if self.at(";"):
+            self.next()
+        node = N(M.RETURN, code=code, line=r.line)
+        if expr is not None:
+            expr.arg_index = 1
+            node.add(expr)
+        return node
+
+    def parse_try(self) -> N:
+        # try/catch(err)/finally — the catch parameter is an IDENTIFIER in
+        # the CFG (succOf("open()") = {err, close},
+        # SimpleCfgCreationPassTests.scala:123-140)
+        kw = self.next()
+        node = N(M.CONTROL_STRUCTURE, code="try",
+                 control_structure_type=M.CS_TRY, line=kw.line)
+        body = self.parse_compound()
+        body.role = M.ROLE_TRY_BODY
+        node.add(body)
+        while self.at("catch"):
+            c = self.next()
+            catch = N(M.CONTROL_STRUCTURE, code="catch",
+                      control_structure_type=M.CS_CATCH,
+                      role=M.ROLE_CATCH_BODY, line=c.line)
+            self.push_scope()
+            if self.at("("):
+                self.next()
+                if self.peek() is not None and self.peek().t in ("id", "kw") \
+                        and not self.at(")"):
+                    pn = self.next()
+                    loc = N(M.LOCAL, code=pn.v, name=pn.v,
+                            type_full_name=M.ANY, line=pn.line)
+                    ident = N(M.IDENTIFIER, code=pn.v, name=pn.v, line=pn.line,
+                              type_full_name=M.ANY)
+                    ident.ref_target = loc
+                    catch.add(loc)
+                    catch.add(ident)
+                    self.declare(pn.v, loc)
+                self.expect(")")
+            catch.add(self.parse_compound())
+            self.pop_scope()
+            node.add(catch)
+        if self.at("finally"):
+            self.next()
+            fin = self.parse_compound()
+            fin.role = M.ROLE_FINALLY_BODY
+            node.add(fin)
+        return node
+
     def looks_like_type(self) -> bool:
         return False  # no C-style declarations in JS
 
@@ -243,7 +307,7 @@ class JsParser(CParser):
             self.pos = save
             if not has_semi and in_of:
                 return [self.parse_for_in_of()]
-            return [super().parse_statement()]
+            return super().parse_statement()
         return super().parse_statement()
 
     def parse_import_export(self) -> list[N]:
@@ -294,7 +358,10 @@ class JsParser(CParser):
                           arg_index=1, type_full_name=M.ANY)
                 ident.ref_target = loc
                 init.arg_index = 2
-                call = N(M.CALL, code=f"{name} = {init.code}", name=M.OP_ASSIGNMENT,
+                # code carries the declaration keyword, like the reference
+                # ("var x = 1", SimpleCfgCreationPassTests.scala:206-212)
+                call = N(M.CALL, code=f"{kw.v} {name} = {init.code}",
+                         name=M.OP_ASSIGNMENT,
                          method_full_name=M.OP_ASSIGNMENT,
                          dispatch_type=M.STATIC_DISPATCH, line=name_tok.line)
                 call.add(ident, init)
@@ -723,6 +790,24 @@ class JsParser(CParser):
             return self.parse_postfix_ops(node, t)
         return super().parse_postfix()
 
+    # -- ECMAScript call shape: every call carries a RECEIVER child plus a
+    # base ARGUMENT(0), then args 1..n (CallAstBuilder.scala:25-62; lowering
+    # per jssrc2cpg AstForExpressionsCreator.callExpressionInfoForCallLikeExpr
+    # :54-93). CFG order follows child order: receiver → base → args → call.
+
+    def _this_node(self, line: int) -> N:
+        n = N(M.IDENTIFIER, code="this", name="this", line=line,
+              type_full_name=M.ANY)
+        decl = self.lookup("this")
+        if decl is not None:
+            n.ref_target = decl
+        return n
+
+    def _fresh_tmp(self, line: int) -> str:
+        name = f"_tmp_{self.tmp_counter}"
+        self.tmp_counter += 1
+        return name
+
     def build_call(self, callee: N, start: Tok) -> N:
         self.next()  # (
         args: list[N] = []
@@ -744,12 +829,17 @@ class JsParser(CParser):
             call = N(M.CALL, code=self.slice(start, close), name=callee.name,
                      method_full_name=mfn, dispatch_type=dispatch, line=start.line)
         else:
-            callee.role = M.ROLE_RECEIVER
-            callee.arg_index = 0
             call = N(M.CALL, code=self.slice(start, close), name=callee.code,
                      method_full_name=M.UNKNOWN_FULL_NAME,
                      dispatch_type=M.DYNAMIC_DISPATCH, line=start.line)
-            call.add(callee)
+        # receiver = the callee expression; base = `this`
+        # (AstForExpressionsCreator.scala:87-92)
+        callee.role = M.ROLE_RECEIVER
+        callee.arg_index = -1
+        call.add(callee)
+        base = self._this_node(start.line)
+        base.arg_index = 0
+        call.add(base)
         for i, a in enumerate(args, start=1):
             a.arg_index = i
             call.add(a)
@@ -766,9 +856,40 @@ class JsParser(CParser):
         call = N(M.CALL, code=self.slice(start, close), name=fld_tok.v,
                  method_full_name=M.UNKNOWN_FULL_NAME,
                  dispatch_type=M.DYNAMIC_DISPATCH, line=start.line)
-        receiver.role = M.ROLE_RECEIVER
-        receiver.arg_index = 0
-        call.add(receiver)
+        fld = N(M.FIELD_IDENTIFIER, code=fld_tok.v, name=fld_tok.v,
+                canonical_name=fld_tok.v, line=fld_tok.line, arg_index=2)
+        if receiver.kind == M.IDENTIFIER:
+            # x.foo(y): receiver = fieldAccess `x.foo`, base = a second
+            # IDENTIFIER x (AstForExpressionsCreator.scala:65-69)
+            base = N(M.IDENTIFIER, code=receiver.code, name=receiver.name,
+                     line=receiver.line, type_full_name=receiver.type_full_name)
+            if receiver.ref_target is not None:
+                base.ref_target = receiver.ref_target
+            fa_base, fa_code = receiver, f"{receiver.code}.{fld_tok.v}"
+        else:
+            # complex base: (_tmp_k = <base>).foo(...) with base ARGUMENT(0)
+            # = _tmp_k (AstForExpressionsCreator.scala:70-84)
+            tmp = self._fresh_tmp(start.line)
+            tmp_id = N(M.IDENTIFIER, code=tmp, name=tmp, line=receiver.line,
+                       type_full_name=M.ANY, arg_index=1)
+            receiver.arg_index = 2
+            assign = N(M.CALL, code=f"({tmp} = {receiver.code})",
+                       name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
+                       dispatch_type=M.STATIC_DISPATCH, line=receiver.line)
+            assign.add(tmp_id, receiver)
+            base = N(M.IDENTIFIER, code=tmp, name=tmp, line=start.line,
+                     type_full_name=M.ANY)
+            fa_base, fa_code = assign, f"({tmp} = {receiver.code}).{fld_tok.v}"
+        fa_base.arg_index = 1
+        fa = N(M.CALL, code=fa_code, name=M.OP_FIELD_ACCESS,
+               method_full_name=M.OP_FIELD_ACCESS,
+               dispatch_type=M.STATIC_DISPATCH, line=fld_tok.line)
+        fa.add(fa_base, fld)
+        fa.role = M.ROLE_RECEIVER
+        fa.arg_index = -1
+        call.add(fa)
+        base.arg_index = 0
+        call.add(base)
         for i, a in enumerate(args, start=1):
             a.arg_index = i
             call.add(a)

@@ -1,0 +1,297 @@
+"""Triple-parity scorer vs the reference's own golden test expectations.
+
+The north rule requires P/R >= 0.95 on (subj, pred, obj) triples vs the
+reference frontends' emitted facts over their testcode fixtures. The corpus
+in ``corpus_c.py`` / ``corpus_js.py`` / ``corpus_java.py`` is transcribed BY
+HAND from the reference's golden test suites (every case carries a
+``cite`` into /root/reference) — it is independent of this repo's parsers,
+so scoring against it measures semantic parity with Joern, not
+self-consistency.
+
+Scoring model (mirrors how the reference tests assert):
+
+* Facts are rows ``(lang, case, relation, subj, obj)``. For the ``cfg``
+  relation a subject is one CFG node, addressed exactly like the reference
+  succOf oracle (CfgTestFixture.scala:44-57): by display code (METHOD nodes
+  by name), with an occurrence index over same-code CFG nodes in AST
+  (preorder) order, optionally narrowed by node kind. Its objects are the
+  display codes of its CFG successors.
+* Reference tests assert complete successor sets for the subjects they
+  mention and say nothing about other subjects. Scoring therefore scopes
+  produced facts to the asserted subjects: TP = produced & expected,
+  FP = produced - expected (same subject), FN = expected - produced.
+* Relations whose reference assertion is a "contains" (not an exact set)
+  are marked PARTIAL — their FP term is not counted.
+
+Two extractors produce the fact rows: a pure-Python one (this module — used
+by pytest and to render the DuckDB oracle) and a Spark one
+(``joern_spark.parity.spark_facts`` — the distributed plan). Both must
+agree row-for-row; the driver's Spark-vs-DuckDB comparison checks that.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from joern_spark import model as M
+
+# relations whose transcribed expectation is a subset ("should contain"),
+# not an exact set ("shouldBe") — no FP counted for these
+PARTIAL_RELATIONS = {"cdg"}
+
+# node kinds that participate in the CFG (mirror of the reference's
+# .isCfgNode universe as used by succOf; identical to tests/succof.py)
+NON_CFG_KINDS = (
+    M.LOCAL, M.MODIFIER, M.TYPE_DECL, M.MEMBER, M.JUMP_LABEL,
+    M.METHOD_PARAMETER_IN, M.METHOD_PARAMETER_OUT, M.NAMESPACE_BLOCK,
+    M.FILE, M.META_DATA, M.TYPE, M.NAMESPACE,
+)
+
+_EXT = {"c": "c", "cpp": "cpp", "java": "java", "javascript": "js"}
+
+
+def corpus() -> list[dict]:
+    from joern_spark.parity import corpus_c, corpus_java, corpus_js
+    return corpus_c.CASES + corpus_js.CASES + corpus_java.CASES
+
+
+def case_path(case: dict) -> str:
+    return f"{case['name']}.{_EXT[case['lang']]}"
+
+
+def case_content(case: dict) -> str:
+    """Wrap C-style snippet bodies exactly like the reference harness
+    (`RET func() { <body> }`, CfgCreationPassTests.scala:13-15)."""
+    if case.get("wrap"):
+        return "RET func() { " + case["code"] + " }"
+    return case["code"]
+
+
+def subj_key(code: str, idx: int = 0, kind: str | None = None) -> str:
+    return f"{code}@{idx}" + (f"#{kind}" if kind else "")
+
+
+def _norm_key(key) -> str:
+    """Transcribed expectation key -> canonical subject string."""
+    if isinstance(key, tuple):
+        if len(key) == 2:
+            return subj_key(key[0], key[1])
+        return subj_key(key[0], key[1], key[2])
+    return subj_key(key, 0)
+
+
+def want_facts(case: dict) -> list[tuple[str, str, str]]:
+    """Transcribed expectations -> (relation, subj, obj) rows."""
+    out: list[tuple[str, str, str]] = []
+    for rel in ("cfg", "cdg", "domby", "dom", "ast"):
+        for key, objs in (case.get(rel) or {}).items():
+            subj = _norm_key(key)
+            if not objs:
+                out.append((rel, subj, ""))  # empty-set assertion marker
+            for o in objs:
+                out.append((rel, subj, o))
+    for rel in ("calls", "inherits", "declares"):
+        for s, o in (case.get(rel) or []):
+            out.append((rel, s, o))
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# Pure-Python fact extraction (one case, sequential).
+# --------------------------------------------------------------------------- #
+
+def _parse_rows(case: dict) -> list[dict]:
+    from joern_spark.frontends.astnode import flatten_file
+    lang = case["lang"]
+    content = case_content(case)
+    path = case_path(case)
+    if lang in ("c", "cpp"):
+        from joern_spark.frontends.clike import parse_c_file
+        roots = parse_c_file("parity", path, "f" * 40, lang, content)
+    elif lang == "javascript":
+        from joern_spark.frontends.jssrc import parse_js_file
+        roots = parse_js_file("parity", path, "f" * 40, content)
+    else:
+        from joern_spark.frontends.javasrc import parse_java_file
+        roots = parse_java_file("parity", path, "f" * 40, content)
+    return flatten_file("parity", path, "f" * 40, lang, content, roots)
+
+
+def display_code(r: dict) -> str:
+    return r["name"] if r["kind"] == M.METHOD else (r["code"] or "")
+
+
+def _method_edges(rows: list[dict]):
+    """(cfg_edges, dom_edges, pdom_edges, cdg_edges) over all methods."""
+    from joern_spark.operators.controlflow import cfg_for_method, dominator_edges
+    cfg, dom, pdom, cdg = [], [], [], []
+    for m in [r for r in rows if r["kind"] == M.METHOD]:
+        mrows = [r for r in rows
+                 if r["method_idx"] == m["node_idx"] or r["node_idx"] == m["node_idx"]]
+        edges = cfg_for_method(mrows, m)
+        cfg += edges
+        exit_idx = next((r["node_idx"] for r in mrows
+                         if r["kind"] == M.METHOD_RETURN
+                         and r["parent_idx"] == m["node_idx"]), None)
+        if exit_idx is not None:
+            d, p, c = dominator_edges(edges, m["node_idx"], exit_idx)
+            dom += d
+            pdom += p
+            cdg += c
+    return cfg, dom, pdom, cdg
+
+
+def _subject_keys(rows: list[dict]) -> dict[int, list[str]]:
+    """node_idx -> all subject-key spellings (plain + kind-qualified),
+    occurrence-indexed over CFG-participating nodes in preorder."""
+    plain: dict[str, int] = defaultdict(int)
+    bykind: dict[tuple[str, str], int] = defaultdict(int)
+    keys: dict[int, list[str]] = {}
+    for r in sorted(rows, key=lambda r: r["node_idx"]):
+        if r["kind"] in NON_CFG_KINDS:
+            continue
+        code = display_code(r)
+        i = plain[code]
+        plain[code] += 1
+        j = bykind[(code, r["kind"])]
+        bykind[(code, r["kind"])] += 1
+        keys[r["node_idx"]] = [subj_key(code, i), subj_key(code, j, r["kind"])]
+    return keys
+
+
+def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
+    rows = _parse_rows(case)
+    by_idx = {r["node_idx"]: r for r in rows}
+    keys = _subject_keys(rows)
+    cfg, dom, pdom, cdg = _method_edges(rows)
+    out: set[tuple[str, str, str]] = set()
+
+    def emit(rel, src_idx, obj):
+        for k in keys.get(src_idx, []):
+            out.add((rel, k, obj))
+
+    if case.get("cfg") is not None:
+        for s, d, _kind in cfg:
+            emit("cfg", s, display_code(by_idx[d]))
+
+    if case.get("cdg") is not None:
+        # transitive controlledBy, restricted to CALL controllers —
+        # matches cpg.call.controlledBy.isCall (CfgTests.scala:22-26)
+        ctrl: dict[int, set[int]] = defaultdict(set)
+        for e in cdg:
+            ctrl[e[1]].add(e[0])
+        closed: dict[int, set[int]] = {}
+
+        def controllers(n, seen=None):
+            if n in closed:
+                return closed[n]
+            seen = seen or set()
+            acc: set[int] = set()
+            for c in ctrl.get(n, ()):
+                if c in seen:
+                    continue
+                seen.add(c)
+                acc.add(c)
+                acc |= controllers(c, seen)
+            closed[n] = acc
+            return acc
+
+        for d in list(ctrl):
+            for c in controllers(d):
+                if by_idx[c]["kind"] == M.CALL:
+                    emit("cdg", d, display_code(by_idx[c]))
+
+    if case.get("domby") is not None or case.get("dom") is not None:
+        idom: dict[int, int] = {}
+        for e in dom:
+            idom[e[1]] = e[0]
+        if case.get("domby") is not None:
+            # proper dominators filtered to CALL nodes —
+            # cpg.call.dominatedBy.isCall (CfgTests.scala:36-38)
+            for n in idom:
+                w = idom.get(n)
+                seen = set()
+                while w is not None and w not in seen:
+                    seen.add(w)
+                    if by_idx[w]["kind"] == M.CALL:
+                        emit("domby", n, display_code(by_idx[w]))
+                    w = idom.get(w)
+        if case.get("dom") is not None:
+            # strict dominates — cpg.call.dominates (CfgTests.scala:32-34)
+            for n in idom:
+                w = idom.get(n)
+                seen = set()
+                while w is not None and w not in seen:
+                    seen.add(w)
+                    emit("dom", w, display_code(by_idx[n]))
+                    w = idom.get(w)
+
+    if case.get("calls") is not None:
+        methods = {r["node_idx"]: r for r in rows if r["kind"] == M.METHOD}
+        for r in rows:
+            if r["kind"] == M.CALL and not r["name"].startswith("<operator>"):
+                m = methods.get(r["method_idx"])
+                if m is not None:
+                    out.add(("calls", m["name"], r["name"]))
+
+    if case.get("inherits") is not None:
+        for r in rows:
+            if r["kind"] == M.TYPE_DECL:
+                for p in (r.get("inherits_from") or []):
+                    out.add(("inherits", r["name"], p))
+
+    if case.get("ast") is not None:
+        for r in rows:
+            p = by_idx.get(r["parent_idx"])
+            if p is not None:
+                for k in keys.get(p["node_idx"], []):
+                    out.add(("ast", k, display_code(r)))
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# Scoring.
+# --------------------------------------------------------------------------- #
+
+def score_case(case: dict):
+    """-> list of (lang, case, relation, tp, fp, fn)."""
+    want = set()
+    subjects: dict[str, set[str]] = defaultdict(set)
+    for rel, s, o in want_facts(case):
+        subjects[rel].add(s)
+        if o != "":
+            want.add((rel, s, o))
+    got_all = python_case_facts(case)
+    got = {(rel, s, o) for rel, s, o in got_all if s in subjects.get(rel, ())}
+    per: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0])
+    for rel, s, o in got & want:
+        per[rel][0] += 1
+    for rel, s, o in got - want:
+        if rel not in PARTIAL_RELATIONS:
+            per[rel][1] += 1
+    for rel, s, o in want - got:
+        per[rel][2] += 1
+    for rel in subjects:
+        per[rel]  # touch so zero-rows (all-empty assertions) still appear
+    return [(case["lang"], case["name"], rel, v[0], v[1], v[2])
+            for rel, v in sorted(per.items())]
+
+
+def score_corpus(cases: list[dict] | None = None):
+    """-> (per_case rows, summary rows (lang, relation, tp, fp, fn, p, r))."""
+    cases = cases if cases is not None else corpus()
+    rows = []
+    for c in cases:
+        rows += score_case(c)
+    agg: dict[tuple[str, str], list[int]] = defaultdict(lambda: [0, 0, 0])
+    for lang, _name, rel, tp, fp, fn in rows:
+        a = agg[(lang, rel)]
+        a[0] += tp
+        a[1] += fp
+        a[2] += fn
+    summary = []
+    for (lang, rel), (tp, fp, fn) in sorted(agg.items()):
+        p = tp / (tp + fp) if tp + fp else 1.0
+        r = tp / (tp + fn) if tp + fn else 1.0
+        summary.append((lang, rel, tp, fp, fn, round(p, 4), round(r, 4)))
+    return rows, summary

@@ -1,0 +1,189 @@
+"""C / C++ CFG parity corpus — transcribed BY HAND from the reference's
+golden CFG tests (c2cpg/src/test/scala/io/joern/c2cpg/passes/cfg/
+CfgCreationPassTests.scala, 57 cases; C++ try cases from
+CppCfgCreationPassTests). Successor sets are keyed on code strings exactly
+like the reference succOf oracle (x2cpg CfgTestFixture.scala:44-57); edge
+kinds are not stored in the reference graph (CfgCreator.scala:61-67), so
+parity is on successor code sets.
+
+Snippets are bodies wrapped as `RET func() { <body> }` (wrap=True), exactly
+like the reference harness (CfgCreationPassTests.scala:13-15).
+"""
+
+CITE = "c2cpg/src/test/scala/io/joern/c2cpg/passes/cfg/CfgCreationPassTests.scala"
+
+
+def _c(name, code, cfg, lang="c", cite=CITE):
+    return dict(name=name, lang=lang, wrap=True, code=code, cfg=cfg, cite=cite)
+
+
+CASES = [
+    _c("c-entry-exit", "", {"func": ["RET"], "RET": []}),
+    _c("c-decl-assign", "int x = 1;", {
+        "func": ["x"], "x": ["1"], "1": ["x = 1"], "x = 1": ["RET"]}),
+    _c("c-nested-expression", "x = y + 1;", {
+        "func": ["x"], "x": ["y"], "y": ["1"], "1": ["y + 1"],
+        "y + 1": ["x = y + 1"], "x = y + 1": ["RET"]}),
+    _c("c-return", "return x;", {
+        "func": ["x"], "x": ["return x;"], "return x;": ["RET"]}),
+    _c("c-consecutive-returns", "return x; return y;", {
+        "func": ["x"], "x": ["return x;"], "y": ["return y;"],
+        "return x;": ["RET"], "return y;": ["RET"]}),
+    _c("c-void-return", "return;", {"func": ["return;"], "return;": ["RET"]}),
+    _c("c-call", "foo(a + 1, b);", {
+        "func": ["a"], "a": ["1"], "1": ["a + 1"], "a + 1": ["b"],
+        "b": ["foo(a + 1, b)"], "foo(a + 1, b)": ["RET"]}),
+    _c("c-unary-plus", "+x;", {"func": ["x"], "x": ["+x"], "+x": ["RET"]}),
+    _c("c-pre-increment", "++x;", {"func": ["x"], "x": ["++x"], "++x": ["RET"]}),
+    _c("c-conditional", "x ? y : z;", {
+        "func": ["x"], "x": ["y", "z"], "y": ["x ? y : z"],
+        "z": ["x ? y : z"], "x ? y : z": ["RET"]}),
+    _c("c-conditional-empty-then", "x ? : z;", {
+        "func": ["x"], "x": ["x ? : z", "z"], "z": ["x ? : z"],
+        "x ? : z": ["RET"]}),
+    _c("c-short-circuit-and", "int z = x && y;", {
+        "func": ["z"], "z": ["x"], "x": ["y", "x && y"], "y": ["x && y"],
+        "x && y": ["z = x && y"], "z = x && y": ["RET"]}),
+    _c("c-short-circuit-or", "x || y;", {
+        "func": ["x"], "x": ["y", "x || y"], "y": ["x || y"],
+        "x || y": ["RET"]}),
+    _c("c-while", "while (x < 1) { y = 2; }", {
+        "func": ["x"], "x": ["1"], "1": ["x < 1"],
+        "x < 1": ["y", "RET"], "y": ["2"], "2": ["y = 2"], "y = 2": ["x"]}),
+    _c("c-while-break", "while (x < 1) { break; y; }", {
+        "func": ["x"], "x": ["1"], "1": ["x < 1"],
+        "x < 1": ["break;", "RET"], "break;": ["RET"], "y": ["x"]}),
+    _c("c-while-continue", "while (x < 1) { continue; y; }", {
+        "func": ["x"], "x": ["1"], "1": ["x < 1"],
+        "x < 1": ["continue;", "RET"], "continue;": ["x"], "y": ["x"]}),
+    _c("c-nested-while", "while (x) { while (y) { z; }}", {
+        "func": ["x"], "x": ["0"], ("0", 0): ["x != 0"],
+        "x != 0": ["y", "RET"], "y": ["0"], ("0", 1): ["y != 0"],
+        "y != 0": ["z", "x"], "z": ["y"]}),
+    _c("c-do-while", "do { y = 2; } while (x < 1);", {
+        "func": ["y"], "y": ["2"], "2": ["y = 2"], "y = 2": ["x"],
+        "x": ["1"], "1": ["x < 1"], "x < 1": ["y", "RET"]}),
+    _c("c-do-while-break", "do { break; y; } while (x < 1);", {
+        "func": ["break;"], "break;": ["RET"], "y": ["x"],
+        "x": ["1"], "1": ["x < 1"], "x < 1": ["break;", "RET"]}),
+    _c("c-do-while-continue", "do { continue; y; } while (x < 1);", {
+        "func": ["continue;"], "continue;": ["x"], "y": ["x"],
+        "x": ["1"], "1": ["x < 1"], "x < 1": ["continue;", "RET"]}),
+    _c("c-nested-do-while", "do { do { x; } while (y); } while (z);", {
+        "func": ["x"], "x": ["y"], "y": ["0"], ("0", 0): ["y != 0"],
+        "y != 0": ["x", "z"], "z": ["0"], ("0", 1): ["z != 0"],
+        "z != 0": ["x", "RET"]}),
+    _c("c-do-while-empty-body", "do { } while(x > 1);", {
+        "func": ["x"], "1": ["x > 1"], "x > 1": ["x", "RET"]}),
+    _c("c-for", "for (x = 0; y < 1; z += 2) { a = 3; }", {
+        "func": ["x"], "x": ["0"], "0": ["x = 0"], "x = 0": ["y"],
+        "y": ["1"], "1": ["y < 1"], "y < 1": ["a", "RET"],
+        "a": ["3"], "3": ["a = 3"], "a = 3": ["z"], "z": ["2"],
+        "2": ["z += 2"], "z += 2": ["y"]}),
+    _c("c-for-break", "for (x = 0; y < 1; z += 2) { break; a = 3; }", {
+        "func": ["x"], "x": ["0"], "x = 0": ["y"], "y": ["1"],
+        "1": ["y < 1"], "y < 1": ["break;", "RET"], "break;": ["RET"],
+        "a": ["3"], "3": ["a = 3"], "a = 3": ["z"], "z": ["2"],
+        "2": ["z += 2"], "z += 2": ["y"]}),
+    _c("c-for-continue", "for (x = 0; y < 1; z += 2) { continue; a = 3; }", {
+        "func": ["x"], "x": ["0"], "0": ["x = 0"], "x = 0": ["y"],
+        "y": ["1"], "1": ["y < 1"], "y < 1": ["continue;", "RET"],
+        "continue;": ["z"], "a": ["3"], "3": ["a = 3"], "a = 3": ["z"],
+        "z": ["2"], "2": ["z += 2"], "z += 2": ["y"]}),
+    _c("c-nested-for", "for (x; y; z) { for (a; b; c) { u; } }", {
+        "func": ["x"], "x": ["y"], "y": ["0"], ("0", 0): ["y != 0"],
+        "y != 0": ["a", "RET"], "z": ["y"], "a": ["b"], "b": ["0"],
+        ("0", 1): ["b != 0"], "b != 0": ["u", "z"], "c": ["b"], "u": ["c"]}),
+    _c("c-for-empty-condition", "for (;;) { a = 1; }", {
+        "func": ["a"], "a": ["1"], "1": ["a = 1"], "a = 1": ["a"]}),
+    _c("c-for-empty-condition-break", "for (;;) { break; }", {
+        "func": ["break;"], "break;": ["RET"]}),
+    _c("c-for-empty-condition-continue", "for (;;) { continue ; }", {
+        "func": ["continue ;"], "continue ;": ["continue ;"]}),
+    _c("c-for-empty-nested", "for (;;) { for (;;) { x; } }", {
+        "func": ["x"], "x": ["x"]}),
+    _c("c-for-empty-all", "for (;;) ;", {"func": ["RET"]}),
+    _c("c-for-skipped-then-return", "for (;;) {}; return;", {
+        "func": ["return;"], "return;": ["RET"]}),
+    _c("c-for-call-condition", "for (; x(1);) ;", {
+        "func": ["1"], "1": ["x(1)"], "x(1)": ["1", "RET"]}),
+    _c("c-goto-single-label", "x; goto l1; y; l1: ;", {
+        "func": ["x"], "x": ["goto l1;"], "goto l1;": ["l1: ;"],
+        "l1: ;": ["RET"], "y": ["l1: ;"]}),
+    _c("c-goto-computed",
+       "void *ptr = &&foo;\ngoto *ptr;\notherCall();\nfoo: someCall();", {
+           "func": ["ptr"], ("ptr", 0): ["foo"], ("ptr", 1): ["*ptr"],
+           "foo": ["&&foo"], "ptr = &&foo": ["goto *;"],
+           "goto *;": ["foo: someCall();"],
+           "foo: someCall();": ["someCall()"],
+           "otherCall()": ["foo: someCall();"],
+           "someCall()": ["RET"]}),
+    _c("c-goto-multiple-labels", "x; goto l1; l2: y; l1: ;", {
+        "func": ["x"], "x": ["goto l1;"], "goto l1;": ["l1: ;"],
+        "y": ["l1: ;"], "l1: ;": ["RET"]}),
+    _c("c-goto-labels-same-spot", "x; goto l2; y; l1: ;l2: ;", {
+        "func": ["x"], "x": ["goto l2;"], "goto l2;": ["l2: ;"],
+        "y": ["l1: ;"], "l1: ;": ["l2: ;"], "l2: ;": ["RET"]}),
+    _c("c-goto-with-if", "if(foo) goto end; if(bar) { f(x); } end: ;", {
+        "func": ["foo"], "goto end;": ["end: ;"]}),
+    _c("c-switch-one-case", "switch (x) { case 1: y; }", {
+        "func": ["x"], "x": ["case 1:", "RET"], "case 1:": ["1"],
+        "1": ["y"], "y": ["RET"]}),
+    _c("c-switch-multiple-cases", "switch (x) { case 1: y; case 2: z;}", {
+        "func": ["x"], "x": ["case 1:", "case 2:", "RET"],
+        "case 1:": ["1"], "1": ["y"], "y": ["case 2:"],
+        "case 2:": ["2"], "2": ["z"], "z": ["RET"]}),
+    _c("c-switch-cases-same-spot", "switch (x) { case 1: case 2: y; }", {
+        "func": ["x"], "x": ["case 1:", "case 2:", "RET"],
+        "case 1:": ["1"], "1": ["case 2:"], "case 2:": ["2"],
+        "2": ["y"], "y": ["RET"]}),
+    _c("c-switch-mixed-cases",
+       "switch (x) { case 1: case 2: y; case 3: z;}", {
+           "func": ["x"], "x": ["case 1:", "case 2:", "case 3:", "RET"],
+           "case 1:": ["1"], "1": ["case 2:"], "case 2:": ["2"], "2": ["y"],
+           "y": ["case 3:"], "case 3:": ["3"], "3": ["z"], "z": ["RET"]}),
+    _c("c-switch-default", "switch (x) { default: y; }", {
+        "func": ["x"], "x": ["default:"], "default:": ["y"], "y": ["RET"]}),
+    _c("c-switch-case-and-default",
+       "switch (x) { case 1: y; break; default: z;}", {
+           "func": ["x"], "x": ["case 1:", "default:"],
+           "case 1:": ["1"], "1": ["y"], "y": ["break;"], "break;": ["RET"],
+           "default:": ["z"], "z": ["RET"]}),
+    _c("c-nested-switch", "switch (x) { case 1: switch(y) { default: z; } }", {
+        "func": ["x"], "x": ["case 1:", "RET"], "case 1:": ["1"],
+        "1": ["y"], "y": ["default:"], "default:": ["z"], "z": ["RET"]}),
+    _c("c-switch-continue-in-while",
+       "while (i < 1) {\n  switch (j) {\n    case 0:\n      continue;\n  }\n}", {
+           "continue;": ["i"]}),
+    _c("c-if", "if (x) { y; }", {
+        "func": ["x"], "x": ["0"], "0": ["x != 0"],
+        "x != 0": ["y", "RET"], "y": ["RET"]}),
+    _c("c-if-else", "if (x) { y; } else { z; }", {
+        "func": ["x"], "x": ["0"], "0": ["x != 0"],
+        "x != 0": ["y", "z"], "y": ["RET"], "z": ["RET"]}),
+    _c("c-nested-if", "if (x) { if (y) { z; } }", {
+        "func": ["x"], ("0", 0): ["x != 0"], "x != 0": ["y", "RET"],
+        "y": ["0"], ("0", 1): ["y != 0"], "y != 0": ["z", "RET"],
+        "z": ["RET"]}),
+    _c("c-else-if-chain", "if (a) { b; } else if (c) { d;} else { e; }", {
+        "func": ["a"], "a": ["0"], ("0", 0): ["a != 0"],
+        "a != 0": ["b", "c"], "b": ["RET"], "c": ["0"],
+        ("0", 1): ["c != 0"], "c != 0": ["d", "e"], "d": ["RET"],
+        "e": ["RET"]}),
+    _c("c-if-empty-then", "if (cond()) {} else { foo(); }", {
+        "func": ["cond()"], "cond()": ["RET", "foo()"], "foo()": ["RET"]}),
+    _c("c-if-empty-else", "if (cond()) {foo();} else {}", {
+        "func": ["cond()"], "cond()": ["RET", "foo()"], "foo()": ["RET"]}),
+    _c("c-if-empty-both", "if (cond()) {} else {}", {
+        "func": ["cond()"], "cond()": ["RET"]}),
+    # C++ try/catch (c2cpg CppCfgCreationPassTests)
+    _c("cpp-try-single-catch", "try { a; } catch (int x) { b; }", {
+        "func": ["a"], "a": ["b", "RET"], "b": ["RET"]}, lang="cpp",
+       cite="c2cpg/src/test/scala/io/joern/c2cpg/passes/cfg/CppCfgCreationPassTests.scala"),
+    _c("cpp-try-multiple-catches",
+       "try { a; } catch (short x) { b; } catch (int y) { c; } "
+       "catch (long z) { d; }", {
+           "func": ["a"], "a": ["b", "c", "d", "RET"],
+           "b": ["RET"], "c": ["RET"], "d": ["RET"]}, lang="cpp",
+       cite="c2cpg/src/test/scala/io/joern/c2cpg/passes/cfg/CppCfgCreationPassTests.scala"),
+]

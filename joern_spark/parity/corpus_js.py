@@ -1,0 +1,228 @@
+"""JavaScript CFG parity corpus — transcribed BY HAND from the reference's
+golden CFG tests (jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/
+SimpleCfgCreationPassTests.scala). Keys address CFG nodes exactly like the
+reference succOf oracle: code string, occurrence index, optional node kind
+(e.g. ("this", 0, "IDENTIFIER") ≡ succOf("this", NodeTypes.IDENTIFIER)).
+
+Not transcribed (desugarings this frontend does not perform yet, each would
+score as pure recall loss rather than evidence): array/object literal
+`_tmp` expansion (:26-60, :166-192), template-literal formatString
+(:62-121), labeled continue (:304-352), for-in/of iterator lowering
+(:554-562), function-declaration-as-assignment (:240-250), `new` alloc
+lowering (:707-726).
+"""
+
+CITE = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/"
+        "SimpleCfgCreationPassTests.scala")
+
+
+def _js(name, code, cfg, cite=CITE):
+    return dict(name=name, lang="javascript", wrap=False, code=code, cfg=cfg,
+                cite=cite)
+
+
+CASES = [
+    _js("js-try", """
+try {
+ open()
+} catch(err) {
+ handle()
+} finally {
+ close()
+}
+""", {
+        ":program": ["open"],
+        "open": ["this"],
+        ("this", 0, "IDENTIFIER"): ["open()"],
+        "open()": ["err", "close"],
+        "err": ["handle"],
+        "handle()": ["close"],
+        "close()": ["RET"]}),
+    _js("js-try-multi-exit", """
+try {
+ if (true) {
+   doA()
+ } else {
+   doB()
+ }
+} catch(err) {
+ handle()
+} finally {
+ close()
+}
+""", {
+        ":program": ["true"],
+        "true": ["doA", "doB"],
+        "doA()": ["err", "close"],
+        "err": ["handle"],
+        "doB()": ["err", "close"],
+        "handle()": ["close"],
+        "close()": ["RET"]}),
+    _js("js-member-assign-chained", "a.b = c.z;", {
+        ":program": ["a"], "a": ["b"], "b": ["a.b"], "a.b": ["c"],
+        "c": ["z"], "z": ["c.z"], "c.z": ["a.b = c.z"],
+        "a.b = c.z": ["RET"]}),
+    _js("js-decl-assign", "var x = 1;", {
+        ":program": ["x"], "x": ["1"], "1": ["var x = 1"],
+        "var x = 1": ["RET"]}),
+    _js("js-nested-expression", "x = y + 1;", {
+        ":program": ["x"], "x": ["y"], "y": ["1"], "1": ["y + 1"],
+        "y + 1": ["x = y + 1"], "x = y + 1": ["RET"]}),
+    _js("js-return", "function foo(x) { return x; }", {
+        ("foo", 0, "METHOD"): ["x"],
+        ("x", 0, "IDENTIFIER"): ["return x"],
+        "return x": ["RET"]}),
+    _js("js-consecutive-returns", "function foo(x, y) { return x; return y; }", {
+        ("foo", 0, "METHOD"): ["x"],
+        ("x", 0, "IDENTIFIER"): ["return x"],
+        ("y", 0, "IDENTIFIER"): ["return y"],
+        "return x": ["RET"],
+        "return y": ["RET"]}),
+    _js("js-void-return", "function foo() { return; }", {
+        ("foo", 0, "METHOD"): ["return"],
+        "return": ["RET"]}),
+    _js("js-call", "foo(a + 1, b);", {
+        ":program": ["foo"], "foo": ["this"],
+        ("this", 0, "IDENTIFIER"): ["a"],
+        "a": ["1"], "1": ["a + 1"], "a + 1": ["b"],
+        "b": ["foo(a + 1, b)"], "foo(a + 1, b)": ["RET"]}),
+    _js("js-chained-calls", "x.foo(y).bar(z)", {
+        ":program": ["_tmp_0"],
+        "_tmp_0": ["x"],
+        "x": ["foo"],
+        "foo": ["x.foo"],
+        "x.foo": ["x"],
+        ("x", 1): ["y"],
+        "y": ["x.foo(y)"],
+        "x.foo(y)": ["(_tmp_0 = x.foo(y))"],
+        "(_tmp_0 = x.foo(y))": ["bar"],
+        "bar": ["(_tmp_0 = x.foo(y)).bar"],
+        "(_tmp_0 = x.foo(y)).bar": ["_tmp_0"],
+        ("_tmp_0", 1): ["z"],
+        "z": ["x.foo(y).bar(z)"],
+        "x.foo(y).bar(z)": ["RET"]}),
+    _js("js-post-increment", "x++", {
+        ":program": ["x"], "x": ["x++"], "x++": ["RET"]}),
+    _js("js-conditional", "x ? y : z;", {
+        ":program": ["x"], "x": ["y", "z"], "y": ["x ? y : z"],
+        "z": ["x ? y : z"], "x ? y : z": ["RET"]}),
+    _js("js-while", "while (x < 1) { y = 2; }", {
+        ":program": ["x"], "x": ["1"], "1": ["x < 1"],
+        "x < 1": ["y", "RET"], "y": ["2"], "2": ["y = 2"],
+        "y = 2": ["x"]}),
+    _js("js-while-break", "while (x < 1) { break; y; }", {
+        ":program": ["x"], "x": ["1"], "1": ["x < 1"],
+        "x < 1": ["break;", "RET"], "break;": ["RET"], "y": ["x"]}),
+    _js("js-while-continue", "while (x < 1) { continue; y; }", {
+        ":program": ["x"], "x": ["1"], "1": ["x < 1"],
+        "x < 1": ["continue;", "RET"], "continue;": ["x"], "y": ["x"]}),
+    _js("js-nested-while", "while (x) {while(y) {z;}}", {
+        ":program": ["x"], "x": ["y", "RET"], "y": ["z", "x"]}),
+    _js("js-nested-while-break", "while (x) { while(y) { break; z;} a;} b;", {
+        ":program": ["x"], "x": ["y", "b"], "y": ["break;", "a"],
+        "a": ["x"], "b": ["RET"]}),
+    _js("js-nested-while-break2",
+        "while (x) { while(y) { break; z;} a; break; b; } c;", {
+            ":program": ["x"], "x": ["y", "c"], "y": ["break;", "a"],
+            ("break;", 0): ["a"], "a": ["break;"], ("break;", 1): ["c"],
+            "c": ["RET"]}),
+    _js("js-nested-while-cond-break", """
+while (x) {
+  if (y) {
+    break;
+  }
+  while (z) {
+    break;
+  }
+}
+""", {
+        ":program": ["x"], "x": ["y", "RET"], "y": ["break;", "z"],
+        ("break;", 0): ["RET"], ("break;", 1): ["x"],
+        "z": ["break;", "x"]}),
+    _js("js-do-while", "do { y = 2; } while (x < 1);", {
+        ":program": ["y"], "y": ["2"], "2": ["y = 2"], "y = 2": ["x"],
+        "x": ["1"], "1": ["x < 1"], "x < 1": ["y", "RET"]}),
+    _js("js-do-while-break", "do { break; y; } while (x < 1);", {
+        ":program": ["break;"], "break;": ["RET"], "y": ["x"],
+        "x": ["1"], "1": ["x < 1"], "x < 1": ["break;", "RET"]}),
+    _js("js-do-while-continue", "do { continue; y; } while (x < 1);", {
+        ":program": ["continue;"], "continue;": ["x"], "y": ["x"],
+        "x": ["1"], "1": ["x < 1"], "x < 1": ["continue;", "RET"]}),
+    _js("js-nested-do-while", "do { do { x; } while (y); } while (z);", {
+        ":program": ["x"], "x": ["y"], "y": ["x", "z"],
+        "z": ["x", "RET"]}),
+    _js("js-nested-while-do-while-break",
+        "while (x) { do { while(y) { break; a; } z; } while (x < 1); } c;", {
+            ":program": ["x"], "x": ["y", "c"], "y": ["break;", "z"],
+            "break;": ["z"], "z": ["x"], ("x", 1): ["1"],
+            "1": ["x < 1"], "x < 1": ["y", "x"], "c": ["RET"]}),
+    _js("js-while-do-while-break-continue",
+        "while(x) { do { break; } while (y) } o;", {
+            ":program": ["x"], "x": ["break;", "o"], "break;": ["x"],
+            "o": ["RET"]}),
+    _js("js-two-nested-while-inner-break",
+        "while(y) { while(z) { break; x; } }", {
+            ":program": ["y"], "y": ["z", "RET"], "z": ["break;", "y"],
+            "break;": ["y"]}),
+    _js("js-for", "for (x = 0; y < 1; z += 2) { a = 3; }", {
+        ":program": ["x"], "x": ["0"], "0": ["x = 0"], "x = 0": ["y"],
+        "y": ["1"], "1": ["y < 1"], "y < 1": ["a", "RET"],
+        "a": ["3"], "3": ["a = 3"], "a = 3": ["z"], "z": ["2"],
+        "2": ["z += 2"], "z += 2": ["y"]}),
+    _js("js-for-break", "for (x = 0; y < 1; z += 2) { break; a = 3; }", {
+        ":program": ["x"], "x": ["0"], "x = 0": ["y"], "y": ["1"],
+        "1": ["y < 1"], "y < 1": ["break;", "RET"], "break;": ["RET"],
+        "a": ["3"], "3": ["a = 3"], "a = 3": ["z"], "z": ["2"],
+        "2": ["z += 2"], "z += 2": ["y"]}),
+    _js("js-for-continue", "for (x = 0; y < 1; z += 2) { continue; a = 3; }", {
+        ":program": ["x"], "x": ["0"], "0": ["x = 0"], "x = 0": ["y"],
+        "y": ["1"], "1": ["y < 1"], "y < 1": ["continue;", "RET"],
+        "continue;": ["z"], "a": ["3"], "3": ["a = 3"], "a = 3": ["z"],
+        "z": ["2"], "2": ["z += 2"], "z += 2": ["y"]}),
+    _js("js-nested-for", "for (x; y; z) { for (a; b; c) { u; } }", {
+        ":program": ["x"], "x": ["y"], "y": ["a", "RET"], "z": ["y"],
+        "a": ["b"], "b": ["u", "z"], "c": ["b"], "u": ["c"]}),
+    _js("js-for-empty-condition", "for (;;) { a = 1; }", {
+        ":program": ["true"], "true": ["a", "RET"], "a": ["1"],
+        "1": ["a = 1"], "a = 1": ["true"]}),
+    _js("js-for-empty-condition-break", "for (;;) { break; }", {
+        ":program": ["true"], "true": ["break;", "RET"],
+        "break;": ["RET"]}),
+    _js("js-for-empty-condition-continue", "for (;;) { continue; }", {
+        ":program": ["true"], "true": ["continue;", "RET"],
+        "continue;": ["true"]}),
+    _js("js-for-empty-nested", "for (;;) { for (;;) { x; } }", {
+        ":program": ["true"], ("true", 0): ["true", "RET"],
+        ("true", 1): ["x", "true"], "x": ["true"]}),
+    _js("js-for-empty-block", "for (;;) ;", {
+        ":program": ["true"], "true": ["true", "RET"]}),
+    _js("js-if", "if (x) { y; }", {
+        ":program": ["x"], "x": ["y", "RET"], "y": ["RET"]}),
+    _js("js-if-else", "if (x) { y; } else { z; }", {
+        ":program": ["x"], "x": ["y", "z"], "y": ["RET"], "z": ["RET"]}),
+    _js("js-nested-if", "if (x) { if (y) { z; } }", {
+        ":program": ["x"], "x": ["y", "RET"], "y": ["z", "RET"],
+        "z": ["RET"]}),
+    _js("js-else-if-chain", "if (a) { b; } else if (c) { d;} else { e; }", {
+        ":program": ["a"], "a": ["b", "c"], "b": ["RET"],
+        "c": ["d", "e"], "d": ["RET"], "e": ["RET"]}),
+    _js("js-switch-one-case", "switch (x) { case 1: y;}", {
+        ":program": ["x"], "x": ["case 1:", "RET"],
+        "case 1:": ["1"], "1": ["y"], "y": ["RET"]}),
+    _js("js-switch-multiple-cases", "switch (x) { case 1: y; case 2: z;}", {
+        ":program": ["x"], "x": ["case 1:", "case 2:", "RET"],
+        "case 1:": ["1"], "1": ["y"], "y": ["case 2:"],
+        "case 2:": ["2"], "2": ["z"], "z": ["RET"]}),
+    _js("js-switch-cases-same-spot", "switch (x) { case 1: case 2: y; }", {
+        ":program": ["x"], "x": ["case 1:", "case 2:", "RET"],
+        "case 1:": ["1"], "1": ["case 2:"], "case 2:": ["2"],
+        "2": ["y"], "y": ["RET"]}),
+    _js("js-switch-default", "switch (x) { default: y; }", {
+        ":program": ["x"], "x": ["default:"], "default:": ["y"],
+        "y": ["RET"]}),
+    _js("js-switch-case-and-default",
+        "switch (x) { case 1: y; break; default: z;}", {
+            ":program": ["x"], "x": ["case 1:", "default:"],
+            "case 1:": ["1"], "1": ["y"], "y": ["break;"],
+            "break;": ["RET"], "default:": ["z"], "z": ["RET"]}),
+]

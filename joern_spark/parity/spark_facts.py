@@ -1,0 +1,192 @@
+"""Distributed parity-fact extraction + scoring.
+
+Same fact semantics as the pure-Python extractor in ``joern_spark.parity``
+(that one renders the DuckDB oracle), but computed through the REAL
+distributed plan: the corpus becomes a source table, parsing runs through
+``parse_source``'s Arrow-batched ``mapInPandas``, intra-method edges come
+from the fused per-method kernels, and scoring is a broadcast join against
+the (tiny, transcribed) expectation table. The want side is constants —
+scoring here measures parity with the reference, while the driver's
+Spark-vs-DuckDB comparison checks this plan against the sequential scorer.
+
+Scale shape: facts are per-(case/file) local — everything before the final
+aggregate partitions by file with no shuffle except the closure joins
+(depth-bounded semi-naive doubling, log2(max chain) rounds) and the final
+tiny groupBy. At a 10^12-file corpus the same plan scores parity on a
+sampled fixture partition; nothing here is corpus-global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from joern_spark import model as M
+from joern_spark import parity as P
+
+
+def corpus_source(spark: SparkSession) -> DataFrame:
+    rows = [("parity", P.case_path(c), "f" * 40,
+             "cpp" if c["lang"] == "cpp" else c["lang"], P.case_content(c))
+            for c in P.corpus()]
+    return spark.createDataFrame(rows, M.SOURCE_SCHEMA)
+
+
+def want_table(spark: SparkSession) -> DataFrame:
+    rows = []
+    for c in P.corpus():
+        for rel, s, o in P.want_facts(c):
+            rows.append((c["lang"], c["name"], rel, s, o))
+    return spark.createDataFrame(
+        rows, "lang string, kase string, relation string, subj string, obj string")
+
+
+def _display_code():
+    return F.when(F.col("kind") == M.METHOD, F.col("name")) \
+            .otherwise(F.coalesce(F.col("code"), F.lit("")))
+
+
+def _closure(edges: DataFrame, rounds: int = 6) -> DataFrame:
+    """Transitive closure by doubling: depth 2^rounds covers every chain in
+    the fixture corpus (and the round count is fixed — no driver-side
+    convergence probing, so the plan is static). Node ids hash the file path,
+    so id-equality joins are per-case by construction."""
+    c = edges.select("src", "dst").distinct()
+    for _ in range(rounds):
+        step = (c.alias("a")
+                .join(c.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .select(F.col("a.src").alias("src"),
+                        F.col("b.dst").alias("dst")))
+        c = c.unionByName(step).distinct()
+    return c
+
+
+def spark_facts(spark: SparkSession) -> DataFrame:
+    """-> (lang, kase, relation, subj, obj) over the whole corpus."""
+    from joern_spark.operators.parse import intra_edges, parse_source, with_ids
+
+    src = corpus_source(spark).repartition(8, "path")
+    nodes = with_ids(parse_source(src)).filter(F.col("parse_error") == "")
+    nodes = nodes.localCheckpoint(eager=True)  # tiny; parsed once
+
+    case_of = F.regexp_replace(F.col("path"), r"\.(c|cpp|java|js)$", "")
+    base = nodes.withColumn("kase", case_of).withColumn("dc", _display_code())
+
+    cfgn = base.filter(~F.col("kind").isin(*P.NON_CFG_KINDS))
+    w_plain = Window.partitionBy("kase", "dc").orderBy("node_idx")
+    w_kind = Window.partitionBy("kase", "dc", "kind").orderBy("node_idx")
+    keyed = (cfgn.withColumn("i_plain", F.row_number().over(w_plain) - 1)
+             .withColumn("i_kind", F.row_number().over(w_kind) - 1))
+    # every CFG node addressed in both spellings (plain + kind-qualified),
+    # exactly like the sequential extractor
+    subj_keys = keyed.select(
+        "lang", "kase", "id", "dc",
+        F.explode(F.array(
+            F.concat_ws("", F.col("dc"), F.lit("@"), F.col("i_plain")),
+            F.concat_ws("", F.col("dc"), F.lit("@"), F.col("i_kind"),
+                        F.lit("#"), F.col("kind")))).alias("subj"))
+    dst_code = keyed.select(F.col("id").alias("dst_id"),
+                            F.col("dc").alias("obj"),
+                            F.col("kase").alias("dst_kase"))
+
+    ie = intra_edges(nodes)
+    out = []
+
+    def edge_facts(label: str, rel: str, edges: DataFrame) -> DataFrame:
+        return (edges.filter(F.col("label") == label)
+                .join(subj_keys, subj_keys.id == F.col("src"))
+                .join(dst_code, dst_code.dst_id == F.col("dst"))
+                .select("lang", "kase", F.lit(rel).alias("relation"),
+                        "subj", "obj"))
+
+    out.append(edge_facts(M.CFG, "cfg", ie))
+
+    # transitive relations over the per-method dominator/CDG trees
+    cdg_closed = _closure(ie.filter(F.col("label") == M.CDG))
+    call_ids = base.filter(F.col("kind") == M.CALL).select(
+        F.col("id").alias("ctl_id"))
+    out.append(  # controlledBy, controllers restricted to CALL nodes
+        cdg_closed.join(call_ids, cdg_closed.src == F.col("ctl_id"))
+        .join(subj_keys, subj_keys.id == cdg_closed.dst)
+        .join(dst_code, dst_code.dst_id == cdg_closed.src)
+        .select("lang", "kase", F.lit("cdg").alias("relation"), "subj", "obj"))
+
+    dom_closed = _closure(ie.filter(F.col("label") == M.DOMINATE))
+    out.append(  # dominatedBy restricted to CALL dominators
+        dom_closed.join(call_ids, dom_closed.src == F.col("ctl_id"))
+        .join(subj_keys, subj_keys.id == dom_closed.dst)
+        .join(dst_code, dst_code.dst_id == dom_closed.src)
+        .select("lang", "kase", F.lit("domby").alias("relation"), "subj", "obj"))
+    out.append(  # strict dominates (all node kinds)
+        dom_closed
+        .join(subj_keys, subj_keys.id == dom_closed.src)
+        .join(dst_code, dst_code.dst_id == dom_closed.dst)
+        .select("lang", "kase", F.lit("dom").alias("relation"), "subj", "obj"))
+
+    # named call sites per enclosing method
+    methods = base.filter(F.col("kind") == M.METHOD).select(
+        F.col("id").alias("mid"), F.col("name").alias("mname"))
+    out.append(
+        base.filter((F.col("kind") == M.CALL)
+                    & ~F.col("name").startswith("<operator>"))
+        .join(methods, F.col("method_id") == F.col("mid"))
+        .select("lang", "kase", F.lit("calls").alias("relation"),
+                F.col("mname").alias("subj"), F.col("name").alias("obj")))
+
+    # inheritsFrom (TypeHierarchyPass explode shape)
+    out.append(
+        base.filter((F.col("kind") == M.TYPE_DECL)
+                    & F.col("inherits_from").isNotNull())
+        .select("lang", "kase", F.lit("inherits").alias("relation"),
+                F.col("name").alias("subj"),
+                F.explode("inherits_from").alias("obj")))
+
+    facts = out[0]
+    for df in out[1:]:
+        facts = facts.unionByName(df)
+    return facts.distinct()
+
+
+def parity_scores(spark: SparkSession) -> DataFrame:
+    """-> (lang, relation, tp, fp, fn, precision, recall), one row per
+    (lang, relation) — the driver-facing cpg_parity result."""
+    want = want_table(spark)
+    got = spark_facts(spark)
+
+    w_scope = want.select("lang", "kase", "relation", "subj").distinct()
+    want_rows = want.filter(F.col("obj") != "")
+    keys = ["lang", "kase", "relation", "subj", "obj"]
+    # produced facts count only for subjects the reference asserts about
+    got_scoped = got.join(F.broadcast(w_scope),
+                          ["lang", "kase", "relation", "subj"], "leftsemi")
+    j = (got_scoped.withColumn("got", F.lit(1))
+         .join(want_rows.withColumn("want", F.lit(1)), keys, "full_outer"))
+    partial = F.col("relation").isin(*P.PARTIAL_RELATIONS)
+    scored = j.select(
+        "lang", "relation",
+        F.when(F.col("got").isNotNull() & F.col("want").isNotNull(), 1)
+         .otherwise(0).alias("tp"),
+        F.when(F.col("got").isNotNull() & F.col("want").isNull() & ~partial, 1)
+         .otherwise(0).alias("fp"),
+        F.when(F.col("got").isNull() & F.col("want").isNotNull(), 1)
+         .otherwise(0).alias("fn"))
+    agg = scored.groupBy("lang", "relation").agg(
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"))
+    # keep (lang, relation) groups whose assertions are all empty-set (zero
+    # tp/fp/fn) visible — e.g. java/dom "dominates nothing"
+    grid = want.select("lang", "relation").distinct()
+    agg = (grid.join(agg, ["lang", "relation"], "left")
+           .fillna(0, ["tp", "fp", "fn"]))
+    # precision/recall in basis points (int) — float-free so the driver's
+    # DuckDB-vs-Spark value hash is representation-stable
+    return agg.select(
+        "lang", "relation",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round(F.when(F.col("tp") + F.col("fp") > 0,
+                       10000 * F.col("tp") / (F.col("tp") + F.col("fp")))
+                .otherwise(F.lit(10000))).cast("long").alias("precision_bp"),
+        F.round(F.when(F.col("tp") + F.col("fn") > 0,
+                       10000 * F.col("tp") / (F.col("tp") + F.col("fn")))
+                .otherwise(F.lit(10000))).cast("long").alias("recall_bp"))
