@@ -108,6 +108,75 @@ class ParseError(Exception):
     pass
 
 
+# --------------------------------------------------------------------------- #
+# Preprocessor macros (c2cpg MacroHandler.scala / MacroArgumentExtractor.scala)
+# --------------------------------------------------------------------------- #
+
+class Macro:
+    __slots__ = ("name", "params", "body", "code", "line")
+
+    def __init__(self, name, params, body, code, line):
+        self.name, self.params, self.body = name, params, body
+        self.code, self.line = code, line
+
+
+_DEFINE_RE = re.compile(r"[ \t]*#[ \t]*define[ \t]+(\w+)")
+
+
+def scan_macros(src: str) -> dict[str, Macro]:
+    """Collect #define directives (object- and function-like, with
+    backslash continuations). The tokenizer still drops the directive lines;
+    expansion happens at parse time (parse_macro_invocation)."""
+    macros: dict[str, Macro] = {}
+    lines = src.split("\n")
+    idx = 0
+    while idx < len(lines):
+        start_line = idx + 1
+        joined = lines[idx]
+        while joined.rstrip().endswith("\\") and idx + 1 < len(lines):
+            idx += 1
+            joined = joined.rstrip()[:-1] + " " + lines[idx]
+        idx += 1
+        m = _DEFINE_RE.match(joined)
+        if not m:
+            continue
+        name = m.group(1)
+        rest = joined[m.end():]
+        params = None
+        if rest.startswith("("):
+            close = rest.find(")")
+            if close == -1:
+                continue
+            inner = rest[1:close].strip()
+            params = [p.strip() for p in inner.split(",") if p.strip()] if inner else []
+            rest = rest[close + 1:]
+        body = rest.strip()
+        if "#" in body:
+            # stringize/paste (# / ##) is not expandable textually — keep the
+            # macro opaque (invocations degrade to a plain call, like the
+            # reference's unparseable-expansion fallback)
+            continue
+        macros[name] = Macro(name, params, body, joined.strip(), start_line)
+    return macros
+
+
+def substitute_params(body: str, params: list[str], args: list[str],
+                      keywords: frozenset) -> str:
+    """Token-boundary-aware parameter substitution that preserves the
+    original body spacing (expansion node code strings mirror the #define
+    text, like CDT's rawSignature). No # / ## support."""
+    pmap = dict(zip(params, args))
+    out = []
+    last = 0
+    for t in tokenize(body, keywords):
+        if t.t == "id" and t.v in pmap:
+            out.append(body[last:t.a])
+            out.append(pmap[t.v])
+            last = t.b
+    out.append(body[last:])
+    return "".join(out)
+
+
 class CParser:
     """One instance per file. ``parse()`` returns list of root N nodes."""
 
@@ -127,6 +196,12 @@ class CParser:
         self.global_block = f"{path}:{M.GLOBAL}"
         self.typedefs: set[str] = set()
         self.declared_types: dict[str, str] = {}  # simple name -> qualified fullname
+        # preprocessor macro state (MacroHandler analogue)
+        self.macros: dict[str, Macro] = scan_macros(content)
+        self.expanding: set[str] = set()
+        self.in_expansion = False
+        self.macro_methods: list[N] = []
+        self.macro_stubbed: set[str] = set()
 
     # ---------------- token helpers ----------------
     def peek(self, k=0) -> Tok | None:
@@ -262,6 +337,9 @@ class CParser:
                     roots.extend(node)
                 else:
                     roots.append(node)
+        # macro METHOD stubs for every expanded macro (one per fullname,
+        # MacroHandler.createMacroMethodStub)
+        roots.extend(getattr(self, "macro_methods", []))
         return roots
 
     def parse_top_level(self):
@@ -1028,6 +1106,11 @@ class CParser:
         t = self.peek()
         if t is None:
             raise ParseError("EOF in expression")
+        if t.t == "id" and t.v in getattr(self, "macros", ()) \
+                and t.v not in getattr(self, "expanding", ()):
+            node = self.parse_macro_invocation()
+            if node is not None:
+                return self.parse_postfix_ops(node, t)
         if t.v == "&&":
             # GNU address-of-label: &&foo
             amp = self.next()
@@ -1198,6 +1281,139 @@ class CParser:
                 node = call
             else:
                 return node
+
+    # ---------------- macro expansion (MacroHandler.scala:31-118) -----------
+
+    def _macro_subparser(self, text: str) -> "CParser":
+        """Child parser over expansion/argument text sharing scope + macro
+        state with this parser (refs inside expansions resolve in context)."""
+        sub = CParser(text, self.path, self.lang)
+        sub.scopes = self.scopes
+        sub.ns = self.ns
+        sub.typedefs = self.typedefs
+        sub.declared_types = self.declared_types
+        sub.macros = self.macros
+        sub.expanding = self.expanding
+        sub.in_expansion = True
+        sub.macro_methods = self.macro_methods
+        sub.macro_stubbed = self.macro_stubbed
+        return sub
+
+    def _parse_fragment(self, text: str, line: int) -> N | None:
+        """Parse macro-expansion text: as one expression if possible, else as
+        a statement list wrapped in a BLOCK (do-while macro bodies)."""
+        try:
+            sub = self._macro_subparser(text)
+            node = sub.parse_expression()
+            if sub.peek() is not None:
+                raise ParseError("trailing tokens after expression")
+            return node
+        except (ParseError, RecursionError, IndexError):
+            pass
+        sub = self._macro_subparser(text)
+        blk = N(M.BLOCK, code="", line=line, type_full_name="void")
+        while sub.peek() is not None:
+            blk.add(*sub.parse_statement())
+        return blk if blk.children else None
+
+    def parse_macro_invocation(self) -> N | None:
+        """Expand a macro use: the expansion parses in scope (its nodes join
+        the graph as normal STATIC_DISPATCH lowering), wrapped under a CALL
+        named after the macro with INLINED dispatch and the raw invocation
+        text as code; the macro also gets a METHOD stub
+        (MacroHandlingTests.scala:27-73, fullname `<file>:NAME:ANY(n)`)."""
+        name_tok = self.peek()
+        mac = self.macros[name_tok.v]
+        if mac.params is not None and not self.at("(", 1):
+            return None  # function-like macro without args is not expanded
+        self.next()
+        end_tok = name_tok
+        arg_texts: list[str] = []
+        if mac.params is not None:
+            self.next()  # (
+            depth, cur = 1, []
+            while True:
+                tok = self.next()
+                if tok.v == "(":
+                    depth += 1
+                elif tok.v == ")":
+                    depth -= 1
+                    if depth == 0:
+                        if cur:
+                            arg_texts.append(self.src[cur[0].a:cur[-1].b])
+                        end_tok = tok
+                        break
+                elif tok.v == "," and depth == 1:
+                    if cur:
+                        arg_texts.append(self.src[cur[0].a:cur[-1].b])
+                    cur = []
+                    continue
+                cur.append(tok)
+        raw = self.slice(name_tok, end_tok)
+        n_args = len(arg_texts)
+
+        body = mac.body
+        if mac.params:
+            body = substitute_params(body, mac.params, arg_texts,
+                                     self.KEYWORD_SET)
+        expansion = None
+        if body.strip():
+            self.expanding.add(mac.name)
+            try:
+                expansion = self._parse_fragment(body, name_tok.line)
+            except (ParseError, RecursionError, IndexError):
+                expansion = None  # unparseable expansion: keep the bare call
+            finally:
+                self.expanding.discard(mac.name)
+
+        if self.in_expansion:
+            # a nested macro inside another expansion inlines WITHOUT its own
+            # call wrapper (MacroHandler.extractMatchingMacro filters nodes
+            # whose parent is expanded from the same location)
+            if expansion is not None:
+                return expansion
+            return N(M.IDENTIFIER, code=raw, name=mac.name,
+                     line=name_tok.line, type_full_name=M.ANY)
+
+        sig = f"{M.ANY}({n_args})"
+        mfn = f"{self.path}:{mac.name}:{sig}"
+        call = N(M.CALL, code=raw, name=mac.name, method_full_name=mfn,
+                 signature=sig, dispatch_type=M.INLINED, line=name_tok.line,
+                 type_full_name=M.ANY)
+        for i, at_ in enumerate(arg_texts, start=1):
+            try:
+                sub = self._macro_subparser(at_)
+                a = sub.parse_expression()
+                if sub.peek() is not None:
+                    raise ParseError("trailing tokens in macro argument")
+            except (ParseError, RecursionError, IndexError):
+                a = N(M.UNKNOWN, code=at_, line=name_tok.line)
+            a.arg_index = i
+            call.add(a)
+        if expansion is not None:
+            if expansion.kind != M.BLOCK:
+                blk = N(M.BLOCK, code="", line=name_tok.line,
+                        type_full_name="void")
+                blk.add(expansion)
+                expansion = blk
+            # AST child only — no ARGUMENT edge: the reference connects the
+            # expansion via withChild, so `.argument` yields only macro args
+            expansion.arg_index = -1
+            call.add(expansion)
+        if mfn not in self.macro_stubbed:
+            self.macro_stubbed.add(mfn)
+            m = N(M.METHOD, code=mac.code, name=mac.name, full_name=mfn,
+                  signature=sig, line=mac.line,
+                  ast_parent_type=M.NAMESPACE_BLOCK,
+                  ast_parent_full_name=self.global_block)
+            for i in range(1, n_args + 1):
+                m.add(N(M.METHOD_PARAMETER_IN, code=f"p{i}", name=f"p{i}",
+                        type_full_name=M.ANY, param_index=i, line=mac.line,
+                        evaluation_strategy=M.BY_VALUE))
+            m.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
+                    evaluation_strategy=M.BY_VALUE, line=mac.line))
+            self.macro_methods.append(m)
+        return call
 
     def build_call(self, callee: N, start: Tok) -> N:
         self.next()  # (

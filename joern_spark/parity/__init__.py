@@ -90,7 +90,7 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
                 out.append((rel, subj, ""))  # empty-set assertion marker
             for o in objs:
                 out.append((rel, subj, o))
-    for rel in ("calls", "inherits", "declares"):
+    for rel in ("calls", "inherits", "declares", "methods"):
         for s, o in (case.get(rel) or []):
             out.append((rel, s, o))
     return out
@@ -118,7 +118,12 @@ def _parse_rows(case: dict) -> list[dict]:
 
 
 def display_code(r: dict) -> str:
-    return r["name"] if r["kind"] == M.METHOD else (r["code"] or "")
+    """Reference-style display code; empty codes (e.g. synthetic BLOCKs) map
+    to the reference's `<empty>` sentinel (Defines.scala) so they cannot
+    collide with the want-table's empty-set marker."""
+    if r["kind"] == M.METHOD:
+        return r["name"]
+    return r["code"] or "<empty>"
 
 
 def _method_edges(rows: list[dict]):
@@ -246,6 +251,11 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
             if p is not None:
                 for k in keys.get(p["node_idx"], []):
                     out.add(("ast", k, display_code(r)))
+
+    if case.get("methods") is not None:
+        for r in rows:
+            if r["kind"] == M.METHOD:
+                out.add(("methods", r["name"], r["full_name"]))
     return out
 
 

@@ -41,8 +41,10 @@ def want_table(spark: SparkSession) -> DataFrame:
 
 
 def _display_code():
-    return F.when(F.col("kind") == M.METHOD, F.col("name")) \
-            .otherwise(F.coalesce(F.col("code"), F.lit("")))
+    code = F.coalesce(F.col("code"), F.lit(""))
+    return (F.when(F.col("kind") == M.METHOD, F.col("name"))
+            .when(code == "", F.lit("<empty>"))
+            .otherwise(code))
 
 
 def _closure(edges: DataFrame, rounds: int = 6) -> DataFrame:
@@ -139,6 +141,19 @@ def spark_facts(spark: SparkSession) -> DataFrame:
         .select("lang", "kase", F.lit("inherits").alias("relation"),
                 F.col("name").alias("subj"),
                 F.explode("inherits_from").alias("obj")))
+
+    # astChildren of keyed (CFG-universe) parents
+    children = base.select(F.col("parent_id").alias("pid"),
+                           F.col("dc").alias("obj"))
+    out.append(
+        children.join(subj_keys, subj_keys.id == F.col("pid"))
+        .select("lang", "kase", F.lit("ast").alias("relation"), "subj", "obj"))
+
+    # method (name, fullname) pairs
+    out.append(
+        base.filter(F.col("kind") == M.METHOD)
+        .select("lang", "kase", F.lit("methods").alias("relation"),
+                F.col("name").alias("subj"), F.col("full_name").alias("obj")))
 
     facts = out[0]
     for df in out[1:]:
