@@ -74,12 +74,23 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """
 
 
+SHINGLE_DF_CAP = 50  # drop shingles present in more than this many docs
+
+
 def shingle_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram near-dup: doc pairs sharing >= 3 distinct 8-word shingles.
     The join key is the shingle itself — at web scale hot shingles
-    (boilerplate) are the skew risk; AQE skew-join splitting handles them,
-    and the distinct() before the self-join caps per-doc fanout."""
+    (boilerplate headers/footers) are the scale killer: a shingle shared by
+    d documents yields d^2/2 pairs, which no AQE split can shrink. Shingles
+    with document frequency > SHINGLE_DF_CAP are therefore excluded BEFORE
+    the self-join (they carry no dedup signal — near-dup pairs share many
+    rare shingles); the hot set is tiny at any scale → broadcast anti-join.
+    Residual skew under the cap is AQE's skew-join split."""
     sh = _shingles(_docs(spark, sf_dir)).distinct()
+    hot = (sh.groupBy("s").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > SHINGLE_DF_CAP)
+           .select("s"))
+    sh = sh.join(F.broadcast(hot), "s", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     return (a.join(b, (F.col("a.s") == F.col("b.s"))
@@ -96,9 +107,12 @@ WITH words AS (
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(w[i : i + {SHINGLE_W - 1}], ' ') AS s
   FROM words, unnest(generate_series(1, len(w) - {SHINGLE_W - 1})) AS t(i)
+), cold AS (
+  SELECT * FROM sh WHERE s NOT IN (
+    SELECT s FROM sh GROUP BY s HAVING count(*) > {SHINGLE_DF_CAP})
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_shingles
-FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 3
 """
 
@@ -190,26 +204,130 @@ WHERE CAST(({agree}) AS DOUBLE) / {N_PERM} >= 0.5
 """
 
 
+_HEX = "0123456789abcdef"
+_POPCNT4 = "0112122312232334"  # popcount lookup for a 4-bit value
+SIMHASH_BANDS = 4              # 4 bands x 16 bits for Hamming bucketing
+SIMHASH_HAM_MAX = 3            # near-dup threshold on 64-bit Hamming distance
+
+
+def _hexdigit(col):
+    """hex char -> 0..15 — portable across Spark and DuckDB (instr trick)."""
+    return F.expr(f"instr('{_HEX}', {col}) - 1")
+
+
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document over word tokens (xxhash64 token hashes,
-    bitwise majority vote). Pure JVM expressions — the 64 bit-sums are one
-    partial aggregate; no oracle (xxhash64 is Spark-specific), driver records
-    the rows-only check."""
+    """64-bit SimHash per document over word tokens: token bits come from
+    the first 16 hex chars of md5(token) (same value in any engine → the
+    oracle is bit-exact), bitwise majority vote, emitted as a 16-char hex
+    string. One partial aggregate (64 conditional sums), shuffle only on
+    doc_id; NO global sort — the output is an unordered relation."""
     toks = (_words(_docs(spark, sf_dir))
             .select("doc_id", F.explode("w").alias("tok"))
-            .withColumn("h", F.xxhash64("tok")))
-    bit_sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-              .otherwise(-1)).alias(f"b{b}")
-        for b in range(64)
+            .withColumn("h", F.substring(F.md5("tok"), 1, 16)))
+    for p in range(16):
+        toks = toks.withColumn(f"d{p}", _hexdigit(f"substring(h, {p + 1}, 1)"))
+    sums = [
+        F.sum(F.when(F.shiftright(F.col(f"d{p}"), k).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"b{p}_{k}")
+        for p in range(16) for k in range(4)
     ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
-    sim = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")
-        sim = term if sim is None else sim + term
-    return agg.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+    agg = toks.groupBy("doc_id").agg(*sums)
+    digits = []
+    for p in range(16):
+        v = None
+        for k in range(4):
+            bit = F.when(F.col(f"b{p}_{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+            v = bit if v is None else v + bit
+        digits.append(F.substring(F.lit(_HEX), 1, 16).substr(v + 1, F.lit(1)))
+    return agg.select("doc_id", F.concat(*digits).alias("simhash"))
+
+
+def _simhash_sql_core() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ((instr('{_HEX}', substr(h, {p + 1}, 1)) - 1) >> {k}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{p}_{k}"
+        for p in range(16) for k in range(4))
+    digits = ", ".join(
+        "substr('" + _HEX + "', ("
+        + " + ".join(f"(CASE WHEN b{p}_{k} > 0 THEN {1 << k} ELSE 0 END)"
+                     for k in range(4))
+        + ") + 1, 1)"
+        for p in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents)
+), bits AS (
+  SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, concat({digits}) AS simhash FROM bits
+)"""
+
+
+SIMHASH_SQL = _simhash_sql_core() + "\nSELECT doc_id, simhash FROM sig"
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairing: candidates bucket on 16-bit bands (a pair
+    within Hamming distance 3 of 64 bits agrees exactly on at least one of
+    the 4 bands — pigeonhole), then the true Hamming distance filters at
+    <= SIMHASH_HAM_MAX. Band value is the join key → no all-pairs join; the
+    verify join re-reads only the candidate rows."""
+    sig = simhash64(spark, sf_dir).cache()
+    cand = None
+    for b in range(SIMHASH_BANDS):
+        band = sig.select("doc_id",
+                          F.substring("simhash", b * 4 + 1, 4).alias("band"))
+        a, c = band.alias("a"), band.alias("b")
+        p = (a.join(c, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b")))
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    j = cand.join(sa, "doc_a").join(sb, "doc_b")
+    ham = None
+    for p in range(16):
+        va = _hexdigit(f"substring(ha, {p + 1}, 1)")
+        vb = _hexdigit(f"substring(hb, {p + 1}, 1)")
+        x = (va.bitwiseOR(vb) - va.bitwiseAND(vb))  # xor via | minus &
+        pc = F.substring(F.lit(_POPCNT4), 1, 16).substr(x + 1, F.lit(1)).cast("int")
+        ham = pc if ham is None else ham + pc
+    return (j.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= SIMHASH_HAM_MAX))
+
+
+def simhash_pairs_sql() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        f"FROM band{b} a JOIN band{b} b "
+        f"ON a.band = b.band AND a.doc_id < b.doc_id"
+        for b in range(SIMHASH_BANDS))
+    band_ctes = ", ".join(
+        f"band{b} AS (SELECT doc_id, substr(simhash, {b * 4 + 1}, 4) AS band FROM sig)"
+        for b in range(SIMHASH_BANDS))
+    ham = " + ".join(
+        f"CAST(substr('{_POPCNT4}', "
+        f"((va{p} | vb{p}) - (va{p} & vb{p})) + 1, 1) AS BIGINT)"
+        for p in range(16))
+    digits = ", ".join(
+        f"instr('{_HEX}', substr(sa.simhash, {p + 1}, 1)) - 1 AS va{p}, "
+        f"instr('{_HEX}', substr(sb.simhash, {p + 1}, 1)) - 1 AS vb{p}"
+        for p in range(16))
+    return _simhash_sql_core() + f"""
+, {band_ctes}
+, cand AS (SELECT DISTINCT doc_a, doc_b FROM ({bands}))
+, digits AS (
+  SELECT cand.doc_a, cand.doc_b, {digits}
+  FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+            JOIN sig sb ON cand.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, ({ham}) AS hamming
+FROM digits WHERE ({ham}) <= {SIMHASH_HAM_MAX}
+"""
 
 
 # --------------------------------------------------------------------------- #
@@ -371,32 +489,58 @@ FROM ranked WHERE rnk <= 3
 """
 
 
-def knn_lsh(spark: SparkSession, sf_dir: str, n_probes: int = 8,
-            k: int = 3, n_planes: int = 8) -> DataFrame:
-    """Approximate KNN via random-hyperplane LSH buckets: corpus is hashed
-    once into sign-pattern buckets (deterministic planes derived from
-    dimension parity — no RNG, resume-safe), probes only compare within
-    their bucket. The scale path: bucket key is the shuffle key; bucket
-    population is ~n/2^planes. Rows-only check (LSH recall is approximate
-    by design)."""
-    from pyspark.sql import Window
-    e = _embs(spark, sf_dir).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    # plane p = alternating ±1 with period (p+2): deterministic pseudo-planes
+# LSH hyperplane count: at scale this is log2(n_vectors / target_bucket) —
+# bucket population n/2^planes stays ~constant (target ~128) as the corpus
+# grows, which is the whole scaling story of the index. The fixture corpus
+# (500 near-uniform synthetic vectors, max cosine ~0.4 → per-plane flip
+# probability ~0.37 for a true neighbor) uses 4 planes + distance-1
+# multi-probe; measured recall@k is reported by ann_knn_lsh_recall — on
+# real clustered embeddings (flip prob 0.1-0.2) the same setting yields
+# 0.8+ recall.
+N_PLANES = 4
+
+
+def _lsh_buckets(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Sign-pattern bucket per vector from deterministic md5-derived
+    hyperplanes: plane p's sign at dimension i is -1 iff the first hex char
+    of md5('p:i') is >= '8' — unbiased pseudo-random planes, identical in
+    any engine with md5 (resume-safe, oracle-exact). The projection is
+    integer-valued (components quantized at 1e3) so its sign never depends
+    on floating-point summation order."""
     sig = None
     for p in range(n_planes):
         proj = F.aggregate(
-            F.zip_with(F.col("v"),
-                       F.transform(F.sequence(F.lit(0), F.size("v") - 1),
-                                   lambda i: F.when((i / (p + 2)).cast("int") % 2 == 0,
-                                                    F.lit(1.0)).otherwise(F.lit(-1.0))),
-                       lambda x, s: x * s),
-            F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+            F.zip_with(
+                F.col("v"),
+                F.transform(F.sequence(F.lit(0), F.size("v") - 1),
+                            lambda i: F.when(
+                                F.substring(F.md5(F.concat(F.lit(f"{p}:"),
+                                                           i.cast("string"))), 1, 1)
+                                .isin(*"89abcdef"), F.lit(-1)).otherwise(F.lit(1))),
+                lambda x, s: F.round(x * 1000).cast("long") * s),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
         bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
         sig = bit if sig is None else sig * 2 + bit
-    eb = e.withColumn("bucket", sig)
-    probes = eb.filter(F.col("vec_id") < n_probes).select(
-        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"), "bucket")
+    return e.withColumn("bucket", sig.cast("long"))
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str, n_probes: int = 8,
+            k: int = 3, n_planes: int = N_PLANES) -> DataFrame:
+    """Approximate KNN via random-hyperplane LSH buckets with multi-probe:
+    each probe searches its own bucket plus every bucket at Hamming
+    distance 1 in the sign pattern (n_planes+1 buckets), the standard
+    recall-vs-cost lever. Bucket key is the join key → per-bucket
+    population ~n/2^planes; probes are tiny → broadcast."""
+    from pyspark.sql import Window
+    e = _embs(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    eb = _lsh_buckets(e, n_planes)
+    flips = F.array(F.lit(0), *[F.lit(1 << b) for b in range(n_planes)])
+    probes = (eb.filter(F.col("vec_id") < n_probes)
+              .select(F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"),
+                      F.explode(F.transform(
+                          flips, lambda m: F.col("bucket").bitwiseXOR(m.cast("long"))))
+                      .alias("bucket")))
     sim = (eb.join(F.broadcast(probes), "bucket")
            .filter(F.col("vec_id") != F.col("probe_id"))
            .select("probe_id", "vec_id", _cosine(F.col("pv"), F.col("v")).alias("sim")))
@@ -406,6 +550,78 @@ def knn_lsh(spark: SparkSession, sf_dir: str, n_probes: int = 8,
             .select("probe_id", F.col("rnk").cast("long").alias("rnk"),
                     F.col("vec_id").alias("neighbor_id"),
                     F.round("sim", 3).alias("sim")))
+
+
+def _lsh_sql_core(n_planes: int = N_PLANES) -> str:
+    """DuckDB mirror of _lsh_buckets + multi-probe candidate set."""
+    planes = []
+    for p in range(n_planes):
+        planes.append(
+            "(SELECT sum(CAST(round(v[i + 1] * 1000) AS BIGINT) * "
+            f"(CASE WHEN substr(md5('{p}:' || i), 1, 1) IN "
+            "('8','9','a','b','c','d','e','f') THEN -1 ELSE 1 END)) "
+            "FROM unnest(generate_series(0, len(v) - 1)) AS t(i))")
+    bits = " + ".join(
+        f"(CASE WHEN ({proj}) >= 0 THEN {1 << (n_planes - 1 - p)} ELSE 0 END)"
+        for p, proj in enumerate(planes))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+eb AS (SELECT vec_id, v, ({bits}) AS bucket FROM e)"""
+
+
+def knn_lsh_sql(n_probes: int = 8, k: int = 3,
+                n_planes: int = N_PLANES) -> str:
+    flips = ", ".join(["0"] + [str(1 << b) for b in range(n_planes)])
+    return _lsh_sql_core(n_planes) + f"""
+, probes AS (
+  SELECT vec_id AS probe_id, v AS pv, xor(bucket, m) AS bucket
+  FROM eb, unnest([{flips}]) AS t(m) WHERE vec_id < {n_probes}
+), sim AS (
+  SELECT probe_id, vec_id, list_cosine_similarity(pv, v) AS sim
+  FROM eb JOIN probes USING (bucket) WHERE vec_id <> probe_id
+), ranked AS (
+  SELECT probe_id, vec_id, sim,
+         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id ASC) AS rnk
+  FROM (SELECT DISTINCT probe_id, vec_id, sim FROM sim)
+)
+SELECT probe_id, rnk, vec_id AS neighbor_id, round(sim, 3) AS sim
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+def knn_lsh_recall(spark: SparkSession, sf_dir: str, n_probes: int = 8,
+                   k: int = 3) -> DataFrame:
+    """Measured recall@k of the LSH index vs exact brute force, per probe —
+    the quality row the approximate path is judged by (basis points, so the
+    oracle compare is float-free)."""
+    lsh = knn_lsh(spark, sf_dir, n_probes=n_probes, k=k).select(
+        "probe_id", "neighbor_id")
+    brute = knn_bruteforce(spark, sf_dir, n_probes=n_probes, k=k).select(
+        "probe_id", "neighbor_id")
+    hits = (brute.join(lsh, ["probe_id", "neighbor_id"], "left_semi")
+            .groupBy("probe_id").agg(F.count("*").alias("found")))
+    base = brute.groupBy("probe_id").agg(F.count("*").alias("expected"))
+    return (base.join(hits, "probe_id", "left").fillna(0, ["found"])
+            .select("probe_id", F.col("expected").cast("long").alias("expected"),
+                    F.col("found").cast("long").alias("found"),
+                    F.round(10000 * F.col("found") / F.col("expected"))
+                    .cast("long").alias("recall_bp")))
+
+
+def knn_lsh_recall_sql(n_probes: int = 8, k: int = 3) -> str:
+    return f"""
+WITH lsh AS ({knn_lsh_sql(n_probes, k)}),
+brute AS ({KNN_SQL}),
+hits AS (
+  SELECT b.probe_id, count(*) AS found
+  FROM brute b JOIN lsh l ON b.probe_id = l.probe_id
+                         AND b.neighbor_id = l.neighbor_id
+  GROUP BY 1
+), base AS (SELECT probe_id, count(*) AS expected FROM brute GROUP BY 1)
+SELECT base.probe_id, expected, coalesce(found, 0) AS found,
+       CAST(round(10000.0 * coalesce(found, 0) / expected) AS BIGINT) AS recall_bp
+FROM base LEFT JOIN hits ON base.probe_id = hits.probe_id
+"""
 
 
 def label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,13 +744,15 @@ DATA_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "dedup_exact": (exact_dup_groups, EXACT_DUP_SQL),
     "dedup_shingle_pairs": (shingle_dup_pairs, SHINGLE_DUP_SQL),
     "dedup_minhash_lsh": (minhash_lsh_pairs, minhash_lsh_sql()),
-    "dedup_simhash": (simhash64, None),
+    "dedup_simhash": (simhash64, SIMHASH_SQL),
+    "dedup_simhash_pairs": (simhash_pairs, simhash_pairs_sql()),
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
     "text_quality": (quality_scores, QUALITY_SQL),
     "text_lang_id": (lang_id, LANG_ID_SQL),
     "text_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
     "ann_knn_bruteforce": (knn_bruteforce, KNN_SQL),
-    "ann_knn_lsh": (knn_lsh, None),
+    "ann_knn_lsh": (knn_lsh, knn_lsh_sql()),
+    "ann_knn_lsh_recall": (knn_lsh_recall, knn_lsh_recall_sql()),
     "emb_label_stats": (label_centroid_stats, CENTROID_SQL),
     "events_daily_rollup": (events_daily, EVENTS_DAILY_SQL),
     "mm_blob_features": (multimodal_features, MULTIMODAL_SQL),

@@ -57,15 +57,19 @@ def _adhoc_scratch_dir() -> str:
 
 def _write_stage(df: DataFrame, out_dir: str, stage: str, fingerprint: str,
                  partition_by: list[str] | None = None) -> DataFrame:
+    from pyspark.sql import Observation
     path = os.path.join(out_dir, stage)
     t0 = time.time()
-    w = df.write.mode("overwrite")
+    # manifest row count rides the write job via observe() — no second
+    # count job over the freshly written parquet
+    obs = Observation(f"rows_{stage}")
+    w = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+    rows = obs.get["rows"]
     spark = df.sparkSession
     out = spark.read.parquet(path)
-    rows = out.count()
     with open(_manifest_path(out_dir, stage), "w") as f:
         json.dump({"stage": stage, "fingerprint": fingerprint, "rows": rows,
                    "wall_sec": round(time.time() - t0, 3)}, f)
@@ -182,9 +186,12 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
         # components; CALL edges rewritten through the canonical map.
         from joern_spark.operators.linking import (canonical_symbol_map,
                                                    canonicalize_call_edges)
-        canonical = canonical_symbol_map(dim_full)
-        if not canonical.isEmpty():
-            edges = canonicalize_call_edges(edges, canonical)
+        # one eager checkpoint materializes the (tiny) canonical map for both
+        # the edge rewrite broadcast and the sink's canonical table — no
+        # separate emptiness probe (rewriting through an empty map is a
+        # no-op left join)
+        canonical = canonical_symbol_map(dim_full).localCheckpoint(eager=True)
+        edges = canonicalize_call_edges(edges, canonical)
 
     if out_dir:
         all_nodes_out = _resume(spark, out_dir, "all_nodes", fp)
