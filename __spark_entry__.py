@@ -225,6 +225,29 @@ def q_cpg_method_stubs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+def q_cpg_dynamic_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC_DISPATCH resolution (SAFEDISPATCH candidates with signature /
+    arity compatibility — DynamicCallLinker.scala:137-141): one row per
+    (caller, call site methodFullName, resolved callee)."""
+    c = _cpg(spark)
+    n, e = c["nodes"], c["edges"]
+    sites = n.filter((F.col("kind") == "CALL")
+                     & (F.col("dispatch_type") == "DYNAMIC_DISPATCH")).select(
+        F.col("id").alias("src"), F.col("code").alias("call_code"),
+        F.col("method_full_name").alias("call_mfn"), F.col("method_id"))
+    callers = n.filter(F.col("kind") == "METHOD").select(
+        F.col("id").alias("method_id"), F.col("full_name").alias("caller_full_name"))
+    targets = n.filter(F.col("kind") == "METHOD").select(
+        F.col("id").alias("dst"), F.col("full_name").alias("callee_full_name"))
+    return (e.filter(F.col("label") == "CALL")
+            .join(sites, "src").join(callers, "method_id").join(targets, "dst")
+            .select(_s("caller_full_name").alias("caller_full_name"),
+                    _s("call_code").alias("call_code"),
+                    _s("call_mfn").alias("call_mfn"),
+                    _s("callee_full_name").alias("callee_full_name"))
+            .distinct())
+
+
 def q_cpg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE north-star metric: P/R per (lang, relation) vs golden expectations
     hand-transcribed from the reference's own test suites (citations in
@@ -273,6 +296,9 @@ def _cpg_oracles() -> dict[str, str]:
         "cpg_method_stubs": O.values_sql(
             sorted({(fn,) for _, fn in O.expected_method_stubs()}),
             ["method_full_name"]),
+        "cpg_dynamic_calls": O.values_sql(
+            O.expected_dynamic_calls(),
+            ["caller_full_name", "call_code", "call_mfn", "callee_full_name"]),
         "cpg_parity": _parity_oracle_sql(),
     }
 
@@ -306,6 +332,7 @@ CPG_QUERIES = {
     "cpg_partition_metrics": q_cpg_partition_metrics,
     "cpg_field_refs": q_cpg_field_refs,
     "cpg_method_stubs": q_cpg_method_stubs,
+    "cpg_dynamic_calls": q_cpg_dynamic_calls,
     "cpg_parity": q_cpg_parity,
 }
 

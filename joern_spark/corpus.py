@@ -72,6 +72,7 @@ class Shape {
  public:
   int sides;
   virtual int area(int s) { return s * s; }
+  virtual int area(int s, int t) { return s * t; }
 };
 class Circle : public Shape {
  public:
@@ -82,7 +83,7 @@ class Square : public Shape {
   int area(int s) { return s * 4; }
 };
 }
-int measure(geo::Shape *p) { return p->area(2); }
+int measure(geo::Shape *p) { return p->area(2) + p->area(2, 5); }
 int pick(geo::Circle *c) { return c->area(1) + measure(c); }
 """
 

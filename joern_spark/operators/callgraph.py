@@ -92,13 +92,26 @@ def dynamic_call_edges(nodes: DataFrame, call_sites: DataFrame,
                        closure: DataFrame | None = None,
                        dim: DataFrame | None = None) -> DataFrame:
     """CALL edges for DYNAMIC_DISPATCH: resolve `T.name` against T and every
-    subclass of T that declares `name` (SAFEDISPATCH candidate set,
-    DynamicCallLinker.scala:63-70)."""
+    subclass of T that declares a COMPATIBLE `name` (SAFEDISPATCH candidate
+    set, DynamicCallLinker.scala:63-70). Compatibility mirrors the
+    reference's (name, signature) staticLookup (DynamicCallLinker.scala:
+    137-141): when the call site carries a resolved signature it must match
+    the candidate's exactly; otherwise (C-family member calls where the
+    frontend cannot type the args) the candidate's signature arity must
+    match the call's recorded arg count — without this, every overload of a
+    virtual method receives spurious CALL edges."""
+    mfn = F.col("method_full_name")
+    base = F.expr("CASE WHEN instr(method_full_name, ':') > 0 THEN "
+                  "substring(method_full_name, 1, instr(method_full_name, ':') - 1) "
+                  "ELSE method_full_name END")
+    call_sig = F.expr("CASE WHEN instr(method_full_name, ':') > 0 THEN "
+                      "substring(method_full_name, instr(method_full_name, ':') + 1) END")
     calls = (call_sites.filter((F.col("dispatch_type") == M.DYNAMIC_DISPATCH)
-                               & (F.col("method_full_name") != "")
-                               & (F.col("method_full_name") != M.UNKNOWN_FULL_NAME))
-             .withColumn("recv_type", F.expr(r"regexp_replace(method_full_name, '\\.[^.]+$', '')"))
-             .withColumn("call_name", F.element_at(F.split("method_full_name", r"\."), -1)))
+                               & (mfn != "") & (mfn != M.UNKNOWN_FULL_NAME))
+             .withColumn("base", base)
+             .withColumn("call_sig", call_sig)
+             .withColumn("recv_type", F.expr(r"regexp_replace(base, '\\.[^.]+$', '')"))
+             .withColumn("call_name", F.element_at(F.split("base", r"\."), -1)))
     if closure is None:
         closure = inheritance_closure(nodes)
     closure = closure.select(F.col("anc").alias("recv_type"), F.col("desc").alias("impl_type"))
@@ -109,9 +122,18 @@ def dynamic_call_edges(nodes: DataFrame, call_sites: DataFrame,
     methods = ((dim if dim is not None else method_dimension(nodes))
                .filter(F.col("m_parent") != "")
                .select(F.col("m_parent").alias("impl_type"), F.col("m_name").alias("call_name"),
-                       F.col("m_id")))
+                       F.col("m_id"), F.col("m_sig")))
     cands = cand_types.join(F.broadcast(methods), "impl_type")
-    j = calls.join(cands, ["recv_type", "call_name"])
+    sig_inner = F.regexp_extract("m_sig", r"\((.*)\)", 1)
+    sig_arity = F.when(F.col("m_sig") == "", F.lit(None)).otherwise(
+        F.when(sig_inner == "", F.lit(0)).otherwise(F.size(F.split(sig_inner, ","))))
+    unresolved_sig = F.col("call_sig").contains(M.UNRESOLVED_SIGNATURE)
+    compatible = F.when(
+        F.col("call_sig").isNotNull() & ~unresolved_sig,
+        F.col("m_sig") == F.col("call_sig"),
+    ).otherwise(  # no resolvable signature at the site: arity gate
+        sig_arity.isNull() | (F.col("nargs") < 0) | (sig_arity == F.col("nargs")))
+    j = calls.join(cands, ["recv_type", "call_name"]).filter(compatible)
     return j.select(*_edge(F.col("id"), F.col("m_id"), M.CALL_EDGE))
 
 

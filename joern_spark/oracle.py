@@ -86,6 +86,74 @@ def expected_static_calls() -> list[tuple[str, str]]:
     return sorted(out)
 
 
+def expected_dynamic_calls() -> list[tuple[str, str, str, str]]:
+    """(caller_full_name, call_code, call_mfn, callee_full_name) — the SAFEDISPATCH
+    candidate resolution re-derived sequentially: receiver type + transitive
+    subtypes, candidates matched on name plus signature (exact when the
+    site has one, arity gate otherwise), mirroring dynamic_call_edges."""
+    import re
+
+    # global method dim + inheritance edges (the distributed linker joins
+    # one global dimension — fullnames are namespace/package-scoped)
+    all_methods: list[dict] = []
+    subs: dict[str, set[str]] = {}
+    for repo, path, commit, lang, rows in local_files():
+        for r in rows:
+            if r["kind"] == M.METHOD:
+                all_methods.append(r)
+            if r["kind"] == M.TYPE_DECL and r.get("inherits_from"):
+                for anc in r["inherits_from"]:
+                    subs.setdefault(anc, set()).add(r["full_name"])
+
+    def descendants(t):
+        out, stack = set(), [t]
+        while stack:
+            cur = stack.pop()
+            for d in subs.get(cur, ()):
+                if d not in out:
+                    out.add(d)
+                    stack.append(d)
+        return out
+
+    def sig_arity(sig):
+        m_ = re.search(r"\((.*)\)", sig)
+        if not m_:
+            return None
+        return 0 if m_.group(1) == "" else len(m_.group(1).split(","))
+
+    out = set()
+    for repo, path, commit, lang, rows in local_files():
+        by_idx = {r["node_idx"]: r for r in rows}
+        for r in rows:
+            if r["kind"] != M.CALL or r["dispatch_type"] != M.DYNAMIC_DISPATCH:
+                continue
+            mfn = r["method_full_name"]
+            if not mfn or mfn == M.UNKNOWN_FULL_NAME:
+                continue
+            base, _, call_sig = mfn.partition(":")
+            if "." not in base:
+                continue
+            recv, _, call_name = base.rpartition(".")
+            impl_types = {recv} | descendants(recv)
+            caller = by_idx.get(r["method_idx"])
+            if caller is None:
+                continue
+            for m in all_methods:
+                if m["name"] != call_name or \
+                        (m["ast_parent_full_name"] or "") not in impl_types:
+                    continue
+                msig = m["signature"] or ""
+                if call_sig and M.UNRESOLVED_SIGNATURE not in call_sig:
+                    ok = msig == call_sig
+                else:
+                    ar = sig_arity(msig)
+                    ok = (ar is None or r["nargs"] < 0 or ar == r["nargs"])
+                if ok:
+                    out.add((caller["full_name"], r["code"], mfn,
+                             m["full_name"]))
+    return sorted(out)
+
+
 def expected_cfg_succ(path_suffix: str) -> list[tuple[str, str, str]]:
     """(method_full_name, src_code, dst_code) CFG triples for one file —
     entry/exit use the reference's markers (method code / RET)."""
