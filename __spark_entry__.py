@@ -225,16 +225,76 @@ def q_cpg_method_stubs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+def q_cpg_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE edges (METHOD_REF → captured outer LOCAL/PARAM, closures
+    named `<lambda>N` — Ast.scala:104, Defines.scala:35), reported per
+    closure method fullname."""
+    c = _cpg(spark)
+    n, e = c["nodes"], c["edges"]
+    inner = n.filter(F.col("kind") == "METHOD").select(
+        F.col("parent_id").alias("src"), F.col("full_name").alias("closure_full_name"),
+        "path")
+    target = n.select(F.col("id").alias("dst"), F.col("name").alias("captured_name"))
+    return (e.filter(F.col("label") == "CAPTURE")
+            .join(inner, "src").join(target, "dst")
+            .select(_s("path").alias("path"),
+                    _s("closure_full_name").alias("closure_full_name"),
+                    _s("captured_name").alias("captured_name"))
+            .distinct())
+
+
+def q_cpg_type_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XTypeRecovery-lite output: JS member calls whose methodFullName was
+    recovered through require() bindings / return-value hops
+    (XTypeRecovery.scala; `<returnValue>` marker per :259)."""
+    from joern_spark.operators.typerecovery import js_mfn_rewrites
+    n = _cpg(spark)["nodes"]
+    rw = js_mfn_rewrites(n.filter(F.col("parse_error") == ""))
+    sites = n.filter(F.col("kind") == "CALL").select(
+        "id", "path", F.col("code").alias("call_code"))
+    return (rw.join(sites, "id")
+            .select(_s("path").alias("path"), _s("call_code").alias("call_code"),
+                    _s("rec_mfn").alias("recovered_mfn"))
+            .distinct())
+
+
+def q_cpg_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """joern-scan analogue: the default query bundles over the fixture CPG
+    (scan/package.scala:17-39; CopyLoops.scala:23-39)."""
+    from joern_spark.scan import run_queries
+    c = _cpg(spark)
+    return (run_queries(c["nodes"], c["edges"])
+            .select(_s("query_name").alias("query_name"), _s("path").alias("path"),
+                    _s("method_full_name").alias("method_full_name"),
+                    F.col("line").cast("long").alias("line"), _s("code").alias("code"))
+            .distinct())
+
+
+def q_cpg_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPORT nodes (#include directives / JS import statements) —
+    XImportsPass analogue."""
+    n = _cpg(spark)["nodes"]
+    return (n.filter(F.col("kind") == "IMPORT")
+            .select(_s("lang").alias("lang"), _s("path").alias("path"),
+                    _s("name").alias("import_entity"), _s("code").alias("code"))
+            .distinct())
+
+
 def q_cpg_dynamic_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC_DISPATCH resolution (SAFEDISPATCH candidates with signature /
     arity compatibility — DynamicCallLinker.scala:137-141): one row per
     (caller, call site methodFullName, resolved callee)."""
+    from joern_spark.operators.typerecovery import js_mfn_rewrites
     c = _cpg(spark)
     n, e = c["nodes"], c["edges"]
-    sites = n.filter((F.col("kind") == "CALL")
-                     & (F.col("dispatch_type") == "DYNAMIC_DISPATCH")).select(
-        F.col("id").alias("src"), F.col("code").alias("call_code"),
-        F.col("method_full_name").alias("call_mfn"), F.col("method_id"))
+    rw = js_mfn_rewrites(n.filter(F.col("parse_error") == ""))
+    sites = (n.filter((F.col("kind") == "CALL")
+                      & (F.col("dispatch_type") == "DYNAMIC_DISPATCH"))
+             .select(F.col("id").alias("src"), F.col("code").alias("call_code"),
+                     F.col("method_full_name"), F.col("method_id"))
+             .join(rw.withColumnRenamed("id", "src"), "src", "left")
+             .withColumn("call_mfn",
+                         F.coalesce("rec_mfn", "method_full_name")))
     callers = n.filter(F.col("kind") == "METHOD").select(
         F.col("id").alias("method_id"), F.col("full_name").alias("caller_full_name"))
     targets = n.filter(F.col("kind") == "METHOD").select(
@@ -299,6 +359,17 @@ def _cpg_oracles() -> dict[str, str]:
         "cpg_dynamic_calls": O.values_sql(
             O.expected_dynamic_calls(),
             ["caller_full_name", "call_code", "call_mfn", "callee_full_name"]),
+        "cpg_imports": O.values_sql(
+            O.expected_imports(), ["lang", "path", "import_entity", "code"]),
+        "cpg_findings": O.values_sql(
+            O.expected_findings(),
+            ["query_name", "path", "method_full_name", "line", "code"]),
+        "cpg_type_recovery": O.values_sql(
+            O.expected_type_recovery(),
+            ["path", "call_code", "recovered_mfn"]),
+        "cpg_captures": O.values_sql(
+            O.expected_captures(),
+            ["path", "closure_full_name", "captured_name"]),
         "cpg_parity": _parity_oracle_sql(),
     }
 
@@ -333,6 +404,10 @@ CPG_QUERIES = {
     "cpg_field_refs": q_cpg_field_refs,
     "cpg_method_stubs": q_cpg_method_stubs,
     "cpg_dynamic_calls": q_cpg_dynamic_calls,
+    "cpg_imports": q_cpg_imports,
+    "cpg_findings": q_cpg_findings,
+    "cpg_type_recovery": q_cpg_type_recovery,
+    "cpg_captures": q_cpg_captures,
     "cpg_parity": q_cpg_parity,
 }
 

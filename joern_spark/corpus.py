@@ -67,6 +67,28 @@ FIXTURE_C_CFG = """int cfg_kitchen_sink(int x, int y) {
 }
 """
 
+FIXTURE_JS_CLOSURES = """function makeCounter() {
+  var count = 0;
+  var inc = function(step) { count = count + step; return count; };
+  var dec = (step) => { count = count - step; return count; };
+  return inc;
+}
+"""
+
+FIXTURE_C_SCAN = """#include <string.h>
+
+void unsafe_read(char *buf) {
+  gets(buf);
+}
+
+void bulk_copy(char *dst, char **src, int n) {
+  for (int i = 0; i < n; i += 1) {
+    memcpy(dst, src[i], 16);
+  }
+  strcpy(dst, src[0]);
+}
+"""
+
 FIXTURE_CPP_SHAPES = """namespace geo {
 class Shape {
  public:
@@ -170,11 +192,13 @@ def fixture_rows() -> list[tuple[str, str, str, str, str]]:
         ("fixtures/c-basics", "src/uaf.c", COMMIT, "c", FIXTURE_C_UAF),
         ("fixtures/c-basics", "src/cfg.c", COMMIT, "c", FIXTURE_C_CFG),
         ("fixtures/c-basics", "src/structs.c", COMMIT, "c", FIXTURE_C_STRUCTS),
+        ("fixtures/c-basics", "src/scan.c", COMMIT, "c", FIXTURE_C_SCAN),
         ("fixtures/cpp-shapes", "src/shapes.cpp", COMMIT, "cpp", FIXTURE_CPP_SHAPES),
         ("fixtures/java-methods", "src/MethodTest.java", COMMIT, "java", FIXTURE_JAVA_METHODS),
         ("fixtures/java-cross", "src/UseHelper.java", COMMIT, "java", FIXTURE_JAVA_USE),
         ("fixtures/java-cross", "src/Helpers.java", COMMIT, "java", FIXTURE_JAVA_HELPERS),
         ("fixtures/js-simple", "src/simple.js", COMMIT, "javascript", FIXTURE_JS_SIMPLE),
+        ("fixtures/js-simple", "src/closures.js", COMMIT, "javascript", FIXTURE_JS_CLOSURES),
     ]
 
 

@@ -121,6 +121,18 @@ class Macro:
 
 
 _DEFINE_RE = re.compile(r"[ \t]*#[ \t]*define[ \t]+(\w+)")
+_INCLUDE_RE = re.compile(r'[ \t]*#[ \t]*include[ \t]*([<"])([^>"]+)[>"]')
+
+
+def scan_includes(src: str) -> list[tuple[str, str, int]]:
+    """[(imported_entity, directive_code, line)] for every #include —
+    IMPORT node source (x2cpg/.../passes/frontend/XImportsPass.scala)."""
+    out = []
+    for i, ln in enumerate(src.split("\n"), start=1):
+        m = _INCLUDE_RE.match(ln)
+        if m:
+            out.append((m.group(2), ln.strip(), i))
+    return out
 
 
 def scan_macros(src: str) -> dict[str, Macro]:
@@ -197,6 +209,7 @@ class CParser:
         self.typedefs: set[str] = set()
         self.declared_types: dict[str, str] = {}  # simple name -> qualified fullname
         # preprocessor macro state (MacroHandler analogue)
+        self.includes = scan_includes(content)
         self.macros: dict[str, Macro] = scan_macros(content)
         self.expanding: set[str] = set()
         self.in_expansion = False
@@ -340,6 +353,10 @@ class CParser:
         # macro METHOD stubs for every expanded macro (one per fullname,
         # MacroHandler.createMacroMethodStub)
         roots.extend(getattr(self, "macro_methods", []))
+        # IMPORT nodes for #include directives (XImportsPass analogue)
+        for entity, code, line in getattr(self, "includes", ()):
+            roots.append(N(M.IMPORT, code=code, name=entity,
+                           full_name=entity, line=line))
         return roots
 
     def parse_top_level(self):

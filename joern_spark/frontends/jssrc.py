@@ -316,17 +316,22 @@ class JsParser(CParser):
             if self.at("default"):
                 self.next()
             return self.parse_statement()
-        # import ... — record as IMPORT node; skip to ;
+        # import ... — record as IMPORT node; skip to ; remembering the
+        # module string (importedEntity, XImportsPass analogue)
         start = t
+        module = ""
         while self.peek() is not None and not self.at(";"):
             if self.at("{"):
                 self.skip_balanced("{", "}")
                 continue
-            self.next()
+            tok = self.next()
+            if tok.t == "str":
+                module = tok.v.strip("'\"`")
         semi = self.toks[self.pos - 1]
         if self.at(";"):
             semi = self.next()
-        return [N(M.IMPORT, code=self.slice(start, semi), line=t.line)]
+        return [N(M.IMPORT, code=self.slice(start, semi), name=module,
+                  full_name=module, line=t.line)]
 
     def parse_var_decl(self) -> list[N]:
         kw = self.next()  # var/let/const
@@ -670,8 +675,15 @@ class JsParser(CParser):
             call.add(operand)
             return call
         if v == "await":
-            self.next()
-            return self.parse_unary()
+            # `<operator>.await` call (AstForExpressionsCreator.scala:331-334)
+            op_tok = self.next()
+            operand = self.parse_unary()
+            operand.arg_index = 1
+            call = N(M.CALL, code=f"await {operand.code}",
+                     name="<operator>.await", method_full_name="<operator>.await",
+                     dispatch_type=M.STATIC_DISPATCH, line=op_tok.line)
+            call.add(operand)
+            return call
         if v == "...":
             op_tok = self.next()
             operand = self.parse_unary()

@@ -154,6 +154,90 @@ def source_file_edges(files: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Pass 0 — MetaDataPass (x2cpg/.../frontend/MetaDataPass.scala:15-52). The
+# reference emits ONE META_DATA node per CPG; distributed, the natural unit
+# is one per (repo, lang) build partition — name carries the language (as in
+# the reference), full_name the partition key, code the producing engine.
+# --------------------------------------------------------------------------- #
+
+def meta_data_nodes(files: DataFrame) -> DataFrame:
+    parts = files.select("repo", "lang").distinct()
+    return _mk_nodes(
+        parts, repo=F.col("repo"), lang=F.col("lang"),
+        id=F.xxhash64(F.lit("META_DATA"), F.col("repo"), F.col("lang")),
+        kind=F.lit(M.META_DATA), name=F.upper(F.col("lang")),
+        full_name=F.concat_ws(":", F.col("repo"), F.col("lang")),
+        code=F.lit("joern_spark"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Pass 4 — NamespaceCreator (x2cpg/.../base/NamespaceCreator.scala:17-25):
+# one NAMESPACE node per distinct NAMESPACE_BLOCK name + NSB → NAMESPACE REF.
+# Namespace ids are pure hashes of the name, so the REF edges are a
+# projection over the NSB dimension — no join, no shuffle beyond the tiny
+# distinct for the nodes themselves.
+# --------------------------------------------------------------------------- #
+
+def namespace_id(name_col):
+    return F.xxhash64(F.lit("NAMESPACE"), name_col)
+
+
+def _nsb_dimension(nodes: DataFrame, files: DataFrame) -> DataFrame:
+    """(nsb_id, name): the derived per-file global blocks plus any parsed
+    NAMESPACE_BLOCK rows."""
+    derived = files.select(nsb_id().alias("nsb_id"), F.lit(M.GLOBAL).alias("name"))
+    parsed = nodes.filter(F.col("kind") == M.NAMESPACE_BLOCK).select(
+        F.col("id").alias("nsb_id"), "name")
+    return derived.unionByName(parsed)
+
+
+def namespace_nodes(nodes: DataFrame, files: DataFrame) -> DataFrame:
+    names = _nsb_dimension(nodes, files).select("name").distinct()
+    return _mk_nodes(
+        names, id=namespace_id(F.col("name")), kind=F.lit(M.NAMESPACE),
+        name=F.col("name"), full_name=F.col("name"),
+    )
+
+
+def namespace_ref_edges(nodes: DataFrame, files: DataFrame) -> DataFrame:
+    d = _nsb_dimension(nodes, files)
+    return d.select(*_edge(F.col("nsb_id"), namespace_id(F.col("name")), M.REF))
+
+
+# --------------------------------------------------------------------------- #
+# CAPTURE edges — METHOD_REF → captured outer LOCAL / PARAMETER
+# (x2cpg/.../Ast.scala:104 captureEdges; closures get `<lambda>N` names per
+# Defines.scala:35). A capture is an identifier USE inside one method whose
+# REF target declaration lives in a DIFFERENT (enclosing) method; the edge
+# hangs off the closure's METHOD_REF (the METHOD's AST parent).
+# --------------------------------------------------------------------------- #
+
+def capture_edges(nodes: DataFrame) -> DataFrame:
+    uses = (nodes.filter((F.col("kind") == M.IDENTIFIER)
+                         & F.col("ref_id").isNotNull()
+                         & F.col("method_id").isNotNull())
+            .select(F.col("method_id").alias("use_mid"), "ref_id"))
+    decls = (nodes.filter(F.col("kind").isin(M.LOCAL, M.METHOD_PARAMETER_IN))
+             .select(F.col("id").alias("ref_id"),
+                     F.col("method_id").alias("decl_mid")))
+    captured = (uses.join(decls, "ref_id")
+                .filter(F.col("use_mid") != F.col("decl_mid"))
+                .select(F.col("use_mid").alias("inner_mid"), "ref_id")
+                .distinct())
+    # the closure's METHOD_REF is the inner METHOD's AST parent
+    mref_ids = nodes.filter(F.col("kind") == M.METHOD_REF).select(
+        F.col("id").alias("mref_id"))
+    inner = (nodes.filter((F.col("kind") == M.METHOD)
+                          & F.col("parent_id").isNotNull())
+             .select(F.col("id").alias("inner_mid"),
+                     F.col("parent_id").alias("mref_id"))
+             .join(mref_ids, "mref_id"))
+    return (captured.join(inner, "inner_mid")
+            .select(*_edge(F.col("mref_id"), F.col("ref_id"), M.CAPTURE)))
+
+
+# --------------------------------------------------------------------------- #
 # Pass 5 — TypeDeclStubCreator (left-anti join, TypeDeclStubCreator.scala:24-34)
 # --------------------------------------------------------------------------- #
 
@@ -363,6 +447,8 @@ def run_base(nodes: DataFrame, fns: DataFrame, call_sites: DataFrame,
         type_nodes(nodes, fns)
         .unionByName(file_nodes(files))
         .unionByName(namespace_block_nodes(files))
+        .unionByName(meta_data_nodes(files))
+        .unionByName(namespace_nodes(nodes, files))
         .unionByName(type_decl_stubs(nodes, fns))
         .unionByName(method_stub_nodes(call_sites, methods_dim))
         .unionByName(parameter_out_nodes(nodes))
@@ -372,10 +458,12 @@ def run_base(nodes: DataFrame, fns: DataFrame, call_sites: DataFrame,
     # remaining base edges genuinely need joins or the stub dimensions.
     extra_edges = (
         source_file_edges(files)
+        .unionByName(namespace_ref_edges(nodes, files))
         .unionByName(type_ref_edges(fns, decl_dim))
         .unionByName(ast_link_and_declares_edges(nodes, decl_dim))
         .unionByName(inherits_edges(nodes))
         .unionByName(alias_edges(nodes))
         .unionByName(field_access_ref_edges(nodes))
+        .unionByName(capture_edges(nodes))
     )
     return extra_nodes, extra_edges

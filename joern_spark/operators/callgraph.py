@@ -150,8 +150,21 @@ def naive_call_edges(call_sites: DataFrame, linked: DataFrame,
     return j.select(*_edge(F.col("id"), F.col("m_id"), M.CALL_EDGE))
 
 
+def type_hint_call_edges(call_sites: DataFrame, rewrites: DataFrame,
+                         dim: DataFrame) -> DataFrame:
+    """CALL edges for sites whose methodFullName came from type recovery —
+    exact-fullname join against the (stub-inclusive) method dimension, the
+    XTypeHintCallLinker analogue. Restricted to recovered sites: their
+    original fullname was `<unknownFullName>`, so no other linker can have
+    produced an edge (no dedup pass needed)."""
+    sites = call_sites.join(rewrites.select("id"), "id", "left_semi")
+    j = sites.join(dim, sites["method_full_name"] == dim["m_fn"])
+    return j.select(*_edge(F.col("id"), F.col("m_id"), M.CALL_EDGE))
+
+
 def run_callgraph(nodes: DataFrame, call_sites: DataFrame | None = None,
-                  dim: DataFrame | None = None) -> DataFrame:
+                  dim: DataFrame | None = None,
+                  rewrites: DataFrame | None = None) -> DataFrame:
     """``nodes`` = full node relation (incl. stubs); ``call_sites`` the small
     persisted CALL dimension; ``dim`` the full deduplicated method dimension.
     Probes and anti-joins run against the dimensions only — the big table is
@@ -171,6 +184,9 @@ def run_callgraph(nodes: DataFrame, call_sites: DataFrame | None = None,
               if has_dynamic else static)
     # naive linking consumes `linked` twice (anti-join + final union); lazy
     # persist dedupes most of the recompute without an extra warm-up job
+    if rewrites is not None:
+        linked = linked.unionByName(
+            type_hint_call_edges(call_sites, rewrites, dim))
     linked = linked.persist()
     naive = naive_call_edges(call_sites, linked, dim)
     return linked.unionByName(naive).unionByName(method_ref_edges(nodes, dim=dim))

@@ -124,6 +124,14 @@ def expected_dynamic_calls() -> list[tuple[str, str, str, str]]:
     out = set()
     for repo, path, commit, lang, rows in local_files():
         by_idx = {r["node_idx"]: r for r in rows}
+        rec = _js_recovered(rows) if lang == "javascript" else {}
+        # recovered sites link to their (stub) fullname via the type-hint
+        # linker (type_hint_call_edges)
+        for idx, mfn in rec.items():
+            r = by_idx[idx]
+            caller = by_idx.get(r["method_idx"])
+            if caller is not None:
+                out.add((caller["full_name"], r["code"], mfn, mfn))
         for r in rows:
             if r["kind"] != M.CALL or r["dispatch_type"] != M.DYNAMIC_DISPATCH:
                 continue
@@ -151,6 +159,139 @@ def expected_dynamic_calls() -> list[tuple[str, str, str, str]]:
                 if ok:
                     out.add((caller["full_name"], r["code"], mfn,
                              m["full_name"]))
+    return sorted(out)
+
+
+def _js_recovered(rows: list[dict]) -> dict[int, str]:
+    """node_idx -> recovered methodFullName, the sequential mirror of
+    operators.typerecovery.js_mfn_rewrites (2 iterations, require bindings
+    + one <returnValue> hop, first binding wins)."""
+    import re
+
+    kids: dict[int, list[dict]] = {}
+    for r in rows:
+        kids.setdefault(r["parent_idx"], []).append(r)
+
+    def child(idx, ai, kinds=None):
+        for c in kids.get(idx, []):
+            if c["arg_index"] == ai and (kinds is None or c["kind"] in kinds):
+                return c
+        return None
+
+    assigns = []
+    for r in rows:
+        if r["kind"] == M.CALL and r["name"] == M.OP_ASSIGNMENT:
+            lh = child(r["node_idx"], 1, (M.IDENTIFIER,))
+            rh = child(r["node_idx"], 2)
+            if lh is not None and rh is not None:
+                assigns.append((lh["name"], rh))
+    st: dict[str, str] = {}
+    for var, rh in assigns:
+        if rh["kind"] == M.CALL and rh["name"] == "require":
+            lit = child(rh["node_idx"], 1, (M.LITERAL,))
+            if lit is not None and var not in st:
+                st[var] = re.sub(r"['\"`]", "", lit["code"])
+    member = []
+    for r in rows:
+        if r["kind"] == M.CALL and r["dispatch_type"] == M.DYNAMIC_DISPATCH \
+                and r["method_full_name"] == M.UNKNOWN_FULL_NAME:
+            b = child(r["node_idx"], 0, (M.IDENTIFIER,))
+            if b is not None:
+                member.append((r, b["name"]))
+    rec: dict[int, str] = {}
+    for _ in range(2):
+        for r, var in member:
+            if var in st and r["node_idx"] not in rec:
+                rec[r["node_idx"]] = f"{st[var]}.{r['name']}"
+        for var, rh in assigns:
+            if rh["node_idx"] in rec and var not in st:
+                st[var] = rec[rh["node_idx"]] + ".<returnValue>"
+    return rec
+
+
+def _call_mfn(r: dict, rec: dict[int, str]) -> str:
+    return rec.get(r["node_idx"], r["method_full_name"])
+
+
+def expected_captures() -> list[tuple[str, str, str]]:
+    """(path, closure_full_name, captured_name) — CAPTURE edges re-derived:
+    identifier uses whose REF target declaration lives in an enclosing
+    method, attributed to the closure's METHOD_REF/METHOD."""
+    out = set()
+    for repo, path, commit, lang, rows in local_files():
+        by_idx = {r["node_idx"]: r for r in rows}
+        for r in rows:
+            if r["kind"] != M.IDENTIFIER or r["ref_idx"] < 0:
+                continue
+            decl = by_idx.get(r["ref_idx"])
+            if decl is None or decl["kind"] not in (M.LOCAL, M.METHOD_PARAMETER_IN):
+                continue
+            if decl["method_idx"] == r["method_idx"]:
+                continue
+            inner = by_idx.get(r["method_idx"])
+            if inner is None:
+                continue
+            parent = by_idx.get(inner["parent_idx"])
+            if parent is None or parent["kind"] != M.METHOD_REF:
+                continue
+            out.add((path, inner["full_name"], decl["name"]))
+    return sorted(out)
+
+
+def expected_type_recovery() -> list[tuple[str, str, str]]:
+    """(path, call_code, recovered_mfn) for JS calls recovered by the
+    XTypeRecovery-lite pass."""
+    out = set()
+    for repo, path, commit, lang, rows in local_files():
+        if lang != "javascript":
+            continue
+        for idx, mfn in _js_recovered(rows).items():
+            r = next(x for x in rows if x["node_idx"] == idx)
+            out.add((path, r["code"], mfn))
+    return sorted(out)
+
+
+def expected_findings() -> list[tuple[str, str, str, int, str]]:
+    """(query_name, path, method_full_name, line, code) — the scan bundles
+    re-derived sequentially (insecure calls; copy calls with a loop
+    ancestor via the parent chain)."""
+    from joern_spark.scan import COPY_FNS, INSECURE_FNS, LOOP_KINDS
+    out = set()
+    for repo, path, commit, lang, rows in local_files():
+        by_idx = {r["node_idx"]: r for r in rows}
+
+        def method_fn(r):
+            m = by_idx.get(r["method_idx"])
+            return m["full_name"] if m is not None else ""
+
+        for r in rows:
+            if r["kind"] != M.CALL:
+                continue
+            if r["name"] in INSECURE_FNS:
+                out.add(("call-to-insecure-function", path, method_fn(r),
+                         r["line"], r["code"]))
+            if r["name"] in COPY_FNS:
+                p = by_idx.get(r["parent_idx"])
+                depth = 0
+                while p is not None and depth < 12:
+                    if p["kind"] == M.CONTROL_STRUCTURE and \
+                            p["control_structure_type"] in LOOP_KINDS:
+                        out.add(("copy-loop", path, method_fn(r),
+                                 r["line"], r["code"]))
+                        break
+                    p = by_idx.get(p["parent_idx"])
+                    depth += 1
+    return sorted(out)
+
+
+def expected_imports() -> list[tuple[str, str, str, str]]:
+    """(lang, path, import_entity, code) — IMPORT nodes (#include / JS
+    import), XImportsPass analogue."""
+    out = set()
+    for repo, path, commit, lang, rows in local_files():
+        for r in rows:
+            if r["kind"] == M.IMPORT:
+                out.add((lang, path, r["name"], r["code"]))
     return sorted(out)
 
 
@@ -246,11 +387,12 @@ def expected_method_stubs() -> list[tuple[str, str]]:
         defined.setdefault(lang, set()).add(m["full_name"])
     out = set()
     for repo, path, commit, lang, rows in local_files():
+        rec = _js_recovered(rows) if lang == "javascript" else {}
         for r in rows:
-            if r["kind"] == M.CALL and r["method_full_name"] \
-                    and r["method_full_name"] != M.UNKNOWN_FULL_NAME \
-                    and r["method_full_name"] not in defined.get(lang, set()):
-                out.add((lang, r["method_full_name"]))
+            mfn = _call_mfn(r, rec)
+            if r["kind"] == M.CALL and mfn and mfn != M.UNKNOWN_FULL_NAME \
+                    and mfn not in defined.get(lang, set()):
+                out.add((lang, mfn))
     return sorted(out)
 
 
@@ -311,8 +453,9 @@ def expected_canonical_aliases() -> list[tuple[str, str]]:
         internals.setdefault(m["full_name"], (m["name"], m["signature"]))
     stub_names: dict[str, str] = {}
     for repo, path, commit, lang, rows in local_files():
+        rec = _js_recovered(rows) if lang == "javascript" else {}
         for r in rows:
-            fn = r["method_full_name"]
+            fn = _call_mfn(r, rec)
             if r["kind"] == M.CALL and fn and fn != M.UNKNOWN_FULL_NAME \
                     and fn not in internals:
                 stub_names.setdefault(fn, r["name"])

@@ -44,6 +44,29 @@ class Bar {
         cite="javasrc2cpg/src/test/scala/io/joern/javasrc2cpg/querying/CallTests.scala (caller/callee name pairs)",
     ),
     dict(
+        name="java-method-fullnames", lang="java", wrap=False,
+        code=""" class Foo {
+   int foo(int param1, int param2) {
+     return 1;
+   }
+ }
+
+ class Bar {
+   static int bar(int param1, int param2) {
+     return 1;
+   }
+ }
+
+ class Baz {
+   void baz() {}
+ }
+""",
+        methods=[["foo", "Foo.foo:int(int,int)"],
+                 ["bar", "Bar.bar:int(int,int)"],
+                 ["baz", "Baz.baz:void()"]],
+        cite="javasrc2cpg/src/test/scala/io/joern/javasrc2cpg/querying/MethodTests.scala:30-53 (fullName/signature format Util.scala:15-17)",
+    ),
+    dict(
         name="java-inherits", lang="java", wrap=False,
         code="""
 class Base { void run() {} }

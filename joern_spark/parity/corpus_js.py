@@ -225,4 +225,21 @@ while (x) {
             ":program": ["x"], "x": ["case 1:", "default:"],
             "case 1:": ["1"], "1": ["y"], "y": ["break;"],
             "break;": ["RET"], "default:": ["z"], "z": ["RET"]}),
+    # MixedCfgCreationPassTests.scala:425-452
+    _js("js-await", "async function x(foo) { await foo() }", {
+        ("x", 0, "METHOD"): ["foo"],
+        ("foo", 0, "IDENTIFIER"): ["this"],
+        ("this", 0, "IDENTIFIER"): ["foo()"],
+        "foo()": ["await foo()"],
+        "await foo()": ["RET"]},
+        cite="jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/MixedCfgCreationPassTests.scala:425-433"),
+    _js("js-instanceof", "x instanceof Foo", {
+        ":program": ["x"], "x": ["Foo"], "Foo": ["x instanceof Foo"],
+        ("x instanceof Foo", 0, "CALL"): ["RET"]},
+        cite="jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/MixedCfgCreationPassTests.scala:436-442"),
+    _js("js-delete", "delete foo.x", {
+        ":program": ["foo"], "foo": ["x"], "x": ["foo.x"],
+        "foo.x": ["delete foo.x"],
+        ("delete foo.x", 0, "CALL"): ["RET"]},
+        cite="jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/MixedCfgCreationPassTests.scala:444-451"),
 ]

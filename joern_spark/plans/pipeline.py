@@ -138,7 +138,11 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
             nodes = _write_stage(nodes, out_dir, "nodes", fp, partition_by=["lang"])
         else:
             path = os.path.join(out_dir_adhoc, "nodes")
-            nodes.write.mode("overwrite").parquet(path)
+            # partition by lang even for scratch checkpoints: several
+            # downstream passes filter on lang (JS type recovery above all)
+            # and must partition-prune to zero files on single-language
+            # corpora instead of re-scanning everything
+            nodes.write.mode("overwrite").partitionBy("lang").parquet(path)
             nodes = spark.read.parquet(path)
     timings["parse_extract_sec"] = round(time.time() - t_parse, 3)
     t_link = time.time()
@@ -152,8 +156,13 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
     # derivations (ast_edges / intra_edges), each a single pruned scan.
     fns = B.used_type_fullnames(ok).persist()
     call_sites = ok.filter(F.col("kind") == M.CALL).select(
-        "id", "name", "signature", "method_full_name", "dispatch_type", "nargs"
-    ).persist()
+        "id", "name", "signature", "method_full_name", "dispatch_type", "nargs")
+    # XTypeRecovery lite: recovered JS methodFullNames flow into the call
+    # dimension BEFORE stub creation and linking, so require()-bound member
+    # calls get stubs + CALL edges (XTypeHintCallLinker analogue)
+    from joern_spark.operators.typerecovery import apply_rewrites, js_mfn_rewrites
+    rewrites = js_mfn_rewrites(ok).persist()
+    call_sites = apply_rewrites(call_sites, rewrites).persist()
     methods_real = CG.method_dimension(ok).persist()
 
     # ---- stage 2: base linking ----------------------------------------------
@@ -179,7 +188,8 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
     canonical = None
     if run_callgraph:
         edges = edges.unionByName(
-            CG.run_callgraph(all_nodes, call_sites=call_sites, dim=dim_full))
+            CG.run_callgraph(all_nodes, call_sites=call_sites, dim=dim_full,
+                             rewrites=rewrites))
         # ---- stage 3b: entity linking / canonicalization --------------------
         # (north rule): unresolved stub symbols alias-paired to compatible
         # internal definitions, collapsed via large-star/small-star connected

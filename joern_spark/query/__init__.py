@@ -315,6 +315,83 @@ class Steps:
     def ddg_out(self) -> "Steps":
         return self._hop(M.REACHING_DEF, forward=True)
 
+    def reachable_by_flows(self, sources: "Steps", max_steps: int = 32,
+                           max_call_depth: int = 2) -> DataFrame:
+        """Path-carrying dataflow from ``sources`` to these sinks, WITH
+        interprocedural expansion — the reference engine's task model
+        (Engine.scala:96-140) solved as a distributed backwards frontier:
+
+        * intraprocedural steps walk REACHING_DEF edges backwards;
+        * reaching a METHOD_PARAMETER_IN expands to the matching ARGUMENT
+          at every resolved call site (TaskCreator.scala:44-79, param↔arg);
+        * reaching a CALL with resolved callees expands into the callee's
+          RETURN statements (returns↔call-sites).
+
+        Paths are id arrays carried on the frontier; cycles are pruned via
+        array_contains, call depth capped at ``max_call_depth`` (the
+        reference's maxCallDepth), total length at ``max_steps``. Returns
+        flows(flow_id, step, id, kind, code, method_full_name) exploded in
+        path order (sink is step 0 in solve order; rows are emitted
+        source→sink like reachableByFlows output).
+        """
+        n, e = self.cpg.nodes, self.cpg.edges
+        rd_back = e.filter(F.col("label") == M.REACHING_DEF).select(
+            F.col("dst").alias("cur"), F.col("src").alias("nxt"))
+        call_edges = e.filter(F.col("label") == M.CALL_EDGE).select(
+            F.col("src").alias("site"), F.col("dst").alias("callee"))
+        # param -> matching argument at each resolved call site
+        params = n.filter(F.col("kind") == M.METHOD_PARAMETER_IN).select(
+            F.col("id").alias("cur"), F.col("parent_id").alias("callee"),
+            F.col("param_index").cast("string").alias("pi"))
+        args = e.filter(F.col("label") == M.ARGUMENT).select(
+            F.col("src").alias("site"), F.col("dst").alias("nxt"),
+            F.col("variable").alias("pi"))
+        param_expand = (params.join(call_edges, "callee")
+                        .join(args, ["site", "pi"])
+                        .select("cur", "nxt"))
+        # call site -> RETURN statements of each resolved callee
+        rets = n.filter(F.col("kind") == M.RETURN).select(
+            F.col("id").alias("nxt"), F.col("method_id").alias("callee"))
+        ret_expand = (call_edges.join(rets, "callee")
+                      .select(F.col("site").alias("cur"), "nxt"))
+
+        src_ids = sources.df.select(F.col("id").alias("cur")).distinct()
+        frontier = self.df.select(
+            F.col("id").alias("cur"), F.array(F.col("id")).alias("path"),
+            F.lit(0).alias("cdepth")).localCheckpoint(eager=True)
+        results = None
+        for _ in range(max_steps):
+            hit = frontier.join(src_ids, "cur", "left_semi").select("path")
+            results = hit if results is None else results.unionByName(hit)
+            intra = (frontier.join(rd_back, "cur")
+                     .select("nxt", "path", "cdepth"))
+            inter = (frontier.filter(F.col("cdepth") < max_call_depth)
+                     .join(param_expand.unionByName(ret_expand), "cur")
+                     .select("nxt", "path", (F.col("cdepth") + 1).alias("cdepth")))
+            step = (intra.unionByName(inter)
+                    .filter(~F.array_contains("path", F.col("nxt")))
+                    .select(F.col("nxt").alias("cur"),
+                            F.concat(F.array("nxt"), F.col("path")).alias("path"),
+                            "cdepth")
+                    .dropDuplicates(["cur", "path"])
+                    .localCheckpoint(eager=True))
+            if step.isEmpty():
+                break
+            frontier = step
+        if results is None:
+            results = self.df.sparkSession.createDataFrame([], "path array<bigint>")
+        flows = (results.dropDuplicates(["path"])
+                 .withColumn("flow_id", F.xxhash64(F.concat_ws(",", F.transform(
+                     "path", lambda x: x.cast("string")))))
+                 .select("flow_id", F.posexplode("path").alias("step", "nid")))
+        meta = n.select(F.col("id").alias("nid"), "kind", "code",
+                        F.col("method_id"))
+        mfn = n.filter(F.col("kind") == M.METHOD).select(
+            F.col("id").alias("method_id"), F.col("full_name").alias("method_full_name"))
+        return (flows.join(meta, "nid").join(mfn, "method_id", "left")
+                .select("flow_id", "step", F.col("nid").alias("id"),
+                        "kind", "code", "method_full_name"))
+
     def reachable_by(self, sources: "Steps", max_depth: int = 64) -> "Steps":
         """Which of ``sources`` reach any of these sinks over REACHING_DEF
         edges — the reference solves this backwards from each sink with a
