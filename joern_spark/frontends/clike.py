@@ -783,11 +783,13 @@ class CParser:
     def parse_throw(self) -> N:
         th = self.next()
         expr = None
-        if not self.at(";"):
+        if not self.at(";") and not self.at("}") and self.peek() is not None:
             expr = self.parse_expression()
+        end = self.toks[self.pos - 1]
         if self.at(";"):
             self.next()
-        node = N(M.CONTROL_STRUCTURE, code="throw", control_structure_type=M.CS_THROW, line=th.line)
+        node = N(M.CONTROL_STRUCTURE, code=self.slice(th, end),
+                 control_structure_type=M.CS_THROW, line=th.line)
         if expr is not None:
             expr.arg_index = 1
             node.add(expr)

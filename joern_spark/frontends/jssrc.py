@@ -642,6 +642,10 @@ class JsParser(CParser):
         elif t.t == "id" and self.at("=>", 1):
             return self.parse_arrow(t)
         if v == "new":
+            # `new X(...)` lowers to a BLOCK: `_tmp_k = .alloc`; constructor
+            # call (receiver = callee, base = _tmp_k); `_tmp_k` — exactly
+            # jssrc2cpg astForNewExpression (AstForExpressionsCreator.scala:
+            # 117-145; CFG per JsClassesCfgCreationPassTests.scala:12-42)
             op_tok = self.next()
             callee = self.parse_postfix_callee()
             args: list[N] = []
@@ -653,16 +657,40 @@ class JsParser(CParser):
                         self.next()
                 self.next()
             end = self.toks[self.pos - 1]
-            call = N(M.CALL, code=self.slice(op_tok, end), name=M.OP_NEW,
-                     method_full_name=M.OP_NEW, dispatch_type=M.STATIC_DISPATCH,
-                     line=op_tok.line)
-            callee.arg_index = 0
+            raw = self.slice(op_tok, end)
+            tmp = self._fresh_tmp(op_tok.line)
+            loc = N(M.LOCAL, code=tmp, name=tmp, type_full_name=M.ANY,
+                    line=op_tok.line)
+            tmp1 = N(M.IDENTIFIER, code=tmp, name=tmp, line=op_tok.line,
+                     type_full_name=M.ANY, arg_index=1)
+            tmp1.ref_target = loc
+            alloc = N(M.CALL, code=".alloc", name=M.OP_ALLOC,
+                      method_full_name=M.OP_ALLOC,
+                      dispatch_type=M.STATIC_DISPATCH, line=op_tok.line,
+                      arg_index=2)
+            assign = N(M.CALL, code=f"{tmp} = .alloc", name=M.OP_ASSIGNMENT,
+                       method_full_name=M.OP_ASSIGNMENT,
+                       dispatch_type=M.STATIC_DISPATCH, line=op_tok.line)
+            assign.add(tmp1, alloc)
+            ctor = N(M.CALL, code=raw, name=M.OP_NEW,
+                     method_full_name=M.OP_NEW,
+                     dispatch_type=M.DYNAMIC_DISPATCH, line=op_tok.line)
             callee.role = M.ROLE_RECEIVER
-            call.add(callee)
+            callee.arg_index = -1
+            ctor.add(callee)
+            base = N(M.IDENTIFIER, code=tmp, name=tmp, line=op_tok.line,
+                     type_full_name=M.ANY, arg_index=0)
+            base.ref_target = loc
+            ctor.add(base)
             for i, a in enumerate(args, start=1):
                 a.arg_index = i
-                call.add(a)
-            return call
+                ctor.add(a)
+            ret_id = N(M.IDENTIFIER, code=tmp, name=tmp, line=op_tok.line,
+                       type_full_name=M.ANY)
+            ret_id.ref_target = loc
+            block = N(M.BLOCK, code=raw, type_full_name=M.ANY, line=op_tok.line)
+            block.add(loc, assign, ctor, ret_id)
+            return block
         if v in ("typeof", "void", "delete"):
             op_tok = self.next()
             operand = self.parse_unary()

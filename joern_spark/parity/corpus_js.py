@@ -8,8 +8,7 @@ Not transcribed (desugarings this frontend does not perform yet, each would
 score as pure recall loss rather than evidence): array/object literal
 `_tmp` expansion (:26-60, :166-192), template-literal formatString
 (:62-121), labeled continue (:304-352), for-in/of iterator lowering
-(:554-562), function-declaration-as-assignment (:240-250), `new` alloc
-lowering (:707-726).
+(:554-562), function-declaration-as-assignment (:240-250).
 """
 
 CITE = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/"
@@ -225,6 +224,60 @@ while (x) {
             ":program": ["x"], "x": ["case 1:", "default:"],
             "case 1:": ["1"], "1": ["y"], "y": ["break;"],
             "break;": ["RET"], "default:": ["z"], "z": ["RET"]}),
+    # `new` alloc-block lowering (SimpleCfgCreationPassTests.scala:707-726;
+    # JsClassesCfgCreationPassTests.scala:12-73). Plain-code subjects: the
+    # wrapping BLOCK shares its code with the constructor CALL and precedes
+    # it in preorder, so `code@0` is the block and the CALL is addressed
+    # kind-qualified, mirroring succOf(..., NodeTypes.CALL).
+    _js("js-new-var", "var x = new MyClass(arg1, arg2)", {
+        ":program": ["x"], "x": ["_tmp_0"],
+        ("_tmp_0", 0): [".alloc"],
+        ".alloc": ["_tmp_0 = .alloc"],
+        "_tmp_0 = .alloc": ["MyClass"],
+        "MyClass": ["_tmp_0"],
+        ("_tmp_0", 1): ["arg1"],
+        "arg1": ["arg2"],
+        "arg2": ["new MyClass(arg1, arg2)"],
+        ("new MyClass(arg1, arg2)", 0, "CALL"): ["_tmp_0"],
+        ("_tmp_0", 2): ["new MyClass(arg1, arg2)"],
+        ("new MyClass(arg1, arg2)", 0, "BLOCK"): ["var x = new MyClass(arg1, arg2)"],
+        "var x = new MyClass(arg1, arg2)": ["RET"]},
+        cite="jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/SimpleCfgCreationPassTests.scala:707-726"),
+    _js("js-new-simple", "new MyClass()", {
+        ":program": ["_tmp_0"],
+        ("_tmp_0", 0): [".alloc"],
+        ".alloc": ["_tmp_0 = .alloc"],
+        "_tmp_0 = .alloc": ["MyClass"],
+        "MyClass": ["_tmp_0"],
+        ("_tmp_0", 1): ["new MyClass()"],
+        ("new MyClass()", 0, "CALL"): ["_tmp_0"],
+        ("_tmp_0", 2): ["new MyClass()"],
+        ("new MyClass()", 0, "BLOCK"): ["RET"]},
+        cite="jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/JsClassesCfgCreationPassTests.scala:12-24"),
+    _js("js-new-access-path", "new foo.bar.MyClass()", {
+        ":program": ["_tmp_0"],
+        ("_tmp_0", 0): [".alloc"],
+        ".alloc": ["_tmp_0 = .alloc"],
+        "_tmp_0 = .alloc": ["foo"],
+        "foo": ["bar"], "bar": ["foo.bar"], "foo.bar": ["MyClass"],
+        "MyClass": ["foo.bar.MyClass"],
+        "foo.bar.MyClass": ["_tmp_0"],
+        ("_tmp_0", 1): ["new foo.bar.MyClass()"],
+        ("new foo.bar.MyClass()", 0, "CALL"): ["_tmp_0"],
+        ("_tmp_0", 2): ["new foo.bar.MyClass()"],
+        ("new foo.bar.MyClass()", 0, "BLOCK"): ["RET"]},
+        cite="jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/JsClassesCfgCreationPassTests.scala:44-61"),
+    _js("js-throw-new", "function foo() { throw new Foo() }", {
+        ("foo", 0, "METHOD"): ["_tmp_0"],
+        ("_tmp_0", 0): [".alloc"],
+        ".alloc": ["_tmp_0 = .alloc"],
+        "_tmp_0 = .alloc": ["Foo"],
+        "Foo": ["_tmp_0"],
+        ("_tmp_0", 1): ["new Foo()"],
+        ("new Foo()", 0, "CALL"): ["_tmp_0"],
+        ("_tmp_0", 2): ["throw new Foo()"],
+        "throw new Foo()": ["RET"]},
+        cite="jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/JsClassesCfgCreationPassTests.scala:63-75"),
     # MixedCfgCreationPassTests.scala:425-452
     _js("js-await", "async function x(foo) { await foo() }", {
         ("x", 0, "METHOD"): ["foo"],

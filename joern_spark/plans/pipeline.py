@@ -86,6 +86,18 @@ def _resume(spark: SparkSession, out_dir: str, stage: str, fingerprint: str) -> 
     return None
 
 
+def _canonicalize(dim_full: DataFrame, call_edges: DataFrame):
+    """Stage 3b — entity linking / canonicalization (north rule): unresolved
+    stub symbols alias-paired to compatible internal definitions, collapsed
+    via large-star/small-star connected components; CALL edges rewritten
+    through the canonical map. One eager checkpoint materializes the (tiny)
+    map for both the rewrite broadcast and the sink's canonical table."""
+    from joern_spark.operators.linking import (canonical_symbol_map,
+                                               canonicalize_call_edges)
+    canonical = canonical_symbol_map(dim_full).localCheckpoint(eager=True)
+    return canonical, canonicalize_call_edges(call_edges, canonical)
+
+
 def source_fingerprint(source: DataFrame) -> str:
     """Order-insensitive fingerprint of the input table: xor of row hashes.
     The per-row invariant (sha256 of content) rolls up into the stage
@@ -137,12 +149,13 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
         if out_dir:
             nodes = _write_stage(nodes, out_dir, "nodes", fp, partition_by=["lang"])
         else:
+            # NO partitionBy here: dynamic partition writes sort the wide
+            # parse rows per task, inflating the parse+write stage ~40% on
+            # the bench corpus; lang-filtered consumers instead skip via
+            # parquet row-group stats (each row group is single-language in
+            # practice) plus the explicit has_js gate below
             path = os.path.join(out_dir_adhoc, "nodes")
-            # partition by lang even for scratch checkpoints: several
-            # downstream passes filter on lang (JS type recovery above all)
-            # and must partition-prune to zero files on single-language
-            # corpora instead of re-scanning everything
-            nodes.write.mode("overwrite").partitionBy("lang").parquet(path)
+            nodes.write.mode("overwrite").parquet(path)
             nodes = spark.read.parquet(path)
     timings["parse_extract_sec"] = round(time.time() - t_parse, 3)
     t_link = time.time()
@@ -159,10 +172,15 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
         "id", "name", "signature", "method_full_name", "dispatch_type", "nargs")
     # XTypeRecovery lite: recovered JS methodFullNames flow into the call
     # dimension BEFORE stub creation and linking, so require()-bound member
-    # calls get stubs + CALL edges (XTypeHintCallLinker analogue)
+    # calls get stubs + CALL edges (XTypeHintCallLinker analogue). The
+    # limit-1 probe skips the whole pass on JS-free corpora (parquet
+    # row-group lang stats make it a near-metadata read there).
     from joern_spark.operators.typerecovery import apply_rewrites, js_mfn_rewrites
-    rewrites = js_mfn_rewrites(ok).persist()
-    call_sites = apply_rewrites(call_sites, rewrites).persist()
+    rewrites = None
+    if not ok.filter(F.col("lang") == "javascript").limit(1).isEmpty():
+        rewrites = js_mfn_rewrites(ok).persist()
+        call_sites = apply_rewrites(call_sites, rewrites)
+    call_sites = call_sites.persist()
     methods_real = CG.method_dimension(ok).persist()
 
     # ---- stage 2: base linking ----------------------------------------------
@@ -186,22 +204,16 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
     # ---- stage 3: edges ------------------------------------------------------
     edges = ast_edges(ok).unionByName(intra_edges(ok)).unionByName(base_edges)
     canonical = None
+    call_edges = None
     if run_callgraph:
+        linked = CG.run_callgraph(all_nodes, call_sites=call_sites,
+                                  dim=dim_full, rewrites=rewrites)
+        # CALL edges stay a separate relation until after canonicalization;
+        # everything else (the bulk of the volume) is independent of the
+        # entity-linking stage and can materialize concurrently with it.
+        call_edges = linked.filter(F.col("label") == M.CALL_EDGE)
         edges = edges.unionByName(
-            CG.run_callgraph(all_nodes, call_sites=call_sites, dim=dim_full,
-                             rewrites=rewrites))
-        # ---- stage 3b: entity linking / canonicalization --------------------
-        # (north rule): unresolved stub symbols alias-paired to compatible
-        # internal definitions, collapsed via large-star/small-star connected
-        # components; CALL edges rewritten through the canonical map.
-        from joern_spark.operators.linking import (canonical_symbol_map,
-                                                   canonicalize_call_edges)
-        # one eager checkpoint materializes the (tiny) canonical map for both
-        # the edge rewrite broadcast and the sink's canonical table — no
-        # separate emptiness probe (rewriting through an empty map is a
-        # no-op left join)
-        canonical = canonical_symbol_map(dim_full).localCheckpoint(eager=True)
-        edges = canonicalize_call_edges(edges, canonical)
+            linked.filter(F.col("label") != M.CALL_EDGE))
 
     if out_dir:
         all_nodes_out = _resume(spark, out_dir, "all_nodes", fp)
@@ -209,6 +221,9 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
         if all_nodes_out is None:
             all_nodes_out = _write_stage(all_nodes, out_dir, "all_nodes", fp, partition_by=["lang"])
         if edges_out is None:
+            if run_callgraph:
+                canonical, call_edges = _canonicalize(dim_full, call_edges)
+                edges = edges.unionByName(call_edges)
             edges_out = _write_stage(edges, out_dir, "edges", fp, partition_by=["label"])
         all_nodes, edges = all_nodes_out, edges_out
     else:
@@ -217,11 +232,34 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
         # deserialized in-memory cache: caching tens of millions of edge
         # objects is GC-bound and does not scale with cores, while a columnar
         # write parallelizes and every later query gets a pruned scan.
-        # all_nodes = parquet parse output ∪ small cached extras — cheap to
-        # recompute per query, no materialization needed.
-        epath = os.path.join(out_dir_adhoc, "edges")
-        edges.write.mode("overwrite").parquet(epath)
-        edges = spark.read.parquet(epath)
+        # The non-CALL bulk (AST/CFG/CONTAINS/... — ~95% of edge volume)
+        # writes on a worker thread WHILE the entity-linking stage builds the
+        # canonical map on the main thread: two independent DAG branches that
+        # would otherwise serialize driver-side. all_nodes = parquet parse
+        # output ∪ small cached extras — cheap to recompute, not re-written.
+        import threading
+        epath_rest = os.path.join(out_dir_adhoc, "edges_rest")
+        epath_call = os.path.join(out_dir_adhoc, "edges_call")
+        write_err: list[BaseException] = []
+
+        def _write_rest():
+            try:
+                edges.write.mode("overwrite").parquet(epath_rest)
+            except BaseException as ex:  # surfaced after join()
+                write_err.append(ex)
+
+        th = threading.Thread(target=_write_rest, name="edges_rest_writer")
+        th.start()
+        try:
+            if run_callgraph:
+                canonical, call_edges = _canonicalize(dim_full, call_edges)
+                call_edges.write.mode("overwrite").parquet(epath_call)
+        finally:
+            th.join()
+        if write_err:
+            raise write_err[0]
+        paths = [epath_rest] + ([epath_call] if run_callgraph else [])
+        edges = spark.read.parquet(*paths)
 
     timings["link_materialize_sec"] = round(time.time() - t_link, 3)
     return {"nodes": all_nodes, "edges": edges, "errors": errors,
