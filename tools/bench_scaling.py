@@ -1,7 +1,8 @@
 """Two-cluster-size scaling evidence (north rule): run the identical CPG
 construction job on the same input at local[N] and local[4N], report
 throughput at both and the scaling efficiency
-(throughput_4N / throughput_N) / 4. Writes/updates BENCH.md.
+(throughput_4N / throughput_N) / 4. Writes the per-run report to
+BENCH_AUTORUN.md (BENCH.md itself is curated by hand from best-of samples).
 
 The sandbox is a virtualized 32-core guest whose deliverable CPU drifts with
 host load (measured 3x swings in a single-process busy-loop calibration).
@@ -124,7 +125,7 @@ sample, single-process calibration burn recorded per run (units/sec — higher
 
 Reproduce: `python tools/bench_scaling.py {n_files} {rounds} {",".join(f"{lo}:{hi}" for lo, hi in pairs)}`
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH_AUTORUN.md"), "w") as f:
         f.write(md)
 
 
