@@ -1350,24 +1350,31 @@ class CParser:
         arg_texts: list[str] = []
         if mac.params is not None:
             self.next()  # (
+            # argument commas split only at depth 1, where depth counts ALL
+            # bracket kinds — commas inside braces/brackets (compound
+            # literals `M((struct S){1,2})`, array subscripts) must not
+            # split; empty token runs become empty-string arguments so
+            # zip(params, args) stays aligned for `M(a,,b)` / `M()`
             depth, cur = 1, []
             while True:
                 tok = self.next()
-                if tok.v == "(":
+                if tok.v in ("(", "[", "{"):
                     depth += 1
-                elif tok.v == ")":
+                elif tok.v in (")", "]", "}"):
                     depth -= 1
                     if depth == 0:
-                        if cur:
-                            arg_texts.append(self.src[cur[0].a:cur[-1].b])
+                        arg_texts.append(
+                            self.src[cur[0].a:cur[-1].b] if cur else "")
                         end_tok = tok
                         break
                 elif tok.v == "," and depth == 1:
-                    if cur:
-                        arg_texts.append(self.src[cur[0].a:cur[-1].b])
+                    arg_texts.append(
+                        self.src[cur[0].a:cur[-1].b] if cur else "")
                     cur = []
                     continue
                 cur.append(tok)
+            if arg_texts == [""] and not mac.params:
+                arg_texts = []  # `M()` on a zero-param macro has zero args
         raw = self.slice(name_tok, end_tok)
         n_args = len(arg_texts)
 

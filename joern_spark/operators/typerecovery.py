@@ -40,9 +40,15 @@ def js_mfn_rewrites(nodes: DataFrame, iterations: int = 2) -> DataFrame:
                          & (F.col("kind") == M.CALL)).select(
         "id", "name", "method_full_name", "path", "dispatch_type")
 
-    # assignment skeleton: (assign_id, path, lhs_name, rhs_id)
-    assigns = calls.filter(F.col("name") == M.OP_ASSIGNMENT).select(
-        F.col("id").alias("assign_id"), "path")
+    # assignment skeleton: (assign_id, path, lhs_name, rhs_id); assign_idx
+    # (the assignment's preorder index) makes duplicate-binding resolution
+    # deterministic — the sequential oracle keeps the FIRST binding in
+    # document order, so so do we (min_by assign_idx below).
+    assigns = nodes.filter((F.col("lang") == "javascript")
+                           & (F.col("kind") == M.CALL)
+                           & (F.col("name") == M.OP_ASSIGNMENT)).select(
+        F.col("id").alias("assign_id"), "path",
+        F.col("node_idx").alias("assign_idx"))
     lhs = ch.filter((F.col("arg_index") == 1) & (F.col("kind") == M.IDENTIFIER)) \
             .select(F.col("parent_id").alias("assign_id"),
                     F.col("name").alias("var"))
@@ -58,8 +64,8 @@ def js_mfn_rewrites(nodes: DataFrame, iterations: int = 2) -> DataFrame:
                 .select(F.col("parent_id").alias("rhs_id"),
                         F.regexp_replace("code", "['\"`]", "").alias("module"))
     st = (askel.join(req, "rhs_id").join(req_arg, "rhs_id")
-          .select("path", "var", F.col("module").alias("type"))
-          .dropDuplicates(["path", "var"]))
+          .groupBy("path", "var")
+          .agg(F.min_by("module", "assign_idx").alias("type")))
 
     # member-call receivers: call -> base ARGUMENT(0) identifier name
     base_ident = ch.filter((F.col("arg_index") == 0)
@@ -83,10 +89,9 @@ def js_mfn_rewrites(nodes: DataFrame, iterations: int = 2) -> DataFrame:
         # earlier bindings win (anti-join keeps the pass deterministic)
         ret = (askel.join(rw.select(F.col("id").alias("rhs_id"), "rec_mfn"),
                           "rhs_id")
-               .select("path", "var",
-                       F.concat(F.col("rec_mfn"), F.lit("." + RETURN_VALUE))
-                       .alias("type"))
-               .dropDuplicates(["path", "var"]))
+               .groupBy("path", "var")
+               .agg(F.concat(F.min_by("rec_mfn", "assign_idx"),
+                             F.lit("." + RETURN_VALUE)).alias("type")))
         st = st.unionByName(ret.join(st, ["path", "var"], "left_anti"))
     return rewrites.select("id", "rec_mfn")
 

@@ -123,9 +123,12 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
         done_all = _resume(spark, out_dir, "all_nodes", fp)
         done_edges = _resume(spark, out_dir, "edges", fp)
         if done_nodes is not None and done_all is not None and done_edges is not None:
+            # the canonical map persists as its own fingerprinted stage, so a
+            # clean resume restores the entity-linking output too (a resumed
+            # build followed by write_graph_tables must not lose it)
             return {"nodes": done_all, "edges": done_edges,
                     "errors": done_nodes.filter(F.col("parse_error") != ""),
-                    "canonical": None}
+                    "canonical": _resume(spark, out_dir, "canonical", fp)}
 
     # ---- stage 1: parse (+ fused per-method passes) -------------------------
     # The parse output is ALWAYS checkpointed to parquet, even for ad-hoc
@@ -223,8 +226,17 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
         if edges_out is None:
             if run_callgraph:
                 canonical, call_edges = _canonicalize(dim_full, call_edges)
+                canonical = _write_stage(canonical, out_dir, "canonical", fp)
                 edges = edges.unionByName(call_edges)
             edges_out = _write_stage(edges, out_dir, "edges", fp, partition_by=["label"])
+        elif run_callgraph:
+            # edges resumed: reload (or, for pre-existing checkpoints that
+            # lack the stage, recompute — dimension-only, cheap) so the
+            # canonical table survives a checkpointed resume
+            canonical = _resume(spark, out_dir, "canonical", fp)
+            if canonical is None:
+                canonical, _ = _canonicalize(dim_full, call_edges)
+                canonical = _write_stage(canonical, out_dir, "canonical", fp)
         all_nodes, edges = all_nodes_out, edges_out
     else:
         # callers typically run several queries over the result — materialize
