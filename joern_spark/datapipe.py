@@ -489,24 +489,29 @@ FROM ranked WHERE rnk <= 3
 """
 
 
-# LSH hyperplane count: at scale this is log2(n_vectors / target_bucket) —
-# bucket population n/2^planes stays ~constant (target ~128) as the corpus
-# grows, which is the whole scaling story of the index. The fixture corpus
-# (500 near-uniform synthetic vectors, max cosine ~0.4 → per-plane flip
-# probability ~0.37 for a true neighbor) uses 4 planes + distance-1
-# multi-probe; measured recall@k is reported by ann_knn_lsh_recall — on
-# real clustered embeddings (flip prob 0.1-0.2) the same setting yields
-# 0.8+ recall.
+# LSH geometry: L independent hash tables of `n_planes` hyperplanes each,
+# distance-1 multi-probe within every table, union of candidates. Per-table
+# hit probability for a true neighbor with per-plane flip probability q is
+# P(<=1 flip) = (1-q)^p + p*q*(1-q)^(p-1); L independent tables union to
+# 1-(1-P)^L. The fixture corpus is near-uniform (max cosine ~0.4 → q≈0.4),
+# the worst case for hyperplane LSH, so one 4-plane table lands ~0.45
+# recall; L=4 tables union to ~0.9 (measured by ann_knn_lsh_recall and
+# floor-asserted in tests/test_datapipe.py). At scale n_planes grows as
+# log2(n_vectors / target_bucket), keeping per-bucket population ~constant,
+# and candidate count stays L*(planes+1)*target_bucket per probe; the index
+# (vector exploded into L (table, bucket) rows) is the standard L-fold
+# space-for-recall trade of multi-table LSH.
 N_PLANES = 4
+N_TABLES = 4
 
 
-def _lsh_buckets(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """Sign-pattern bucket per vector from deterministic md5-derived
-    hyperplanes: plane p's sign at dimension i is -1 iff the first hex char
-    of md5('p:i') is >= '8' — unbiased pseudo-random planes, identical in
-    any engine with md5 (resume-safe, oracle-exact). The projection is
-    integer-valued (components quantized at 1e3) so its sign never depends
-    on floating-point summation order."""
+def _lsh_signature(n_planes: int, table: int):
+    """Sign-pattern bucket signature over column `v` for one hash table,
+    from deterministic md5-derived hyperplanes: plane p's sign at dimension
+    i is -1 iff the first hex char of md5('table:p:i') is >= '8' — unbiased
+    pseudo-random planes, identical in any engine with md5 (resume-safe,
+    oracle-exact). The projection is integer-valued (components quantized
+    at 1e3) so its sign never depends on floating-point summation order."""
     sig = None
     for p in range(n_planes):
         proj = F.aggregate(
@@ -514,36 +519,52 @@ def _lsh_buckets(e: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
                 F.col("v"),
                 F.transform(F.sequence(F.lit(0), F.size("v") - 1),
                             lambda i: F.when(
-                                F.substring(F.md5(F.concat(F.lit(f"{p}:"),
+                                F.substring(F.md5(F.concat(F.lit(f"{table}:{p}:"),
                                                            i.cast("string"))), 1, 1)
                                 .isin(*"89abcdef"), F.lit(-1)).otherwise(F.lit(1))),
                 lambda x, s: F.round(x * 1000).cast("long") * s),
             F.lit(0).cast("long"), lambda acc, x: acc + x)
         bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
         sig = bit if sig is None else sig * 2 + bit
-    return e.withColumn("bucket", sig.cast("long"))
+    return sig.cast("long")
+
+
+def _lsh_buckets(e: DataFrame, n_planes: int = N_PLANES,
+                 n_tables: int = N_TABLES) -> DataFrame:
+    """Adds `buckets`: array of one signature per hash table (length L)."""
+    return e.withColumn(
+        "buckets", F.array(*[_lsh_signature(n_planes, t) for t in range(n_tables)]))
 
 
 def knn_lsh(spark: SparkSession, sf_dir: str, n_probes: int = 8,
-            k: int = 3, n_planes: int = N_PLANES) -> DataFrame:
-    """Approximate KNN via random-hyperplane LSH buckets with multi-probe:
-    each probe searches its own bucket plus every bucket at Hamming
-    distance 1 in the sign pattern (n_planes+1 buckets), the standard
-    recall-vs-cost lever. Bucket key is the join key → per-bucket
-    population ~n/2^planes; probes are tiny → broadcast."""
+            k: int = 3, n_planes: int = N_PLANES,
+            n_tables: int = N_TABLES) -> DataFrame:
+    """Approximate KNN via L-table random-hyperplane LSH with multi-probe:
+    each probe searches, per table, its own bucket plus every bucket at
+    Hamming distance 1 (n_planes+1 buckets); candidates union across
+    tables and dedup before the cosine. (tbl, bucket) is the join key →
+    per-bucket population ~n/2^planes; probes are tiny → broadcast."""
     from pyspark.sql import Window
     e = _embs(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-    eb = _lsh_buckets(e, n_planes)
+    eb = _lsh_buckets(e, n_planes, n_tables)
+    ebe = eb.select("vec_id", "v", F.posexplode("buckets").alias("tbl", "bucket"))
     flips = F.array(F.lit(0), *[F.lit(1 << b) for b in range(n_planes)])
     probes = (eb.filter(F.col("vec_id") < n_probes)
               .select(F.col("vec_id").alias("probe_id"), F.col("v").alias("pv"),
+                      F.posexplode("buckets").alias("tbl", "b0"))
+              .select("probe_id", "pv", "tbl",
                       F.explode(F.transform(
-                          flips, lambda m: F.col("bucket").bitwiseXOR(m.cast("long"))))
+                          flips, lambda m: F.col("b0").bitwiseXOR(m.cast("long"))))
                       .alias("bucket")))
-    sim = (eb.join(F.broadcast(probes), "bucket")
-           .filter(F.col("vec_id") != F.col("probe_id"))
-           .select("probe_id", "vec_id", _cosine(F.col("pv"), F.col("v")).alias("sim")))
+    # dedup the candidate pair BEFORE the cosine — a pair found by several
+    # tables is scored once (pv/v are identical per pair, so the arbitrary
+    # row dropDuplicates keeps is value-deterministic)
+    cand = (ebe.join(F.broadcast(probes), ["tbl", "bucket"])
+            .filter(F.col("vec_id") != F.col("probe_id"))
+            .dropDuplicates(["probe_id", "vec_id"]))
+    sim = cand.select("probe_id", "vec_id",
+                      _cosine(F.col("pv"), F.col("v")).alias("sim"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (sim.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
@@ -552,37 +573,44 @@ def knn_lsh(spark: SparkSession, sf_dir: str, n_probes: int = 8,
                     F.round("sim", 3).alias("sim")))
 
 
-def _lsh_sql_core(n_planes: int = N_PLANES) -> str:
-    """DuckDB mirror of _lsh_buckets + multi-probe candidate set."""
-    planes = []
-    for p in range(n_planes):
-        planes.append(
-            "(SELECT sum(CAST(round(v[i + 1] * 1000) AS BIGINT) * "
-            f"(CASE WHEN substr(md5('{p}:' || i), 1, 1) IN "
-            "('8','9','a','b','c','d','e','f') THEN -1 ELSE 1 END)) "
-            "FROM unnest(generate_series(0, len(v) - 1)) AS t(i))")
-    bits = " + ".join(
-        f"(CASE WHEN ({proj}) >= 0 THEN {1 << (n_planes - 1 - p)} ELSE 0 END)"
-        for p, proj in enumerate(planes))
+def _lsh_sql_core(n_planes: int = N_PLANES, n_tables: int = N_TABLES) -> str:
+    """DuckDB mirror of _lsh_buckets: per-vector array of L signatures,
+    exploded to (tbl, bucket) rows."""
+    tbl_exprs = []
+    for t in range(n_tables):
+        planes = []
+        for p in range(n_planes):
+            planes.append(
+                "(SELECT sum(CAST(round(v[i + 1] * 1000) AS BIGINT) * "
+                f"(CASE WHEN substr(md5('{t}:{p}:' || i), 1, 1) IN "
+                "('8','9','a','b','c','d','e','f') THEN -1 ELSE 1 END)) "
+                "FROM unnest(generate_series(0, len(v) - 1)) AS t(i))")
+        bits = " + ".join(
+            f"(CASE WHEN ({proj}) >= 0 THEN {1 << (n_planes - 1 - p)} ELSE 0 END)"
+            for p, proj in enumerate(planes))
+        tbl_exprs.append(f"({bits})")
+    buckets = ", ".join(tbl_exprs)
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-eb AS (SELECT vec_id, v, ({bits}) AS bucket FROM e)"""
+eb AS (SELECT vec_id, v, [{buckets}] AS buckets FROM e),
+ebe AS (SELECT vec_id, v, g.t AS tbl, buckets[g.t + 1] AS bucket
+        FROM eb, generate_series(0, {n_tables - 1}) AS g(t))"""
 
 
-def knn_lsh_sql(n_probes: int = 8, k: int = 3,
-                n_planes: int = N_PLANES) -> str:
+def knn_lsh_sql(n_probes: int = 8, k: int = 3, n_planes: int = N_PLANES,
+                n_tables: int = N_TABLES) -> str:
     flips = ", ".join(["0"] + [str(1 << b) for b in range(n_planes)])
-    return _lsh_sql_core(n_planes) + f"""
+    return _lsh_sql_core(n_planes, n_tables) + f"""
 , probes AS (
-  SELECT vec_id AS probe_id, v AS pv, xor(bucket, m) AS bucket
-  FROM eb, unnest([{flips}]) AS t(m) WHERE vec_id < {n_probes}
+  SELECT vec_id AS probe_id, v AS pv, tbl, xor(bucket, m) AS bucket
+  FROM ebe, unnest([{flips}]) AS f(m) WHERE vec_id < {n_probes}
 ), sim AS (
-  SELECT probe_id, vec_id, list_cosine_similarity(pv, v) AS sim
-  FROM eb JOIN probes USING (bucket) WHERE vec_id <> probe_id
+  SELECT DISTINCT probe_id, vec_id, list_cosine_similarity(pv, v) AS sim
+  FROM ebe JOIN probes USING (tbl, bucket) WHERE vec_id <> probe_id
 ), ranked AS (
   SELECT probe_id, vec_id, sim,
          row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id ASC) AS rnk
-  FROM (SELECT DISTINCT probe_id, vec_id, sim FROM sim)
+  FROM sim
 )
 SELECT probe_id, rnk, vec_id AS neighbor_id, round(sim, 3) AS sim
 FROM ranked WHERE rnk <= {k}

@@ -113,6 +113,13 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
               fuse_intraprocedural: bool = True, run_callgraph: bool = True,
               fingerprint: str | None = None) -> dict[str, DataFrame]:
     """source(repo,path,commit,lang,content) → {nodes, edges, errors}."""
+    # The edges stage is a wide union of operator branches; its rendered
+    # explain string runs to hundreds of MB, and AQE re-renders it on every
+    # plan update (AdaptiveSparkPlanExec.onUpdatePlan) — on a default-heap
+    # driver that alone OOMs. Cap the plan string on whatever session the
+    # caller hands us (runtime-settable SQL conf; explain output truncates
+    # with a notice instead of materializing the full tree).
+    spark.conf.set("spark.sql.maxPlanStringLength", "100000")
     fp = fingerprint
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

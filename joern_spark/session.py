@@ -30,6 +30,7 @@ def get_spark(master: str | None = None, app: str = "joern_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.maxPlanStringLength", "100000")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
     # Shuffle/spill scratch on tmpfs when available: local-mode benches are
