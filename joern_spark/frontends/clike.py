@@ -637,13 +637,22 @@ class CParser:
         if self.at("->"):  # trailing return type
             self.next()
             ret_ty = self.parse_type()
-        if self.at(";"):  # prototype — no METHOD node (MethodStubCreator covers calls)
+        if self.at(";"):  # prototype — METHOD node with params + RET, no body
+            # (c2cpg emits METHOD nodes for function declarations too; the
+            # dataflow golden tests address prototype params/method-returns,
+            # e.g. DataFlowTests.scala "DataFlowTest8": `void sink(int* cont);`
+            # appears in flows as ("sink(int* cont)", 3) / ("RET", 2))
             self.next()
-            return None
+            return self._make_method(ret_ty, name, start, class_full, params,
+                                     body=None)
         if not self.at("{"):
             self.skip_to_semicolon()
             return None
+        return self._make_method(ret_ty, name, start, class_full, params,
+                                 body="parse")
 
+    def _make_method(self, ret_ty: str, name: str, start: Tok,
+                     class_full: str | None, params, body):
         sig_params = ",".join(p[0] for p in params if not p[2])
         signature = f"{ret_ty}({sig_params})"
         if self.lang == "cpp":
@@ -668,8 +677,8 @@ class CParser:
             method.add(p)
             if pname:
                 self.declare(pname, p)
-        body = self.parse_compound()
-        method.add(body)
+        if body == "parse":
+            method.add(self.parse_compound())
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=ret_ty,
                      evaluation_strategy=M.BY_VALUE, line=start.line))
         self.pop_scope()
@@ -1026,12 +1035,32 @@ class CParser:
             self.declare(name, loc)
             if self.at("="):
                 self.next()
-                init = self.parse_assignment_expr()
+                if self.at("{"):  # brace initializer `int a[10] = {0};`
+                    open_tok = self.next()
+                    elems: list[N] = []
+                    while self.peek() is not None and not self.at("}"):
+                        elems.append(self.parse_assignment_expr())
+                        if self.at(","):
+                            self.next()
+                    close_tok = self.expect("}")
+                    init = N(M.CALL, code=self.slice(open_tok, close_tok),
+                             name=M.OP_ARRAY_INITIALIZER,
+                             method_full_name=M.OP_ARRAY_INITIALIZER,
+                             dispatch_type=M.STATIC_DISPATCH,
+                             line=open_tok.line)
+                    for i, e in enumerate(elems, start=1):
+                        e.arg_index = i
+                        init.add(e)
+                else:
+                    init = self.parse_assignment_expr()
                 ident = N(M.IDENTIFIER, code=name, name=name, type_full_name=ty,
                           line=name_tok.line, arg_index=1)
                 ident.ref_target = loc
                 init.arg_index = 2
-                call = N(M.CALL, code=f"{name} = {init.code}", name=M.OP_ASSIGNMENT,
+                # code is the raw source slice (`b=a` stays `b=a`, matching
+                # the reference's CDT-derived code strings)
+                call = N(M.CALL, code=self.slice(name_tok, self.toks[self.pos - 1]),
+                         name=M.OP_ASSIGNMENT,
                          method_full_name=M.OP_ASSIGNMENT,
                          dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
                          line=name_tok.line)
@@ -1269,7 +1298,10 @@ class CParser:
                 self.next()
                 idx = self.parse_expression()
                 close = self.expect("]")
-                opname = M.OP_INDIRECT_INDEX_ACCESS if node.type_full_name.endswith("*") else M.OP_INDEX_ACCESS
+                # c2cpg lowers EVERY array subscript to indirectIndexAccess
+                # (AstForExpressionsCreator.scala:440-441), regardless of the
+                # base's static type — `p[0]` must alias `*p` downstream.
+                opname = M.OP_INDIRECT_INDEX_ACCESS
                 node.arg_index, idx.arg_index = 1, 2
                 call = N(M.CALL, code=self.slice(start, close), name=opname,
                          method_full_name=opname, dispatch_type=M.STATIC_DISPATCH, line=start.line)

@@ -27,7 +27,20 @@ from joern_spark import model as M
 
 MAX_DEFS = 4000  # reference OssDataFlow.scala:15 default maxNumberOfDefinitions
 
-FIELD_ACCESS_NAMES = {M.OP_FIELD_ACCESS, M.OP_INDIRECT_FIELD_ACCESS}
+# gen-skip: MemberAccess.isFieldAccess (semanticcpg/.../utils/MemberAccess.scala:25-38)
+# — "filter out field accesses to ensure they propagate taint unharmed";
+# covers ALL member/index/deref accesses plus sizeOf, not just fieldAccess.
+FIELD_ACCESS_NAMES = {
+    M.OP_FIELD_ACCESS, M.OP_INDIRECT_FIELD_ACCESS,
+    M.OP_INDEX_ACCESS, M.OP_INDIRECT_INDEX_ACCESS,
+    M.OP_COMPUTED_MEMBER_ACCESS, M.OP_INDIRECTION, M.OP_SIZEOF,
+    M.OP + "memberAccess", M.OP + "indirectMemberAccess",
+    M.OP + "indirectComputedMemberAccess", M.OP + "getElementPtr",
+}
+# kill-skip: MemberAccess.isGenericMemberAccessName (:10-23) — same family
+# minus sizeOf, plus addressOf and pointerShift.
+GENERIC_MEMBER_ACCESS_NAMES = (FIELD_ACCESS_NAMES - {M.OP_SIZEOF}) | {
+    M.OP_ADDRESS_OF, M.OP + "pointerShift"}
 CONTAINER_NAMES = {M.OP_FIELD_ACCESS, M.OP_INDIRECT_FIELD_ACCESS,
                    M.OP_INDEX_ACCESS, M.OP_INDIRECT_INDEX_ACCESS}
 INDIRECTION_NAMES = {M.OP_ADDRESS_OF, M.OP_INDIRECTION}
@@ -170,7 +183,7 @@ def reaching_def_edges(rows: list[dict], method_row: dict,
 
     kill: dict[int, set[int]] = {}
     for c in calls:
-        if c["name"] in CONTAINER_NAMES:
+        if c["name"] in GENERIC_MEMBER_ACCESS_NAMES:
             continue
         ks: set[int] = set()
         for d in gen.get(c["node_idx"], ()):
@@ -214,6 +227,77 @@ def reaching_def_edges(rows: list[dict], method_row: dict,
             seen.add(e)
             edges.append(e)
 
+    # Access-path elements mirror semanticcpg's AccessElement vocabulary
+    # (accesspath/AccessElement.scala): ("*",)=IndirectionAccess,
+    # ("&",)=AddressOf, ("c",s)=ConstantAccess, ("ps",k)=PointerShift(k),
+    # ("vps",)=VariablePointerShift, ("var",)=VariableAccess.
+    def _norm_path(path: list[tuple]) -> tuple:
+        """Elements.destructiveNormalized (AccessPath.scala:319-345):
+        drop PointerShift(0), merge adjacent shifts, cancel &* / *&."""
+        out: list[tuple] = []
+        for e in path:
+            if e == ("ps", 0):
+                continue
+            if out:
+                last = out[-1]
+                if last[0] == "ps" and e[0] == "ps":
+                    k = last[1] + e[1]
+                    out.pop()
+                    if k:
+                        out.append(("ps", k))
+                    continue
+                if last[0] == "vps" and e[0] in ("ps", "vps"):
+                    continue
+                if last[0] == "ps" and e[0] == "vps":
+                    out[-1] = ("vps",)
+                    continue
+                if (last, e) in ((("&",), ("*",)), (("*",), ("&",))):
+                    out.pop()
+                    continue
+            out.append(e)
+        return tuple(out)
+
+    def _int_token(arg: dict) -> tuple:
+        """extractAccessIntToken (AccessPathHandling.scala:123-135)."""
+        try:
+            return ("ps", int(arg["code"], 0))
+        except (ValueError, TypeError):
+            return ("vps",)
+
+    def tracked_base_path(i: int):
+        """(base name, normalized access-path tuple) for a chain of
+        member/index/deref operators over an identifier/parameter base, or
+        None — toTrackedBaseAndAccessPathSimple (AccessPathUsage.scala:13-47
+        + AccessPathHandling.memberAccessToPath:34-84). Normalization makes
+        `p[0]` ≡ `*p` (PointerShift(0) drops) and `a->f` ≡ `(*a).f`."""
+        path: list[tuple] = []
+        r = by_idx.get(i)
+        while r is not None and r["kind"] == M.CALL:
+            a = args_of(r["node_idx"])
+            nm = r["name"]
+            if nm == M.OP_FIELD_ACCESS and len(a) >= 2:
+                path[0:0] = [("c", a[1]["name"] or a[1]["code"])]
+            elif nm == M.OP_INDIRECT_FIELD_ACCESS and len(a) >= 2:
+                path[0:0] = [("*",), ("c", a[1]["name"] or a[1]["code"])]
+            elif nm == M.OP_INDIRECTION and a:
+                path[0:0] = [("*",)]
+            elif nm == M.OP_ADDRESS_OF and a:
+                path[0:0] = [("&",)]
+            elif nm == M.OP_INDEX_ACCESS and len(a) >= 2:
+                tok = (("c", a[1]["code"]) if a[1]["kind"] == M.LITERAL
+                       else ("var",))
+                path[0:0] = [tok]
+            elif nm == M.OP_INDIRECT_INDEX_ACCESS and len(a) >= 2:
+                # memberAccessToPath: IndirectionAccess :: intToken :: tail
+                # (reversed) ⇒ shift first, then deref
+                path[0:0] = [_int_token(a[1]), ("*",)]
+            else:
+                return None
+            r = by_idx.get(a[0]["node_idx"]) if a else None
+        if r is not None and r["kind"] in (M.IDENTIFIER, M.METHOD_PARAMETER_IN):
+            return (r["name"], _norm_path(path))
+        return None
+
     def is_using(use_i: int, in_i: int) -> bool:
         use_s = node_str(use_i)
         r = by_idx[in_i]
@@ -240,6 +324,16 @@ def reaching_def_edges(rows: list[dict], method_row: dict,
                 r["kind"] in (M.METHOD_PARAMETER_IN, M.IDENTIFIER):
             a = next(iter(args_of(use_i)), None)
             if a is not None and node_str(a["node_idx"]) == r["name"]:
+                return True
+        # isAlias: both are access chains over the same base with an
+        # EXACT-matching access path (UsageAnalyzer.isAlias,
+        # DdgGenerator.scala:319-331) — `arg->f` aliases `(*arg).f`
+        if u["kind"] == M.CALL and r["kind"] == M.CALL:
+            up, rp = tracked_base_path(use_i), tracked_base_path(in_i)
+            if up is not None and up == rp and not any(
+                    e[0] in ("var", "vps") for e in up[1]):
+                # variable elements overtaint ⇒ VARIABLE_EXACT, not EXACT
+                # (AccessPath.matchAndDiff:136-181)
                 return True
         return False
 

@@ -51,8 +51,10 @@ _EXT = {"c": "c", "cpp": "cpp", "java": "java", "javascript": "js"}
 
 
 def corpus() -> list[dict]:
-    from joern_spark.parity import corpus_c, corpus_java, corpus_js
-    return corpus_c.CASES + corpus_js.CASES + corpus_java.CASES
+    from joern_spark.parity import (corpus_c, corpus_c_flows, corpus_java,
+                                    corpus_js)
+    return (corpus_c.CASES + corpus_c_flows.CASES + corpus_js.CASES
+            + corpus_java.CASES)
 
 
 def case_path(case: dict) -> str:
@@ -93,6 +95,15 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
     for rel in ("calls", "inherits", "declares", "methods"):
         for s, o in (case.get(rel) or []):
             out.append((rel, s, o))
+    for f in (case.get("flows") or []):
+        from joern_spark.parity.flows import serialize
+        if "count" in f:
+            out.append(("flows", f["name"], f"count={f['count']}"))
+        elif not f["want"]:
+            out.append(("flows", f["name"], ""))  # empty-set assertion
+        else:
+            for pairs in f["want"]:
+                out.append(("flows", f["name"], serialize(pairs)))
     return out
 
 
@@ -256,6 +267,11 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
         for r in rows:
             if r["kind"] == M.METHOD:
                 out.add(("methods", r["name"], r["full_name"]))
+
+    if case.get("flows"):
+        from joern_spark.parity.flows import case_flow_facts
+        for s, o in case_flow_facts(rows, case["flows"]):
+            out.add(("flows", s, o))
     return out
 
 

@@ -48,13 +48,101 @@ EXPRESSION_KINDS = {
 }
 
 MAX_STEPS = 32
-MAX_CALL_DEPTH = 2
+MAX_CALL_DEPTH = 4  # EngineConfig default (Engine.scala:321)
+
+# Default flow semantics (DefaultSemantics.scala:24-117): call name ->
+# list of (src, dst) argument-index mappings; -1 is the return value.
+# A name mapped to PASSTHROUGH propagates every argument to itself and
+# to the return value (PassThroughMapping).
+PASSTHROUGH = "PASSTHROUGH"
+_ASSIGN_OP = [(2, 1), (1, 1), (2, -1)]
+SEMANTICS: dict[str, object] = {
+    "<operator>.addition": [(1, -1), (2, -1)],
+    "<operator>.addressOf": [(1, -1)],
+    "<operator>.assignment": [(2, 1), (2, -1)],
+    "<operator>.assignmentAnd": _ASSIGN_OP,
+    "<operator>.assignmentArithmeticShiftRight": _ASSIGN_OP,
+    "<operator>.assignmentDivision": _ASSIGN_OP,
+    "<operator>.assignmentExponentiation": _ASSIGN_OP,
+    "<operator>.assignmentLogicalShiftRight": _ASSIGN_OP,
+    "<operator>.assignmentMinus": _ASSIGN_OP,
+    "<operator>.assignmentModulo": _ASSIGN_OP,
+    "<operator>.assignmentMultiplication": _ASSIGN_OP,
+    "<operator>.assignmentOr": _ASSIGN_OP,
+    "<operator>.assignmentPlus": _ASSIGN_OP,
+    "<operator>.assignmentShiftLeft": _ASSIGN_OP,
+    "<operator>.assignmentXor": _ASSIGN_OP,
+    "<operator>.cast": [(1, -1), (2, -1)],
+    "<operator>.computedMemberAccess": [(1, -1)],
+    "<operator>.conditional": [(2, -1), (3, -1)],
+    "<operator>.elvis": [(1, -1), (2, -1)],
+    "<operator>.notNullAssert": [(1, -1)],
+    "<operator>.fieldAccess": [(1, -1)],
+    "<operator>.getElementPtr": [(1, -1)],
+    "<operator>.modulo": PASSTHROUGH,
+    "<operator>.arrayInitializer": PASSTHROUGH,
+    "<operator>.indexAccess": [(1, -1)],
+    "<operator>.indirectComputedMemberAccess": [(1, -1)],
+    "<operator>.indirectFieldAccess": [(1, -1)],
+    "<operator>.indirectIndexAccess": [(1, -1), (2, 1)],
+    "<operator>.indirectMemberAccess": [(1, -1)],
+    "<operator>.indirection": [(1, -1)],
+    "<operator>.memberAccess": [(1, -1)],
+    "<operator>.pointerShift": [(1, -1)],
+    "<operator>.postDecrement": [(1, 1), (1, -1)],
+    "<operator>.postIncrement": [(1, 1), (1, -1)],
+    "<operator>.preDecrement": [(1, 1), (1, -1)],
+    "<operator>.preIncrement": [(1, 1), (1, -1)],
+    "<operator>.sizeOf": [],
+    # common external C calls (DefaultSemantics.cFlows)
+    "abs": [(1, 1), (1, -1)],
+    "abort": [],
+    "asctime": [(1, 1), (1, -1)],
+    "asctime_r": [(1, 1), (1, -1)],
+    "atof": [(1, 1), (1, -1)],
+    "atoi": [(1, 1), (1, -1)],
+    "atol": [(1, 1), (1, -1)],
+    "calloc": [(1, -1), (2, -1)],
+    "ceil": [(1, 1), (1, 1)],
+    "clock": [],
+    "ctime": [(1, -1)],
+    "ctime64": [(1, -1)],
+    "ctime_r": [(1, -1)],
+    "ctime64_r": [(1, -1)],
+    "difftime": [(1, -1), (2, -1)],
+    "difftime64": [(1, -1), (2, -1)],
+    "div": PASSTHROUGH,
+    "exit": [(1, 1)],
+    "exp": [(1, -1)],
+    "fabs": [(1, -1)],
+    "fclose": [(1, 1), (1, -1)],
+    "fdopen": [(1, -1), (2, -1)],
+    "feof": [(1, 1), (1, -1)],
+    "ferror": [(1, 1), (1, -1)],
+    "fflush": [(1, 1), (1, -1)],
+    "fgetc": [(1, 1), (1, -1)],
+    "fwrite": [(1, 1), (1, -1), (2, -1), (3, -1), (4, -1)],
+    "free": [(1, 1)],
+    "getc": [(1, 1)],
+    "scanf": [(2, 2)],
+    "strcmp": [(1, 1), (1, -1), (2, 2), (2, -1)],
+    "strlen": [(1, 1), (1, -1)],
+    "strncpy": [(1, 1), (2, 2), (3, 3), (1, -1), (2, -1)],
+    "strncat": [(1, 1), (2, 2), (3, 3), (1, -1), (2, -1)],
+}
 
 
 class _Case:
-    """Indexed view over one fixture's raw rows."""
+    """Indexed view over one fixture's raw rows.
+
+    Calls to names with no METHOD in the fixture get a synthesized stub
+    method with parameters ``p1..pN`` at line -1 — the analogue of the
+    reference's MethodStubCreator (x2cpg/.../passes/base/MethodStubCreator
+    .scala), whose stub params show up in golden flows as e.g.
+    ``("sink(p1)", -1)`` (DataFlowTests.scala "DataFlowTest37")."""
 
     def __init__(self, rows: list[dict]):
+        rows = list(rows) + _stub_rows(rows)
         self.rows = rows
         self.by_idx = {r["node_idx"]: r for r in rows}
         self.kids: dict[int, list[dict]] = defaultdict(list)
@@ -76,6 +164,181 @@ class _Case:
         return next((r for r in self.kids[m_idx]
                      if r["kind"] == M.METHOD_RETURN), None)
 
+    def has_body(self, m_idx: int) -> bool:
+        """Internal non-stub: definition with a body block (the reference's
+        `method.isExternal || method.start.isStub.nonEmpty` complement)."""
+        return any(r["kind"] == M.BLOCK for r in self.kids[m_idx])
+
+    def in_call(self, i: int) -> dict | None:
+        """The call this node is an argument of (Expression.inCall)."""
+        p = self.by_idx.get(self.by_idx[i]["parent_idx"])
+        if p is not None and p["kind"] == M.CALL and self.by_idx[i]["arg_index"] >= 1:
+            return p
+        return None
+
+
+# --------------------------------------------------------------------------- #
+# EdgeValidator (EdgeValidator.scala) + argument flow semantics
+# --------------------------------------------------------------------------- #
+
+def _sem_for_call(call_row: dict):
+    """Semantics for the called method; None = unknown (s.isEmpty)."""
+    return SEMANTICS.get(call_row["name"])
+
+
+def _is_used(case: _Case, i: int) -> bool:
+    """ExpressionMethods.isUsed: evaluation of the enclosing call reads
+    this argument."""
+    c = case.in_call(i)
+    if c is None:
+        return True
+    s = _sem_for_call(c)
+    if s is None:
+        return True
+    if s == PASSTHROUGH:
+        return case.by_idx[i]["arg_index"] != 0
+    idx = case.by_idx[i]["arg_index"]
+    return any(src == idx for src, _dst in s)
+
+
+def _is_defined(case: _Case, i: int) -> bool:
+    """ExpressionMethods.isDefined: the enclosing call writes this arg."""
+    c = case.in_call(i)
+    if c is None:
+        return True
+    s = _sem_for_call(c)
+    if s is None:
+        return True
+    if s == PASSTHROUGH:
+        return case.by_idx[i]["arg_index"] != 0
+    idx = case.by_idx[i]["arg_index"]
+    return any(dst == idx for _src, dst in s)
+
+
+def _has_defined_flow_to(case: _Case, src_i: int, dst_i: int) -> bool:
+    c = case.in_call(src_i)
+    s = _sem_for_call(c) if c is not None else None
+    if s is None:
+        return True
+    si, di = case.by_idx[src_i]["arg_index"], case.by_idx[dst_i]["arg_index"]
+    if s == PASSTHROUGH:
+        return si == di
+    return any(src == si and dst == di for src, dst in s)
+
+
+def _is_call_retval(case: _Case, i: int) -> bool:
+    """A CALL with semantics that do NOT taint its return value."""
+    r = case.by_idx.get(i)
+    if r is None or r["kind"] != M.CALL:
+        return False
+    s = _sem_for_call(r)
+    if s is None or s == PASSTHROUGH:
+        return False
+    return not any(dst == -1 for _src, dst in s)
+
+
+def _is_output_arg_of_internal_method(case: _Case, i: int) -> bool:
+    c = case.in_call(i)
+    if c is None or _sem_for_call(c) is not None:
+        return False
+    return any(case.has_body(m["node_idx"])
+               for m in case.methods_by_name.get(c["name"], []))
+
+
+def _internal_methods_for_call(case: _Case, call_row: dict) -> bool:
+    """True iff non-external methods exist for the call (synthesized stubs
+    are external, parsed methods — including prototypes — are internal)."""
+    return any(not m.get("is_external", False)
+               for m in case.methods_by_name.get(call_row["name"], []))
+
+
+def _element_visible(case: _Case, parent: int, child: int) -> bool:
+    """The `visible` flag of the parent PathElement created for an RD step
+    (Engine.elemForEdge, Engine.scala:218-232). Invisible elements stay on
+    the path (and count for longest-path dedup) but are dropped from the
+    displayed flow (ExtendedCfgNode.reachableByFlows:51-55)."""
+    p, c = case.by_idx.get(parent), case.by_idx[child]
+    if p is None or p["kind"] not in EXPRESSION_KINDS \
+            or c["kind"] not in EXPRESSION_KINDS:
+        return True
+    pc, cc = case.in_call(parent), case.in_call(child)
+    same = (pc is None and cc is None) or (
+        pc is not None and cc is not None
+        and pc["node_idx"] == cc["node_idx"])
+    if same:
+        if pc is None:
+            return True  # no enclosing call: no semantics, no methods
+        sem_exists = _sem_for_call(pc) is not None
+        return (sem_exists and _is_defined(case, parent)) \
+            or not _internal_methods_for_call(case, pc)
+    return _is_defined(case, parent)
+
+
+def _is_valid_edge(case: _Case, child: int, parent: int) -> bool:
+    """EdgeValidator.isValidEdge(childNode=edge dst, parentNode=edge src)."""
+    child_expr = case.by_idx[child]["kind"] in EXPRESSION_KINDS
+    parent_row = case.by_idx.get(parent)
+    parent_expr = parent_row is not None and parent_row["kind"] in EXPRESSION_KINDS
+    if child_expr:
+        if _is_call_retval(case, parent):
+            return False
+        # isValidEdgeToExpression
+        if parent_expr:
+            same = case.in_call(parent) is case.in_call(child) or (
+                case.in_call(parent) is not None and case.in_call(child) is not None
+                and case.in_call(parent)["node_idx"] == case.in_call(child)["node_idx"])
+            if same and _is_output_arg_of_internal_method(case, parent):
+                return False
+            if not ((same and _is_used(case, parent) and _is_defined(case, child))
+                    or (not same and _is_used(case, child))):
+                return False
+        elif not _is_used(case, child):
+            return False
+        # arg must not taint its own call's retval when semantics say no
+        if case.by_idx[child]["kind"] == M.CALL and _is_call_retval(case, child) \
+                and case.by_idx.get(parent, {}).get("parent_idx") == child:
+            return False
+        if parent_expr and case.in_call(parent) is not None \
+                and case.in_call(child) is not None \
+                and case.in_call(parent)["node_idx"] == case.in_call(child)["node_idx"] \
+                and _is_defined(case, child) and _is_used(case, parent):
+            return _has_defined_flow_to(case, parent, child)
+        return True
+    return not _is_call_retval(case, parent)
+
+
+def _stub_rows(rows: list[dict]) -> list[dict]:
+    defined = {r["name"] for r in rows if r["kind"] == M.METHOD}
+    arity: dict[str, int] = {}
+    for r in rows:
+        if r["kind"] == M.CALL and not r["name"].startswith("<operator>") \
+                and r["name"] not in defined:
+            n_args = sum(1 for c in rows if c["parent_idx"] == r["node_idx"]
+                         and c["arg_index"] >= 1)
+            arity[r["name"]] = max(arity.get(r["name"], 0), n_args)
+    nxt = max((r["node_idx"] for r in rows), default=-1) + 1
+    out: list[dict] = []
+
+    def mk(kind, **kw):
+        nonlocal nxt
+        d = dict(node_idx=nxt, parent_idx=-1, kind=kind, code="", name="",
+                 line=-1, order=0, method_idx=-1, arg_index=-1,
+                 param_index=-1, full_name="", is_external=True)
+        d.update(kw)
+        nxt += 1
+        return d
+
+    for name in sorted(arity):
+        m = mk(M.METHOD, code=name, name=name, full_name=name)
+        out.append(m)
+        for i in range(1, arity[name] + 1):
+            out.append(mk(M.METHOD_PARAMETER_IN, code=f"p{i}", name=f"p{i}",
+                          parent_idx=m["node_idx"], method_idx=m["node_idx"],
+                          param_index=i, order=i))
+        out.append(mk(M.METHOD_RETURN, code="RET", parent_idx=m["node_idx"],
+                      method_idx=m["node_idx"], order=arity[name] + 1))
+    return out
+
 
 def _rd_edges(case: _Case) -> list[tuple[int, int, str]]:
     from joern_spark.operators.controlflow import cfg_for_method
@@ -94,7 +357,15 @@ def _rd_edges(case: _Case) -> list[tuple[int, int, str]]:
 # --------------------------------------------------------------------------- #
 
 def _parent_expression(case: _Case, i: int) -> int:
+    """ExpressionMethods._parentExpression: walk up, skipping THROUGH
+    generic-member-access call parents (tail-recursive in the reference)."""
     p = case.by_idx.get(case.by_idx[i]["parent_idx"])
+    while p is not None and p["kind"] == M.CALL \
+            and p["name"] in GENERIC_MEMBER_ACCESS:
+        p2 = case.by_idx.get(p["parent_idx"])
+        if p2 is None:
+            break
+        p = p2
     if p is not None and p["kind"] in EXPRESSION_KINDS:
         return p["node_idx"]
     return i
@@ -158,9 +429,13 @@ def serialize(pairs: tuple[tuple[str, int], ...] | list) -> str:
 
 def select_nodes(case: _Case, spec: dict) -> list[int]:
     if "param" in spec:
-        s = spec["param"]
+        s = spec["param"] or {}
+        if "method" in s:
+            ms = case.methods_by_name.get(s["method"], [])
+        else:
+            ms = case.methods  # cpg.method.parameter
         out = []
-        for m in case.methods_by_name.get(s["method"], []):
+        for m in ms:
             for p in case.params_of(m["node_idx"]):
                 if "name" not in s or p["name"] == s["name"]:
                     out.append(p["node_idx"])
@@ -169,6 +444,18 @@ def select_nodes(case: _Case, spec: dict) -> list[int]:
         return [case.method_return_of(m["node_idx"])["node_idx"]
                 for m in case.methods_by_name.get(spec["method_return"], [])
                 if case.method_return_of(m["node_idx"]) is not None]
+    if "ret" in spec:  # cpg.ret / cpg.method(X).ast.isReturn
+        s = spec["ret"] or {}
+        out = []
+        for r in case.rows:
+            if r["kind"] != M.RETURN:
+                continue
+            if "method" in s:
+                m = case.by_idx.get(r["method_idx"])
+                if m is None or m["name"] != s["method"]:
+                    continue
+            out.append(r["node_idx"])
+        return out
     if "identifier" in spec:
         s = spec["identifier"] or {}
         return [r["node_idx"] for r in case.rows if r["kind"] == M.IDENTIFIER
@@ -180,16 +467,49 @@ def select_nodes(case: _Case, spec: dict) -> list[int]:
     if "call" in spec:
         s = spec["call"]
         return [r["node_idx"] for r in case.rows if r["kind"] == M.CALL
-                and r["name"] == s["name"]]
+                and ("name" not in s or r["name"] == s["name"])
+                and ("code" not in s or r["code"] == s["code"])]
     if "call_arg" in spec:
         s = spec["call_arg"]
         out = []
         for r in case.rows:
-            if r["kind"] == M.CALL and r["name"] == s["name"]:
-                for c in case.kids[r["node_idx"]]:
-                    if "index" not in s or c["arg_index"] == s["index"]:
-                        if c["arg_index"] >= 1:
-                            out.append(c["node_idx"])
+            if r["kind"] != M.CALL:
+                continue
+            if "name" in s and r["name"] != s["name"]:
+                continue
+            if "code" in s and r["code"] != s["code"]:
+                continue
+            for c in case.kids[r["node_idx"]]:
+                if c["arg_index"] < 1:
+                    continue
+                if "index" in s and c["arg_index"] != s["index"]:
+                    continue
+                if "arg_code" in s and c["code"] != s["arg_code"]:
+                    continue
+                out.append(c["node_idx"])
+        return out
+    if "assign_target_of_call" in spec:
+        # cpg.call(X).inAssignment.target — argument(1) of the enclosing
+        # assignment whose RHS subtree contains a call named X
+        s = spec["assign_target_of_call"]
+        out = []
+        for r in case.rows:
+            if r["kind"] == M.CALL and r["name"] == M.OP_ASSIGNMENT:
+                kids = case.kids[r["node_idx"]]
+                tgt = next((c for c in kids if c["arg_index"] == 1), None)
+                rhs = next((c for c in kids if c["arg_index"] == 2), None)
+                if tgt is None or rhs is None:
+                    continue
+                stack = [rhs]
+                hit = False
+                while stack:
+                    n = stack.pop()
+                    if n["kind"] == M.CALL and n["name"] == s["name"]:
+                        hit = True
+                        break
+                    stack.extend(case.kids[n["node_idx"]])
+                if hit:
+                    out.append(tgt["node_idx"])
         return out
     raise ValueError(f"unknown node spec {spec!r}")
 
@@ -198,62 +518,178 @@ def select_nodes(case: _Case, spec: dict) -> list[int]:
 # backwards flow search
 # --------------------------------------------------------------------------- #
 
+def _starting_points(case: _Case, sources: list[int]) -> dict[int, int]:
+    """SourcesToStartingPoints (SourcesToStartingPoints.scala:193-221):
+    -> {starting node -> original source node}. A METHOD_RETURN source is
+    replaced by the call sites of its method (the displayed path then gets
+    the METHOD_RETURN prepended); other CfgNodes start at themselves."""
+    out: dict[int, int] = {}
+    for s in sources:
+        r = case.by_idx[s]
+        if r["kind"] == M.METHOD_RETURN:
+            m = case.by_idx.get(r["method_idx"])
+            mname = m["name"] if m is not None else None
+            for site in case.rows:
+                if site["kind"] == M.CALL and site["name"] == mname:
+                    out.setdefault(site["node_idx"], s)
+        else:
+            out[s] = s
+    return out
+
+
 def enumerate_paths(case: _Case, source_spec: dict, sink_spec: dict,
                     max_steps: int = MAX_STEPS,
                     max_call_depth: int = MAX_CALL_DEPTH) -> list[list[int]]:
-    """All simple REACHING_DEF(+interprocedural) paths source->sink, as
-    node_idx lists. Same step semantics as Steps.reachable_by_flows
-    (query/__init__.py) — backwards frontier with cycle pruning and a
-    call-depth cap."""
-    back: dict[int, list[tuple[int, bool]]] = defaultdict(list)
+    """Backward task search re-deriving the reference engine
+    (Engine.scala/TaskCreator.scala): REACHING_DEF steps filtered by
+    EdgeValidator; at parameters, expansion to matching call-site arguments
+    (realizable only — a call-site stack records entered callees); at call
+    sites of internal non-stub methods, expansion into the callee's RETURN
+    statements with the METHOD_RETURN spliced into the displayed path; at
+    calls to external/stub methods, continuation from the call's arguments.
+    Returns node_idx paths source->sink."""
+    rd_back: dict[int, list[tuple[int, bool]]] = defaultdict(list)
     for s, d, _v in _rd_edges(case):
-        back[d].append((s, False))
+        if _is_valid_edge(case, d, s):
+            rd_back[d].append((s, _element_visible(case, s, d)))
 
-    # param -> matching argument at each call site resolved by name
-    for m in case.methods:
-        sites = [r for r in case.rows
-                 if r["kind"] == M.CALL and r["name"] == m["name"]]
-        for p in case.params_of(m["node_idx"]):
-            for site in sites:
-                for a in case.kids[site["node_idx"]]:
-                    if a["arg_index"] == p["param_index"]:
-                        back[p["node_idx"]].append((a["node_idx"], True))
-        # call site -> RETURN statements of the callee
-        rets = [r for r in case.rows if r["kind"] == M.RETURN
-                and r["method_idx"] == m["node_idx"]]
-        for site in sites:
-            for ret in rets:
-                back[site["node_idx"]].append((ret["node_idx"], True))
+    args_by_method: dict[str, list[tuple[dict, dict]]] = defaultdict(list)
+    for site in case.rows:
+        if site["kind"] == M.CALL:
+            for a in case.kids[site["node_idx"]]:
+                if a["arg_index"] >= 1:
+                    args_by_method[site["name"]].append((site, a))
 
     sources = set(select_nodes(case, source_spec))
+    starts = _starting_points(case, sources)
     sinks = select_nodes(case, sink_spec)
 
-    results: list[list[int]] = []
-    seen_paths: set[tuple[int, ...]] = set()
-    frontier: list[tuple[int, tuple[int, ...], int]] = [
-        (s, (s,), 0) for s in sinks]
-    for _ in range(max_steps):
-        nxt: list[tuple[int, tuple[int, ...], int]] = []
-        for cur, path, cdepth in frontier:
-            if cur in sources and path not in seen_paths:
-                seen_paths.add(path)
-                results.append(list(path))
-            for prev, inter in back.get(cur, ()):
-                if prev in path:
-                    continue
-                nd = cdepth + (1 if inter else 0)
-                if nd > max_call_depth:
-                    continue
-                nxt.append((prev, (prev,) + path, nd))
-        if not nxt:
+    # One result per (source, sink) pair: Engine.deduplicateFinal
+    # (Engine.scala:155-178) groups by (path.head, path.last) and keeps the
+    # LONGEST path, tie-broken by smallest element-id string (≈ document
+    # order). That's why DataFlowTest2's golden goes through `return x;`
+    # rather than the direct param->RET reaching-def edge.
+    # path = tuple of (node_idx, visible) pairs, source-first
+    best: dict[tuple[int, int], tuple] = {}
+    frontier: list[tuple] = [(s, ((s, True),), 0, ()) for s in sinks]
+
+    def nodes_of(path):
+        return tuple(n for n, _v in path)
+
+    for _ in range(max_steps + 1):
+        if not frontier:
             break
+        for cur, path, _d, _st in frontier:
+            if cur in starts:
+                key = (cur, path[-1][0])
+                old = best.get(key)
+                if old is None or len(path) > len(old) or \
+                        (len(path) == len(old) and nodes_of(path) < nodes_of(old)):
+                    best[key] = path
+        nxt: list[tuple] = []
+        for cur, path, cdepth, stack in frontier:
+            r = case.by_idx[cur]
+            pnodes = nodes_of(path)
+            steps: list[tuple] = []
+            # TaskSolver cases 3/4 (TaskSolver.scala:168-183): at a call to
+            # an internal method without semantics — or at an argument of
+            # one — intra-procedural traversal STOPS (the flow must go
+            # through the callee), unless we just came out of that callee
+            # (via its METHOD_RETURN or a parameter).
+            def _int_no_sem(call_row):
+                return _sem_for_call(call_row) is None and any(
+                    not m.get("is_external", False)
+                    for m in case.methods_by_name.get(call_row["name"], []))
+
+            def _came_from_callee(call_row):
+                if len(path) < 2:
+                    return False
+                p1 = case.by_idx[path[1][0]]
+                if p1["kind"] not in (M.METHOD_RETURN, M.METHOD_PARAMETER_IN):
+                    return False
+                return any(m["node_idx"] == p1["method_idx"]
+                           for m in case.methods_by_name.get(call_row["name"], []))
+
+            blocked = False
+            if r["kind"] == M.CALL and not r["name"].startswith("<operator>") \
+                    and _int_no_sem(r) and not _came_from_callee(r):
+                blocked = True  # case 3
+            enc = case.in_call(cur)
+            if not blocked and len(path) > 1 and enc is not None \
+                    and not enc["name"].startswith("<operator>") \
+                    and _int_no_sem(enc) and not _came_from_callee(enc):
+                # case 4: output-arg partial. When the callee has a body,
+                # TaskCreator resumes from its METHOD_PARAMETER_OUT; the
+                # unconditional paramIn->paramOut edge ("modifications of
+                # the input parameter only affect a copy",
+                # DdgGenerator.addEdgesToMethodParameterOut) then unwinds
+                # back to this same argument — net effect: the backward
+                # traversal continues from `cur` (DataFlowTests64's by-value
+                # double free). Body-less callees have no CFG, so their
+                # paramOut has no incoming edges and the partial dies.
+                blocked = not any(
+                    case.has_body(m["node_idx"])
+                    for m in case.methods_by_name.get(enc["name"], []))
+            if not blocked:
+                for prev, vis in rd_back.get(cur, ()):
+                    steps.append((prev, ((prev, vis),) + path, cdepth, stack))
+            if r["kind"] == M.METHOD_PARAMETER_IN:
+                if stack:  # must return to the call site we entered from
+                    site_idx, rest = stack[-1], stack[:-1]
+                    for a in case.kids[site_idx]:
+                        if a["arg_index"] == r["param_index"]:
+                            steps.append((a["node_idx"],
+                                          ((a["node_idx"], True),) + path,
+                                          cdepth - 1, rest))
+                else:
+                    m = case.by_idx.get(r["method_idx"])
+                    for _site, a in args_by_method.get(
+                            m["name"] if m else None, ()):
+                        if a["arg_index"] == r["param_index"]:
+                            steps.append((a["node_idx"],
+                                          ((a["node_idx"], True),) + path,
+                                          cdepth + 1, stack))
+            if r["kind"] == M.CALL and not r["name"].startswith("<operator>"):
+                for m in case.methods_by_name.get(r["name"], []):
+                    if case.has_body(m["node_idx"]):
+                        mr = case.method_return_of(m["node_idx"])
+                        if mr is None or cur in stack:
+                            continue
+                        mrp = ((mr["node_idx"], True),) + path \
+                            if mr["node_idx"] not in pnodes else path
+                        for ret in case.rows:
+                            if ret["kind"] == M.RETURN and \
+                                    ret["method_idx"] == m["node_idx"]:
+                                steps.append((ret["node_idx"],
+                                              ((ret["node_idx"], True),) + mrp,
+                                              cdepth + 1, stack + (cur,)))
+                    else:  # external/stub: taint flows from the arguments
+                        for a in case.kids[cur]:
+                            if a["arg_index"] >= 1:
+                                steps.append((a["node_idx"],
+                                              ((a["node_idx"], True),) + path,
+                                              cdepth, stack))
+            for prev, npath, nd, nstack in steps:
+                if prev in pnodes or nd > max_call_depth:
+                    continue
+                nxt.append((prev, npath, nd, nstack))
         # dedup identical frontier entries
-        frontier = list({(c, p): (c, p, d) for c, p, d in nxt}.values())
-    for cur, path, _ in frontier:  # final hit check after last step
-        if cur in sources and path not in seen_paths:
-            seen_paths.add(path)
-            results.append(list(path))
-    return results
+        frontier = list({(c, tuple(p), st): (c, p, d, st)
+                         for c, p, d, st in nxt}.values())
+
+    # Assemble displayed paths: prepend the original source where the
+    # starting point replaced it (reachableByInternal), drop invisible
+    # elements unless they are starting points (reachableByFlows:54), and
+    # collapse consecutive duplicate nodes.
+    out: list[list[int]] = []
+    for (start_node, _sink), path in best.items():
+        src = starts[start_node]
+        full = path if src == start_node else ((src, True),) + path
+        shown = [n for n, v in full if v or n in starts]
+        coll = [n for i, n in enumerate(shown)
+                if i == 0 or shown[i - 1] != n]
+        out.append(coll)
+    return out
 
 
 def case_flow_facts(rows: list[dict], flow_specs: list[dict]) -> list[tuple[str, str]]:
@@ -265,8 +701,10 @@ def case_flow_facts(rows: list[dict], flow_specs: list[dict]) -> list[tuple[str,
         paths = enumerate_paths(case, f["source"], f["sink"],
                                 max_call_depth=f.get("max_call_depth",
                                                      MAX_CALL_DEPTH))
+        if "min_elements" in f:  # path.elements.sizeIs > N-1 filters
+            paths = [p for p in paths if len(p) >= f["min_elements"]]
         serialized = sorted({serialize(result_pairs(case, p)) for p in paths})
-        if f.get("assert") == "count":
+        if "count" in f:  # size-only assertion in the reference test
             out.append((f["name"], f"count={len(serialized)}"))
         else:
             for s in serialized:

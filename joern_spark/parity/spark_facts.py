@@ -155,10 +155,46 @@ def spark_facts(spark: SparkSession) -> DataFrame:
         .select("lang", "kase", F.lit("methods").alias("relation"),
                 F.col("name").alias("subj"), F.col("full_name").alias("obj")))
 
+    out.append(_flow_facts(nodes))
+
     facts = out[0]
     for df in out[1:]:
         facts = facts.unionByName(df)
     return facts.distinct()
+
+
+_FACT_OUT = ("lang string, kase string, relation string, "
+             "subj string, obj string")
+
+
+def _flow_facts(nodes: DataFrame) -> DataFrame:
+    """reachableByFlows parity facts, distributed: one Arrow batch per
+    fixture file (groupBy path → applyInPandas), each running the same
+    per-file flow-search kernel the sequential oracle uses. Flow search is
+    file-local by construction (the corpus fixtures are single files), so
+    this shape scales as one task per file with no cross-file state."""
+    import pandas as pd
+
+    from joern_spark.parity.flows import case_flow_facts
+
+    flow_specs = {c["name"]: (c["lang"], c["flows"])
+                  for c in P.corpus() if c.get("flows")}
+    paths = [P.case_path(c) for c in P.corpus() if c.get("flows")]
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        kase = key[0].rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        lang, specs = flow_specs[kase]
+        rows = pdf.to_dict("records")
+        facts = case_flow_facts(rows, specs)
+        return pd.DataFrame(
+            [(lang, kase, "flows", s, o) for s, o in facts],
+            columns=["lang", "kase", "relation", "subj", "obj"])
+
+    scalar_cols = [f.name for f in M.RAW_NODE_SCHEMA.fields
+                   if not f.name.startswith("ie_")]
+    return (nodes.filter(F.col("path").isin(paths))
+            .select(*scalar_cols)
+            .groupBy("path").applyInPandas(run, _FACT_OUT))
 
 
 def parity_scores(spark: SparkSession) -> DataFrame:
