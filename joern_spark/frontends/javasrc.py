@@ -59,6 +59,19 @@ JAVA_LANG = {
 }
 
 
+def _clone_ast(n: N) -> N:
+    """Deep-copy an expression tree (member initializers are replicated into
+    every constructor; node identity must be unique per METHOD). ref_target
+    stays shared — it points at declaration nodes, resolved at flatten."""
+    c = N(n.kind, code=n.code, name=n.name, line=n.line)
+    for slot in N.__slots__:
+        if slot in ("children", "idx", "kind", "code", "name", "line"):
+            continue
+        setattr(c, slot, getattr(n, slot))
+    c.children = [_clone_ast(ch) for ch in n.children]
+    return c
+
+
 class JavaParser(CParser):
     KEYWORD_SET = JAVA_KEYWORDS
 
@@ -69,6 +82,9 @@ class JavaParser(CParser):
         self.lambda_counter = 0
         # methods declared per class fullname: name -> (fullname, is_static)
         self.class_methods: dict[str, dict[str, tuple[str, bool]]] = {}
+        # non-static field initializers per class fullname:
+        # (field name, type, init expr, line) — folded into constructors
+        self.member_inits: dict[str, list[tuple[str, str, N, int]]] = {}
 
     # ---------------- naming ----------------
     def resolve_type(self, name: str) -> str:
@@ -248,7 +264,74 @@ class JavaParser(CParser):
         if self.at("}"):
             self.next()
         self.ns.pop()
+        # javasrc2cpg creates a default `<init>` for every non-interface
+        # type without an explicit constructor (TypeDeclTests.scala:355-375,
+        # interfaces excluded per :166-174), and folds non-static field
+        # initializers into EVERY constructor body as `this.<f> = <init>`
+        # (MemberTests.scala:114-160).
+        inits = self.member_inits.pop(full, [])
+        if kw != "interface":
+            if M.CONSTRUCTOR not in self.class_methods.get(full, {}):
+                decl.add(self._default_constructor(full, kw_tok.line, inits))
+            elif inits:
+                for m in decl.children:
+                    if m.kind == M.METHOD and m.name == M.CONSTRUCTOR:
+                        self._inject_member_inits(m, full, inits)
         return decl
+
+    def _member_init_assign(self, class_full: str, fname: str, ty: str,
+                            init: N, line: int, this_param: N | None) -> N:
+        this_id = N(M.IDENTIFIER, code="this", name="this",
+                    type_full_name=class_full, arg_index=1, line=line)
+        if this_param is not None:
+            this_id.ref_target = this_param
+        fld = N(M.FIELD_IDENTIFIER, code=fname, name=fname,
+                canonical_name=fname, arg_index=2, line=line)
+        fa = N(M.CALL, code=f"this.{fname}", name=M.OP_FIELD_ACCESS,
+               method_full_name=M.OP_FIELD_ACCESS,
+               dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
+               arg_index=1, line=line)
+        fa.add(this_id, fld)
+        init_c = _clone_ast(init)
+        init_c.arg_index = 2
+        asg = N(M.CALL, code=f"this.{fname} = {init.code}",
+                name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
+                dispatch_type=M.STATIC_DISPATCH, type_full_name=ty, line=line)
+        asg.add(fa, init_c)
+        return asg
+
+    def _default_constructor(self, class_full: str, line: int,
+                             inits: list[tuple[str, str, N, int]]) -> N:
+        simple = class_full.split(".")[-1]
+        ctor = N(M.METHOD, code=f"{simple}()", name=M.CONSTRUCTOR,
+                 full_name=f"{class_full}.{M.CONSTRUCTOR}:void()",
+                 signature="void()", line=line, ast_parent_type=M.TYPE_DECL,
+                 ast_parent_full_name=class_full)
+        this = N(M.METHOD_PARAMETER_IN, code="this", name="this",
+                 type_full_name=class_full, param_index=0, line=line,
+                 evaluation_strategy=M.BY_SHARING)
+        ctor.add(this)
+        body = N(M.BLOCK, line=line)
+        for fname, ty, init, iline in inits:
+            body.add(self._member_init_assign(class_full, fname, ty, init,
+                                              iline, this))
+        ctor.add(body)
+        ctor.add(N(M.METHOD_RETURN, code="RET", type_full_name="void",
+                   evaluation_strategy=M.BY_VALUE, line=line))
+        return ctor
+
+    def _inject_member_inits(self, ctor: N, class_full: str,
+                             inits: list[tuple[str, str, N, int]]) -> None:
+        body = next((c for c in ctor.children if c.kind == M.BLOCK), None)
+        if body is None:
+            return
+        this_param = next((c for c in ctor.children
+                           if c.kind == M.METHOD_PARAMETER_IN
+                           and c.name == "this"), None)
+        assigns = [self._member_init_assign(class_full, fname, ty, init,
+                                            iline, this_param)
+                   for fname, ty, init, iline in inits]
+        body.children[0:0] = assigns
 
     def _prescan_members(self, class_full: str):
         """Scan ahead (token-level) to register method name→fullname before
@@ -373,6 +456,7 @@ class JavaParser(CParser):
                      line=start.line, ast_parent_type=M.TYPE_DECL,
                      ast_parent_full_name=class_full)]
         self.declare(name, members[0])
+        self._maybe_member_init(class_full, name, ty, is_static, start.line)
         while self.peek() is not None and not self.at(";"):
             if self.at(","):
                 self.next()
@@ -383,6 +467,8 @@ class JavaParser(CParser):
                            ast_parent_full_name=class_full)
                     members.append(mb)
                     self.declare(nm2, mb)
+                    self._maybe_member_init(class_full, nm2, ty, is_static,
+                                            start.line)
                 continue
             if self.at("{"):
                 self.skip_balanced("{", "}")
@@ -394,6 +480,28 @@ class JavaParser(CParser):
         if self.at(";"):
             self.next()
         return members
+
+    def _maybe_member_init(self, class_full: str, name: str, ty: str,
+                           is_static: bool, line: int) -> None:
+        """Capture a non-static field initializer expression; javasrc2cpg
+        moves these into every constructor as `this.<name> = <init>`
+        (MemberTests.scala:114-160: the MEMBER itself keeps no children).
+        Static initializers and brace array initializers are skipped (the
+        generic token-skip in the caller eats them)."""
+        if not self.at("="):
+            return
+        if self.peek(1) is not None and self.peek(1).v == "{":
+            return  # array initializer — leave to the skip loop
+        save = self.pos
+        self.next()
+        try:
+            init = self.parse_assignment_expr()
+        except Exception:
+            self.pos = save
+            return
+        if not is_static:
+            self.member_inits.setdefault(class_full, []).append(
+                (name, ty, init, line))
 
     def parse_java_method(self, ret_ty: str, name: str, start: Tok,
                           class_full: str, is_static: bool):
@@ -834,11 +942,29 @@ class JavaParser(CParser):
         else:
             mfn = (f"{M.UNRESOLVED_NAMESPACE}.{name}:"
                    f"{M.UNRESOLVED_SIGNATURE}({len(args)})")
-            dispatch = M.STATIC_DISPATCH
+            # unresolvable calls default to dynamic dispatch
+            # (AstForCallExpressionsCreator.dispatchTypeForCall:378-390)
+            dispatch = M.DYNAMIC_DISPATCH
         call = N(M.CALL, code=self.slice(start, close), name=name,
                  method_full_name=mfn, dispatch_type=dispatch,
                  signature=resolved.split(":", 1)[1] if resolved and ":" in resolved else "",
                  line=start.line)
+        if dispatch == M.DYNAMIC_DISPATCH:
+            # implicit `this` receiver for unqualified instance calls
+            # (astForImplicitCallReceiver, AstForCallExpressionsCreator
+            # .scala:84-88,130-140); REFs the enclosing method's `this`
+            # parameter when one is in scope. The call CODE stays
+            # unprefixed (codePrefixForMethodCall returns "" unresolved).
+            this_decl = self.lookup("this")
+            thisid = N(M.IDENTIFIER, code="this", name="this",
+                       type_full_name=(this_decl.type_full_name
+                                       if this_decl is not None else "ANY"),
+                       line=start.line)
+            if this_decl is not None:
+                thisid.ref_target = this_decl
+            thisid.role = M.ROLE_RECEIVER
+            thisid.arg_index = 0
+            call.add(thisid)
         for i, a in enumerate(args, start=1):
             a.arg_index = i
             call.add(a)

@@ -428,6 +428,7 @@ class JsParser(CParser):
         self.scope_path.append(name)
         self.expect("(")
         i = 0
+        defaults: list[tuple[str, str]] = []
         while not self.at(")"):
             if self.at("..."):
                 self.next()
@@ -441,14 +442,16 @@ class JsParser(CParser):
                 self.declare(pn.v, p)
                 if self.at("="):  # default value
                     self.next()
-                    self.parse_assignment_expr()
+                    defaults.append((pn.v, self.parse_assignment_expr().code))
             elif self.at("{") or self.at("["):
                 self.skip_balanced(self.peek().v, "}" if self.at("{") else "]")
                 i += 1
             if self.at(","):
                 self.next()
         self.next()
-        method.add(self.parse_compound())
+        body = self.parse_compound()
+        self._lower_default_params(body, defaults, kw.line)
+        method.add(body)
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                      evaluation_strategy=M.BY_VALUE, line=kw.line))
         self.scope_path.pop()
@@ -471,6 +474,7 @@ class JsParser(CParser):
         self.push_scope()
         self.scope_path.append(name)
         i = 0
+        defaults: list[tuple[str, str]] = []
         if self.at("("):
             self.next()
             while not self.at(")"):
@@ -486,7 +490,8 @@ class JsParser(CParser):
                     self.declare(pn.v, p)
                     if self.at("="):
                         self.next()
-                        self.parse_assignment_expr()
+                        defaults.append(
+                            (pn.v, self.parse_assignment_expr().code))
                 elif self.at("{") or self.at("["):
                     self.skip_balanced(self.peek().v, "}" if self.at("{") else "]")
                 if self.at(","):
@@ -501,7 +506,9 @@ class JsParser(CParser):
             self.declare(pn.v, p)
         self.expect("=>")
         if self.at("{"):
-            method.add(self.parse_compound())
+            abody = self.parse_compound()
+            self._lower_default_params(abody, defaults, start_tok.line)
+            method.add(abody)
         else:
             body = self.parse_assignment_expr()
             blk = N(M.BLOCK, code="", line=start_tok.line, type_full_name=M.ANY)
@@ -509,6 +516,7 @@ class JsParser(CParser):
             body.arg_index = 1
             ret.add(body)
             blk.add(ret)
+            self._lower_default_params(blk, defaults, start_tok.line)
             method.add(blk)
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                      evaluation_strategy=M.BY_VALUE, line=start_tok.line))
@@ -826,9 +834,113 @@ class JsParser(CParser):
             return self.parse_postfix_ops(node, t)
         if t is not None and t.t == "str" and t.v.startswith("`"):
             self.next()
-            node = N(M.LITERAL, code=t.v, line=t.line, type_full_name="__ecma.String")
+            node = self._template_literal(t)
             return self.parse_postfix_ops(node, t)
         return super().parse_postfix()
+
+    def _template_literal(self, t: Tok) -> N:
+        """Untagged template literal. With interpolations it lowers to
+        `<operator>.formatString("q0", e0, "q1", ..., "tail")` — quasis
+        double-quoted, expressions interleaved, tail quasi last, call code
+        spelling out the lowered argument list (jssrc2cpg
+        AstForPrimitivesCreator.astForTemplateLiteral:74-96). Without
+        interpolations it stays a single string LITERAL (:78-80)."""
+        body = t.v[1:-1]
+        quasis: list[str] = []
+        exprs: list[str] = []
+        cur: list[str] = []
+        i = 0
+        while i < len(body):
+            c = body[i]
+            if c == "\\" and i + 1 < len(body):
+                cur.append(body[i:i + 2])
+                i += 2
+                continue
+            if c == "$" and i + 1 < len(body) and body[i + 1] == "{":
+                j = i + 2
+                depth = 1
+                while j < len(body) and depth:
+                    if body[j] == "{":
+                        depth += 1
+                    elif body[j] == "}":
+                        depth -= 1
+                    j += 1
+                quasis.append("".join(cur))
+                cur = []
+                exprs.append(body[i + 2:j - 1])
+                i = j
+                continue
+            cur.append(c)
+            i += 1
+        tail = "".join(cur)
+        if not exprs:
+            return N(M.LITERAL, code=t.v, line=t.line,
+                     type_full_name="__ecma.String")
+        try:
+            arg_nodes: list[N] = []
+            codes: list[str] = []
+
+            def quasi_node(q: str) -> N:
+                qc = f'"{q}"'
+                codes.append(qc)
+                return N(M.LITERAL, code=qc, line=t.line,
+                         type_full_name="__ecma.String")
+
+            for q, ex in zip(quasis, exprs):
+                arg_nodes.append(quasi_node(q))
+                en = self._parse_sub_expression(ex, t.line)
+                codes.append(en.code)
+                arg_nodes.append(en)
+            arg_nodes.append(quasi_node(tail))
+            call = N(M.CALL, code=f"{M.OP_FORMAT_STRING}({', '.join(codes)})",
+                     name=M.OP_FORMAT_STRING,
+                     method_full_name=M.OP_FORMAT_STRING,
+                     dispatch_type=M.STATIC_DISPATCH, line=t.line,
+                     type_full_name="__ecma.String")
+            for k, a in enumerate(arg_nodes, start=1):
+                a.arg_index = k
+                call.add(a)
+            return call
+        except Exception:
+            return N(M.LITERAL, code=t.v, line=t.line,
+                     type_full_name="__ecma.String")
+
+    def _lower_default_params(self, body: N, defaults: list[tuple[str, str]],
+                              line: int) -> None:
+        """Default parameter values lower to body-front assignments
+        `p = p === void 0 ? <default> : p` (jssrc2cpg's Babel-style
+        desugaring, MixedAstCreationPassTests.scala:1252-1347) — built by
+        re-parsing the spelled-out lowering so codes/operators/REFs match
+        the hand-written equivalent exactly."""
+        for pname, dcode in reversed(defaults):
+            try:
+                stmt = self._parse_sub_expression(
+                    f"{pname} = {pname} === void 0 ? {dcode} : {pname}", line)
+            except Exception:
+                continue
+            body.children.insert(0, stmt)
+
+    def _parse_sub_expression(self, src: str, line: int) -> N:
+        """Parse one interpolation fragment with a sub-parser sharing this
+        parser's scopes (identifiers REF-resolve against enclosing
+        declarations) and temp counters."""
+        sub = JsParser(src, self.path)
+        sub.scopes = self.scopes
+        sub.declared_types = self.declared_types
+        sub.tmp_counter = self.tmp_counter
+        sub.lambda_counter = self.lambda_counter
+        node = sub.parse_assignment_expr()
+        self.tmp_counter = sub.tmp_counter
+        self.lambda_counter = sub.lambda_counter
+
+        def fix_lines(n: N) -> None:
+            if n.line in (0, 1):
+                n.line = line
+            for c in n.children:
+                fix_lines(c)
+
+        fix_lines(node)
+        return node
 
     # -- ECMAScript call shape: every call carries a RECEIVER child plus a
     # base ARGUMENT(0), then args 1..n (CallAstBuilder.scala:25-62; lowering

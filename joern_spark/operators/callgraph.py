@@ -143,9 +143,11 @@ def naive_call_edges(call_sites: DataFrame, linked: DataFrame,
     name (NaiveCallLinker.scala:14-27)."""
     calls = call_sites.select("id", "name")
     unlinked = calls.join(linked.select(F.col("src").alias("id")).distinct(), "id", "left_anti")
+    # EVERY same-name internal method gets an edge (the reference links the
+    # whole name group, NaiveCallLinker.scala:15-21) — a dropDuplicates pick
+    # here would also be nondeterministic across runs
     methods = (dim.filter(~F.col("is_external"))
-               .select(F.col("m_name").alias("name"), "m_id")
-               .dropDuplicates(["name"]))
+               .select(F.col("m_name").alias("name"), "m_id"))
     j = unlinked.join(F.broadcast(methods), "name")
     return j.select(*_edge(F.col("id"), F.col("m_id"), M.CALL_EDGE))
 

@@ -525,7 +525,14 @@ def _immediate_dominators(nodes: list[int], entry: int, preds: dict[int, list[in
     return idom
 
 
+CDG_CONTROLLER_KINDS = {
+    M.LITERAL, M.IDENTIFIER, M.CALL, M.METHOD_REF, M.UNKNOWN,
+    M.CONTROL_STRUCTURE, M.JUMP_TARGET, M.BLOCK,
+}
+
+
 def dominator_edges(cfg_edges: list[tuple[int, int, str]], entry: int, exit_idx: int,
+                    kind_of: dict[int, str] | None = None,
                     ) -> tuple[list[tuple[int, int]], list[tuple[int, int]], list[tuple[int, int]]]:
     """(DOMINATE, POST_DOMINATE, CDG) edge lists over one method's CFG."""
     succs: dict[int, list[int]] = {}
@@ -544,21 +551,30 @@ def dominator_edges(cfg_edges: list[tuple[int, int, str]], entry: int, exit_idx:
     ipdom = _immediate_dominators(nl, exit_idx, succs, preds)
     pdom_edges = [(d, n) for n, d in ipdom.items() if n != exit_idx and d != n]
 
-    # CDG = control dependence via post-dominance frontier (CdgPass.scala:38-42)
+    # CDG = post-dominance frontier, Cooper/Harvey/Kennedy on the REVERSED
+    # CFG with the ipdom tree (CfgDominatorFrontier.scala:20-37 via
+    # CdgPass.scala:33-42): a reverse-join node X — i.e. a BRANCH node with
+    # >= 2 CFG successors — that has an ipdom controls every node on the
+    # ipdom path from each successor up to (excluding) ipdom(X). CdgPass
+    # drops edges whose controller is not an expression-ish kind
+    # (Literal/Identifier/Call/MethodRef/Unknown/ControlStructure/
+    # JumpTarget/Block — CdgPass.scala:38-41's match), e.g. METHOD.
     cdg: list[tuple[int, int]] = []
-    for n in nl:
-        ps = preds.get(n, [])
-        if len(ps) < 1:
+    for x in nl:
+        ss = succs.get(x, [])
+        if len(ss) < 2:
             continue
-        for p in ps:
-            if p not in ipdom and p != exit_idx:
-                continue
-            runner = p
-            while runner != ipdom.get(n, n) and runner != n and runner in ipdom:
-                cdg.append((runner, n))
-                if runner == ipdom[runner]:
-                    break
-                runner = ipdom[runner]
+        ix = ipdom.get(x)
+        if ix is None or ix == x:
+            continue
+        if kind_of is not None and kind_of.get(x) not in CDG_CONTROLLER_KINDS:
+            continue
+        for s in ss:
+            runner: int | None = s
+            while runner is not None and runner != ix:
+                cdg.append((x, runner))
+                nxt = ipdom.get(runner)
+                runner = None if nxt == runner else nxt
     # dedup
     seen = set()
     cdg_out = []

@@ -78,7 +78,9 @@ def _fuse_intra_edges(rows: list[dict]) -> None:
         exit_idx = next((r["node_idx"] for r in mrows
                          if r["kind"] == M.METHOD_RETURN and r["parent_idx"] == m["node_idx"]), None)
         if cfg and exit_idx is not None:
-            dom, pdom, cdg = dominator_edges(cfg, m["node_idx"], exit_idx)
+            kind_of = {r["node_idx"]: r["kind"] for r in mrows}
+            dom, pdom, cdg = dominator_edges(cfg, m["node_idx"], exit_idx,
+                                             kind_of=kind_of)
             for pairs, code in ((dom, dom_code), (pdom, pdom_code), (cdg, cdg_code)):
                 for s, d in pairs:
                     srcs.append(s); dsts.append(d); labels.append(code); variables.append(None)
@@ -192,11 +194,14 @@ def intra_edges(nodes: DataFrame) -> DataFrame:
     rows; the label dictionary (M.IE_LABELS) is decoded JVM-side."""
     label_lut = F.array(*[F.lit(x) for x in M.IE_LABELS])
     m = nodes.filter((F.col("kind") == M.METHOD) & F.col("ie_src").isNotNull())
+    # inline() expands the zipped struct array in one generator step —
+    # measurably cheaper than explode-then-field-extract on the 100M+-row
+    # edge materialization (no intermediate struct column in codegen)
     e = m.select("repo", "path", "commit",
-                 F.explode(F.arrays_zip("ie_src", "ie_dst", "ie_label", "ie_var")).alias("e"))
+                 F.inline(F.arrays_zip("ie_src", "ie_dst", "ie_label", "ie_var")))
     return e.select(
-        F.xxhash64("repo", "path", "commit", F.col("e.ie_src")).alias("src"),
-        F.xxhash64("repo", "path", "commit", F.col("e.ie_dst")).alias("dst"),
-        F.element_at(label_lut, F.col("e.ie_label") + 1).alias("label"),
-        F.col("e.ie_var").alias("variable"),
+        F.xxhash64("repo", "path", "commit", F.col("ie_src")).alias("src"),
+        F.xxhash64("repo", "path", "commit", F.col("ie_dst")).alias("dst"),
+        F.element_at(label_lut, F.col("ie_label") + 1).alias("label"),
+        F.col("ie_var").alias("variable"),
     )

@@ -121,6 +121,13 @@ def expected_dynamic_calls() -> list[tuple[str, str, str, str]]:
             return None
         return 0 if m_.group(1) == "" else len(m_.group(1).split(","))
 
+    # internal methods grouped by bare name — the NaiveCallLinker fallback
+    # dimension (naive_call_edges: dim.filter(~is_external) joined on name)
+    internal_by_name: dict[str, list[dict]] = {}
+    for m in all_methods:
+        if not m.get("is_external"):
+            internal_by_name.setdefault(m["name"], []).append(m)
+
     out = set()
     for repo, path, commit, lang, rows in local_files():
         by_idx = {r["node_idx"]: r for r in rows}
@@ -135,28 +142,34 @@ def expected_dynamic_calls() -> list[tuple[str, str, str, str]]:
         for r in rows:
             if r["kind"] != M.CALL or r["dispatch_type"] != M.DYNAMIC_DISPATCH:
                 continue
-            mfn = r["method_full_name"]
-            if not mfn or mfn == M.UNKNOWN_FULL_NAME:
-                continue
-            base, _, call_sig = mfn.partition(":")
-            if "." not in base:
-                continue
-            recv, _, call_name = base.rpartition(".")
-            impl_types = {recv} | descendants(recv)
             caller = by_idx.get(r["method_idx"])
             if caller is None:
                 continue
-            for m in all_methods:
-                if m["name"] != call_name or \
-                        (m["ast_parent_full_name"] or "") not in impl_types:
-                    continue
-                msig = m["signature"] or ""
-                if call_sig and M.UNRESOLVED_SIGNATURE not in call_sig:
-                    ok = msig == call_sig
-                else:
-                    ar = sig_arity(msig)
-                    ok = (ar is None or r["nargs"] < 0 or ar == r["nargs"])
-                if ok:
+            linked = r["node_idx"] in rec
+            mfn = r["method_full_name"]
+            base, _, call_sig = mfn.partition(":")
+            if mfn and mfn != M.UNKNOWN_FULL_NAME and "." in base:
+                recv, _, call_name = base.rpartition(".")
+                impl_types = {recv} | descendants(recv)
+                for m in all_methods:
+                    if m["name"] != call_name or \
+                            (m["ast_parent_full_name"] or "") not in impl_types:
+                        continue
+                    msig = m["signature"] or ""
+                    if call_sig and M.UNRESOLVED_SIGNATURE not in call_sig:
+                        ok = msig == call_sig
+                    else:
+                        ar = sig_arity(msig)
+                        ok = (ar is None or r["nargs"] < 0 or ar == r["nargs"])
+                    if ok:
+                        out.add((caller["full_name"], r["code"], mfn,
+                                 m["full_name"]))
+                        linked = True
+            if not linked:
+                # NaiveCallLinker fallback: an unlinked call joins EVERY
+                # internal method with its bare name
+                # (NaiveCallLinker.scala:15-21; naive_call_edges)
+                for m in internal_by_name.get(r["name"], ()):
                     out.add((caller["full_name"], r["code"], mfn,
                              m["full_name"]))
     return sorted(out)

@@ -92,9 +92,15 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
                 out.append((rel, subj, ""))  # empty-set assertion marker
             for o in objs:
                 out.append((rel, subj, o))
-    for rel in ("calls", "inherits", "declares", "methods"):
+    for rel in ("calls", "inherits", "declares", "methods", "captures"):
         for s, o in (case.get(rel) or []):
             out.append((rel, s, o))
+    # size-only golden assertions over transitive dominator/CDG closures —
+    # exact-count facts, so a single extra or missing edge scores FP+FN
+    for key, n in (case.get("postdom_count") or {}).items():
+        out.append(("postdom_count", _norm_key(key), str(n)))
+    for key, callee, n in (case.get("controls_count") or []):
+        out.append(("controls_count", f"{_norm_key(key)}->{callee}", str(n)))
     for f in (case.get("flows") or []):
         from joern_spark.parity.flows import serialize
         if "count" in f:
@@ -150,7 +156,9 @@ def _method_edges(rows: list[dict]):
                          if r["kind"] == M.METHOD_RETURN
                          and r["parent_idx"] == m["node_idx"]), None)
         if exit_idx is not None:
-            d, p, c = dominator_edges(edges, m["node_idx"], exit_idx)
+            d, p, c = dominator_edges(
+                edges, m["node_idx"], exit_idx,
+                kind_of={r["node_idx"]: r["kind"] for r in mrows})
             dom += d
             pdom += p
             cdg += c
@@ -242,6 +250,48 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
                     emit("dom", w, display_code(by_idx[n]))
                     w = idom.get(w)
 
+    if case.get("postdom_count") is not None:
+        # |postDominates(n)| — transitive closure over the ipdom tree
+        # (cpg.call(X).postDominates.size, CfgQueryTests.scala:38-44)
+        pkids: dict[int, list[int]] = defaultdict(list)
+        for s, d in pdom:
+            pkids[s].append(d)
+
+        def pdesc(n: int) -> int:
+            stack, seen = [n], set()
+            while stack:
+                x = stack.pop()
+                for c in pkids.get(x, ()):
+                    if c not in seen:
+                        seen.add(c)
+                        stack.append(c)
+            return len(seen)
+
+        for n in keys:
+            emit("postdom_count", n, str(pdesc(n)))
+
+    if case.get("controls_count") is not None:
+        # |controls(cond) ∩ call.name(X)| (CfgQueryTests.scala:27-29)
+        ckids: dict[int, list[int]] = defaultdict(list)
+        for s, d in cdg:
+            ckids[s].append(d)
+        for n in keys:
+            stack, seen = [n], set()
+            while stack:
+                x = stack.pop()
+                for c in ckids.get(x, ()):
+                    if c not in seen:
+                        seen.add(c)
+                        stack.append(c)
+            per_name: dict[str, int] = defaultdict(int)
+            for c in seen:
+                r = by_idx[c]
+                if r["kind"] == M.CALL and not r["name"].startswith("<operator>"):
+                    per_name[r["name"]] += 1
+            for callee, cnt in per_name.items():
+                for k in keys.get(n, []):
+                    out.add(("controls_count", f"{k}->{callee}", str(cnt)))
+
     if case.get("calls") is not None:
         methods = {r["node_idx"]: r for r in rows if r["kind"] == M.METHOD}
         for r in rows:
@@ -267,6 +317,21 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
         for r in rows:
             if r["kind"] == M.METHOD:
                 out.add(("methods", r["name"], r["full_name"]))
+
+    if case.get("captures") is not None:
+        # (closure method name, captured declaration name) — an identifier
+        # USE whose REF-target declaration lives in an enclosing method
+        # (LambdaTests.scala:121-155; base.capture_edges is the same rule)
+        methods = {r["node_idx"]: r for r in rows if r["kind"] == M.METHOD}
+        decls = {r["node_idx"]: r for r in rows
+                 if r["kind"] in (M.LOCAL, M.METHOD_PARAMETER_IN)}
+        for r in rows:
+            if r["kind"] == M.IDENTIFIER and r["ref_idx"] >= 0:
+                d = decls.get(r["ref_idx"])
+                if d is not None and d["method_idx"] != r["method_idx"]:
+                    m = methods.get(r["method_idx"])
+                    if m is not None:
+                        out.add(("captures", m["name"], d["name"]))
 
     if case.get("flows"):
         from joern_spark.parity.flows import case_flow_facts

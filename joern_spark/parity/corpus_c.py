@@ -268,3 +268,39 @@ CASES += [
               ("FLAG_A & x", 0): ["FLAG_A", "x"]},
          calls=[["func", "FLAG_A"]]),
 ]
+
+# --------------------------------------------------------------------------- #
+# CDG / dominator / post-dominator golden case — the exact goto fixture of
+# c2cpg/src/test/scala/io/joern/c2cpg/querying/CfgQueryTests.scala:8-44:
+#   * controlledBy(sink).isCall contains "y < 10" and "x < 10"   (:20-25)
+#   * controls(y < 10) ∩ call("sink") size == 1                  (:27-29)
+#   * dominates(sink) empty                                      (:31-33)
+#   * dominatedBy(sink).isCall == {"x < 10", "y < 10"} exactly   (:35-37)
+#   * postDominates(printf).size == 12                           (:39-41)
+#   * postDominates(method foo).size == 0                        (:43-44)
+# The two count relations are EXACT (any extra/missing closure node scores
+# FP+FN) — the independent CDG/post-dominance evidence VERDICT r2 asked for.
+# --------------------------------------------------------------------------- #
+
+CASES += [
+    dict(
+        name="c-cfg-goto-dominators", lang="c", wrap=False,
+        cite="c2cpg/src/test/scala/io/joern/c2cpg/querying/CfgQueryTests.scala:8-44",
+        code="""
+ int foo(int x, int y) {
+  if (y < 10)
+    goto end;
+  if (x < 10) {
+    sink(x);
+  }
+  end:
+  printf("foo");
+ }
+""",
+        cdg={"sink(x)": ["y < 10", "x < 10"]},
+        domby={"sink(x)": ["x < 10", "y < 10"]},
+        dom={"sink(x)": []},
+        controls_count=[["y < 10", "sink", 1]],
+        postdom_count={'printf("foo")': 12, "foo": 0},
+    ),
+]

@@ -29,6 +29,11 @@ class Foo {
         cdg={"sink(x)": ["y < 10", "x < 10"]},
         domby={"sink(x)": ["x < 10", "y < 10"]},
         dom={"sink(x)": []},
+        # exact-count closure assertions (CfgTests.scala:28-30, 40-46):
+        # controls(y < 10) ∩ call("sink") == 1; postDominates(println) == 10;
+        # postDominates(method foo) == 0
+        controls_count=[["y < 10", "sink", 1]],
+        postdom_count={"System.out.println(\"foo\")": 10, "foo": 0},
         cite="javasrc2cpg/src/test/scala/io/joern/javasrc2cpg/querying/CfgTests.scala:8-46",
     ),
     dict(
@@ -77,5 +82,76 @@ class Derived extends Base implements Marker {
 """,
         inherits=[["Derived", "Base"], ["Derived", "Marker"]],
         cite="x2cpg TypeHierarchyPass.scala:14-31; javasrc2cpg TypeDeclTests.scala (extends/implements -> inheritsFromTypeFullName)",
+    ),
+]
+
+# --------------------------------------------------------------------------- #
+# Default constructor + member-initializer lowering (verdict r2 item 5).
+# --------------------------------------------------------------------------- #
+
+CASES += [
+    # MemberTests.scala:133-160 — a class with no constructor gets a default
+    # `<init>` (fullName Foo.<init>:void()) whose body carries the non-static
+    # member initializer as `this.x = 1` (fieldAccess(this, x) + literal);
+    # the MEMBER node itself keeps no children.
+    dict(
+        name="java-default-ctor", lang="java", wrap=False,
+        code="""
+class Foo {
+    int x = 1;
+}""",
+        methods=[["<init>", "Foo.<init>:void()"]],
+        ast={"this.x = 1": ["this.x", "1"], ("this.x", 0): ["this", "x"]},
+        cite="javasrc2cpg/src/test/scala/io/joern/javasrc2cpg/querying/MemberTests.scala:133-160; TypeDeclTests.scala:355-375",
+    ),
+    # TypeDeclTests.scala:166-174 — interfaces get NO default constructor:
+    # typeDecl("Foo").method.fullName is exactly [Foo.foo:void()]. The
+    # empty-obj row registers `<init>` as an asserted subject, so a wrongly
+    # synthesized interface constructor scores a false positive.
+    dict(
+        name="java-iface-no-ctor", lang="java", wrap=False,
+        code="""
+interface Foo {
+  public void foo();
+}""",
+        methods=[["foo", "Foo.foo:void()"], ["<init>", ""]],
+        cite="javasrc2cpg/src/test/scala/io/joern/javasrc2cpg/querying/TypeDeclTests.scala:166-174",
+    ),
+    # MemberTests.scala:115-132 — member initializers are added once per
+    # constructor: both `<init>` overloads carry their own `this.x = 1`.
+    dict(
+        name="java-ctor-member-init", lang="java", wrap=False,
+        code="""
+class Foo {
+  int x = 1;
+
+  public Foo() {}
+
+  public Foo(int y) {
+    this.x = y;
+  }
+}""",
+        methods=[["<init>", "Foo.<init>:void()"], ["<init>", "Foo.<init>:void(int)"]],
+        ast={("this.x = 1", 0): ["this.x", "1"],
+             ("this.x = 1", 1): ["this.x", "1"]},
+        cite="javasrc2cpg/src/test/scala/io/joern/javasrc2cpg/querying/MemberTests.scala:115-132",
+    ),
+]
+
+CASES += [
+    # LambdaTests.scala:121-155 — the lambda captures exactly `fallback`
+    # (the enclosing method's parameter); its own param `s` and the unused
+    # outer `b` are NOT captured. Subject-scoped exact: a spurious capture
+    # of `b` or `s` under <lambda>0 scores a false positive.
+    dict(
+        name="java-lambda-capture", lang="java", wrap=False,
+        code="""
+class Foo {
+  void test1(String fallback, String b) {
+    java.util.function.Function<String,String> f = s -> s + fallback;
+  }
+}""",
+        captures=[["<lambda>0", "fallback"]],
+        cite="javasrc2cpg/src/test/scala/io/joern/javasrc2cpg/querying/LambdaTests.scala:121-155",
     ),
 ]

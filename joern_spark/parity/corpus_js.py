@@ -6,9 +6,9 @@ reference succOf oracle: code string, occurrence index, optional node kind
 
 Not transcribed (desugarings this frontend does not perform yet, each would
 score as pure recall loss rather than evidence): array/object literal
-`_tmp` expansion (:26-60, :166-192), template-literal formatString
-(:62-121), labeled continue (:304-352), for-in/of iterator lowering
-(:554-562), function-declaration-as-assignment (:240-250).
+`_tmp` expansion (:26-60, :166-192), tagged template literals (:93-121),
+labeled continue (:304-352), for-in/of iterator lowering (:554-562),
+function-declaration-as-assignment (:240-250).
 """
 
 CITE = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/"
@@ -295,4 +295,49 @@ while (x) {
         "foo.x": ["delete foo.x"],
         ("delete foo.x", 0, "CALL"): ["RET"]},
         cite="jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/MixedCfgCreationPassTests.scala:444-451"),
+]
+
+
+# Untagged template literals lower to <operator>.formatString with quasis
+# double-quoted and interpolations interleaved (SimpleCfgCreationPassTests
+# :62-91; lowering in AstForPrimitivesCreator.astForTemplateLiteral:74-96).
+FMT = "<operator>.formatString"
+CASES += [
+    _js("js-template-call", "foo(`Hello ${world}!`)\n", {
+        ":program": ["foo"],
+        "foo": ["this"],
+        ("this", 0, "IDENTIFIER"): ['"Hello "'],
+        '"Hello "': ["world"],
+        "world": ['"!"'],
+        '"!"': [f'{FMT}("Hello ", world, "!")'],
+        f'{FMT}("Hello ", world, "!")': ["foo(`Hello ${world}!`)"],
+        "foo(`Hello ${world}!`)": ["RET"],
+    }, cite=CITE + ":62-76"),
+    _js("js-template-bare", "`${x + 1}`\n", {
+        ":program": ['""'],
+        ('""', 0): ["x"],
+        "x": ["1"],
+        "1": ["x + 1"],
+        "x + 1": ['""'],  # succOf asserts the 2nd "" occurrence; targets are code-keyed here
+        ('""', 1): [f'{FMT}("", x + 1, "")'],
+        f'{FMT}("", x + 1, "")': ["RET"],
+    }, cite=CITE + ":78-91"),
+]
+
+# Default parameters lower to body-front `p = p === void 0 ? <dflt> : p`
+# assignments (MixedAstCreationPassTests.scala:1252-1347: assignment ->
+# identifier + <operator>.conditional(<operator>.equals(p, void 0), dflt, p)).
+CASES += [
+    dict(name="js-default-params", lang="javascript", wrap=False,
+         code="function foo(a = 1, b = 2) {}\n",
+         ast={
+             "a = a === void 0 ? 1 : a": ["a", "a === void 0 ? 1 : a"],
+             "a === void 0 ? 1 : a": ["a === void 0", "1", "a"],
+             "a === void 0": ["a", "void 0"],
+             "b = b === void 0 ? 2 : b": ["b", "b === void 0 ? 2 : b"],
+             "b === void 0 ? 2 : b": ["b === void 0", "2", "b"],
+             "b === void 0": ["b", "void 0"],
+         },
+         cite=CITE.replace("cfg/SimpleCfgCreationPassTests.scala",
+                           "ast/MixedAstCreationPassTests.scala") + ":1272-1303"),
 ]

@@ -124,6 +124,31 @@ def spark_facts(spark: SparkSession) -> DataFrame:
         .join(dst_code, dst_code.dst_id == dom_closed.dst)
         .select("lang", "kase", F.lit("dom").alias("relation"), "subj", "obj"))
 
+    # |postDominates(n)| over the ipdom-tree closure, zero-filled for every
+    # addressed node (CfgQueryTests.scala:38-44 asserts both 12 and 0)
+    pdom_closed = _closure(ie.filter(F.col("label") == M.POST_DOMINATE))
+    pdom_counts = pdom_closed.groupBy("src").agg(
+        F.countDistinct("dst").alias("n"))
+    out.append(
+        subj_keys.join(pdom_counts, subj_keys.id == pdom_counts.src, "left")
+        .select("lang", "kase", F.lit("postdom_count").alias("relation"),
+                "subj", F.coalesce(F.col("n"), F.lit(0))
+                .cast("string").alias("obj")))
+
+    # |controls(n) ∩ call.name(X)| per (controller, callee name)
+    # (CfgQueryTests.scala:27-29)
+    named_calls = base.filter(
+        (F.col("kind") == M.CALL)
+        & ~F.col("name").startswith("<operator>")).select(
+        F.col("id").alias("cc_id"), F.col("name").alias("cc_name"))
+    out.append(
+        cdg_closed.join(named_calls, cdg_closed.dst == F.col("cc_id"))
+        .groupBy("src", "cc_name").agg(F.countDistinct("dst").alias("n"))
+        .join(subj_keys, subj_keys.id == F.col("src"))
+        .select("lang", "kase", F.lit("controls_count").alias("relation"),
+                F.concat_ws("", F.col("subj"), F.lit("->"), F.col("cc_name"))
+                .alias("subj"), F.col("n").cast("string").alias("obj")))
+
     # named call sites per enclosing method
     methods = base.filter(F.col("kind") == M.METHOD).select(
         F.col("id").alias("mid"), F.col("name").alias("mname"))
@@ -154,6 +179,22 @@ def spark_facts(spark: SparkSession) -> DataFrame:
         base.filter(F.col("kind") == M.METHOD)
         .select("lang", "kase", F.lit("methods").alias("relation"),
                 F.col("name").alias("subj"), F.col("full_name").alias("obj")))
+
+    # (closure method name, captured declaration name) — same rule as
+    # base.capture_edges, name-keyed for the parity scorer
+    cap_uses = base.filter((F.col("kind") == M.IDENTIFIER)
+                           & F.col("ref_id").isNotNull()).select(
+        F.col("method_id").alias("use_mid"), "ref_id", "lang", "kase")
+    cap_decls = base.filter(F.col("kind").isin(
+        M.LOCAL, M.METHOD_PARAMETER_IN)).select(
+        F.col("id").alias("ref_id"), F.col("method_id").alias("decl_mid"),
+        F.col("name").alias("decl_name"))
+    out.append(
+        cap_uses.join(cap_decls, "ref_id")
+        .filter(F.col("use_mid") != F.col("decl_mid"))
+        .join(methods, F.col("use_mid") == F.col("mid"))
+        .select("lang", "kase", F.lit("captures").alias("relation"),
+                F.col("mname").alias("subj"), F.col("decl_name").alias("obj")))
 
     out.append(_flow_facts(nodes))
 
