@@ -722,16 +722,22 @@ class CParser:
             return [self.parse_throw()]
         if v == "return":
             return [self.parse_return()]
-        if v == "break":
+        if v in ("break", "continue"):
+            # optional same-line label (JS/Java labeled break/continue;
+            # SimpleCfgCreationPassTests.scala:304-352 — `continue loop1;`
+            # jumps to the `loop1:` JUMP_TARGET); semicolon optional (ASI)
             self.next()
-            semi = self.expect(";")
-            return [N(M.CONTROL_STRUCTURE, code=self.slice(t, semi),
-                      control_structure_type=M.CS_BREAK, line=t.line)]
-        if v == "continue":
-            self.next()
-            semi = self.expect(";")
-            return [N(M.CONTROL_STRUCTURE, code=self.slice(t, semi),
-                      control_structure_type=M.CS_CONTINUE, line=t.line)]
+            label = ""
+            nt = self.peek()
+            if nt is not None and nt.t == "id" and nt.line == t.line:
+                label = self.next().v
+            end = self.toks[self.pos - 1]
+            if self.at(";"):
+                end = self.next()
+            return [N(M.CONTROL_STRUCTURE, code=self.slice(t, end),
+                      control_structure_type=(M.CS_BREAK if v == "break"
+                                              else M.CS_CONTINUE),
+                      jump_label=label, line=t.line)]
         if v == "goto":
             return self.parse_goto()
         # label:  (identifier followed by ':', not '::')

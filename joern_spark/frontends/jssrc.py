@@ -58,6 +58,7 @@ OP_NULLISH = M.OP + "nullishCoalescing"
 OP_TYPEOF = M.OP + "typeOf"
 OP_VOID = M.OP + "void"
 OP_SPREAD = M.OP + "spread"
+OP_SPREAD = M.OP + "spread"
 OP_IN = M.OP + "in"
 
 
@@ -309,6 +310,16 @@ class JsParser(CParser):
                 return [self.parse_for_in_of()]
             return super().parse_statement()
         return super().parse_statement()
+
+    def parse_label(self) -> list[N]:
+        """JS labels: JUMP_TARGET code is the bare `label:` (jssrc2cpg
+        SimpleCfgCreationPassTests.scala:317 succOf("loop1:")), unlike
+        c2cpg's CDT rawSignature which spans the labeled statement."""
+        label_tok = self.peek()
+        out = super().parse_label()
+        if out and out[0].kind == M.JUMP_TARGET and label_tok is not None:
+            out[0].code = f"{label_tok.v}:"
+        return out
 
     def parse_import_export(self) -> list[N]:
         t = self.next()
@@ -699,6 +710,18 @@ class JsParser(CParser):
             block = N(M.BLOCK, code=raw, type_full_name=M.ANY, line=op_tok.line)
             block.add(loc, assign, ctor, ret_id)
             return block
+        if v == "...":
+            # spread/rest in expression position → `<operator>.spread` call,
+            # code `...<arg>` (AstForPrimitivesCreator
+            # .astForSpreadOrRestElement:43-48)
+            op_tok = self.next()
+            operand = self.parse_unary()
+            operand.arg_index = 1
+            call = N(M.CALL, code=f"...{operand.code}", name=OP_SPREAD,
+                     method_full_name=OP_SPREAD,
+                     dispatch_type=M.STATIC_DISPATCH, line=op_tok.line)
+            call.add(operand)
+            return call
         if v in ("typeof", "void", "delete"):
             op_tok = self.next()
             operand = self.parse_unary()

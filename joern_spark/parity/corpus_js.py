@@ -341,3 +341,47 @@ CASES += [
          cite=CITE.replace("cfg/SimpleCfgCreationPassTests.scala",
                            "ast/MixedAstCreationPassTests.scala") + ":1272-1303"),
 ]
+
+# Labeled continue (SimpleCfgCreationPassTests.scala:304-352): `continue
+# loop1;` jumps to the `loop1:` JUMP_TARGET. Omitted facts from the same
+# test, with reasons: succOf(":program") -> "var i, j;" (initializer-less
+# var decls produce LOCALs only here, no CFG node) and the two facts whose
+# successor is the labeled-statement BLOCK wrapper (this frontend does not
+# put label-wrapper BLOCKs in the CFG; loop-exit edges go directly to the
+# post-loop node).
+CASES += [
+    _js("js-labeled-continue", """
+var i, j;
+loop1: for (i = 0; i < 3; i++) {
+   loop2: for (j = 0; j < 3; j++) {
+      if (i === 1 && j === 1) {
+         continue loop1;
+      }
+      console.log("");
+   }
+}
+""", {
+        "loop1:": ["i"],
+        ("i", 0): ["0"],
+        ("0", 0): ["i = 0"],
+        "i = 0": ["i"],
+        ("i", 1): ["3"],
+        ("3", 0): ["i < 3"],
+        "loop2:": ["j"],
+        ("j", 0): ["0"],
+        ("0", 1): ["j = 0"],
+        "j = 0": ["j"],
+        ("j", 1): ["3"],
+        ("3", 1): ["j < 3"],
+        "j < 3": ["i"],
+        ("i", 2): ["i++"],
+        "i++": ["i"],
+        ("i", 3): ["1"],
+        ("1", 0): ["i === 1"],
+        "i === 1": ["j", "i === 1 && j === 1"],
+        "i === 1 && j === 1": ["continue loop1;", "console"],
+        "continue loop1;": ["loop1:"],
+        ("console", 0): ["log"],
+        ("log", 0): ["console.log"],
+    }, cite=CITE + ":304-352"),
+]
