@@ -50,15 +50,18 @@ def _display_code():
 def _closure(edges: DataFrame, rounds: int = 6) -> DataFrame:
     """Transitive closure by doubling: depth 2^rounds covers every chain in
     the fixture corpus (and the round count is fixed — no driver-side
-    convergence probing, so the plan is static). Node ids hash the file path,
-    so id-equality joins are per-case by construction."""
-    c = edges.select("src", "dst").distinct()
+    convergence probing). Node ids hash the file path, so id-equality joins
+    are per-case by construction. Each round is localCheckpointed: without
+    lineage truncation the doubled plan tree grows exponentially and the
+    DRIVER (plan bookkeeping, not data) OOMs a default heap once several
+    closures union into one scoring query."""
+    c = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     for _ in range(rounds):
         step = (c.alias("a")
                 .join(c.alias("b"), F.col("a.dst") == F.col("b.src"))
                 .select(F.col("a.src").alias("src"),
                         F.col("b.dst").alias("dst")))
-        c = c.unionByName(step).distinct()
+        c = c.unionByName(step).distinct().localCheckpoint(eager=True)
     return c
 
 
@@ -222,7 +225,7 @@ def _flow_facts(nodes: DataFrame) -> DataFrame:
                   for c in P.corpus() if c.get("flows")}
     paths = [P.case_path(c) for c in P.corpus() if c.get("flows")]
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         kase = key[0].rsplit("/", 1)[-1].rsplit(".", 1)[0]
         lang, specs = flow_specs[kase]
         rows = pdf.to_dict("records")
