@@ -225,6 +225,32 @@ def q_cpg_method_stubs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+def q_cpg_declared_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-but-undefined symbols — the c2cpg collected-declaration
+    side outputs (FunctionDeclNodePass.stubMethods for prototypes that
+    never get a definition; TypeDeclNodePass for used types with no
+    TYPE_DECL, C2Cpg.scala:45-48): internal body-less METHODs whose
+    fullname has no bodied definition anywhere, plus the external
+    TYPE_DECL stubs the base layer created."""
+    n = _cpg(spark)["nodes"]
+    methods = n.filter((F.col("kind") == "METHOD") & (~F.col("is_external")))
+    bodies = n.filter(F.col("kind") == "BLOCK").select(
+        F.col("parent_id").alias("bid")).distinct()
+    protos = methods.join(bodies, methods["id"] == F.col("bid"), "left_anti")
+    defined_fns = (methods.join(bodies, methods["id"] == F.col("bid"),
+                                "left_semi")
+                   .select("full_name").distinct())
+    declared = (protos.join(defined_fns, "full_name", "left_anti")
+                .select(F.lit("method").alias("sym_kind"),
+                        _s("name").alias("name"),
+                        _s("full_name").alias("full_name")))
+    tstubs = (n.filter((F.col("kind") == "TYPE_DECL") & F.col("is_external"))
+              .select(F.lit("type_decl").alias("sym_kind"),
+                      _s("name").alias("name"),
+                      _s("full_name").alias("full_name")))
+    return declared.unionByName(tstubs).distinct()
+
+
 def q_cpg_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CAPTURE edges (METHOD_REF → captured outer LOCAL/PARAM, closures
     named `<lambda>N` — Ast.scala:104, Defines.scala:35), reported per
@@ -367,6 +393,9 @@ def _cpg_oracles() -> dict[str, str]:
         "cpg_type_recovery": O.values_sql(
             O.expected_type_recovery(),
             ["path", "call_code", "recovered_mfn"]),
+        "cpg_declared_only": O.values_sql(
+            O.expected_declared_only(),
+            ["sym_kind", "name", "full_name"]),
         "cpg_captures": O.values_sql(
             O.expected_captures(),
             ["path", "closure_full_name", "captured_name"]),
@@ -407,6 +436,7 @@ CPG_QUERIES = {
     "cpg_imports": q_cpg_imports,
     "cpg_findings": q_cpg_findings,
     "cpg_type_recovery": q_cpg_type_recovery,
+    "cpg_declared_only": q_cpg_declared_only,
     "cpg_captures": q_cpg_captures,
     "cpg_parity": q_cpg_parity,
 }

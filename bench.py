@@ -87,11 +87,20 @@ def main():
             "files_per_sec": files_per_sec,
         }))
         return
-    for name, (fn, _sql) in DATA_QUERIES.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    # Host CPU drifts ~3x with load (BENCH.md): a single sample per query
+    # makes round-over-round deltas pure noise (VERDICT r2). Sample each
+    # query SAMPLES times in alternating order (so a slow-host window hits
+    # all queries, not one) and report best-of plus the per-query samples.
+    samples = int(os.environ.get("BENCH_QUERY_SAMPLES", "3"))
+    all_samples: dict[str, list[float]] = {name: [] for name in DATA_QUERIES}
+    for _ in range(samples):
+        for name, (fn, _sql) in DATA_QUERIES.items():
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            all_samples[name].append(round(time.time() - t0, 3))
+    for name, ts in all_samples.items():
+        timings[name] = min(ts)
 
     total = round(time.time() - t_all, 3)
     print(json.dumps({
@@ -99,6 +108,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_samples": all_samples,
         "sf": sf,
         "bench_files": n_files,
         "cpg_nodes": n_nodes,

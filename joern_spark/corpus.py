@@ -116,6 +116,15 @@ int norm2(struct point *p) { return p->x * p->x + p->y * p->y; }
 int getx(struct point s) { return s.x; }
 """
 
+FIXTURE_C_DECLS = """struct widget;
+
+int transform(struct widget *w, int k);
+
+int use_decls(struct widget *w) {
+    return transform(w, 3);
+}
+"""
+
 FIXTURE_JAVA_METHODS = """package io.test.methods;
 
 public class MethodTest extends BaseTest {
@@ -193,6 +202,7 @@ def fixture_rows() -> list[tuple[str, str, str, str, str]]:
         ("fixtures/c-basics", "src/cfg.c", COMMIT, "c", FIXTURE_C_CFG),
         ("fixtures/c-basics", "src/structs.c", COMMIT, "c", FIXTURE_C_STRUCTS),
         ("fixtures/c-basics", "src/scan.c", COMMIT, "c", FIXTURE_C_SCAN),
+        ("fixtures/c-basics", "src/decls.c", COMMIT, "c", FIXTURE_C_DECLS),
         ("fixtures/cpp-shapes", "src/shapes.cpp", COMMIT, "cpp", FIXTURE_CPP_SHAPES),
         ("fixtures/java-methods", "src/MethodTest.java", COMMIT, "java", FIXTURE_JAVA_METHODS),
         ("fixtures/java-cross", "src/UseHelper.java", COMMIT, "java", FIXTURE_JAVA_USE),

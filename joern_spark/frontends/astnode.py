@@ -26,8 +26,8 @@ class N:
         "control_structure_type", "jump_label", "canonical_name",
         "ast_parent_type", "ast_parent_full_name", "inherits_from",
         "alias_type_full_name", "evaluation_strategy", "param_index",
-        "is_variadic", "is_external", "line", "children", "ref_target",
-        "idx",
+        "is_variadic", "is_external", "line", "line_end", "children",
+        "ref_target", "idx",
     )
 
     def __init__(self, kind: str, code: str = "", name: str = "", line: int = 0, **kw):
@@ -35,6 +35,7 @@ class N:
         self.code = code
         self.name = name
         self.line = line
+        self.line_end = kw.get("line_end", -1)
         self.full_name = kw.get("full_name", "")
         self.signature = kw.get("signature", "")
         self.arg_index = kw.get("arg_index", -1)
@@ -117,6 +118,7 @@ def flatten_file(
                 evaluation_strategy=node.evaluation_strategy,
                 param_index=node.param_index, is_variadic=node.is_variadic,
                 is_external=node.is_external, line=node.line,
+                line_end=node.line_end,
             )
         )
         for i, c in enumerate(node.children, start=1):

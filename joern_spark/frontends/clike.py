@@ -678,7 +678,9 @@ class CParser:
             if pname:
                 self.declare(pname, p)
         if body == "parse":
-            method.add(self.parse_compound())
+            blk = self.parse_compound()
+            method.add(blk)
+            method.line_end = blk.line_end
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=ret_ty,
                      evaluation_strategy=M.BY_VALUE, line=start.line))
         self.pop_scope()
@@ -692,7 +694,7 @@ class CParser:
         while self.peek() is not None and not self.at("}"):
             block.add(*self.parse_statement())
         if self.at("}"):
-            self.next()
+            block.line_end = self.next().line  # closing-brace line
         self.pop_scope()
         return block
 

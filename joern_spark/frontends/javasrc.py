@@ -316,6 +316,7 @@ class JavaParser(CParser):
             body.add(self._member_init_assign(class_full, fname, ty, init,
                                               iline, this))
         ctor.add(body)
+        ctor.line_end = line
         ctor.add(N(M.METHOD_RETURN, code="RET", type_full_name="void",
                    evaluation_strategy=M.BY_VALUE, line=line))
         return ctor
@@ -559,7 +560,9 @@ class JavaParser(CParser):
             if pname:
                 self.declare(pname, p)
         if body:
-            method.add(self.parse_compound())
+            blk = self.parse_compound()
+            method.add(blk)
+            method.line_end = blk.line_end
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=ret_ty,
                      evaluation_strategy=M.BY_VALUE, line=start.line))
         self.pop_scope()

@@ -58,6 +58,7 @@ OP_NULLISH = M.OP + "nullishCoalescing"
 OP_TYPEOF = M.OP + "typeOf"
 OP_VOID = M.OP + "void"
 OP_SPREAD = M.OP + "spread"
+ECMA_ARRAY_FACTORY = "__ecma.Array.factory"  # EcmaBuiltins.arrayFactory
 OP_SPREAD = M.OP + "spread"
 OP_IN = M.OP + "in"
 
@@ -187,6 +188,7 @@ class JsParser(CParser):
                     break
                 self.next()
         program.add(block)
+        program.line_end = self.toks[-1].line if self.toks else 1
         program.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                       evaluation_strategy=M.BY_VALUE, line=1))
         return [program]
@@ -369,14 +371,18 @@ class JsParser(CParser):
             self.declare(name, loc)
             if self.at("="):
                 self.next()
+                rhs_start = self.pos
                 init = self.parse_assignment_expr()
                 ident = N(M.IDENTIFIER, code=name, name=name, line=name_tok.line,
                           arg_index=1, type_full_name=M.ANY)
                 ident.ref_target = loc
                 init.arg_index = 2
-                # code carries the declaration keyword, like the reference
-                # ("var x = 1", SimpleCfgCreationPassTests.scala:206-212)
-                call = N(M.CALL, code=f"{kw.v} {name} = {init.code}",
+                # code carries the declaration keyword and the RAW source
+                # rhs, like the reference ("var x = 1" :206-212; "var x = []"
+                # :26-31 even though the rhs lowers to the Array factory)
+                rhs_raw = self.slice(self.toks[rhs_start],
+                                     self.toks[self.pos - 1])
+                call = N(M.CALL, code=f"{kw.v} {name} = {rhs_raw}",
                          name=M.OP_ASSIGNMENT,
                          method_full_name=M.OP_ASSIGNMENT,
                          dispatch_type=M.STATIC_DISPATCH, line=name_tok.line)
@@ -463,6 +469,7 @@ class JsParser(CParser):
         body = self.parse_compound()
         self._lower_default_params(body, defaults, kw.line)
         method.add(body)
+        method.line_end = body.line_end
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                      evaluation_strategy=M.BY_VALUE, line=kw.line))
         self.scope_path.pop()
@@ -520,6 +527,7 @@ class JsParser(CParser):
             abody = self.parse_compound()
             self._lower_default_params(abody, defaults, start_tok.line)
             method.add(abody)
+            method.line_end = abody.line_end
         else:
             body = self.parse_assignment_expr()
             blk = N(M.BLOCK, code="", line=start_tok.line, type_full_name=M.ANY)
@@ -776,15 +784,52 @@ class JsParser(CParser):
         return node
 
     def parse_object_literal(self) -> N:
+        """jssrc2cpg object-literal lowering (astForObjectExpression): a
+        BLOCK (code = the raw literal) holding LOCAL `_tmp_k`, then one
+        `_tmp_k.<key> = <value>` assignment per property (fieldAccess over
+        the tmp — SimpleCfgCreationPassTests.scala:166-192), `...rest`
+        spreads as `<operator>.spread(_tmp_k, rest)` (SimpleAstCreationPass
+        Tests.scala:440-464), and the tmp identifier as the block value."""
         open_tok = self.next()
         block = N(M.BLOCK, code="{...}", line=open_tok.line, type_full_name=M.ANY)
+        tmp = self._fresh_tmp(open_tok.line)
+        loc = N(M.LOCAL, code=tmp, name=tmp, type_full_name=M.ANY,
+                line=open_tok.line)
+        block.add(loc)
+
+        def tmp_ident(line: int, arg_index: int = -1) -> N:
+            n = N(M.IDENTIFIER, code=tmp, name=tmp, line=line,
+                  type_full_name=M.ANY, arg_index=arg_index)
+            n.ref_target = loc
+            return n
+
+        def key_assign(key_name: str, val: N, line: int) -> N:
+            fld = N(M.FIELD_IDENTIFIER, code=key_name, name=key_name,
+                    canonical_name=key_name, line=line, arg_index=2)
+            fa = N(M.CALL, code=f"{tmp}.{key_name}", name=M.OP_FIELD_ACCESS,
+                   method_full_name=M.OP_FIELD_ACCESS,
+                   dispatch_type=M.STATIC_DISPATCH, line=line, arg_index=1)
+            fa.add(tmp_ident(line, 1), fld)
+            val.arg_index = 2
+            asg = N(M.CALL, code=f"{tmp}.{key_name} = {val.code}",
+                    name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
+                    dispatch_type=M.STATIC_DISPATCH, line=line)
+            asg.add(fa, val)
+            return asg
+
         while self.peek() is not None and not self.at("}"):
             if self.at(","):
                 self.next()
                 continue
             if self.at("..."):
-                self.next()
-                block.add(self.parse_assignment_expr())
+                sp_tok = self.next()
+                rest = self.parse_assignment_expr()
+                rest.arg_index = 2
+                sp = N(M.CALL, code=f"...{rest.code}", name=OP_SPREAD,
+                       method_full_name=OP_SPREAD,
+                       dispatch_type=M.STATIC_DISPATCH, line=sp_tok.line)
+                sp.add(tmp_ident(sp_tok.line, 1), rest)
+                block.add(sp)
                 continue
             key = self.next()
             if self.at("("):  # method shorthand
@@ -818,36 +863,95 @@ class JsParser(CParser):
                 self.pop_scope()
                 ref = N(M.METHOD_REF, code=name, method_full_name=full, line=key.line)
                 ref.add(method)
-                block.add(ref)
+                block.add(key_assign(name, ref, key.line))
                 continue
             if self.at(":"):
                 self.next()
                 val = self.parse_assignment_expr()
-                val.arg_index = len(block.children) + 1
-                block.add(val)
+                block.add(key_assign(key.v.strip("'\""), val, key.line))
+            elif key.t == "id":
+                # shorthand property `{ a }` ≡ `{ a: a }`
+                ident = N(M.IDENTIFIER, code=key.v, name=key.v, line=key.line,
+                          type_full_name=M.ANY)
+                decl = self.lookup(key.v)
+                if decl is not None:
+                    ident.ref_target = decl
+                block.add(key_assign(key.v, ident, key.line))
             if self.at("["):  # computed key — skip
                 self.skip_balanced("[", "]")
+        close = self.toks[self.pos] if self.at("}") else self.toks[self.pos - 1]
         if self.at("}"):
             self.next()
+        block.code = self.slice(open_tok, close)
+        block.add(tmp_ident(open_tok.line))
         return block
 
     def parse_array_literal(self) -> N:
+        """jssrc2cpg array-literal lowering (AstForExpressionsCreator
+        .astForArrayExpression:337-404): `[]` is a bare
+        `__ecma.Array.factory()` call; `[a, b]` is a BLOCK (code = the raw
+        literal) of `_tmp_k = __ecma.Array.factory()` then one
+        `_tmp_k.push(<el>)` dynamic call per element (receiver fieldAccess
+        + base identifier, the ECMAScript call shape), returning _tmp_k."""
         open_tok = self.next()
-        call = N(M.CALL, code="[...]", name=M.OP_ARRAY_INITIALIZER,
-                 method_full_name=M.OP_ARRAY_INITIALIZER,
-                 dispatch_type=M.STATIC_DISPATCH, line=open_tok.line)
-        i = 0
+        elements: list[N] = []
         while self.peek() is not None and not self.at("]"):
             if self.at(","):
                 self.next()
                 continue
-            el = self.parse_assignment_expr()
-            i += 1
-            el.arg_index = i
-            call.add(el)
+            elements.append(self.parse_assignment_expr())
+        close = self.toks[self.pos] if self.at("]") else self.toks[self.pos - 1]
         if self.at("]"):
             self.next()
-        return call
+        raw = self.slice(open_tok, close)
+
+        def factory_call() -> N:
+            return N(M.CALL, code=f"{ECMA_ARRAY_FACTORY}()",
+                     name=ECMA_ARRAY_FACTORY,
+                     method_full_name=ECMA_ARRAY_FACTORY,
+                     dispatch_type=M.STATIC_DISPATCH, line=open_tok.line)
+
+        if not elements:
+            return factory_call()
+        tmp = self._fresh_tmp(open_tok.line)
+        loc = N(M.LOCAL, code=tmp, name=tmp, type_full_name=M.ANY,
+                line=open_tok.line)
+        tmp_id = N(M.IDENTIFIER, code=tmp, name=tmp, line=open_tok.line,
+                   type_full_name=M.ANY, arg_index=1)
+        tmp_id.ref_target = loc
+        fac = factory_call()
+        fac.arg_index = 2
+        assign = N(M.CALL, code=f"{tmp} = {ECMA_ARRAY_FACTORY}()",
+                   name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
+                   dispatch_type=M.STATIC_DISPATCH, line=open_tok.line)
+        assign.add(tmp_id, fac)
+        block = N(M.BLOCK, code=raw, type_full_name=M.ANY, line=open_tok.line)
+        block.add(loc, assign)
+        for el in elements:
+            fa_base = N(M.IDENTIFIER, code=tmp, name=tmp, line=el.line,
+                        type_full_name=M.ANY, arg_index=1)
+            fa_base.ref_target = loc
+            fld = N(M.FIELD_IDENTIFIER, code="push", name="push",
+                    canonical_name="push", line=el.line, arg_index=2)
+            fa = N(M.CALL, code=f"{tmp}.push", name=M.OP_FIELD_ACCESS,
+                   method_full_name=M.OP_FIELD_ACCESS,
+                   dispatch_type=M.STATIC_DISPATCH, line=el.line,
+                   role=M.ROLE_RECEIVER)
+            fa.add(fa_base, fld)
+            base = N(M.IDENTIFIER, code=tmp, name=tmp, line=el.line,
+                     type_full_name=M.ANY, arg_index=0)
+            base.ref_target = loc
+            el.arg_index = 1
+            push = N(M.CALL, code=f"{tmp}.push({el.code})", name="",
+                     method_full_name=M.UNKNOWN_FULL_NAME,
+                     dispatch_type=M.DYNAMIC_DISPATCH, line=el.line)
+            push.add(fa, base, el)
+            block.add(push)
+        ret_id = N(M.IDENTIFIER, code=tmp, name=tmp, line=open_tok.line,
+                   type_full_name=M.ANY)
+        ret_id.ref_target = loc
+        block.add(ret_id)
+        return block
 
     def parse_postfix(self) -> N:
         t = self.peek()

@@ -316,6 +316,9 @@ RAW_NODE_FIELDS = [
                                       # groupBy over call sites instead of a 1.6M-row child
                                       # aggregation + join against the full node table.
     ("line", T.IntegerType()),
+    ("line_end", T.IntegerType()),    # METHOD rows: closing-brace line (-1 unset);
+                                      # numberOfLines = line_end - line + 1
+                                      # (MethodMethods.scala:30-36)
     ("parse_error", T.StringType()),  # non-empty => file-level parse failure row
     # fused intraprocedural edges (CFG/DOMINATE/POST_DOMINATE/CDG/REACHING_DEF)
     # attached to METHOD rows as file-local idx pairs; exploded JVM-side.
@@ -408,6 +411,7 @@ def raw_node(**kw):
         "is_external": False,
         "nargs": -1,
         "line": 0,
+        "line_end": -1,
         "parse_error": "",
         "ie_src": None,
         "ie_dst": None,

@@ -42,7 +42,7 @@ def _mk_nodes(df: DataFrame, **exprs) -> DataFrame:
         "alias_type_full_name": F.lit(""), "evaluation_strategy": F.lit(""),
         "param_index": F.lit(-1), "is_variadic": F.lit(False),
         "is_external": F.lit(False), "nargs": F.lit(-1),
-        "line": F.lit(0), "parse_error": F.lit(""),
+        "line": F.lit(0), "line_end": F.lit(-1), "parse_error": F.lit(""),
         "ie_src": F.lit(None).cast("array<bigint>"),
         "ie_dst": F.lit(None).cast("array<bigint>"),
         "ie_label": F.lit(None).cast("array<int>"),

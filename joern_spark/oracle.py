@@ -226,6 +226,41 @@ def _call_mfn(r: dict, rec: dict[int, str]) -> str:
     return rec.get(r["node_idx"], r["method_full_name"])
 
 
+def expected_declared_only() -> list[tuple[str, str, str]]:
+    """(sym_kind, name, full_name) — sequential mirror of
+    q_cpg_declared_only: internal body-less METHODs (prototypes / abstract
+    declarations) whose fullname never gets a bodied definition, plus
+    TYPE_DECL stubs (used type fullnames without a parsed TYPE_DECL,
+    mirroring used_type_fullnames + type_decl_stubs)."""
+    bodied: set[str] = set()
+    protos: dict[str, str] = {}
+    used_types: set[str] = set()
+    declared_types: set[str] = set()
+    for repo, path, commit, lang, rows in local_files():
+        block_parents = {r["parent_idx"] for r in rows if r["kind"] == M.BLOCK}
+        for r in rows:
+            tfn = r.get("type_full_name") or ""
+            if tfn:
+                used_types.add(tfn)
+            afn = r.get("alias_type_full_name") or ""
+            if afn:
+                used_types.add(afn)
+            for anc in (r.get("inherits_from") or []):
+                used_types.add(anc)
+            if r["kind"] == M.TYPE_DECL:
+                declared_types.add(r["full_name"])
+                used_types.add(r["full_name"])
+            if r["kind"] == M.METHOD and not r.get("is_external"):
+                if r["node_idx"] in block_parents:
+                    bodied.add(r["full_name"])
+                else:
+                    protos[r["full_name"]] = r["name"]
+    out = {("method", nm, fn) for fn, nm in protos.items() if fn not in bodied}
+    for fn in used_types - declared_types:
+        out.add(("type_decl", fn.rsplit(".", 1)[-1], fn))
+    return sorted(out)
+
+
 def expected_captures() -> list[tuple[str, str, str]]:
     """(path, closure_full_name, captured_name) — CAPTURE edges re-derived:
     identifier uses whose REF target declaration lives in an enclosing

@@ -5,10 +5,10 @@ reference succOf oracle: code string, occurrence index, optional node kind
 (e.g. ("this", 0, "IDENTIFIER") ≡ succOf("this", NodeTypes.IDENTIFIER)).
 
 Not transcribed (desugarings this frontend does not perform yet, each would
-score as pure recall loss rather than evidence): array/object literal
-`_tmp` expansion (:26-60, :166-192), tagged template literals (:93-121),
-labeled continue (:304-352), for-in/of iterator lowering (:554-562),
-function-declaration-as-assignment (:240-250).
+score as pure recall loss rather than evidence): tagged template literals
+(:93-121), for-in/of iterator lowering (:554-562),
+function-declaration-as-assignment (:240-250), class-expression block
+values (:12-24).
 """
 
 CITE = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/"
@@ -384,4 +384,59 @@ loop1: for (i = 0; i < 3; i++) {
         ("console", 0): ["log"],
         ("log", 0): ["console.log"],
     }, cite=CITE + ":304-352"),
+]
+
+# Array literals lower to __ecma.Array.factory() (+ _tmp/push block when
+# non-empty) — SimpleCfgCreationPassTests.scala:26-60; lowering per
+# AstForExpressionsCreator.astForArrayExpression:337-404.
+CASES += [
+    _js("js-array-empty", "var x = []\n", {
+        ":program": ["x"],
+        "x": ["__ecma.Array.factory()"],
+        "__ecma.Array.factory()": ["var x = []"],
+    }, cite=CITE + ":26-31"),
+    _js("js-array-values", "var x = [1, 2]\n", {
+        ":program": ["x"],
+        ("x", 0): ["_tmp_0"],
+        ("_tmp_0", 0): ["__ecma.Array.factory()"],
+        "__ecma.Array.factory()": ["_tmp_0 = __ecma.Array.factory()"],
+        "_tmp_0 = __ecma.Array.factory()": ["_tmp_0"],
+        ("_tmp_0", 1): ["push"],
+        ("push", 0): ["_tmp_0.push"],
+        ("_tmp_0.push", 0): ["_tmp_0"],
+        ("_tmp_0", 2): ["1"],
+        "1": ["_tmp_0.push(1)"],
+        "_tmp_0.push(1)": ["_tmp_0"],
+        ("_tmp_0", 3): ["push"],
+        ("push", 1): ["_tmp_0.push"],
+        ("_tmp_0.push", 1): ["_tmp_0"],
+        ("_tmp_0", 4): ["2"],
+        "2": ["_tmp_0.push(2)"],
+        "_tmp_0.push(2)": ["_tmp_0"],
+        ("_tmp_0", 5): ["[1, 2]"],
+        "[1, 2]": ["var x = [1, 2]"],
+        "var x = [1, 2]": ["RET"],
+    }, cite=CITE + ":33-60"),
+]
+
+# Object literals lower to a _tmp block of per-property assignments
+# (SimpleCfgCreationPassTests.scala:166-192).
+CASES += [
+    _js("js-object-simple", 'var x = {\n key1: "value",\n key2: 2\n}\n', {
+        ":program": ["x"],
+        ("x", 0): ["_tmp_0"],
+        ("_tmp_0", 0): ["key1"],
+        "key1": ["_tmp_0.key1"],
+        "_tmp_0.key1": ['"value"'],
+        '"value"': ['_tmp_0.key1 = "value"'],
+        '_tmp_0.key1 = "value"': ["_tmp_0"],
+        ("_tmp_0", 1): ["key2"],
+        "key2": ["_tmp_0.key2"],
+        "_tmp_0.key2": ["2"],
+        "2": ["_tmp_0.key2 = 2"],
+        "_tmp_0.key2 = 2": ["_tmp_0"],
+        ("_tmp_0", 2): ['{\n key1: "value",\n key2: 2\n}'],
+        '{\n key1: "value",\n key2: 2\n}': ['var x = {\n key1: "value",\n key2: 2\n}'],
+        'var x = {\n key1: "value",\n key2: 2\n}': ["RET"],
+    }, cite=CITE + ":166-192"),
 ]

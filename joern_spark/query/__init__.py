@@ -269,6 +269,43 @@ class Steps:
         lhs = self.df.select(F.col("id").alias("lid")).distinct()
         return Steps(self.cpg, lhs.join(n, F.col("lid") == F.col("parent_id")).drop("lid"))
 
+    def number_of_lines(self) -> "Steps":
+        """method.numberOfLines = lineNumberEnd - lineNumber + 1, 0 when
+        either end is unknown (MethodMethods.scala:30-36); projected as a
+        `number_of_lines` column."""
+        return Steps(self.cpg, self.df.withColumn(
+            "number_of_lines",
+            F.when((F.col("line") > 0) & (F.col("line_end") > 0),
+                   F.col("line_end") - F.col("line") + 1).otherwise(0)))
+
+    def is_stub(self) -> "Steps":
+        """Methods whose every direct CFG successor is the METHOD_RETURN —
+        i.e. no body (MethodMethods.isStub, MethodMethods.scala:61-62)."""
+        mr = self.cpg.nodes.filter(F.col("kind") == M.METHOD_RETURN).select(
+            F.col("id").alias("mr_id"))
+        non_ret = (self.cpg.edges.filter(F.col("label") == M.CFG)
+                   .join(mr, F.col("dst") == F.col("mr_id"), "left_anti")
+                   .select(F.col("src").alias("nid")).distinct())
+        lhs = self.df.filter(F.col("kind") == M.METHOD)
+        return Steps(self.cpg, lhs.join(
+            non_ret, lhs["id"] == non_ret["nid"], "left_anti"))
+
+    def is_not_stub(self) -> "Steps":
+        """Complement of is_stub (MethodTraversal.scala:100-103)."""
+        stub_ids = self.is_stub().df.select(F.col("id").alias("sid"))
+        return Steps(self.cpg, self.df.join(
+            stub_ids, self.df["id"] == stub_ids["sid"], "left_anti"))
+
+    def cfg_first(self) -> "Steps":
+        """method.cfgFirst — the METHOD entry's direct CFG successors
+        (MethodTraversal.scala:131-138)."""
+        return self._hop(M.CFG, forward=True)
+
+    def cfg_last(self) -> "Steps":
+        """method.cfgLast = methodReturn.cfgIn
+        (MethodTraversal.scala:139-141)."""
+        return self.method_return().cfg_prev()
+
     # ---- CFG / dominators -------------------------------------------------- #
     def cfg_next(self) -> "Steps":
         return self._hop(M.CFG, forward=True)
@@ -296,6 +333,19 @@ class Steps:
     def call_in(self) -> "Steps":
         """From METHODs to the CALL sites that invoke them."""
         return self._hop(M.CALL_EDGE, forward=False)
+
+    def is_static(self) -> "Steps":
+        """Statically dispatched calls (CallTraversal.scala:12-13)."""
+        return self.filter(F.col("dispatch_type") == M.STATIC_DISPATCH)
+
+    def is_dynamic(self) -> "Steps":
+        """Dynamically dispatched calls (CallTraversal.scala:16-17)."""
+        return self.filter(F.col("dispatch_type") == M.DYNAMIC_DISPATCH)
+
+    def to_method_return(self) -> "Steps":
+        """call.toMethodReturn — the called methods' METHOD_RETURN nodes
+        (CallTraversal.scala:55-58)."""
+        return self.callee().method_return()
 
     def caller(self) -> "Steps":
         """From METHODs to the methods that call them."""

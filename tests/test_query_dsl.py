@@ -103,3 +103,50 @@ def test_dominates(cpg):
     # the entry METHOD node dominates every CFG node in its method
     dom = cpg.method("print_number").dominates()
     assert "printf(x)" in names(dom, "code")
+
+
+def test_is_static_is_dynamic(cpg):
+    """CallTraversal.scala:12-17 — dispatch filters partition named calls."""
+    static = cpg.call().is_static()
+    dynamic = cpg.call().is_dynamic()
+    from pyspark.sql import functions as F
+    assert static.df.filter(F.col("dispatch_type") != "STATIC_DISPATCH").count() == 0
+    assert dynamic.df.filter(F.col("dispatch_type") != "DYNAMIC_DISPATCH").count() == 0
+    assert static.count() > 0 and dynamic.count() > 0
+
+
+def test_to_method_return(cpg):
+    """CallTraversal.scala:55-58 — call sites to the callee's METHOD_RETURN."""
+    mrs = cpg.call("print_number").to_method_return()
+    rows = mrs.df.select("kind", "method_id").collect()
+    assert rows and all(r["kind"] == "METHOD_RETURN" for r in rows)
+    callees = cpg.method("print_number").df.select("id").collect()
+    assert {r["method_id"] for r in rows} == {r["id"] for r in callees}
+
+
+def test_cfg_first_last(cpg):
+    """MethodTraversal.scala:131-141 — cfgFirst is the entry's successor,
+    cfgLast is methodReturn.cfgIn."""
+    first = cpg.method("print_number").cfg_first()
+    assert first.count() >= 1
+    last = cpg.method("print_number").cfg_last()
+    codes = names(last, "code")
+    # the node feeding METHOD_RETURN: the trailing return/printf statement
+    assert any("printf" in c or c.startswith("return") for c in codes), codes
+
+
+def test_is_stub(cpg):
+    """MethodMethods.scala:61-62 — external stubs have no body CFG; real
+    definitions do."""
+    stubs = cpg.method().is_stub()
+    assert "printf" in names(stubs)
+    not_stubs = cpg.method().is_not_stub()
+    assert "print_number" in names(not_stubs)
+    assert "print_number" not in names(stubs)
+
+
+def test_number_of_lines(cpg):
+    """MethodMethods.scala:30-36 — lineNumberEnd - lineNumber + 1."""
+    rows = (cpg.method("print_number").number_of_lines()
+            .df.select("number_of_lines").collect())
+    assert rows and all(r["number_of_lines"] >= 1 for r in rows)
