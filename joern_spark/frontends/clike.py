@@ -203,6 +203,12 @@ class CParser:
         if len(self.toks) > self.MAX_TOKENS:
             raise ParseError(f"file too large: {len(self.toks)} tokens")
         self.pos = 0
+        # Fuel guard: hostile inputs (fuzzed bytes, unclosed constructs) must
+        # raise instead of spinning — a wedged parse would pin an executor
+        # core forever since the Spark parse stage only maps *exceptions* to
+        # parse_error rows. Budget is linear in input size; real parses use
+        # a few dozen peeks per token.
+        self.fuel = 300 * (len(self.toks) + 64)
         self.scopes: list[dict[str, N]] = [{}]
         self.ns: list[str] = []  # namespace / class qualifier stack
         self.global_block = f"{path}:{M.GLOBAL}"
@@ -218,6 +224,9 @@ class CParser:
 
     # ---------------- token helpers ----------------
     def peek(self, k=0) -> Tok | None:
+        self.fuel -= 1
+        if self.fuel < 0:
+            raise ParseError("parser fuel exhausted (non-progressing parse)")
         p = self.pos + k
         return self.toks[p] if p < len(self.toks) else None
 

@@ -134,6 +134,7 @@ class JsParser(CParser):
         if len(self.toks) > self.MAX_TOKENS:
             raise ParseError(f"file too large: {len(self.toks)} tokens")
         self.pos = 0
+        self.fuel = 300 * (len(self.toks) + 64)  # see CParser.__init__
         self.scopes = [{}]
         self.ns = []
         self.global_block = f"{path}:{M.GLOBAL}"
@@ -844,18 +845,16 @@ class JsParser(CParser):
                 self.scope_path.append(name)
                 self.next()
                 i = 0
-                while not self.at(")"):
-                    if self.peek() is not None and self.peek().t in ("id", "kw"):
+                while self.peek() is not None and not self.at(")"):
+                    pn = self.next()  # always advance — garbage tokens skip
+                    if pn.t in ("id", "kw"):
                         i += 1
-                        pn = self.next()
                         p = N(M.METHOD_PARAMETER_IN, code=pn.v, name=pn.v,
                               param_index=i, type_full_name=M.ANY, line=pn.line,
                               evaluation_strategy=M.BY_SHARING)
                         method.add(p)
                         self.declare(pn.v, p)
-                    if self.at(","):
-                        self.next()
-                self.next()
+                self.expect(")")
                 method.add(self.parse_compound())
                 method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                              evaluation_strategy=M.BY_VALUE, line=key.line))
@@ -1039,12 +1038,22 @@ class JsParser(CParser):
         desugaring, MixedAstCreationPassTests.scala:1252-1347) — built by
         re-parsing the spelled-out lowering so codes/operators/REFs match
         the hand-written equivalent exactly."""
+        def strip_void_arg(n: N) -> None:
+            # the reference's synthetic `void 0` test call has NO literal
+            # child (succOf(param) goes straight to "void 0",
+            # MixedCfgCreationPassTests.scala:458-459)
+            if n.kind == M.CALL and n.code == "void 0":
+                n.children = []
+            for c in n.children:
+                strip_void_arg(c)
+
         for pname, dcode in reversed(defaults):
             try:
                 stmt = self._parse_sub_expression(
                     f"{pname} = {pname} === void 0 ? {dcode} : {pname}", line)
             except Exception:
                 continue
+            strip_void_arg(stmt)
             body.children.insert(0, stmt)
 
     def _parse_sub_expression(self, src: str, line: int) -> N:

@@ -189,6 +189,67 @@ def ast_edges(nodes: DataFrame) -> DataFrame:
             .select("e.src", "e.dst", "e.label", "e.variable"))
 
 
+def derived_edges(nodes: DataFrame) -> DataFrame:
+    """ast_edges ∪ intra_edges in ONE scan of the parse parquet.
+
+    The two relations read overlapping columns (repo/path/commit/kind plus
+    the per-row projection fields vs the METHOD rows' fused ie_* arrays); at
+    the 100M+-edge materialization the second pass over the node table is
+    pure wasted read bandwidth — the single non-scaling resource on a
+    single-box stand-in, and the write tail the scaling target is bound by.
+    Here the per-row candidate structs and the transformed ie_* zip land in
+    one concat'd array behind one generator, so the node parquet is decoded
+    exactly once and the whole derivation stays in one codegen stage.
+    """
+    from joern_spark.operators.base import EVAL_TYPE_KINDS, file_id, type_id
+
+    n = nodes.filter(F.col("parse_error") == "")
+    null_s = F.lit(None).cast("string")
+
+    def edge(cond, src, dst, label, variable=None):
+        e = F.struct(src.cast("long").alias("src"), dst.cast("long").alias("dst"),
+                     (label if not isinstance(label, str) else F.lit(label)).alias("label"),
+                     (variable if variable is not None else null_s).alias("variable"))
+        return F.when(cond, e)
+
+    role_map = F.create_map(*[F.lit(x) for kv in M.ROLE_EDGE_LABELS.items() for x in kv])
+    candidates = F.array(
+        edge(F.col("parent_id").isNotNull(), F.col("parent_id"), F.col("id"), M.AST),
+        edge((F.col("role") != "") & F.col("parent_id").isNotNull(),
+             F.col("parent_id"), F.col("id"), role_map[F.col("role")]),
+        edge((F.col("arg_index") >= 0) & F.col("parent_id").isNotNull(),
+             F.col("parent_id"), F.col("id"), M.ARGUMENT,
+             F.col("arg_index").cast("string")),
+        edge(F.col("ref_id").isNotNull(), F.col("id"), F.col("ref_id"), M.REF),
+        edge(F.col("method_id").isNotNull()
+             & (~F.col("kind").isin(M.METHOD, M.METHOD_PARAMETER_IN,
+                                    M.METHOD_PARAMETER_OUT, M.METHOD_RETURN,
+                                    M.LOCAL, M.MODIFIER, M.TYPE_DECL, M.MEMBER)),
+             F.col("method_id"), F.col("id"), M.CONTAINS),
+        edge(F.col("kind").isin(EVAL_TYPE_KINDS)
+             & (F.col("type_full_name") != "") & F.col("type_full_name").isNotNull(),
+             F.col("id"), type_id(F.col("type_full_name")), M.EVAL_TYPE),
+        edge(F.col("kind").isin(M.METHOD, M.TYPE_DECL) & (F.col("path") != ""),
+             F.col("id"), file_id(), M.SOURCE_FILE),
+        edge(F.col("kind") == M.METHOD_PARAMETER_IN,
+             F.col("id"), F.xxhash64(F.lit("POUT"), F.col("id")), M.PARAMETER_LINK),
+    )
+    label_lut = F.array(*[F.lit(x) for x in M.IE_LABELS])
+    ie = F.when(
+        (F.col("kind") == M.METHOD) & F.col("ie_src").isNotNull(),
+        F.transform(
+            F.arrays_zip("ie_src", "ie_dst", "ie_label", "ie_var"),
+            lambda x: F.struct(
+                F.xxhash64("repo", "path", "commit", x["ie_src"]).alias("src"),
+                F.xxhash64("repo", "path", "commit", x["ie_dst"]).alias("dst"),
+                F.element_at(label_lut, x["ie_label"] + 1).alias("label"),
+                x["ie_var"].alias("variable")))
+    ).otherwise(F.array().cast("array<struct<src:bigint,dst:bigint,label:string,variable:string>>"))
+    return (n.select(F.explode(F.concat(candidates, ie)).alias("e"))
+            .filter(F.col("e").isNotNull())
+            .select("e.src", "e.dst", "e.label", "e.variable"))
+
+
 def intra_edges(nodes: DataFrame) -> DataFrame:
     """Explode the fused per-method parallel edge arrays into global-id edge
     rows; the label dictionary (M.IE_LABELS) is decoded JVM-side."""

@@ -440,3 +440,92 @@ CASES += [
         'var x = {\n key1: "value",\n key2: 2\n}': ["RET"],
     }, cite=CITE + ":166-192"),
 ]
+
+# MixedCfgCreationPassTests.scala — spread argument, await/async,
+# instanceof, delete, and the four default-parameter CFG shapes.
+MCITE = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/"
+         "MixedCfgCreationPassTests.scala")
+CASES += [
+    _js("js-spread-arg", "foo(...args)\n", {
+        ":program": ["foo"],
+        "foo": ["this"],
+        ("this", 0, "IDENTIFIER"): ["args"],
+        "args": ["...args"],
+        "...args": ["foo(...args)"],
+        "foo(...args)": ["RET"],
+    }, cite=MCITE + ":411-419"),
+    _js("js-await-async", "async function x(foo) { await foo() }\n", {
+        ("x", 0, "METHOD"): ["foo"],
+        ("foo", 0, "IDENTIFIER"): ["this"],
+        ("this", 0, "IDENTIFIER"): ["foo()"],
+        "foo()": ["await foo()"],
+        "await foo()": ["RET"],
+    }, cite=MCITE + ":425-433"),
+    _js("js-instanceof", "x instanceof Foo\n", {
+        ":program": ["x"],
+        "x": ["Foo"],
+        "Foo": ["x instanceof Foo"],
+        ("x instanceof Foo", 0, "CALL"): ["RET"],
+    }, cite=MCITE + ":436-442"),
+    _js("js-delete", "delete foo.x\n", {
+        ":program": ["foo"],
+        "foo": ["x"],
+        "x": ["foo.x"],
+        "foo.x": ["delete foo.x"],
+        ("delete foo.x", 0, "CALL"): ["RET"],
+    }, cite=MCITE + ":444-452"),
+    _js("js-default-param-cfg", "function foo(a = 1) { }\n", {
+        ("foo", 0, "METHOD"): ["a"],
+        ("a", 0, "IDENTIFIER"): ["a"],
+        ("a", 1): ["void 0"],
+        "void 0": ["a === void 0"],
+        "a === void 0": ["1", "a"],
+        "1": ["a === void 0 ? 1 : a"],
+        ("a", 2): ["a === void 0 ? 1 : a"],
+        "a === void 0 ? 1 : a": ["a = a === void 0 ? 1 : a"],
+        "a = a === void 0 ? 1 : a": ["RET"],
+    }, cite=MCITE + ":455-467"),
+    _js("js-default-params-cfg2", "function foo(a = 1, b = 2) { }\n", {
+        ("foo", 0, "METHOD"): ["a"],
+        ("a", 0, "IDENTIFIER"): ["a"],
+        ("a", 1): ["void 0"],
+        "a === void 0": ["1", "a"],
+        "a === void 0 ? 1 : a": ["a = a === void 0 ? 1 : a"],
+        "a = a === void 0 ? 1 : a": ["b"],
+        ("b", 0, "IDENTIFIER"): ["b"],
+        ("b", 1): ["void 0"],
+        ("void 0", 1): ["b === void 0"],
+        "b === void 0": ["2", "b"],
+        "2": ["b === void 0 ? 2 : b"],
+        ("b", 2): ["b === void 0 ? 2 : b"],
+        "b === void 0 ? 2 : b": ["b = b === void 0 ? 2 : b"],
+        "b = b === void 0 ? 2 : b": ["RET"],
+    }, cite=MCITE + ":470-491"),
+    _js("js-default-param-mixed", "function foo(a, b = 1) { }\n", {
+        ("foo", 0, "METHOD"): ["b"],
+        ("b", 0): ["b"],
+        ("b", 1): ["void 0"],
+        "void 0": ["b === void 0"],
+        "b === void 0": ["1", "b"],
+        "1": ["b === void 0 ? 1 : b"],
+        ("b", 2): ["b === void 0 ? 1 : b"],
+        "b === void 0 ? 1 : b": ["b = b === void 0 ? 1 : b"],
+        "b = b === void 0 ? 1 : b": ["RET"],
+    }, cite=MCITE + ":494-506"),
+    _js("js-default-params-mixed2", "function foo(x, a = 1, b = 2) { }\n", {
+        ("foo", 0, "METHOD"): ["a"],
+        ("a", 0): ["a"],
+        ("a", 1): ["void 0"],
+        "a === void 0": ["1", "a"],
+        "a === void 0 ? 1 : a": ["a = a === void 0 ? 1 : a"],
+        "a = a === void 0 ? 1 : a": ["b"],
+        ("b", 0): ["b"],
+        ("b", 1): ["void 0"],
+        ("void 0", 1): ["b === void 0"],
+        "b === void 0": ["2", "b"],
+        "2": ["b === void 0 ? 2 : b"],
+        ("b", 2): ["b === void 0 ? 2 : b"],
+        "b === void 0 ? 2 : b": ["b = b === void 0 ? 2 : b"],
+        "b = b === void 0 ? 2 : b": ["RET"],
+    }, cite=MCITE + ":509-530"),
+]

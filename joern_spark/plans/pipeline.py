@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from joern_spark import model as M
 from joern_spark.operators import base as B
 from joern_spark.operators import callgraph as CG
-from joern_spark.operators.parse import ast_edges, intra_edges, parse_source, with_ids
+from joern_spark.operators.parse import derived_edges, parse_source, with_ids
 
 
 def _manifest_path(out_dir: str, stage: str) -> str:
@@ -212,7 +212,7 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
     dim_full = methods_real.unionByName(stub_dim)
 
     # ---- stage 3: edges ------------------------------------------------------
-    edges = ast_edges(ok).unionByName(intra_edges(ok)).unionByName(base_edges)
+    edges = derived_edges(ok).unionByName(base_edges)
     canonical = None
     call_edges = None
     if run_callgraph:

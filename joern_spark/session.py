@@ -32,6 +32,13 @@ def get_spark(master: str | None = None, app: str = "joern_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.maxPlanStringLength", "100000")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # zstd over the default snappy for every parquet stage: the graph
+        # tables (10^8 edge rows) are written once and re-scanned by every
+        # query; compression CPU parallelizes with cores while the bytes it
+        # removes come straight off the memory/disk bandwidth that does NOT
+        # scale on a single box (and is the per-executor bottleneck on a
+        # real cluster's shuffle/scan path too)
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     # Shuffle/spill scratch on tmpfs when available: local-mode benches are
     # otherwise at the mercy of /tmp disk latency (a real cluster would use
