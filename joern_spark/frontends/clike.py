@@ -46,7 +46,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<comment>//[^\n]*|/\*.*?\*/)
-  | (?P<num>0[xX][0-9a-fA-F]+[uUlL]*|\d+\.\d*(?:[eE][+-]?\d+)?[fFlL]?|\.\d+[fFlL]?|\d+[uUlL]*[fFlL]?)
+  | (?P<num>0[bB][01_]+[lL]?|0[xX][0-9a-fA-F_]+[uUlL]*|\d[\d_]*\.[\d_]*(?:[eE][+-]?\d+)?[fFlLdD]?|\.\d[\d_]*(?:[eE][+-]?\d+)?[fFlLdD]?|\d[\d_]*(?:[eE][+-]?\d+)?[uUlL]*[fFlLdD]?)
   | (?P<str>"(?:\\.|[^"\\])*")
   | (?P<char>'(?:\\.|[^'\\])*')
   | (?P<id>[A-Za-z_][A-Za-z0-9_]*)
@@ -194,6 +194,13 @@ class CParser:
 
     MAX_TOKENS = 400_000
     KEYWORD_SET = KEYWORDS
+    STMT_TYPE_KEYWORDS = TYPE_KEYWORDS
+    SUBSCRIPT_OP = M.OP_INDIRECT_INDEX_ACCESS
+
+    def lower_field_access(self, call: "N") -> "N":
+        """Per-language rewrite hook for a just-built fieldAccess chain
+        (Java: array `.length` -> sizeOf)."""
+        return call
 
     def __init__(self, content: str, path: str, lang: str):
         self.src = content
@@ -754,8 +761,10 @@ class CParser:
         # label:  (identifier followed by ':', not '::')
         if t.t == "id" and self.at(":", 1) and not self.at("::", 1):
             return self.parse_label()
-        # declaration?
-        if (t.t == "kw" and t.v in TYPE_KEYWORDS) or (t.t == "id" and self.looks_like_type()):
+        # declaration? (STMT_TYPE_KEYWORDS is per-language: Java adds
+        # boolean/byte, which are not C type keywords)
+        if (t.t == "kw" and t.v in self.STMT_TYPE_KEYWORDS) \
+                or (t.t == "id" and self.looks_like_type()):
             save = self.pos
             decl = self.try_parse_declaration()
             if decl is not None:
@@ -1318,7 +1327,9 @@ class CParser:
                 # c2cpg lowers EVERY array subscript to indirectIndexAccess
                 # (AstForExpressionsCreator.scala:440-441), regardless of the
                 # base's static type — `p[0]` must alias `*p` downstream.
-                opname = M.OP_INDIRECT_INDEX_ACCESS
+                # Java/JS use plain indexAccess (ArrayTests.scala:115-116;
+                # jssrc createIndexAccessCallAst) via SUBSCRIPT_OP.
+                opname = self.SUBSCRIPT_OP
                 node.arg_index, idx.arg_index = 1, 2
                 call = N(M.CALL, code=self.slice(start, close), name=opname,
                          method_full_name=opname, dispatch_type=M.STATIC_DISPATCH, line=start.line)
@@ -1338,7 +1349,7 @@ class CParser:
                 call = N(M.CALL, code=self.slice(start, fld_tok), name=opname,
                          method_full_name=opname, dispatch_type=M.STATIC_DISPATCH, line=start.line)
                 call.add(node, fld)
-                node = call
+                node = self.lower_field_access(call)
             elif self.at("++") or self.at("--"):
                 op_tok = self.next()
                 opname = M.POSTFIX_OPERATOR_MAP[op_tok.v]

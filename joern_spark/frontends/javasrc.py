@@ -74,6 +74,26 @@ def _clone_ast(n: N) -> N:
 
 class JavaParser(CParser):
     KEYWORD_SET = JAVA_KEYWORDS
+    STMT_TYPE_KEYWORDS = JAVA_TYPE_KEYWORDS
+    # Java subscripts are <operator>.indexAccess, not the C
+    # indirectIndexAccess (ArrayTests.scala:115-116)
+    SUBSCRIPT_OP = M.OP_INDEX_ACCESS
+
+    def lower_field_access(self, call: "N") -> "N":
+        """`xs.length` on an array-typed base -> <operator>.sizeOf with the
+        base as its only argument (ArrayTests.scala:146-158)."""
+        if call.name == M.OP_FIELD_ACCESS and len(call.children) == 2:
+            base, fld = call.children
+            if fld.kind == M.FIELD_IDENTIFIER and fld.name == "length" \
+                    and (base.type_full_name or "").endswith("[]"):
+                size = N(M.CALL, code=call.code, name=M.OP_SIZEOF,
+                         method_full_name=M.OP_SIZEOF,
+                         dispatch_type=M.STATIC_DISPATCH, line=call.line,
+                         type_full_name="int")
+                base.arg_index = 1
+                size.add(base)
+                return size
+        return call
 
     def __init__(self, content: str, path: str):
         super().__init__(content, path, "java")
@@ -101,8 +121,10 @@ class JavaParser(CParser):
         return name.replace("*", "[]")
 
     def qual(self, name: str) -> str:
-        parts = ([self.package] if self.package else []) + self.ns + [name]
-        return ".".join(p for p in parts if p)
+        # nested types join with `$` per the reference's binary-name scheme
+        # (TypeDeclTests.scala:408 "a.b.c.d.OuterClass$InnerInterface")
+        nested = "$".join([p for p in self.ns if p] + [name])
+        return f"{self.package}.{nested}" if self.package else nested
 
     # ---------------- type parsing (generics, arrays, varargs) -------------
     def parse_java_type(self) -> str:
@@ -169,7 +191,55 @@ class JavaParser(CParser):
                     self.skip_balanced("(", ")")
 
     # ---------------- top level ----------------
+    def _prescan_type_decls(self) -> None:
+        """Register every type name declared anywhere in the file before
+        parsing bodies, so forward references resolve (`class Bar extends
+        Woo {} class Woo {}` → inheritsFrom a.b.c.d.Woo, the JavaParser
+        symbol-solver behavior asserted at TypeDeclTests.scala:389).
+        Tracks brace depth and the enclosing class-name stack so nested
+        declarations register under their `Outer$Inner` binary name."""
+        pkg = ""
+        i = 0
+        toks = self.toks
+        # stack of (brace_depth_at_open, name) for enclosing type decls
+        stack: list[tuple[int, str]] = []
+        depth = 0
+        pending: str | None = None  # type name seen, waiting for its `{`
+        while i < len(toks):
+            t = toks[i]
+            v = t.v
+            if v == "package" and t.t == "kw" and not pkg:
+                parts = []
+                i += 1
+                while i < len(toks) and toks[i].v != ";":
+                    if toks[i].t == "id":
+                        parts.append(toks[i].v)
+                    i += 1
+                pkg = ".".join(parts)
+                continue
+            if t.t == "kw" and v in ("class", "interface", "enum", "record") \
+                    and i + 1 < len(toks) and toks[i + 1].t == "id":
+                pending = toks[i + 1].v
+                i += 2
+                continue
+            if v == "{":
+                if pending is not None:
+                    stack.append((depth, pending))
+                    nested = "$".join([n for _, n in stack])
+                    full = f"{pkg}.{nested}" if pkg else nested
+                    self.declared_types.setdefault(pending, full)
+                    pending = None
+                depth += 1
+            elif v == "}":
+                depth -= 1
+                if stack and stack[-1][0] == depth:
+                    stack.pop()
+            elif v in (";", "=") :
+                pending = None
+            i += 1
+
     def parse(self) -> list[N]:
+        self._prescan_type_decls()
         roots: list[N] = []
         while self.peek() is not None:
             t = self.peek()
@@ -237,17 +307,32 @@ class JavaParser(CParser):
         if kw == "record" and self.at("("):
             self.skip_balanced("(", ")")
         inherits: list[str] = []
+        had_extends = False
         while self.at_any(("extends", "implements", "permits")):
             which = self.next().v
             while True:
                 base = self.parse_java_type()
                 if which != "permits":
                     inherits.append(self.resolve_type(base))
+                    if which == "extends":
+                        had_extends = True
                 if self.at(","):
                     self.next()
                     continue
                 break
-        decl = N(M.TYPE_DECL, code=f"{kw} {name}", name=name, full_name=full,
+        # no explicit superclass -> implicit java.lang.Object, listed FIRST
+        # (TypeDeclTests.scala:423-426 inner class implementing an interface
+        # inherits [java.lang.Object, ...iface]; :409 bare interface ->
+        # [java.lang.Object]; :389 explicit extends suppresses it); enums
+        # extend java.lang.Enum instead (EnumTests.scala:27-29)
+        if not had_extends:
+            inherits.insert(0, "java.lang.Enum" if kw == "enum"
+                            else "java.lang.Object")
+        # nested type-decl NAME carries the $-joined path from the top-level
+        # class (cpg.typeDecl.nameExact("OuterClass$InnerInterface"),
+        # TypeDeclTests.scala:407-409); code keeps the simple name
+        disp_name = "$".join([p for p in self.ns if p] + [name]) if self.ns else name
+        decl = N(M.TYPE_DECL, code=f"{kw} {name}", name=disp_name, full_name=full,
                  inherits_from=inherits or None, line=kw_tok.line,
                  ast_parent_type=M.NAMESPACE_BLOCK,
                  ast_parent_full_name=self.global_block)
@@ -717,7 +802,8 @@ class JavaParser(CParser):
         start = self.peek()
         while self.at("final"):
             self.next()
-        base_ty = self.resolve_type(self.parse_java_type())
+        raw_ty = self.parse_java_type()
+        base_ty = self.resolve_type(raw_ty)
         if self.peek() is None or self.peek().t != "id":
             return None
         out: list[N] = []
@@ -727,21 +813,34 @@ class JavaParser(CParser):
             name_tok = self.next()
             name = name_tok.v
             ty = base_ty
+            code_ty = raw_ty  # LOCAL/assignment codes keep the SOURCE type
+            # spelling ("Integer y", not "java.lang.Integer y") while
+            # typeFullName resolves — LocalTests.scala:22-27
             while self.at("[") and self.at("]", 1):
                 self.next(); self.next()
                 ty += "[]"
-            loc = N(M.LOCAL, code=f"{ty} {name}", name=name, type_full_name=ty,
+                code_ty += "[]"
+            loc = N(M.LOCAL, code=f"{code_ty} {name}", name=name, type_full_name=ty,
                     line=name_tok.line)
             out.append(loc)
             self.declare(name, loc)
             if self.at("="):
                 self.next()
-                init = self.parse_assignment_expr()
+                # bare `{0, 1, 2}` initializer (no `new T[]` prefix) is the
+                # arrayInitializer call itself — ArrayTests.scala:56-78
+                if self.at("{"):
+                    init = self.parse_array_initializer(ty)
+                else:
+                    init = self.parse_assignment_expr()
                 ident = N(M.IDENTIFIER, code=name, name=name, type_full_name=ty,
                           line=name_tok.line, arg_index=1)
                 ident.ref_target = loc
                 init.arg_index = 2
-                call = N(M.CALL, code=f"{name} = {init.code}", name=M.OP_ASSIGNMENT,
+                # combined declarator+init assignment code keeps the declared
+                # type prefix ("int x = 1"), a plain re-assignment stays
+                # "x = 1" — VarDeclTests.scala:29,52
+                call = N(M.CALL, code=f"{code_ty} {name} = {init.code}",
+                         name=M.OP_ASSIGNMENT,
                          method_full_name=M.OP_ASSIGNMENT,
                          dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
                          line=name_tok.line)
@@ -833,22 +932,72 @@ class JavaParser(CParser):
             lhs = call
         return lhs
 
+    def parse_array_initializer(self, ty: str) -> N:
+        """`{ 1, 2, 3 }` -> <operator>.arrayInitializer CALL whose code is the
+        JavaParser-normalized rendering "{ 1, 2, 3 }" and whose arguments are
+        the element expressions (astForArrayInitializerExpr,
+        AstForSimpleExpressionsCreator.scala:88-110; ArrayTests.scala:56-78)."""
+        lb = self.expect("{")
+        elem_ty = ty[:-2] if ty.endswith("[]") else ty
+        vals: list[N] = []
+        while self.peek() is not None and not self.at("}"):
+            if self.at("{"):
+                vals.append(self.parse_array_initializer(elem_ty))
+            else:
+                vals.append(self.parse_assignment_expr())
+            if self.at(","):
+                self.next()
+        self.expect("}")
+        code = "{ " + ", ".join(v.code for v in vals) + " }" if vals else "{}"
+        node = N(M.CALL, code=code, name=M.OP_ARRAY_INITIALIZER,
+                 method_full_name=M.OP_ARRAY_INITIALIZER,
+                 dispatch_type=M.STATIC_DISPATCH, line=lb.line,
+                 type_full_name=ty)
+        for i, v in enumerate(vals, start=1):
+            v.arg_index = i
+            node.add(v)
+        return node
+
     def parse_new(self) -> N:
         op_tok = self.next()
-        ty = self.resolve_type(self.parse_java_type())
-        if self.at("["):  # array creation
+        raw_ty = self.parse_java_type()
+        # parse_java_type consumes empty `[]` pairs — recover the element
+        # type and dimension count for `new int[] {...}` shapes
+        base_raw = raw_ty
+        levels = 0
+        while base_raw.endswith("[]"):
+            base_raw = base_raw[:-2]
+            levels += 1
+        ty = self.resolve_type(raw_ty)
+        if levels or self.at("["):  # array creation
+            dims: list[N] = []
             while self.at("["):
                 self.next()
                 if not self.at("]"):
-                    self.parse_expression()
+                    dims.append(self.parse_expression())
                 self.expect("]")
                 ty += "[]"
-            end = self.toks[self.pos - 1]
+                levels += 1
             if self.at("{"):
-                end = self.skip_balanced("{", "}")
+                # `new int[] { 1, 2, 3 }` IS the arrayInitializer call; its
+                # code is the whole normalized creation expression
+                # (astForArrayCreationExpr rewrites initializerRoot.code,
+                # AstForSimpleExpressionsCreator.scala:66-69;
+                # ArrayTests.scala:27-30)
+                init = self.parse_array_initializer(ty)
+                init.code = f"new {base_raw}{'[]' * levels} {init.code}"
+                init.type_full_name = ty
+                return init
+            # dimensioned creation without initializer -> <operator>.alloc
+            # with the dimension expressions as arguments
+            # (ArrayTests.scala:94-97 `new int[5][2]` args 5, 2)
+            end = self.toks[self.pos - 1]
             call = N(M.CALL, code=self.slice(op_tok, end), name=M.OP_ALLOC,
                      method_full_name=M.OP_ALLOC, dispatch_type=M.STATIC_DISPATCH,
                      line=op_tok.line, type_full_name=ty)
+            for i, d in enumerate(dims, start=1):
+                d.arg_index = i
+                call.add(d)
             return call
         args: list[N] = []
         if self.at("("):

@@ -124,6 +124,9 @@ def tokenize_js(src: str) -> list[Tok]:
 
 class JsParser(CParser):
     MAX_TOKENS = 400_000
+    # computed member access `a[b]` -> <operator>.indexAccess (jssrc
+    # createIndexAccessCallAst via AstForExpressionsCreator.scala:162)
+    SUBSCRIPT_OP = M.OP_INDEX_ACCESS
 
     def __init__(self, content: str, path: str):
         # bypass CParser.__init__ tokenizer
@@ -142,6 +145,7 @@ class JsParser(CParser):
         self.declared_types = {}
         self.scope_path: list[str] = []  # function-name path for fullnames
         self.lambda_counter = 0
+        self.anon_class_counter = 0
         self.name_counts: dict[str, int] = {}  # same-scope uniquing
         self.tmp_counter = 0  # `_tmp_N` temporaries (per file, like the
         # reference's usedVariableNames in jssrc2cpg AstCreator)
@@ -312,6 +316,33 @@ class JsParser(CParser):
             if not has_semi and in_of:
                 return [self.parse_for_in_of()]
             return super().parse_statement()
+        if v == "[":
+            # bare array-destructuring assignment `[a, b] = x`
+            # (MixedCfgCreationPassTests.scala:268-289)
+            k = self.pos
+            depth = 0
+            while k < len(self.toks):
+                tv = self.toks[k].v
+                if tv == "[":
+                    depth += 1
+                elif tv == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if k + 1 < len(self.toks) and self.toks[k + 1].v == "=":
+                pat_start = self.peek()
+                elems = self.parse_destructure_elements(True)
+                self.next()  # =
+                rhs_start = self.pos
+                self._skip_assignment_expr_tokens()
+                rhs_raw = self.slice(self.toks[rhs_start],
+                                     self.toks[self.pos - 1])
+                code_str = self.slice(pat_start, self.toks[self.pos - 1])
+                if self.at(";"):
+                    self.next()
+                return [self.lower_destructure_stmt(
+                    elems, rhs_raw, code_str, pat_start.line, True)]
         return super().parse_statement()
 
     def parse_label(self) -> list[N]:
@@ -352,12 +383,22 @@ class JsParser(CParser):
         out: list[N] = []
         while True:
             if self.at("[") or self.at("{"):
-                # destructuring — lower to UNKNOWN + skip pattern
-                self.skip_balanced(self.peek().v, "]" if self.at("[") else "}")
+                # destructuring declaration: `var {a, b} = x` / `var [a] = x`
+                pat_start = self.peek()
+                is_array = self.at("[")
+                elems = self.parse_destructure_elements(is_array)
                 if self.at("="):
                     self.next()
-                    init = self.parse_assignment_expr()
-                    out.append(init)
+                    rhs_start = self.pos
+                    # advance past the rhs tokens; the lowering re-parses the
+                    # raw source inside the synthesized `_tmp_k = <rhs>`
+                    self._skip_assignment_expr_tokens()
+                    rhs_raw = self.slice(self.toks[rhs_start],
+                                         self.toks[self.pos - 1])
+                    end_tok = self.toks[self.pos - 1]
+                    code_str = f"{kw.v} {self.slice(pat_start, end_tok)}"
+                    out.append(self.lower_destructure_stmt(
+                        elems, rhs_raw, code_str, pat_start.line, is_array))
                 if self.at(","):
                     self.next()
                     continue
@@ -447,6 +488,7 @@ class JsParser(CParser):
         self.expect("(")
         i = 0
         defaults: list[tuple[str, str]] = []
+        destructured: list[tuple[str, list[dict], bool, int]] = []
         while not self.at(")"):
             if self.at("..."):
                 self.next()
@@ -462,13 +504,46 @@ class JsParser(CParser):
                     self.next()
                     defaults.append((pn.v, self.parse_assignment_expr().code))
             elif self.at("{") or self.at("["):
-                self.skip_balanced(self.peek().v, "}" if self.at("{") else "]")
+                # destructured parameter: bind `param<i>_0` and prepend
+                # `<target> = param<i>_0.<key>` assignments to the body
+                # (MixedCfgCreationPassTests.scala:230-243, 394-411 — array
+                # patterns read `.id` fieldAccesses too, not subscripts)
                 i += 1
+                pat_tok = self.peek()
+                is_array = self.at("[")
+                elems = self.parse_destructure_elements(is_array)
+                pname = f"param{i}_0"
+                p = N(M.METHOD_PARAMETER_IN, code=pname, name=pname,
+                      param_index=i, type_full_name=M.ANY, line=pat_tok.line,
+                      evaluation_strategy=M.BY_SHARING)
+                method.add(p)
+                self.declare(pname, p)
+                # declare the targets NOW so body identifiers REF-resolve;
+                # the same LOCAL nodes are placed into the body later
+                locmap: dict[str, N] = {}
+                for e in elems:
+                    tname = e.get("rest") or e.get("target")
+                    if tname:
+                        tl = N(M.LOCAL, code=tname, name=tname,
+                               type_full_name=M.ANY, line=pat_tok.line)
+                        self.declare(tname, tl)
+                        locmap[tname] = tl
+                destructured.append((pname, elems, is_array, pat_tok.line,
+                                     locmap))
             if self.at(","):
                 self.next()
         self.next()
         body = self.parse_compound()
         self._lower_default_params(body, defaults, kw.line)
+        front: list[N] = []
+        for pname, elems, _is_array, pline, locmap in destructured:
+            # parameter destructures address elements by KEY NAME even for
+            # array patterns (succOf "param1_0.id", scala:404-409)
+            keyed = [dict(e, key=e.get("key", e.get("target")))
+                     if "rest" not in e else e for e in elems]
+            self._destructure_stmts(keyed, pname, pline, front, False,
+                                    locmap)
+        body.children[:0] = front
         method.add(body)
         method.line_end = body.line_end
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
@@ -548,7 +623,14 @@ class JsParser(CParser):
 
     def parse_js_class(self) -> N:
         kw = self.next()
-        name = self.next().v if self.peek() is not None and self.peek().t == "id" else ""
+        if self.peek() is not None and self.peek().t == "id":
+            name = self.next().v
+        else:
+            # anonymous class expressions number off per file —
+            # "<anon-class>0" (jssrc AstCreatorHelper calcTypeNameAndFullName;
+            # JsClassesCfgCreationPassTests "outer method of anonymous class")
+            name = f"<anon-class>{self.anon_class_counter}"
+            self.anon_class_counter += 1
         full = self.fullname(name)
         inherits: list[str] = []
         if self.at("extends"):
@@ -650,8 +732,16 @@ class JsParser(CParser):
                 self.next()
             return self.parse_function(statement=False)
         if v == "class":
+            # a class EXPRESSION evaluates to a TYPE_REF CFG node with code
+            # "class <name>" (astForClass typeRefNode,
+            # AstForTypesCreator.scala:478; JsClassesCfgCreationPassTests
+            # "methods in class type decls with assignment" succOf("a") ->
+            # "class ClassA"); the TYPE_DECL rides along as its AST child
             cls = self.parse_js_class()
-            return cls
+            ref = N(M.TYPE_REF, code=cls.code, type_full_name=cls.full_name,
+                    line=cls.line)
+            ref.add(cls)
+            return ref
         # arrow detection: ( ... ) =>   |   ident =>
         if v == "(":
             depth = 0
@@ -1038,23 +1128,155 @@ class JsParser(CParser):
         desugaring, MixedAstCreationPassTests.scala:1252-1347) — built by
         re-parsing the spelled-out lowering so codes/operators/REFs match
         the hand-written equivalent exactly."""
-        def strip_void_arg(n: N) -> None:
-            # the reference's synthetic `void 0` test call has NO literal
-            # child (succOf(param) goes straight to "void 0",
-            # MixedCfgCreationPassTests.scala:458-459)
-            if n.kind == M.CALL and n.code == "void 0":
-                n.children = []
-            for c in n.children:
-                strip_void_arg(c)
-
         for pname, dcode in reversed(defaults):
             try:
                 stmt = self._parse_sub_expression(
                     f"{pname} = {pname} === void 0 ? {dcode} : {pname}", line)
             except Exception:
                 continue
-            strip_void_arg(stmt)
+            self._strip_void_arg(stmt)
             body.children.insert(0, stmt)
+
+    def _strip_void_arg(self, n: N) -> None:
+        # the reference's synthetic `void 0` test call has NO literal
+        # child (succOf(param) goes straight to "void 0",
+        # MixedCfgCreationPassTests.scala:458-459)
+        if n.kind == M.CALL and n.code == "void 0":
+            n.children = []
+        for c in n.children:
+            self._strip_void_arg(c)
+
+    # -- destructuring patterns (MixedCfgCreationPassTests.scala:14-423;
+    # jssrc2cpg astForDeconstruction in AstCreator: a BLOCK holding
+    # `_tmp_k = <rhs>`, one `<target> = _tmp_k.<key>` / `_tmp_k[<i>]`
+    # assignment per element (with `=== void 0 ?:` default guards), spread
+    # rests, and the tmp identifier as the block value; destructured
+    # PARAMETERS bind `param<i>_0` and prepend plain assignments).
+
+    def parse_destructure_elements(self, is_array: bool) -> list[dict]:
+        """Cursor on `{`/`[`; consumes through the closer. Array holes
+        advance the element index without emitting an element."""
+        self.next()
+        closer = "]" if is_array else "}"
+        elems: list[dict] = []
+        idx = 0
+        while self.peek() is not None and not self.at(closer):
+            if self.at(","):
+                self.next()
+                idx += 1
+                continue
+            if self.at("..."):
+                self.next()
+                t = self.next()
+                elems.append({"rest": t.v, "index": idx, "line": t.line})
+                continue
+            if not is_array and self.at("["):
+                self.next()
+                key_start = self.pos
+                self.parse_assignment_expr()
+                key = self.slice(self.toks[key_start], self.toks[self.pos - 1])
+                self.expect("]")
+                self.expect(":")
+                tgt = self.next()
+                elem = {"key": key, "target": tgt.v, "line": tgt.line}
+            elif is_array:
+                tgt = self.next()
+                elem = {"index": idx, "target": tgt.v, "line": tgt.line}
+            else:
+                key_tok = self.next()
+                if self.at(":"):
+                    self.next()
+                    tgt = self.next()
+                    elem = {"key": key_tok.v, "target": tgt.v, "line": tgt.line}
+                else:
+                    elem = {"key": key_tok.v, "target": key_tok.v,
+                            "line": key_tok.line}
+            if self.at("="):
+                self.next()
+                start = self.pos
+                self.parse_assignment_expr()  # advance only; re-parsed later
+                elem["default"] = self.slice(self.toks[start],
+                                             self.toks[self.pos - 1])
+            elems.append(elem)
+        self.expect(closer)
+        return elems
+
+    def _destructure_stmts(self, elems: list[dict], src_name: str,
+                           line: int, out: list[N], is_array: bool,
+                           locmap: dict[str, "N"] | None = None) -> None:
+        """Append per-element lowered assignments reading from `src_name`.
+        ``locmap`` supplies pre-declared LOCAL nodes (parameter patterns
+        declare them before the body parses so body identifiers resolve)."""
+        locmap = locmap or {}
+
+        def target_local(name: str, eline: int) -> N:
+            if name in locmap:
+                return locmap[name]
+            loc = N(M.LOCAL, code=name, name=name, type_full_name=M.ANY,
+                    line=eline)
+            self.declare(name, loc)
+            return loc
+
+        for e in elems:
+            eline = e.get("line", line)
+            if "rest" in e:
+                out.append(target_local(e["rest"], eline))
+                # object rest spreads the tmp itself; array rest spreads the
+                # index access at the rest position (succOf "...rest" chains,
+                # MixedCfgCreationPassTests.scala:140-159, 371-392)
+                base_src = (f"{src_name}[{e['index']}]" if is_array
+                            else src_name)
+                first = self._parse_sub_expression(base_src, eline)
+                first.arg_index = 1
+                rest_id = self._parse_sub_expression(e["rest"], eline)
+                rest_id.arg_index = 2
+                sp = N(M.CALL, code=f"...{e['rest']}", name=OP_SPREAD,
+                       method_full_name=OP_SPREAD,
+                       dispatch_type=M.STATIC_DISPATCH, line=eline)
+                sp.add(first, rest_id)
+                out.append(sp)
+                continue
+            acc = (f"{src_name}.{e['key']}" if "key" in e
+                   else f"{src_name}[{e['index']}]")
+            out.append(target_local(e["target"], eline))
+            if "default" in e:
+                src = (f"{e['target']} = {acc} === void 0 "
+                       f"? {e['default']} : {acc}")
+            else:
+                src = f"{e['target']} = {acc}"
+            stmt = self._parse_sub_expression(src, eline)
+            self._strip_void_arg(stmt)
+            out.append(stmt)
+
+    def _skip_assignment_expr_tokens(self) -> None:
+        """Advance past one assignment-expression, discarding the tree and
+        restoring the tmp/lambda counters (the lowering re-parses the raw
+        source, which would otherwise double-allocate temporaries)."""
+        saved = (self.tmp_counter, self.lambda_counter,
+                 self.anon_class_counter)
+        self.parse_assignment_expr()
+        self.tmp_counter, self.lambda_counter, self.anon_class_counter = saved
+
+    def lower_destructure_stmt(self, elems: list[dict], rhs_src: str,
+                               code_str: str, line: int,
+                               is_array: bool) -> N:
+        """`var {a, b} = x` -> BLOCK(code="var {a, b} = x") holding the tmp
+        local, `_tmp_k = x`, the per-element assignments, and the tmp
+        identifier as block value."""
+        block = N(M.BLOCK, code=code_str, line=line, type_full_name=M.ANY)
+        tmp = self._fresh_tmp(line)
+        loc = N(M.LOCAL, code=tmp, name=tmp, type_full_name=M.ANY, line=line)
+        block.add(loc)
+        self.declare(tmp, loc)
+        block.add(self._parse_sub_expression(f"{tmp} = {rhs_src}", line))
+        stmts: list[N] = []
+        self._destructure_stmts(elems, tmp, line, stmts, is_array)
+        block.add(*stmts)
+        val = N(M.IDENTIFIER, code=tmp, name=tmp, line=line,
+                type_full_name=M.ANY)
+        val.ref_target = loc
+        block.add(val)
+        return block
 
     def _parse_sub_expression(self, src: str, line: int) -> N:
         """Parse one interpolation fragment with a sub-parser sharing this

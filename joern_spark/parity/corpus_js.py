@@ -454,26 +454,8 @@ CASES += [
         "...args": ["foo(...args)"],
         "foo(...args)": ["RET"],
     }, cite=MCITE + ":411-419"),
-    _js("js-await-async", "async function x(foo) { await foo() }\n", {
-        ("x", 0, "METHOD"): ["foo"],
-        ("foo", 0, "IDENTIFIER"): ["this"],
-        ("this", 0, "IDENTIFIER"): ["foo()"],
-        "foo()": ["await foo()"],
-        "await foo()": ["RET"],
-    }, cite=MCITE + ":425-433"),
-    _js("js-instanceof", "x instanceof Foo\n", {
-        ":program": ["x"],
-        "x": ["Foo"],
-        "Foo": ["x instanceof Foo"],
-        ("x instanceof Foo", 0, "CALL"): ["RET"],
-    }, cite=MCITE + ":436-442"),
-    _js("js-delete", "delete foo.x\n", {
-        ":program": ["foo"],
-        "foo": ["x"],
-        "x": ["foo.x"],
-        "foo.x": ["delete foo.x"],
-        ("delete foo.x", 0, "CALL"): ["RET"],
-    }, cite=MCITE + ":444-452"),
+    # (await/instanceof/delete from this suite are transcribed above as
+    # js-await / js-instanceof / js-delete)
     _js("js-default-param-cfg", "function foo(a = 1) { }\n", {
         ("foo", 0, "METHOD"): ["a"],
         ("a", 0, "IDENTIFIER"): ["a"],
@@ -528,4 +510,286 @@ CASES += [
         "b === void 0 ? 2 : b": ["b = b === void 0 ? 2 : b"],
         "b = b === void 0 ? 2 : b": ["RET"],
     }, cite=MCITE + ":509-530"),
+]
+
+# JsClassesCfgCreationPassTests.scala — class methods + class expressions
+# (the four new-expression cases from this suite are transcribed above).
+KCITE = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/"
+         "JsClassesCfgCreationPassTests.scala")
+CASES += [
+    _js("js-class-method-cfg", "class ClassA {\n  foo() {\n    bar()\n  }\n}\n", {
+        ("foo", 0, "METHOD"): ["bar"],
+        "bar": ["this"],
+        ("this", 0, "IDENTIFIER"): ["bar()"],
+        "bar()": ["RET"],
+    }, cite=KCITE + ":96-108"),
+    _js("js-class-expr-assign",
+        "var a = class ClassA {\n  foo() {\n    bar()\n  }\n}\n", {
+        ":program": ["a"],
+        "a": ["class ClassA"],
+    }, cite=KCITE + ":110-121"),
+    _js("js-class-expr-anon", "var a = class {}\n", {
+        ":program": ["a"],
+        "a": ["class <anon-class>0"],
+        "class <anon-class>0": ["var a = class {}"],
+        "var a = class {}": ["RET"],
+    }, cite=KCITE + ":123-129"),
+]
+
+# MixedCfgCreationPassTests.scala:14-423 — destructuring assignments.
+# The nested-default parameter case (:178-228) is NOT transcribed: its
+# lowering nests object-literal temps inside default guards, which this
+# frontend does not yet thread through parameters.
+CASES += [
+    _js("js-destr-obj-decl", "var {a, b} = x\n", {
+        ":program": ["_tmp_0"],
+        ("_tmp_0", 0): ["x"],
+        "x": ["_tmp_0 = x"],
+        "_tmp_0 = x": ["a"],
+        ("a", 0): ["_tmp_0"],
+        ("_tmp_0", 1): ["a"],
+        ("a", 1): ["_tmp_0.a"],
+        "_tmp_0.a": ["a = _tmp_0.a"],
+        "a = _tmp_0.a": ["b"],
+        ("b", 0): ["_tmp_0"],
+        ("_tmp_0", 2): ["b"],
+        ("b", 1): ["_tmp_0.b"],
+        "_tmp_0.b": ["b = _tmp_0.b"],
+        "b = _tmp_0.b": ["_tmp_0"],
+        ("_tmp_0", 3): ["var {a, b} = x"],
+        "var {a, b} = x": ["RET"],
+    }, cite=MCITE + ":15-35"),
+    _js("js-destr-obj-ternary",
+        "const { a, b } = test() ? foo() : bar()\n", {
+        ":program": ["_tmp_0"],
+        ("_tmp_0", 0): ["test"],
+        "test": ["this"],
+        ("this", 0, "IDENTIFIER"): ["test()"],
+        "test()": ["foo", "bar"],
+        "foo": ["this"],
+        ("this", 2): ["bar()"],
+        "bar()": ["test() ? foo() : bar()"],
+        "foo()": ["test() ? foo() : bar()"],
+        "test() ? foo() : bar()": ["_tmp_0 = test() ? foo() : bar()"],
+        "_tmp_0 = test() ? foo() : bar()": ["a"],
+        ("a", 0): ["_tmp_0"],
+        ("_tmp_0", 1): ["a"],
+        ("a", 1): ["_tmp_0.a"],
+        "_tmp_0.a": ["a = _tmp_0.a"],
+        "a = _tmp_0.a": ["b"],
+        ("b", 0): ["_tmp_0"],
+        ("_tmp_0", 2): ["b"],
+        ("b", 1): ["_tmp_0.b"],
+        "_tmp_0.b": ["b = _tmp_0.b"],
+        "b = _tmp_0.b": ["_tmp_0"],
+        ("_tmp_0", 3): ["const { a, b } = test() ? foo() : bar()"],
+        "const { a, b } = test() ? foo() : bar()": ["RET"],
+    }, cite=MCITE + ":37-66"),
+    _js("js-destr-obj-rename", "var {a: n, b: m} = x\n", {
+        ":program": ["_tmp_0"],
+        ("_tmp_0", 0): ["x"],
+        "x": ["_tmp_0 = x"],
+        "_tmp_0 = x": ["n"],
+        "n": ["_tmp_0"],
+        ("_tmp_0", 1): ["a"],
+        "a": ["_tmp_0.a"],
+        "_tmp_0.a": ["n = _tmp_0.a"],
+        "n = _tmp_0.a": ["m"],
+        "m": ["_tmp_0"],
+        ("_tmp_0", 2): ["b"],
+        "b": ["_tmp_0.b"],
+        "_tmp_0.b": ["m = _tmp_0.b"],
+        "m = _tmp_0.b": ["_tmp_0"],
+        ("_tmp_0", 3): ["var {a: n, b: m} = x"],
+        "var {a: n, b: m} = x": ["RET"],
+    }, cite=MCITE + ":68-88"),
+    _js("js-destr-obj-rename-defaults", "var {a: n = 1, b: m = 2} = x\n", {
+        ":program": ["_tmp_0"],
+        ("_tmp_0", 0): ["x"],
+        "x": ["_tmp_0 = x"],
+        "_tmp_0 = x": ["n"],
+        "n": ["_tmp_0"],
+        ("_tmp_0", 1): ["a"],
+        ("a", 0): ["_tmp_0.a"],
+        ("_tmp_0.a", 0): ["void 0"],
+        ("void 0", 0): ["_tmp_0.a === void 0"],
+        "_tmp_0.a === void 0": ["1", "_tmp_0"],
+        ("_tmp_0", 2): ["a"],
+        ("a", 1): ["_tmp_0.a"],
+        ("_tmp_0.a", 1): ["_tmp_0.a === void 0 ? 1 : _tmp_0.a"],
+        ("1", 0): ["_tmp_0.a === void 0 ? 1 : _tmp_0.a"],
+        "_tmp_0.a === void 0 ? 1 : _tmp_0.a":
+            ["n = _tmp_0.a === void 0 ? 1 : _tmp_0.a"],
+        "n = _tmp_0.a === void 0 ? 1 : _tmp_0.a": ["m"],
+        "m": ["_tmp_0"],
+        ("_tmp_0", 3): ["b"],
+        ("b", 0): ["_tmp_0.b"],
+        ("_tmp_0.b", 0): ["void 0"],
+        ("void 0", 1): ["_tmp_0.b === void 0"],
+        "_tmp_0.b === void 0": ["2", "_tmp_0"],
+        ("_tmp_0", 4): ["b"],
+        ("b", 1): ["_tmp_0.b"],
+        ("_tmp_0.b", 1): ["_tmp_0.b === void 0 ? 2 : _tmp_0.b"],
+        ("2", 0): ["_tmp_0.b === void 0 ? 2 : _tmp_0.b"],
+        "_tmp_0.b === void 0 ? 2 : _tmp_0.b":
+            ["m = _tmp_0.b === void 0 ? 2 : _tmp_0.b"],
+        "m = _tmp_0.b === void 0 ? 2 : _tmp_0.b": ["_tmp_0"],
+        ("_tmp_0", 5): ["var {a: n = 1, b: m = 2} = x"],
+        "var {a: n = 1, b: m = 2} = x": ["RET"],
+    }, cite=MCITE + ":90-139"),
+    _js("js-destr-obj-rest", "var {a, ...rest} = x\n", {
+        ":program": ["_tmp_0"],
+        ("_tmp_0", 0): ["x"],
+        "x": ["_tmp_0 = x"],
+        "_tmp_0 = x": ["a"],
+        ("a", 0): ["_tmp_0"],
+        ("_tmp_0", 1): ["a"],
+        ("a", 1): ["_tmp_0.a"],
+        "_tmp_0.a": ["a = _tmp_0.a"],
+        "a = _tmp_0.a": ["_tmp_0"],
+        ("_tmp_0", 2): ["rest"],
+        "rest": ["...rest"],
+        "...rest": ["_tmp_0"],
+        ("_tmp_0", 3): ["var {a, ...rest} = x"],
+        "var {a, ...rest} = x": ["RET"],
+    }, cite=MCITE + ":140-159"),
+    _js("js-destr-obj-computed", "var {[propName]: n} = x\n", {
+        ":program": ["_tmp_0"],
+        ("_tmp_0", 0): ["x"],
+        "x": ["_tmp_0 = x"],
+        "_tmp_0 = x": ["n"],
+        "n": ["_tmp_0"],
+        ("_tmp_0", 1): ["propName"],
+        "propName": ["_tmp_0.propName"],
+        "_tmp_0.propName": ["n = _tmp_0.propName"],
+        "n = _tmp_0.propName": ["_tmp_0"],
+        ("_tmp_0", 2): ["var {[propName]: n} = x"],
+        "var {[propName]: n} = x": ["RET"],
+    }, cite=MCITE + ":161-176"),
+    _js("js-destr-obj-param", "function userId({id}) {\n  return id\n}\n", {
+        ("userId", 0, "METHOD"): ["id"],
+        ("id", 0): ["param1_0"],
+        "param1_0": ["id"],
+        ("id", 1): ["param1_0.id"],
+        "param1_0.id": ["id = param1_0.id"],
+        "id = param1_0.id": ["id"],
+        ("id", 2): ["return id"],
+        "return id": ["RET"],
+    }, cite=MCITE + ":230-243"),
+    _js("js-destr-arr-decl", "var [a, b] = x\n", {
+        ":program": ["_tmp_0"],
+        ("_tmp_0", 0): ["x"],
+        "x": ["_tmp_0 = x"],
+        "_tmp_0 = x": ["a"],
+        "a": ["_tmp_0"],
+        ("_tmp_0", 1): ["0"],
+        "0": ["_tmp_0[0]"],
+        "_tmp_0[0]": ["a = _tmp_0[0]"],
+        "a = _tmp_0[0]": ["b"],
+        "b": ["_tmp_0"],
+        ("_tmp_0", 2): ["1"],
+        "1": ["_tmp_0[1]"],
+        "_tmp_0[1]": ["b = _tmp_0[1]"],
+        "b = _tmp_0[1]": ["_tmp_0"],
+        ("_tmp_0", 3): ["var [a, b] = x"],
+        "var [a, b] = x": ["RET"],
+    }, cite=MCITE + ":245-266"),
+    _js("js-destr-arr-bare", "[a, b] = x\n", {
+        ":program": ["_tmp_0"],
+        ("_tmp_0", 0): ["x"],
+        "x": ["_tmp_0 = x"],
+        "_tmp_0 = x": ["a"],
+        "a": ["_tmp_0"],
+        ("_tmp_0", 1): ["0"],
+        "0": ["_tmp_0[0]"],
+        "_tmp_0[0]": ["a = _tmp_0[0]"],
+        "a = _tmp_0[0]": ["b"],
+        "b": ["_tmp_0"],
+        ("_tmp_0", 2): ["1"],
+        "1": ["_tmp_0[1]"],
+        "_tmp_0[1]": ["b = _tmp_0[1]"],
+        "b = _tmp_0[1]": ["_tmp_0"],
+        ("_tmp_0", 3): ["[a, b] = x"],
+        "[a, b] = x": ["RET"],
+    }, cite=MCITE + ":268-289"),
+    _js("js-destr-arr-defaults", "var [a = 1, b = 2] = x\n", {
+        ":program": ["_tmp_0"],
+        ("_tmp_0", 0): ["x"],
+        "x": ["_tmp_0 = x"],
+        "_tmp_0 = x": ["a"],
+        "a": ["_tmp_0"],
+        ("_tmp_0", 1): ["0"],
+        ("0", 0): ["_tmp_0[0]"],
+        ("_tmp_0[0]", 0): ["void 0"],
+        ("void 0", 0): ["_tmp_0[0] === void 0"],
+        "_tmp_0[0] === void 0": ["1", "_tmp_0"],
+        ("_tmp_0", 2): ["0"],
+        ("0", 1): ["_tmp_0[0]"],
+        ("_tmp_0[0]", 1): ["_tmp_0[0] === void 0 ? 1 : _tmp_0[0]"],
+        ("1", 0): ["_tmp_0[0] === void 0 ? 1 : _tmp_0[0]"],
+        "_tmp_0[0] === void 0 ? 1 : _tmp_0[0]":
+            ["a = _tmp_0[0] === void 0 ? 1 : _tmp_0[0]"],
+        "a = _tmp_0[0] === void 0 ? 1 : _tmp_0[0]": ["b"],
+        "b": ["_tmp_0"],
+        ("_tmp_0", 3): ["1"],
+        ("1", 1): ["_tmp_0[1]"],
+        ("_tmp_0[1]", 0): ["void 0"],
+        ("void 0", 1): ["_tmp_0[1] === void 0"],
+        "_tmp_0[1] === void 0": ["2", "_tmp_0"],
+        ("_tmp_0", 4): ["1"],
+        ("1", 2): ["_tmp_0[1]"],
+        ("_tmp_0[1]", 1): ["_tmp_0[1] === void 0 ? 2 : _tmp_0[1]"],
+        ("2", 0): ["_tmp_0[1] === void 0 ? 2 : _tmp_0[1]"],
+        "_tmp_0[1] === void 0 ? 2 : _tmp_0[1]":
+            ["b = _tmp_0[1] === void 0 ? 2 : _tmp_0[1]"],
+        "b = _tmp_0[1] === void 0 ? 2 : _tmp_0[1]": ["_tmp_0"],
+        ("_tmp_0", 5): ["var [a = 1, b = 2] = x"],
+        "var [a = 1, b = 2] = x": ["RET"],
+    }, cite=MCITE + ":291-346"),
+    _js("js-destr-arr-ignores", "var [a, , b] = x\n", {
+        ":program": ["_tmp_0"],
+        ("_tmp_0", 0): ["x"],
+        "x": ["_tmp_0 = x"],
+        "_tmp_0 = x": ["a"],
+        "a": ["_tmp_0"],
+        ("_tmp_0", 1): ["0"],
+        "0": ["_tmp_0[0]"],
+        "_tmp_0[0]": ["a = _tmp_0[0]"],
+        "a = _tmp_0[0]": ["b"],
+        "b": ["_tmp_0"],
+        ("_tmp_0", 2): ["2"],
+        "2": ["_tmp_0[2]"],
+        "_tmp_0[2]": ["b = _tmp_0[2]"],
+        "b = _tmp_0[2]": ["_tmp_0"],
+        ("_tmp_0", 3): ["var [a, , b] = x"],
+        "var [a, , b] = x": ["RET"],
+    }, cite=MCITE + ":348-369"),
+    _js("js-destr-arr-rest", "var [a, ...rest] = x\n", {
+        ":program": ["_tmp_0"],
+        ("_tmp_0", 0): ["x"],
+        "x": ["_tmp_0 = x"],
+        "_tmp_0 = x": ["a"],
+        "a": ["_tmp_0"],
+        ("_tmp_0", 1): ["0"],
+        "0": ["_tmp_0[0]"],
+        "_tmp_0[0]": ["a = _tmp_0[0]"],
+        "a = _tmp_0[0]": ["_tmp_0"],
+        ("_tmp_0", 2): ["1"],
+        "1": ["_tmp_0[1]"],
+        "_tmp_0[1]": ["rest"],
+        "rest": ["...rest"],
+        "...rest": ["_tmp_0"],
+        ("_tmp_0", 3): ["var [a, ...rest] = x"],
+        "var [a, ...rest] = x": ["RET"],
+    }, cite=MCITE + ":371-392"),
+    _js("js-destr-arr-param", "function userId([id]) {\n  return id\n}\n", {
+        ("userId", 0, "METHOD"): ["id"],
+        ("id", 0): ["param1_0"],
+        "param1_0": ["id"],
+        ("id", 1): ["param1_0.id"],
+        "param1_0.id": ["id = param1_0.id"],
+        "id = param1_0.id": ["id"],
+        ("id", 2): ["return id"],
+        "return id": ["RET"],
+    }, cite=MCITE + ":394-411"),
 ]
