@@ -158,6 +158,33 @@ class CfgBuilder:
     def for_children(self, r: dict) -> Cfg:
         return seq_all(self.cfg_for(c) for c in self.ast.children(r["node_idx"]))
 
+    def cfg_for_inlined_call(self, r: dict) -> Cfg | None:
+        """Macro-expansion calls: args -> call, then the call BRANCHES into
+        the expansion block and past it; the expansion fringe rejoins the
+        fallthrough (CfgCreationPassTests.scala:225-247 —
+        succOf("deleteReset(foo)") is BOTH the expansion start and the next
+        statement). Returns None when there is no expansion child."""
+        exp = next((c for c in self.ast.children(r["node_idx"])
+                    if c["arg_index"] < 0 and c["kind"] == M.BLOCK), None)
+        if exp is None:
+            return None
+        args = [c for c in self.ast.children(r["node_idx"]) if c is not exp]
+        head = seq(seq_all(self.cfg_for(a) for a in args), self.single(r))
+        exp_cfg = self.cfg_for(exp)
+        if exp_cfg.is_empty() or exp_cfg.entry is None:
+            return head
+        return Cfg(
+            entry=head.entry,
+            edges=(head.edges + exp_cfg.edges
+                   + _fringe_edges(head.fringe, exp_cfg.entry)),
+            fringe=head.fringe + exp_cfg.fringe,
+            labeled={**head.labeled, **exp_cfg.labeled},
+            breaks=head.breaks + exp_cfg.breaks,
+            continues=head.continues + exp_cfg.continues,
+            case_labels=head.case_labels + exp_cfg.case_labels,
+            jumps=head.jumps + exp_cfg.jumps,
+        )
+
     def _block_matches(self, r: dict) -> bool:
         p = self.ast.parent(r)
         if p is None:
@@ -197,6 +224,10 @@ class CfgBuilder:
                 return self.cfg_for_or(r)
             if r["name"] == M.OP_CONDITIONAL:
                 return self.cfg_for_conditional(r)
+            if r["dispatch_type"] == M.INLINED:
+                inl = self.cfg_for_inlined_call(r)
+                if inl is not None:
+                    return inl
             return seq(self.for_children(r), self.single(r))
         if k == M.BLOCK:
             if self._block_matches(r):

@@ -304,3 +304,57 @@ CASES += [
         postdom_count={'printf("foo")': 12, "foo": 0},
     ),
 ]
+
+# Remaining CfgCreationPassTests try/throw cases (suite tail :636-672) —
+# CDT parses these in its default (C) mode; same here.
+CASES += [
+    _c("c-try-multiple-returns", """
+try {
+  if (1+1) {
+    return foo();
+  }
+  return bar();
+} catch (int x) {}
+""", {
+        "foo()": ["return foo();"],
+        "return foo();": ["RET"],
+        "bar()": ["return bar();", "RET"],
+    }, cite=CITE + ":636-648"),
+    _c("c-throw", "throw foo();\nbar();\n", {
+        "func": ["foo()"],
+        "foo()": ["throw foo()"],
+        "throw foo()": ["RET"],
+        "bar()": ["RET"],
+    }, cite=CITE + ":650-659"),
+    _c("c-throw-if-else", "if (true) throw foo();\nelse bar();\n", {
+        "func": ["true"],
+        "true": ["foo()", "bar()"],
+        "foo()": ["throw foo()"],
+        "throw foo()": ["RET"],
+        "bar()": ["RET"],
+    }, cite=CITE + ":661-672"),
+]
+
+CASES += [
+    # :225-247 — each macro invocation contributes BOTH the INLINED call
+    # node (succ: its own expansion AND the next statement) and the expanded
+    # do{...}while(0) body nodes.
+    dict(name="c-macro-multiple-calls", lang="cpp", wrap=False, code="""
+#define deleteReset(ptr) do { delete ptr; ptr = nullptr; } while(0)
+void func(void) {
+  int *foo = new int;
+  int *bar = new int;
+  int *baz = new int;
+  deleteReset(foo);
+  deleteReset(bar);
+  deleteReset(baz);
+}
+""", cfg={
+        "deleteReset(foo)": [("foo"), "bar"],
+        ("foo", 2): ["delete foo"],
+        "deleteReset(bar)": [("bar"), "baz"],
+        ("bar", 2): ["delete bar"],
+        "deleteReset(baz)": [("baz"), "RET"],
+        ("baz", 2): ["delete baz"],
+    }, cite=CITE + ":225-247"),
+]
