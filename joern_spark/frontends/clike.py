@@ -1280,10 +1280,21 @@ class CParser:
                         return call
             self.pos = save
             self.next()
+            seq_start = self.peek()
             inner = self.parse_expression()
+            if self.at(","):
+                seq_node = self.parse_comma_sequence(inner, seq_start)
+                if seq_node is not None:
+                    self.expect(")")
+                    return self.parse_postfix_ops(seq_node, t)
             self.expect(")")
             return self.parse_postfix_ops(inner, t)
         return self.parse_postfix()
+
+    def parse_comma_sequence(self, first: "N", start: "Tok") -> "N | None":
+        """Language hook for `(e1, e2, ...)` sequence expressions; the base
+        C parser keeps its old behavior (comma inside parens is an error)."""
+        return None
 
     def parse_postfix(self) -> N:
         t = self.next()

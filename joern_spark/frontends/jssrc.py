@@ -146,6 +146,7 @@ class JsParser(CParser):
         self.scope_path: list[str] = []  # function-name path for fullnames
         self.lambda_counter = 0
         self.anon_class_counter = 0
+        self.iter_counter = 0  # `_iterator_N`/`_result_N` for-in/of temps
         self.name_counts: dict[str, int] = {}  # same-scope uniquing
         self.tmp_counter = 0  # `_tmp_N` temporaries (per file, like the
         # reference's usedVariableNames in jssrc2cpg AstCreator)
@@ -442,28 +443,101 @@ class JsParser(CParser):
         return out
 
     def parse_for_in_of(self) -> N:
+        """jssrc2cpg's Babel-style iterator-protocol lowering
+        (AstForStatementsCreator.astForInOfStatementWithIdentifier:215-356;
+        CFG asserted by SimpleCfgCreationPassTests.testForInOrOf:729-774):
+
+            for (var i in arr) body
+        ->  { var _iterator_N = <operator>.iterator(arr); _result_N; i;
+              while (!(_result_N = _iterator_N.next()).done)
+                { i = _result_N.value; body } }
+
+        with the surrounding block (code = the whole for statement) as
+        value node and the user body block keeping its brace source."""
         kw_tok = self.next()
         self.expect("(")
         self.push_scope()
         if self.at_any(("var", "let", "const")):
             self.next()
         name_tok = self.next()
-        loc = N(M.LOCAL, code=name_tok.v, name=name_tok.v, type_full_name=M.ANY,
-                line=name_tok.line)
-        self.declare(name_tok.v, loc)
+        var = name_tok.v
         self.next()  # in / of
-        coll = self.parse_expression()
+        coll_start = self.pos
+        self._skip_assignment_expr_tokens()
+        coll_src = self.slice(self.toks[coll_start], self.toks[self.pos - 1])
         self.expect(")")
-        node = N(M.CONTROL_STRUCTURE, code="for", control_structure_type=M.CS_FOR,
-                 line=kw_tok.line)
-        node.add(loc)
-        coll.role = M.ROLE_CONDITION
-        node.add(coll)
-        body = self.as_block(self.parse_statement(), role=M.ROLE_FOR_BODY,
-                             line=kw_tok.line)
-        node.add(body)
+        line = kw_tok.line
+        it = f"_iterator_{self.iter_counter}"
+        res = f"_result_{self.iter_counter}"
+        self.iter_counter += 1
+        outer = N(M.BLOCK, code="", line=line, type_full_name=M.ANY)
+        locs: dict[str, N] = {}
+        for nm in (it, res, var):
+            locn = N(M.LOCAL, code=nm, name=nm, type_full_name=M.ANY,
+                     line=line)
+            self.declare(nm, locn)
+            locs[nm] = locn
+            outer.add(locn)
+
+        def ident(nm: str, arg_index: int = -1) -> N:
+            n = N(M.IDENTIFIER, code=nm, name=nm, line=line,
+                  type_full_name=M.ANY, arg_index=arg_index)
+            n.ref_target = locs[nm]
+            return n
+
+        # _iterator_N = <operator>.iterator(<coll>)
+        iter_call = N(M.CALL, code=f"<operator>.iterator({coll_src})",
+                      name="<operator>.iterator",
+                      method_full_name="<operator>.iterator",
+                      dispatch_type=M.STATIC_DISPATCH, line=line,
+                      type_full_name=M.ANY, arg_index=2)
+        coll_ast = self._parse_sub_expression(coll_src, line)
+        coll_ast.arg_index = 1
+        iter_call.add(coll_ast)
+        assign = N(M.CALL, code=f"{it} = <operator>.iterator({coll_src})",
+                   name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
+                   dispatch_type=M.STATIC_DISPATCH, line=line)
+        assign.add(ident(it, 1), iter_call)
+        outer.add(assign)
+        # bare declared-variable identifier nodes (blockChildren at :353)
+        outer.add(ident(res), ident(var))
+        # while (!(_result_N = _iterator_N.next()).done) { i = ...; body }
+        cond = self._parse_sub_expression(f"!({res} = {it}.next()).done",
+                                          line)
+
+        def parenthesize_assign(n: N) -> None:
+            # the reference spells the inner assignment WITH its parens —
+            # "(_result_0 = _iterator_0.next())" (:283-287)
+            if n.code == f"{res} = {it}.next()":
+                n.code = f"({n.code})"
+            for c in n.children:
+                parenthesize_assign(c)
+
+        parenthesize_assign(cond)
+        cond.role = M.ROLE_CONDITION
+        ws = N(M.CONTROL_STRUCTURE,
+               code=f"while (!({res} = {it}.next()).done)",
+               control_structure_type=M.CS_WHILE, line=line)
+        ws.add(cond)
+        wbody = N(M.BLOCK, code="", line=line, type_full_name=M.ANY,
+                  role=M.ROLE_WHEN_TRUE)
+        wbody.add(self._parse_sub_expression(f"{var} = {res}.value", line))
+        body_start_tok = self.peek()
+        body_stmts = self.parse_statement()
+        body_end_tok = self.toks[self.pos - 1]
+        user_block = self.as_block(body_stmts, role="", line=line)
+        if body_start_tok is not None and body_start_tok.v == "{":
+            user_block.code = self.slice(body_start_tok, body_end_tok)
+        wbody.add(user_block)
+        ws.add(wbody)
+        outer.add(ws)
+        # blockNode(forInOfStmt, forInOfStmt.code) — both the outer value
+        # block and the while body carry the whole statement source
+        for_src = self.slice(kw_tok, body_end_tok)
+        outer.code = for_src
+        wbody.code = for_src
         self.pop_scope()
-        return node
+        return outer
 
     # ---------------- functions ----------------
     def parse_function(self, statement: bool, name_hint: str = "") -> N | None:
@@ -1247,6 +1321,21 @@ class JsParser(CParser):
             stmt = self._parse_sub_expression(src, eline)
             self._strip_void_arg(stmt)
             out.append(stmt)
+
+    def parse_comma_sequence(self, first: N, start: Tok) -> N:
+        """`(e1, e2)` sequence ("block") expression -> BLOCK whose code is
+        the inner source, children the expressions, value the last
+        (SimpleCfgCreationPassTests.scala:12-24 — succOf("bar()") is the
+        block node coded "class Foo {}, bar()")."""
+        exprs = [first]
+        while self.at(","):
+            self.next()
+            exprs.append(self.parse_assignment_expr())
+        end = self.toks[self.pos - 1]
+        blk = N(M.BLOCK, code=self.slice(start, end), line=start.line,
+                type_full_name=M.ANY)
+        blk.add(*exprs)
+        return blk
 
     def _skip_assignment_expr_tokens(self) -> None:
         """Advance past one assignment-expression, discarding the tree and

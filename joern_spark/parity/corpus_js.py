@@ -793,3 +793,69 @@ CASES += [
         "return id": ["RET"],
     }, cite=MCITE + ":394-411"),
 ]
+
+# SimpleCfgCreationPassTests.scala:552-562 — for-in / for-of lower to the
+# Babel iterator protocol (testForInOrOf :729-774); :12-24 block expression
+# with a class-expression value.
+CASES += [
+    _js("js-for-in", "for (var i in arr) { foo(i) }\n", {
+        ":program": ["_iterator_0"],
+        ("_iterator_0", 0): ["arr"],
+        "arr": ["<operator>.iterator(arr)"],
+        "<operator>.iterator(arr)": ["_iterator_0 = <operator>.iterator(arr)"],
+        "_iterator_0 = <operator>.iterator(arr)": ["_result_0"],
+        ("_result_0", 0): ["i"],
+        ("i", 0): ["_result_0"],
+        ("_result_0", 1): ["_iterator_0"],
+        ("_iterator_0", 1): ["next"],
+        "next": ["_iterator_0.next"],
+        "_iterator_0.next": ["_iterator_0"],
+        ("_iterator_0", 2): ["_iterator_0.next()"],
+        "_iterator_0.next()": ["(_result_0 = _iterator_0.next())"],
+        "(_result_0 = _iterator_0.next())": ["done"],
+        "done": ["(_result_0 = _iterator_0.next()).done"],
+        "(_result_0 = _iterator_0.next()).done":
+            ["!(_result_0 = _iterator_0.next()).done"],
+        "!(_result_0 = _iterator_0.next()).done":
+            ["i", "for (var i in arr) { foo(i) }"],
+        ("for (var i in arr) { foo(i) }", 0, "BLOCK"): ["RET"],
+        ("i", 1): ["_result_0"],
+        ("_result_0", 2): ["value"],
+        "value": ["_result_0.value"],
+        "_result_0.value": ["i = _result_0.value"],
+        "i = _result_0.value": ["foo"],
+        "foo": ["this"],
+        # reference ("this",1): its isCfgNode vector counts the :program
+        # method's `this` PARAMETER as occurrence 0; parameters are not
+        # subjects here, so the call base is our only IDENTIFIER `this`
+        ("this", 0, "IDENTIFIER"): ["i"],
+        ("i", 2): ["foo(i)"],
+        "foo(i)": ["{ foo(i) }"],
+        "{ foo(i) }": ["_result_0"],
+    }, cite=CITE + ":552-556,729-774"),
+    _js("js-for-of", "for (var i of arr) { foo(i) }\n", {
+        ":program": ["_iterator_0"],
+        ("_iterator_0", 0): ["arr"],
+        "arr": ["<operator>.iterator(arr)"],
+        "<operator>.iterator(arr)": ["_iterator_0 = <operator>.iterator(arr)"],
+        "_iterator_0 = <operator>.iterator(arr)": ["_result_0"],
+        ("_result_0", 0): ["i"],
+        ("i", 0): ["_result_0"],
+        "!(_result_0 = _iterator_0.next()).done":
+            ["i", "for (var i of arr) { foo(i) }"],
+        ("for (var i of arr) { foo(i) }", 0, "BLOCK"): ["RET"],
+        "i = _result_0.value": ["foo"],
+        "foo(i)": ["{ foo(i) }"],
+        "{ foo(i) }": ["_result_0"],
+    }, cite=CITE + ":558-562,729-774"),
+    _js("js-block-expression", "let x = (class Foo {}, bar())\n", {
+        ":program": ["x"],
+        "x": ["class Foo"],
+        "class Foo": ["bar"],
+        "bar": ["this"],
+        ("this", 0, "IDENTIFIER"): ["bar()"],
+        "bar()": ["class Foo {}, bar()"],
+        "class Foo {}, bar()": ["let x = (class Foo {}, bar())"],
+        "let x = (class Foo {}, bar())": ["RET"],
+    }, cite=CITE + ":12-24"),
+]
