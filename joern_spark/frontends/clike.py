@@ -1370,7 +1370,15 @@ class CParser:
                 call.add(node)
                 node = call
             else:
+                tagged = self.try_tagged_template(node, start)
+                if tagged is not None:
+                    node = tagged
+                    continue
                 return node
+
+    def try_tagged_template(self, node: "N", start: "Tok") -> "N | None":
+        """JS hook: `tag\`...\`` tagged template calls; no-op for C."""
+        return None
 
     # ---------------- macro expansion (MacroHandler.scala:31-118) -----------
 

@@ -276,8 +276,7 @@ class JsParser(CParser):
         if v in ("var", "let", "const"):
             return self.parse_var_decl()
         if v == "function":
-            m = self.parse_function(statement=True)
-            return [m] if m is not None else []
+            return self._function_declaration_stmt()
         if v == "class":
             c = self.parse_js_class()
             return [c] if c is not None else []
@@ -285,8 +284,7 @@ class JsParser(CParser):
             return self.parse_import_export()
         if v == "async" and self.at("function", 1):
             self.next()
-            m = self.parse_function(statement=True)
-            return [m] if m is not None else []
+            return self._function_declaration_stmt()
         if v == "debugger":
             self.next()
             if self.at(";"):
@@ -1067,28 +1065,31 @@ class JsParser(CParser):
         if self.at("]"):
             self.next()
         raw = self.slice(open_tok, close)
+        return self._array_block(elements, raw, open_tok.line)
 
+    def _array_block(self, elements: list[N], raw: str, line: int) -> N:
+        """Element nodes -> the `_tmp_k = factory(); _tmp_k.push(el)...`
+        value block (code = ``raw``); empty -> bare factory call."""
         def factory_call() -> N:
             return N(M.CALL, code=f"{ECMA_ARRAY_FACTORY}()",
                      name=ECMA_ARRAY_FACTORY,
                      method_full_name=ECMA_ARRAY_FACTORY,
-                     dispatch_type=M.STATIC_DISPATCH, line=open_tok.line)
+                     dispatch_type=M.STATIC_DISPATCH, line=line)
 
         if not elements:
             return factory_call()
-        tmp = self._fresh_tmp(open_tok.line)
-        loc = N(M.LOCAL, code=tmp, name=tmp, type_full_name=M.ANY,
-                line=open_tok.line)
-        tmp_id = N(M.IDENTIFIER, code=tmp, name=tmp, line=open_tok.line,
+        tmp = self._fresh_tmp(line)
+        loc = N(M.LOCAL, code=tmp, name=tmp, type_full_name=M.ANY, line=line)
+        tmp_id = N(M.IDENTIFIER, code=tmp, name=tmp, line=line,
                    type_full_name=M.ANY, arg_index=1)
         tmp_id.ref_target = loc
         fac = factory_call()
         fac.arg_index = 2
         assign = N(M.CALL, code=f"{tmp} = {ECMA_ARRAY_FACTORY}()",
                    name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
-                   dispatch_type=M.STATIC_DISPATCH, line=open_tok.line)
+                   dispatch_type=M.STATIC_DISPATCH, line=line)
         assign.add(tmp_id, fac)
-        block = N(M.BLOCK, code=raw, type_full_name=M.ANY, line=open_tok.line)
+        block = N(M.BLOCK, code=raw, type_full_name=M.ANY, line=line)
         block.add(loc, assign)
         for el in elements:
             fa_base = N(M.IDENTIFIER, code=tmp, name=tmp, line=el.line,
@@ -1110,7 +1111,7 @@ class JsParser(CParser):
                      dispatch_type=M.DYNAMIC_DISPATCH, line=el.line)
             push.add(fa, base, el)
             block.add(push)
-        ret_id = N(M.IDENTIFIER, code=tmp, name=tmp, line=open_tok.line,
+        ret_id = N(M.IDENTIFIER, code=tmp, name=tmp, line=line,
                    type_full_name=M.ANY)
         ret_id.ref_target = loc
         block.add(ret_id)
@@ -1128,14 +1129,59 @@ class JsParser(CParser):
             return self.parse_postfix_ops(node, t)
         return super().parse_postfix()
 
-    def _template_literal(self, t: Tok) -> N:
-        """Untagged template literal. With interpolations it lowers to
-        `<operator>.formatString("q0", e0, "q1", ..., "tail")` — quasis
-        double-quoted, expressions interleaved, tail quasi last, call code
-        spelling out the lowered argument list (jssrc2cpg
-        AstForPrimitivesCreator.astForTemplateLiteral:74-96). Without
-        interpolations it stays a single string LITERAL (:78-80)."""
-        body = t.v[1:-1]
+    def try_tagged_template(self, node: N, start: Tok) -> N | None:
+        """`String.raw\`../${42}\\..\`` -> a DYNAMIC call (code = the whole
+        tagged source) with the tag as receiver/base and arguments
+        [quasi-array block (code = the template source), ...interpolations]
+        (jssrc astForTemplateExpression;
+        SimpleCfgCreationPassTests.scala:93-121)."""
+        t = self.peek()
+        if t is None or t.t != "str" or not t.v.startswith("`"):
+            return None
+        is_field = node.kind == M.CALL and node.name == M.OP_FIELD_ACCESS
+        if node.kind != M.IDENTIFIER and not is_field:
+            return None
+        tpl = self.next()
+        quasis, exprs, tail = self._split_template(tpl.v[1:-1])
+        line = tpl.line
+
+        def quasi_node(q: str) -> N:
+            return N(M.LITERAL, code=f'"{q}"', line=line,
+                     type_full_name="__ecma.String")
+
+        arr = self._array_block([quasi_node(q) for q in quasis + [tail]],
+                                tpl.v, line)
+        arr.arg_index = 1
+        if is_field:
+            fname = node.children[1].name if len(node.children) > 1 else ""
+            base_src = node.children[0]
+            base = N(M.IDENTIFIER, code=base_src.code, name=base_src.name,
+                     line=line, type_full_name=M.ANY, arg_index=0)
+            base.ref_target = getattr(base_src, "ref_target", None)
+        else:
+            fname = node.name
+            base = self._this_node(line)
+            base.arg_index = 0
+        node.role = M.ROLE_RECEIVER
+        node.arg_index = -1
+        call = N(M.CALL, code=f"{self.slice(start, tpl)}", name=fname,
+                 method_full_name=M.UNKNOWN_FULL_NAME,
+                 dispatch_type=M.DYNAMIC_DISPATCH, line=line,
+                 type_full_name=M.ANY)
+        call.add(node, base, arr)
+        for k, ex in enumerate(exprs, start=2):
+            try:
+                en = self._parse_sub_expression(ex, line)
+            except Exception:
+                en = N(M.UNKNOWN, code=ex, line=line)
+            en.arg_index = k
+            call.add(en)
+        return call
+
+    @staticmethod
+    def _split_template(body: str) -> tuple[list[str], list[str], str]:
+        """Template body -> (quasis before each `${}`, expression sources,
+        tail quasi); backslash escapes pass through verbatim."""
         quasis: list[str] = []
         exprs: list[str] = []
         cur: list[str] = []
@@ -1162,7 +1208,16 @@ class JsParser(CParser):
                 continue
             cur.append(c)
             i += 1
-        tail = "".join(cur)
+        return quasis, exprs, "".join(cur)
+
+    def _template_literal(self, t: Tok) -> N:
+        """Untagged template literal. With interpolations it lowers to
+        `<operator>.formatString("q0", e0, "q1", ..., "tail")` — quasis
+        double-quoted, expressions interleaved, tail quasi last, call code
+        spelling out the lowered argument list (jssrc2cpg
+        AstForPrimitivesCreator.astForTemplateLiteral:74-96). Without
+        interpolations it stays a single string LITERAL (:78-80)."""
+        quasis, exprs, tail = self._split_template(t.v[1:-1])
         if not exprs:
             return N(M.LITERAL, code=t.v, line=t.line,
                      type_full_name="__ecma.String")
@@ -1321,6 +1376,32 @@ class JsParser(CParser):
             stmt = self._parse_sub_expression(src, eline)
             self._strip_void_arg(stmt)
             out.append(stmt)
+
+    def _function_declaration_stmt(self) -> list[N]:
+        """`function foo() {}` as a STATEMENT also emits the Babel-style
+        synthetic assignment `function foo = function foo() {}` — identifier
+        `foo` = METHOD_REF `foo` — so the declaration participates in the
+        enclosing CFG (SimpleCfgCreationPassTests.scala:240-250)."""
+        start_tok = self.peek()
+        m = self.parse_function(statement=True)
+        if m is None:
+            return []
+        end_tok = self.toks[self.pos - 1]
+        if not m.name or m.name.startswith(M.LAMBDA_PREFIX):
+            return [m]
+        fn_src = self.slice(start_tok, end_tok)
+        ident = N(M.IDENTIFIER, code=m.name, name=m.name, line=m.line,
+                  type_full_name=M.ANY, arg_index=1)
+        decl = self.lookup(m.name)
+        if decl is not None:
+            ident.ref_target = decl
+        ref = N(M.METHOD_REF, code=m.name, method_full_name=m.full_name,
+                line=m.line, arg_index=2)
+        asg = N(M.CALL, code=f"function {m.name} = {fn_src}",
+                name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
+                dispatch_type=M.STATIC_DISPATCH, line=m.line)
+        asg.add(ident, ref)
+        return [m, asg]
 
     def parse_comma_sequence(self, first: N, start: Tok) -> N:
         """`(e1, e2)` sequence ("block") expression -> BLOCK whose code is

@@ -4,11 +4,11 @@ SimpleCfgCreationPassTests.scala). Keys address CFG nodes exactly like the
 reference succOf oracle: code string, occurrence index, optional node kind
 (e.g. ("this", 0, "IDENTIFIER") ≡ succOf("this", NodeTypes.IDENTIFIER)).
 
-Not transcribed (desugarings this frontend does not perform yet, each would
-score as pure recall loss rather than evidence): tagged template literals
-(:93-121), for-in/of iterator lowering (:554-562),
-function-declaration-as-assignment (:240-250), class-expression block
-values (:12-24).
+All 56 SimpleCfgCreationPassTests cases are transcribed (incl. tagged
+templates :93-121, for-in/of iterator lowering :554-562,
+function-declaration-as-assignment :240-250, and the class-expression
+block value :12-24), plus the complete JsClasses suite and the MixedCfg
+suite minus only its nested-default-parameter case (:178-228).
 """
 
 CITE = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/"
@@ -858,4 +858,48 @@ CASES += [
         "class Foo {}, bar()": ["let x = (class Foo {}, bar())"],
         "let x = (class Foo {}, bar())": ["RET"],
     }, cite=CITE + ":12-24"),
+]
+
+CASES += [
+    # SimpleCfgCreationPassTests.scala:93-121 — tagged template: dynamic
+    # call on the tag with the quasi-array block + interpolations as args.
+    _js("js-template-tagged", "String.raw`../${42}\\..`\n", {
+        ":program": ["String"],
+        ("String", 0): ["raw"],
+        "raw": ["String.raw"],
+        "String.raw": ["String"],
+        ("String", 1): ["_tmp_0"],
+        ("_tmp_0", 0): ["__ecma.Array.factory()"],
+        "__ecma.Array.factory()": ["_tmp_0 = __ecma.Array.factory()"],
+        "_tmp_0 = __ecma.Array.factory()": ["_tmp_0"],
+        ("_tmp_0", 1): ["push"],
+        ("push", 0): ["_tmp_0.push"],
+        ("_tmp_0.push", 0): ["_tmp_0"],
+        ("_tmp_0", 2): ['"../"'],
+        '"../"': ['_tmp_0.push("../")'],
+        '_tmp_0.push("../")': ["_tmp_0"],
+        ("_tmp_0", 3): ["push"],
+        ("push", 1): ["_tmp_0.push"],
+        ("_tmp_0.push", 1): ["_tmp_0"],
+        ("_tmp_0", 4): ['"\\.."'],
+        '"\\.."': ['_tmp_0.push("\\..")'],
+        '_tmp_0.push("\\..")': ["_tmp_0"],
+        ("_tmp_0", 5): ["`../${42}\\..`"],
+        "`../${42}\\..`": ["42"],
+        "42": ["String.raw`../${42}\\..`"],
+        "String.raw`../${42}\\..`": ["RET"],
+    }, cite=CITE + ":93-121"),
+]
+
+CASES += [
+    # SimpleCfgCreationPassTests.scala:240-250 — a function DECLARATION also
+    # participates in the enclosing CFG via the synthetic
+    # `function foo = function foo(x, y) { return; }` assignment.
+    _js("js-function-decl-assign", "function foo(x, y) { return; }\n", {
+        (":program", 0, "METHOD"): ["foo"],
+        ("foo", 0, "IDENTIFIER"): ["foo"],
+        ("foo", 0, "METHOD_REF"):
+            ["function foo = function foo(x, y) { return; }"],
+        "function foo = function foo(x, y) { return; }": ["RET"],
+    }, cite=CITE + ":240-250"),
 ]
