@@ -105,6 +105,10 @@ class JavaParser(CParser):
         # non-static field initializers per class fullname:
         # (field name, type, init expr, line) — folded into constructors
         self.member_inits: dict[str, list[tuple[str, str, N, int]]] = {}
+        # foreach lowering temporaries (`$iterLocalN` / `$idxN`,
+        # ControlStructureTests.scala:169-640)
+        self.iterlocal_counter = 0
+        self.idx_counter = 0
 
     # ---------------- naming ----------------
     def resolve_type(self, name: str) -> str:
@@ -713,23 +717,154 @@ class JavaParser(CParser):
         kw_tok = self.next()
         self.expect("(")
         self.push_scope()
-        ty = self.resolve_type(self.parse_java_type())
+        while self.at("final"):
+            self.next()
+        raw_ty = self.parse_java_type()
+        ty = self.resolve_type(raw_ty)
         name_tok = self.next()
-        loc = N(M.LOCAL, code=f"{ty} {name_tok.v}", name=name_tok.v,
-                type_full_name=ty, line=name_tok.line)
-        self.declare(name_tok.v, loc)
+        item = name_tok.v
         self.expect(":")
         coll = self.parse_expression()
         self.expect(")")
-        node = N(M.CONTROL_STRUCTURE, code="for", control_structure_type=M.CS_FOR,
-                 line=kw_tok.line)
-        node.add(loc)
-        coll.role = M.ROLE_CONDITION  # iterable drives the loop
-        node.add(coll)
-        body = self.as_block(self.parse_statement(), role=M.ROLE_FOR_BODY, line=kw_tok.line)
+        line = kw_tok.line
+        is_array = ((coll.type_full_name or "").endswith("[]")
+                    or coll.name in (M.OP_ARRAY_INITIALIZER, M.OP_ALLOC))
+
+        def mk_ident(nm: str, decl: N | None, tfn: str, arg_index: int = -1) -> N:
+            n = N(M.IDENTIFIER, code=nm, name=nm, line=line,
+                  type_full_name=tfn, arg_index=arg_index)
+            if decl is not None:
+                n.ref_target = decl
+            return n
+
+        def mk_assign(code: str, lhs: N, rhs: N, tfn: str = M.ANY) -> N:
+            lhs.arg_index, rhs.arg_index = 1, 2
+            a = N(M.CALL, code=code, name=M.OP_ASSIGNMENT,
+                  method_full_name=M.OP_ASSIGNMENT,
+                  dispatch_type=M.STATIC_DISPATCH, line=line,
+                  type_full_name=tfn)
+            a.add(lhs, rhs)
+            return a
+
+        prelude: list[N] = []
+        # ITERATION SOURCE — the reference copies non-identifier collections
+        # (and every iterable) into a fresh `$iterLocalN`
+        # (ControlStructureTests.scala:169-228 array-expression form,
+        # :540-640 iterator form)
+        if is_array and coll.kind == M.IDENTIFIER:
+            src = coll.name
+            src_decl = getattr(coll, "ref_target", None)
+            src_ty = coll.type_full_name or M.ANY
+        else:
+            src = f"$iterLocal{self.iterlocal_counter}"
+            self.iterlocal_counter += 1
+            src_ty = (coll.type_full_name if is_array
+                      else "java.util.Iterator")
+            src_decl = N(M.LOCAL, code=src, name=src,
+                         type_full_name=src_ty or M.ANY, line=line)
+            self.declare(src, src_decl)
+            prelude.append(src_decl)
+            if is_array:
+                rhs: N = coll
+                rhs_code = coll.code
+            else:
+                # $iterLocalN = <coll>.iterator() — dynamic member call,
+                # receiver = the collection expression (arg 0)
+                bt = self.resolve_type(coll.type_full_name or "")
+                mfn = (f"{bt}.iterator:java.util.Iterator()"
+                       if bt and bt != M.ANY else
+                       f"{M.UNRESOLVED_NAMESPACE}.iterator:"
+                       f"{M.UNRESOLVED_SIGNATURE}(0)")
+                rhs = N(M.CALL, code=f"{coll.code}.iterator()",
+                        name="iterator", method_full_name=mfn,
+                        dispatch_type=M.DYNAMIC_DISPATCH, line=line,
+                        type_full_name="java.util.Iterator")
+                coll.role = M.ROLE_RECEIVER
+                coll.arg_index = 0
+                rhs.add(coll)
+                rhs_code = f"{coll.code}.iterator()"
+            prelude.append(mk_assign(f"{src} = {rhs_code}",
+                                     mk_ident(src, src_decl, src_ty), rhs,
+                                     src_ty))
+
+        item_loc = N(M.LOCAL, code=f"{raw_ty} {item}", name=item,
+                     type_full_name=ty, line=name_tok.line)
+        self.declare(item, item_loc)
+
+        if is_array:
+            # FOR($idxN local; $idxN = 0; $idxN < src.length; $idxN++)
+            # { item local; item = src[$idxN]; body }
+            idx = f"$idx{self.idx_counter}"
+            self.idx_counter += 1
+            idx_loc = N(M.LOCAL, code=idx, name=idx, type_full_name="int",
+                        line=line)
+            self.declare(idx, idx_loc)
+            node = N(M.CONTROL_STRUCTURE, code="for",
+                     control_structure_type=M.CS_FOR, line=line)
+            node.add(idx_loc)
+            init = mk_assign(f"{idx} = 0", mk_ident(idx, idx_loc, "int"),
+                             N(M.LITERAL, code="0", line=line,
+                               type_full_name="int"), "int")
+            init.role = M.ROLE_FOR_INIT
+            node.add(init)
+            size = N(M.CALL, code=f"{src}.length", name=M.OP_SIZEOF,
+                     method_full_name=M.OP_SIZEOF,
+                     dispatch_type=M.STATIC_DISPATCH, line=line,
+                     type_full_name="int", arg_index=2)
+            size.add(mk_ident(src, src_decl, src_ty, 1))
+            cond = N(M.CALL, code=f"{idx} < {src}.length",
+                     name=M.BINARY_OPERATOR_MAP["<"],
+                     method_full_name=M.BINARY_OPERATOR_MAP["<"],
+                     dispatch_type=M.STATIC_DISPATCH, line=line,
+                     type_full_name="boolean", role=M.ROLE_CONDITION)
+            cond.add(mk_ident(idx, idx_loc, "int", 1), size)
+            node.add(cond)
+            upd = N(M.CALL, code=f"{idx}++", name=M.POSTFIX_OPERATOR_MAP["++"],
+                    method_full_name=M.POSTFIX_OPERATOR_MAP["++"],
+                    dispatch_type=M.STATIC_DISPATCH, line=line,
+                    type_full_name="int", role=M.ROLE_FOR_UPDATE)
+            upd.add(mk_ident(idx, idx_loc, "int", 1))
+            node.add(upd)
+            access = N(M.CALL, code=f"{src}[{idx}]", name=self.SUBSCRIPT_OP,
+                       method_full_name=self.SUBSCRIPT_OP,
+                       dispatch_type=M.STATIC_DISPATCH, line=line,
+                       type_full_name=ty)
+            access.add(mk_ident(src, src_decl, src_ty, 1),
+                       mk_ident(idx, idx_loc, "int", 2))
+            item_assign = mk_assign(f"{item} = {src}[{idx}]",
+                                    mk_ident(item, item_loc, ty), access, ty)
+        else:
+            # WHILE ($iterLocalN.hasNext()) { item = $iterLocalN.next(); }
+            node = N(M.CONTROL_STRUCTURE, code="while",
+                     control_structure_type=M.CS_WHILE, line=line)
+            cond = N(M.CALL, code=f"{src}.hasNext()", name="hasNext",
+                     method_full_name="java.util.Iterator.hasNext:boolean()",
+                     signature="boolean()",
+                     dispatch_type=M.DYNAMIC_DISPATCH, line=line,
+                     type_full_name="boolean", role=M.ROLE_CONDITION)
+            cond.add(mk_ident(src, src_decl, src_ty, 0))
+            node.add(cond)
+            nxt = N(M.CALL, code=f"{src}.next()", name="next",
+                    method_full_name="java.util.Iterator.next:"
+                                     "java.lang.Object()",
+                    signature="java.lang.Object()",
+                    dispatch_type=M.DYNAMIC_DISPATCH, line=line,
+                    type_full_name=ty)
+            nxt.add(mk_ident(src, src_decl, src_ty, 0))
+            item_assign = mk_assign(f"{item} = {src}.next()",
+                                    mk_ident(item, item_loc, ty), nxt, ty)
+        body = self.as_block(
+            self.parse_statement(),
+            role=M.ROLE_FOR_BODY if is_array else M.ROLE_WHEN_TRUE,
+            line=line)
+        body.children[:0] = [item_loc, item_assign]
         node.add(body)
         self.pop_scope()
-        return node
+        if not prelude:
+            return node
+        wrap = N(M.BLOCK, code="", line=line, type_full_name="void")
+        wrap.add(*prelude, node)
+        return wrap
 
     def parse_try(self) -> N:
         kw = self.next()
