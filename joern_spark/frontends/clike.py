@@ -24,6 +24,7 @@ This module is deliberately dependency-free so it can run inside Arrow-batched
 from __future__ import annotations
 
 import re
+from bisect import bisect_left
 
 from joern_spark import model as M
 from joern_spark.frontends.astnode import N
@@ -238,19 +239,29 @@ class CParser:
         return self.toks[p] if p < len(self.toks) else None
 
     def at(self, v, k=0) -> bool:
-        t = self.peek(k)
-        return t is not None and t.v == v
+        # inlined peek (hot path): one fuel charge, no Tok None-check call
+        self.fuel -= 1
+        if self.fuel < 0:
+            raise ParseError("parser fuel exhausted (non-progressing parse)")
+        p = self.pos + k
+        return p < len(self.toks) and self.toks[p].v == v
 
     def at_any(self, vs, k=0) -> bool:
-        t = self.peek(k)
-        return t is not None and t.v in vs
+        self.fuel -= 1
+        if self.fuel < 0:
+            raise ParseError("parser fuel exhausted (non-progressing parse)")
+        p = self.pos + k
+        return p < len(self.toks) and self.toks[p].v in vs
 
     def next(self) -> Tok:
-        t = self.peek()
-        if t is None:
+        self.fuel -= 1
+        if self.fuel < 0:
+            raise ParseError("parser fuel exhausted (non-progressing parse)")
+        p = self.pos
+        if p >= len(self.toks):
             raise ParseError("unexpected EOF")
-        self.pos += 1
-        return t
+        self.pos = p + 1
+        return self.toks[p]
 
     def expect(self, v) -> Tok:
         t = self.next()
@@ -883,11 +894,14 @@ class CParser:
         return node
 
     def toks_index_after(self, tok: Tok) -> Tok:
-        # first token after `tok` — used for code slices like `if (<...>)`
-        for t in self.toks:
-            if t.a >= tok.b:
-                return t
-        return tok
+        # first token after `tok` — used for code slices like `if (<...>)`;
+        # bisect over the precomputed start offsets (was a linear scan that
+        # profiled at ~7% of parse on statement-heavy files)
+        starts = getattr(self, "_tok_starts", None)
+        if starts is None:
+            starts = self._tok_starts = [t.a for t in self.toks]
+        i = bisect_left(starts, tok.b)
+        return self.toks[i] if i < len(self.toks) else tok
 
     def as_block(self, stmts: list[N], role: str, line: int) -> N:
         if len(stmts) == 1 and stmts[0].kind == M.BLOCK:
