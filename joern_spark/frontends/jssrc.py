@@ -153,7 +153,7 @@ class JsParser(CParser):
 
     # ---------------- naming ----------------
     def fullname(self, name: str) -> str:
-        scope = ":".join([M.PROGRAM_METHOD.lstrip(":")] + self.scope_path)
+        scope = ":".join([M.PROGRAM_METHOD] + self.scope_path)
         base = f"{self.path}:{scope}:{name}" if name else f"{self.path}:{scope}"
         cnt = self.name_counts.get(base, 0)
         self.name_counts[base] = cnt + 1
@@ -173,7 +173,7 @@ class JsParser(CParser):
             elif v == "function" and depth == 0 and k + 1 < len(self.toks) \
                     and self.toks[k + 1].t == "id":
                 name = self.toks[k + 1].v
-                full = f"{self.path}:{M.PROGRAM_METHOD.lstrip(':')}:{name}"
+                full = f"{self.path}:{M.PROGRAM_METHOD}:{name}"
                 marker = N(M.METHOD_REF, code=name, method_full_name=full,
                            line=tok.line)
                 self.scopes[0].setdefault(name, marker)
@@ -181,7 +181,7 @@ class JsParser(CParser):
     def parse(self) -> list[N]:
         self._hoist_top_level_functions()
         program = N(M.METHOD, code="<program>", name=M.PROGRAM_METHOD,
-                    full_name=f"{self.path}:{M.PROGRAM_METHOD.lstrip(':')}",
+                    full_name=f"{self.path}:{M.PROGRAM_METHOD}",
                     signature="", line=1, ast_parent_type=M.NAMESPACE_BLOCK,
                     ast_parent_full_name=self.global_block)
         block = N(M.BLOCK, code="", line=1, type_full_name=M.ANY)
@@ -278,8 +278,30 @@ class JsParser(CParser):
         if v == "function":
             return self._function_declaration_stmt()
         if v == "class":
+            # a class STATEMENT also emits the synthetic assignment
+            # `ClassA = <constructor ref>` plus a program/function-level
+            # local for the class name (JsClassesAstCreationPassTests
+            # :41-52 "have a synthetic assignment for ClassA", :54-65)
             c = self.parse_js_class()
-            return [c] if c is not None else []
+            if c is None:
+                return []
+            if c.name.startswith("<anon-class>"):
+                return [c]
+            loc = N(M.LOCAL, code=c.name, name=c.name, type_full_name=M.ANY,
+                    line=c.line)
+            self.declare(c.name, loc)
+            cf = self.class_constructor_full_name(c)
+            ident = N(M.IDENTIFIER, code=c.name, name=c.name, line=c.line,
+                      type_full_name=M.ANY, arg_index=1)
+            ident.ref_target = loc
+            ref = N(M.METHOD_REF, code="constructor() {}",
+                    method_full_name=cf, type_full_name=cf, line=c.line,
+                    arg_index=2)
+            asg = N(M.CALL, code=f"{c.name} = class {c.name}",
+                    name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
+                    dispatch_type=M.STATIC_DISPATCH, line=c.line)
+            asg.add(ident, ref)
+            return [loc, c, asg]
         if v in ("import", "export"):
             return self.parse_import_export()
         if v == "async" and self.at("function", 1):
@@ -551,7 +573,7 @@ class JsParser(CParser):
         full = self.fullname(name)
         method = N(M.METHOD, code=f"function {name}", name=name, full_name=full,
                    signature="", line=kw.line, ast_parent_type=M.METHOD,
-                   ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD.lstrip(':')}")
+                   ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD}")
         if statement and name and not name.startswith(M.LAMBDA_PREFIX):
             fn_marker = N(M.METHOD_REF, code=name, method_full_name=full, line=kw.line)
             self.declare(name, fn_marker)
@@ -636,7 +658,7 @@ class JsParser(CParser):
         full = self.fullname(name)
         method = N(M.METHOD, code="=>", name=name, full_name=full, signature="",
                    line=start_tok.line, ast_parent_type=M.METHOD,
-                   ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD.lstrip(':')}")
+                   ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD}")
         self.push_scope()
         self.scope_path.append(name)
         i = 0
@@ -717,6 +739,7 @@ class JsParser(CParser):
         self.expect("{")
         self.ns.append(name)
         self.scope_path.append(name)
+        saw_ctor = False
         while self.peek() is not None and not self.at("}"):
             if self.at(";"):
                 self.next()
@@ -729,7 +752,14 @@ class JsParser(CParser):
             if mt.t in ("id", "kw", "str"):
                 mname = self.next().v.strip("'\"")
                 if self.at("("):
-                    mfull = self.fullname(mname)
+                    if mname == "constructor":
+                        # explicit constructors are named <init>
+                        # (JsClassesAstCreationPassTests.scala:73-76)
+                        mname = M.CONSTRUCTOR
+                        mfull = f"{full}:{M.CONSTRUCTOR}"
+                        saw_ctor = True
+                    else:
+                        mfull = self.fullname(mname)
                     method = N(M.METHOD, code=mname, name=mname, full_name=mfull,
                                signature="", line=mt.line,
                                ast_parent_type=M.TYPE_DECL,
@@ -778,9 +808,26 @@ class JsParser(CParser):
             self.next()
         if self.at("}"):
             self.next()
+        if not saw_ctor:
+            # every class gets a (fake when unwritten) constructor named
+            # <init>, code "constructor() {}", listed FIRST among the
+            # class's methods (createFakeConstructor,
+            # AstForTypesCreator.scala:172-176;
+            # JsClassesAstCreationPassTests.scala:73-76, 89-92)
+            cf = f"{full}:{M.CONSTRUCTOR}"
+            ctor = N(M.METHOD, code="constructor() {}", name=M.CONSTRUCTOR,
+                     full_name=cf, signature="", line=kw.line,
+                     ast_parent_type=M.TYPE_DECL, ast_parent_full_name=full)
+            ctor.add(N(M.BLOCK, code="", line=kw.line, type_full_name=M.ANY))
+            ctor.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
+                       evaluation_strategy=M.BY_VALUE, line=kw.line))
+            decl.children.insert(0, ctor)
         self.scope_path.pop()
         self.ns.pop()
         return decl
+
+    def class_constructor_full_name(self, decl: N) -> str:
+        return f"{decl.full_name}:{M.CONSTRUCTOR}"
 
     def parse_expression_no_assign_simple(self) -> str:
         parts = [self.next().v]
@@ -1002,7 +1049,7 @@ class JsParser(CParser):
                 full = self.fullname(name)
                 method = N(M.METHOD, code=name, name=name, full_name=full,
                            signature="", line=key.line, ast_parent_type=M.METHOD,
-                           ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD.lstrip(':')}")
+                           ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD}")
                 self.push_scope()
                 self.scope_path.append(name)
                 self.next()

@@ -903,3 +903,30 @@ CASES += [
         "function foo = function foo(x, y) { return; }": ["RET"],
     }, cite=CITE + ":240-250"),
 ]
+
+# JsClassesAstCreationPassTests.scala — constructor naming and method
+# fullnames (reference fixture file is Test0.js; facts here carry this
+# corpus's per-case filename, the scheme is identical).
+ACITE = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/ast/"
+         "JsClassesAstCreationPassTests.scala")
+CASES += [
+    dict(name="js-class-fake-ctor", lang="javascript", wrap=False,
+         code="class ClassA {\n  foo() {}\n  bar() {}\n}\n",
+         methods=[
+             ["<init>", "js-class-fake-ctor.js::program:ClassA:<init>"],
+             ["foo", "js-class-fake-ctor.js::program:ClassA:foo"],
+             ["bar", "js-class-fake-ctor.js::program:ClassA:bar"],
+             [":program", "js-class-fake-ctor.js::program"],
+         ],
+         cite=ACITE + ":83-99 (fake constructor <init> first; method "
+              "fullnames <file>::program:ClassA:<name>)"),
+    dict(name="js-class-explicit-ctor", lang="javascript", wrap=False,
+         code="var x = class ClassA {\n  constructor(p) {}\n  "
+              "static staticFoo() {}\n}\n",
+         methods=[
+             ["<init>", "js-class-explicit-ctor.js::program:ClassA:<init>"],
+             ["staticFoo",
+              "js-class-explicit-ctor.js::program:ClassA:staticFoo"],
+         ],
+         cite=ACITE + ":68-81"),
+]
