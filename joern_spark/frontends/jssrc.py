@@ -606,8 +606,19 @@ class JsParser(CParser):
                 pat_tok = self.peek()
                 is_array = self.at("[")
                 elems = self.parse_destructure_elements(is_array)
+                # pattern-level default: `function f({id} = {})` — lowered
+                # as `_tmp_k = param === void 0 ? <dflt> : param` feeding a
+                # block-form destructure (MixedCfgCreationPassTests:178-228)
+                default_src = None
+                if self.at("="):
+                    self.next()
+                    dstart = self.pos
+                    self._skip_assignment_expr_tokens()
+                    default_src = self.slice(self.toks[dstart],
+                                             self.toks[self.pos - 1])
+                pat_src = self.slice(pat_tok, self.toks[self.pos - 1])
                 pname = f"param{i}_0"
-                p = N(M.METHOD_PARAMETER_IN, code=pname, name=pname,
+                p = N(M.METHOD_PARAMETER_IN, code=pat_src, name=pname,
                       param_index=i, type_full_name=M.ANY, line=pat_tok.line,
                       evaluation_strategy=M.BY_SHARING)
                 method.add(p)
@@ -623,20 +634,53 @@ class JsParser(CParser):
                         self.declare(tname, tl)
                         locmap[tname] = tl
                 destructured.append((pname, elems, is_array, pat_tok.line,
-                                     locmap))
+                                     locmap, default_src, pat_src))
             if self.at(","):
                 self.next()
         self.next()
         body = self.parse_compound()
         self._lower_default_params(body, defaults, kw.line)
         front: list[N] = []
-        for pname, elems, _is_array, pline, locmap in destructured:
+        for pname, elems, _is_array, pline, locmap, dflt, pat_src in \
+                destructured:
             # parameter destructures address elements by KEY NAME even for
             # array patterns (succOf "param1_0.id", scala:404-409)
             keyed = [dict(e, key=e.get("key", e.get("target")))
                      if "rest" not in e else e for e in elems]
-            self._destructure_stmts(keyed, pname, pline, front, False,
-                                    locmap)
+            if dflt is None:
+                self._destructure_stmts(keyed, pname, pline, front, False,
+                                        locmap)
+                continue
+            # guard FIRST so the default's own temporaries (`{}` object
+            # literals) number before the destructure tmp, per the
+            # reference's _tmp_0/_tmp_1 order (scala:181-200)
+            guard = self._parse_sub_expression(
+                f"{pname} === void 0 ? {dflt} : {pname}", pline)
+            self._strip_void_arg(guard)
+            tmpd = self._fresh_tmp(pline)
+            dloc = N(M.LOCAL, code=tmpd, name=tmpd, type_full_name=M.ANY,
+                     line=pline)
+            self.declare(tmpd, dloc)
+            blk = N(M.BLOCK, code=pat_src, line=pline, type_full_name=M.ANY)
+            blk.add(dloc)
+            ident = N(M.IDENTIFIER, code=tmpd, name=tmpd, line=pline,
+                      type_full_name=M.ANY, arg_index=1)
+            ident.ref_target = dloc
+            guard.arg_index = 2
+            asg = N(M.CALL,
+                    code=f"{tmpd} = {pname} === void 0 ? {dflt} : {pname}",
+                    name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
+                    dispatch_type=M.STATIC_DISPATCH, line=pline)
+            asg.add(ident, guard)
+            blk.add(asg)
+            stmts: list[N] = []
+            self._destructure_stmts(keyed, tmpd, pline, stmts, False, locmap)
+            blk.add(*stmts)
+            val = N(M.IDENTIFIER, code=tmpd, name=tmpd, line=pline,
+                    type_full_name=M.ANY)
+            val.ref_target = dloc
+            blk.add(val)
+            front.append(blk)
         body.children[:0] = front
         method.add(body)
         method.line_end = body.line_end
@@ -1370,7 +1414,8 @@ class JsParser(CParser):
             if self.at("="):
                 self.next()
                 start = self.pos
-                self.parse_assignment_expr()  # advance only; re-parsed later
+                # advance only (counters restored); re-parsed at lowering
+                self._skip_assignment_expr_tokens()
                 elem["default"] = self.slice(self.toks[start],
                                              self.toks[self.pos - 1])
             elems.append(elem)

@@ -4,11 +4,13 @@ SimpleCfgCreationPassTests.scala). Keys address CFG nodes exactly like the
 reference succOf oracle: code string, occurrence index, optional node kind
 (e.g. ("this", 0, "IDENTIFIER") ≡ succOf("this", NodeTypes.IDENTIFIER)).
 
-All 56 SimpleCfgCreationPassTests cases are transcribed (incl. tagged
-templates :93-121, for-in/of iterator lowering :554-562,
-function-declaration-as-assignment :240-250, and the class-expression
-block value :12-24), plus the complete JsClasses suite and the MixedCfg
-suite minus only its nested-default-parameter case (:178-228).
+ALL THREE jssrc CFG suites are fully transcribed: the 56
+SimpleCfgCreationPassTests cases (incl. tagged templates :93-121,
+for-in/of iterator lowering :554-562, function-declaration-as-assignment
+:240-250, the class-expression block value :12-24), the 7
+JsClassesCfgCreationPassTests cases, and all 21
+MixedCfgCreationPassTests cases (destructuring incl. the
+nested-default-parameter lowering :178-228).
 """
 
 CITE = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/cfg/"
@@ -929,4 +931,48 @@ CASES += [
               "js-class-explicit-ctor.js::program:ClassA:staticFoo"],
          ],
          cite=ACITE + ":68-81"),
+]
+
+CASES += [
+    # MixedCfgCreationPassTests.scala:178-228 — nested object destructuring
+    # with defaults as a parameter: the pattern default lowers to
+    # `_tmp_1 = param1_0 === void 0 ? {} : param1_0` (the `{}` holds
+    # _tmp_0) feeding a block-form destructure whose inner `id` default
+    # allocates _tmp_2. The reference addresses the pattern-coded node at
+    # occurrence 1 because its vector counts the METHOD_PARAMETER_IN
+    # (code = the pattern source) first; parameters are not subjects here,
+    # so the destructure BLOCK is our occurrence 0.
+    _js("js-destr-param-nested-defaults",
+        "function userId({id = {}, b} = {}) {\n  return id\n}\n", {
+        ("userId", 0, "METHOD"): ["_tmp_1"],
+        ("_tmp_1", 0): ["param1_0"],
+        ("param1_0", 0): ["void 0"],
+        ("void 0", 0): ["param1_0 === void 0"],
+        "param1_0 === void 0": ["_tmp_0", "param1_0"],
+        ("param1_0", 1): ["param1_0 === void 0 ? {} : param1_0"],
+        ("_tmp_0", 0): ["param1_0 === void 0 ? {} : param1_0"],
+        "param1_0 === void 0 ? {} : param1_0":
+            ["_tmp_1 = param1_0 === void 0 ? {} : param1_0"],
+        "_tmp_1 = param1_0 === void 0 ? {} : param1_0": ["id"],
+        ("id", 0): ["_tmp_1"],
+        ("_tmp_1", 1): ["id"],
+        ("id", 1): ["_tmp_1.id"],
+        ("_tmp_1.id", 0): ["void 0"],
+        ("void 0", 1): ["_tmp_1.id === void 0"],
+        "_tmp_1.id === void 0": ["_tmp_2", "_tmp_1"],
+        ("_tmp_2", 0): ["_tmp_1.id === void 0 ? {} : _tmp_1.id"],
+        ("_tmp_1", 2): ["id"],
+        ("id", 2): ["_tmp_1.id"],
+        ("_tmp_1.id", 1): ["_tmp_1.id === void 0 ? {} : _tmp_1.id"],
+        "_tmp_1.id === void 0 ? {} : _tmp_1.id":
+            ["id = _tmp_1.id === void 0 ? {} : _tmp_1.id"],
+        "id = _tmp_1.id === void 0 ? {} : _tmp_1.id": ["b"],
+        ("b", 0): ["_tmp_1"],
+        ("_tmp_1", 3): ["b"],
+        ("b", 1): ["_tmp_1.b"],
+        "_tmp_1.b": ["b = _tmp_1.b"],
+        "b = _tmp_1.b": ["_tmp_1"],
+        ("_tmp_1", 4): ["{id = {}, b} = {}"],
+        ("{id = {}, b} = {}", 0, "BLOCK"): ["id"],
+    }, cite=MCITE + ":178-228"),
 ]
