@@ -358,3 +358,30 @@ void func(void) {
         ("baz", 2): ["delete baz"],
     }, cite=CITE + ":225-247"),
 ]
+
+CASES += [
+    # c2cpg/src/test/.../querying/AstQueryTests.scala:11-60 — nested call
+    # arguments ("x + 10" is argument 1 of bar; "boo(1+2)" of moo) and the
+    # callee set of foo.
+    dict(name="c-ast-query", lang="c", wrap=False, code="""
+ int foo(int y) {
+   int x = 10;
+   if (x > 10) {
+     moo(boo(1+2));
+     return bar(x + 10);
+   } else {
+     if (y > x) {
+       printf("reached");
+     }
+   }
+ }
+""",
+         calls=[["foo", "moo"], ["foo", "boo"], ["foo", "bar"],
+                ["foo", "printf"]],
+         ast={
+             ("moo(boo(1+2))", 0, "CALL"): ["boo(1+2)"],
+             ("boo(1+2)", 0, "CALL"): ["1+2"],
+             ("bar(x + 10)", 0, "CALL"): ["x + 10"],
+         },
+         cite="c2cpg/src/test/scala/io/joern/c2cpg/querying/AstQueryTests.scala:11-60"),
+]
