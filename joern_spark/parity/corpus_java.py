@@ -562,3 +562,19 @@ public enum FuzzyBool {
         cite=f"{JQ}/EnumTests.scala:8-29",
     ),
 ]
+
+CASES += [
+    # MethodReturnTests.scala:9-31 — RETURN node code keeps the trailing
+    # semicolon ("return 1;") with the literal as its only child; the
+    # method fullname carries the int return type.
+    dict(
+        name="java-method-return", lang="java", wrap=False,
+        code="""class Foo {
+  int foo() { return 1; }
+}
+""",
+        ast={("return 1;", 0, "RETURN"): ["1"]},
+        methods=[["foo", "Foo.foo:int()"]],
+        cite=f"{JQ}/MethodReturnTests.scala:9-31",
+    ),
+]
