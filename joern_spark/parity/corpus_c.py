@@ -385,3 +385,23 @@ CASES += [
          },
          cite="c2cpg/src/test/scala/io/joern/c2cpg/querying/AstQueryTests.scala:11-60"),
 ]
+
+CASES += [
+    # c2cpg/src/test/.../querying/CallGraphQueryTests.scala:10-35 —
+    # add called by main; main's named callee set; the nested-call
+    # argument shape add((1+2), 3).
+    dict(name="c-callgraph-query", lang="c", wrap=False, code="""
+int add(int x, int y) {
+  return x + y;
+}
+
+int main(int argc, char **argv) {
+  printf("%d\\n", add((1+2), 3));
+}
+""",
+         calls=[["main", "add"], ["main", "printf"]],
+         # the parenthesized argument keeps the INNER code "1+2"
+         # (:37-39 "argument '1+2' is passed to parameter 'x'")
+         ast={("add((1+2), 3)", 0, "CALL"): ["1+2", "3"]},
+         cite="c2cpg/src/test/scala/io/joern/c2cpg/querying/CallGraphQueryTests.scala:10-35"),
+]
