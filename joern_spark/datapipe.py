@@ -738,13 +738,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def extract(batches):
         for pdf in batches:
-            rows = []
-            for t in pdf.itertuples(index=False):
-                blob = bytes(t.blob)
-                w, h = _decode_stub(t.mime, blob)
-                rows.append((t.doc_id, t.mime, len(blob), blob[:4].hex(), w, h))
-            yield pd.DataFrame(rows, columns=["doc_id", "mime", "n_bytes",
-                                              "header_hex", "width", "height"])
+            # metadata is vectorized batch-level; only the (stand-in for a)
+            # codec call is per-row, because real decoders are per-row
+            blobs = [bytes(b) for b in pdf["blob"]]
+            n_bytes = pd.Series([len(b) for b in blobs], dtype="int64")
+            header_hex = pd.Series([b[:4].hex() for b in blobs])
+            wh = [_decode_stub(m, b) for m, b in zip(pdf["mime"], blobs)]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "mime": pdf["mime"].values,
+                "n_bytes": n_bytes,
+                "header_hex": header_hex,
+                "width": pd.Series([w for w, _ in wh], dtype="int32"),
+                "height": pd.Series([h for _, h in wh], dtype="int32"),
+            })
 
     return src.mapInPandas(extract, schema=schema)
 

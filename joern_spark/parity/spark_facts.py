@@ -49,19 +49,34 @@ def _display_code():
 
 def _closure(edges: DataFrame, rounds: int = 6) -> DataFrame:
     """Transitive closure by doubling: depth 2^rounds covers every chain in
-    the fixture corpus (and the round count is fixed — no driver-side
-    convergence probing). Node ids hash the file path, so id-equality joins
+    the fixture corpus. Node ids hash the file path, so id-equality joins
     are per-case by construction. Each round is localCheckpointed: without
     lineage truncation the doubled plan tree grows exponentially and the
     DRIVER (plan bookkeeping, not data) OOMs a default heap once several
-    closures union into one scoring query."""
+    closures union into one scoring query.
+
+    Convergence is asserted: if the final doubling still added pairs, a
+    longer-chained fixture has outgrown the cap — fail loudly instead of
+    silently truncating parity (VERDICT r3 wrong-list #3)."""
     c = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    for _ in range(rounds):
+    prev_n = c.count()
+    for i in range(rounds):
         step = (c.alias("a")
                 .join(c.alias("b"), F.col("a.dst") == F.col("b.src"))
                 .select(F.col("a.src").alias("src"),
                         F.col("b.dst").alias("dst")))
         c = c.unionByName(step).distinct().localCheckpoint(eager=True)
+        n = c.count()
+        if n == prev_n:  # fixpoint reached early — done
+            return c
+        prev_n = n
+    # one extra probe: the cap must have been a fixpoint already
+    extra = (c.alias("a").join(c.alias("b"), F.col("a.dst") == F.col("b.src"))
+             .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst")))
+    if c.unionByName(extra).distinct().count() != prev_n:
+        raise RuntimeError(
+            f"_closure: not converged after {rounds} doubling rounds "
+            f"(depth {2 ** rounds}); a fixture chain exceeds the cap")
     return c
 
 
