@@ -42,6 +42,12 @@ JAVA_TYPE_KEYWORDS = frozenset(
     "boolean byte char short int long float double void".split()
 )
 
+# bare primitives pass BY_VALUE; everything else (incl. arrays) BY_SHARING
+# (javasrc2cpg AstForMethodsCreator.scala:361)
+JAVA_PRIMITIVES = frozenset(
+    "boolean byte char short int long float double".split()
+)
+
 MODIFIERS = frozenset(
     """public private protected static final abstract native synchronized
     transient volatile strictfp sealed default""".split()
@@ -109,6 +115,18 @@ class JavaParser(CParser):
         # ControlStructureTests.scala:169-640)
         self.iterlocal_counter = 0
         self.idx_counter = 0
+        # generic type-parameter scopes: class/method `<T extends B>` lists
+        # mapped to their ERASURE (JavaParser symbol-solver behavior asserted
+        # in GenericsTests.scala:182-263, MethodParameterTests.scala:52-137)
+        self.tparam_env: list[dict[str, str]] = []
+        # class fullname -> [(resolved super fullname, [raw type-arg texts])]
+        # for supertypes written with type arguments — feeds the BINDING
+        # erasure variants (BindingTests.scala:7-77)
+        self.generic_supers: dict[str, list[tuple[str, list[str]]]] = {}
+        # record components per class fullname: [(raw type, resolved type,
+        # name, line)] (RecordTests.scala:10-131)
+        self.record_components: dict[str, list[tuple[str, str, str, int]]] = {}
+        self.compact_ctor_classes: set[str] = set()
 
     # ---------------- naming ----------------
     def resolve_type(self, name: str) -> str:
@@ -116,6 +134,12 @@ class JavaParser(CParser):
             return M.ANY
         base = name.rstrip("[]*")
         suffix = name[len(base):].replace("*", "[]")
+        # generic type parameters erase first, innermost scope wins
+        # (GenericsTests.scala:188-204: T -> java.lang.Object; :230-249
+        # bounded T -> its first bound)
+        for env in reversed(self.tparam_env):
+            if base in env:
+                return env[base] + suffix
         if base in self.declared_types:
             return self.declared_types[base] + suffix
         if base in self.imports:
@@ -123,6 +147,77 @@ class JavaParser(CParser):
         if base in JAVA_LANG:
             return JAVA_LANG[base] + suffix
         return name.replace("*", "[]")
+
+    def _parse_type_params(self) -> dict[str, str]:
+        """`<T, U extends Num & Cmp, V extends U>` -> {name: erased type}.
+
+        Erasure rules (javasrc2cpg via JavaParser's resolved type params,
+        asserted in GenericsTests.scala:188-263 and
+        MethodParameterTests.scala:52-137): unbounded -> java.lang.Object;
+        bounded -> FIRST bound (compound `A & B` keeps A); a bound that is
+        itself a type parameter of the same list chases transitively."""
+        self.expect("<")
+        raw: dict[str, str | None] = {}
+        order: list[str] = []
+        while self.peek() is not None and not self.at(">"):
+            self.skip_annotations()
+            t = self.peek()
+            if t.t != "id":
+                self.next()
+                continue
+            name = self.next().v
+            bound = None
+            if self.at("extends"):
+                self.next()
+                bound = self.parse_java_type()
+                while self.at("&"):
+                    self.next()
+                    self.parse_java_type()  # additional bounds are dropped
+            raw[name] = bound
+            order.append(name)
+            if self.at(","):
+                self.next()
+        if self.at(">"):
+            self.next()
+        env: dict[str, str] = {}
+
+        def erase(nm: str, seen: tuple = ()) -> str:
+            b = raw.get(nm)
+            if b is None:
+                return "java.lang.Object"
+            base = b.rstrip("[]")
+            if base in raw and base not in seen:
+                return erase(base, seen + (nm,))
+            return self.resolve_type(b)
+
+        for nm in order:
+            env[nm] = erase(nm)
+        return env
+
+    def _parse_super_type(self) -> tuple[str, list[str]]:
+        """One `extends`/`implements` entry -> (erased fullname, raw type-arg
+        texts). Type arguments feed the BINDING erasure variants."""
+        name = self.next().v
+        while self.at(".") and self.peek(1) is not None and self.peek(1).t == "id":
+            self.next()
+            name += "." + self.next().v
+        args: list[str] = []
+        if self.at("<"):
+            self.next()
+            depth = 1
+            start = self.peek()
+            while self.peek() is not None and depth:
+                t = self.next()
+                if t.v == "<":
+                    depth += 1
+                elif t.v == ">":
+                    depth -= 1
+                    if depth == 0 and start is not None:
+                        args.append(self.src[start.a:t.a].strip())
+                elif t.v == "," and depth == 1 and start is not None:
+                    args.append(self.src[start.a:t.a].strip())
+                    start = self.peek()
+        return self.resolve_type(name), [a for a in args if a]
 
     def qual(self, name: str) -> str:
         # nested types join with `$` per the reference's binary-name scheme
@@ -306,18 +401,38 @@ class JavaParser(CParser):
         full = self.qual(name)
         self.declared_types[name] = full
         self.typedefs.add(name)
-        if self.at("<"):
-            self.skip_balanced("<", ">")
+        # class-level type parameters erase for the whole body
+        # (GenericsTests.scala:93-136 `class Foo<T extends Number>`)
+        env = self._parse_type_params() if self.at("<") else {}
+        self.tparam_env.append(env)
         if kw == "record" and self.at("("):
-            self.skip_balanced("(", ")")
+            # record header components -> MEMBER + accessor + canonical
+            # `<init>` synthesis (RecordTests.scala:10-131)
+            self.next()
+            comps: list[tuple[str, str, str, int]] = []
+            while self.peek() is not None and not self.at(")"):
+                self.skip_annotations()
+                t0 = self.peek()
+                rty = self.parse_java_type()
+                if self.peek() is not None and self.peek().t == "id":
+                    nm = self.next()
+                    comps.append((rty, self.resolve_type(rty), nm.v, t0.line))
+                if self.at(","):
+                    self.next()
+            if self.at(")"):
+                self.next()
+            self.record_components[full] = comps
         inherits: list[str] = []
         had_extends = False
         while self.at_any(("extends", "implements", "permits")):
             which = self.next().v
             while True:
-                base = self.parse_java_type()
+                base, targs = self._parse_super_type()
                 if which != "permits":
-                    inherits.append(self.resolve_type(base))
+                    inherits.append(base)
+                    if targs:
+                        self.generic_supers.setdefault(full, []).append(
+                            (base, targs))
                     if which == "extends":
                         had_extends = True
                 if self.at(","):
@@ -328,10 +443,12 @@ class JavaParser(CParser):
         # (TypeDeclTests.scala:423-426 inner class implementing an interface
         # inherits [java.lang.Object, ...iface]; :409 bare interface ->
         # [java.lang.Object]; :389 explicit extends suppresses it); enums
-        # extend java.lang.Enum instead (EnumTests.scala:27-29)
+        # extend java.lang.Enum, records java.lang.Record
+        # (EnumTests.scala:27-29, RecordTests.scala:21-23)
         if not had_extends:
-            inherits.insert(0, "java.lang.Enum" if kw == "enum"
-                            else "java.lang.Object")
+            implicit = {"enum": "java.lang.Enum",
+                        "record": "java.lang.Record"}.get(kw, "java.lang.Object")
+            inherits.insert(0, implicit)
         # nested type-decl NAME carries the $-joined path from the top-level
         # class (cpg.typeDecl.nameExact("OuterClass$InnerInterface"),
         # TypeDeclTests.scala:407-409); code keeps the simple name
@@ -359,14 +476,161 @@ class JavaParser(CParser):
         # initializers into EVERY constructor body as `this.<f> = <init>`
         # (MemberTests.scala:114-160).
         inits = self.member_inits.pop(full, [])
-        if kw != "interface":
+        if kw == "record":
+            self._synthesize_record_parts(decl, full, kw_tok.line)
+        elif kw != "interface":
             if M.CONSTRUCTOR not in self.class_methods.get(full, {}):
                 decl.add(self._default_constructor(full, kw_tok.line, inits))
             elif inits:
                 for m in decl.children:
                     if m.kind == M.METHOD and m.name == M.CONSTRUCTOR:
                         self._inject_member_inits(m, full, inits)
+        self._emit_external_bindings(decl, full)
+        self.tparam_env.pop()
         return decl
+
+    def _record_accessor(self, full: str, rty: str, ty: str, nm: str,
+                         line: int) -> N:
+        """`public String value()` returning `this.value`
+        (RecordTests.scala:81-130)."""
+        m = N(M.METHOD, code=f"public {rty} {nm}()", name=nm,
+              full_name=f"{full}.{nm}:{ty}()", signature=f"{ty}()", line=line,
+              ast_parent_type=M.TYPE_DECL, ast_parent_full_name=full)
+        this = N(M.METHOD_PARAMETER_IN, code="this", name="this",
+                 type_full_name=full, param_index=0, line=line,
+                 evaluation_strategy=M.BY_SHARING)
+        m.add(this)
+        body = N(M.BLOCK, line=line)
+        this_id = N(M.IDENTIFIER, code="this", name="this",
+                    type_full_name=full, arg_index=1, line=line)
+        this_id.ref_target = this
+        fld = N(M.FIELD_IDENTIFIER, code=nm, name=nm, canonical_name=nm,
+                arg_index=2, line=line)
+        fa = N(M.CALL, code=f"this.{nm}", name=M.OP_FIELD_ACCESS,
+               method_full_name=M.OP_FIELD_ACCESS,
+               dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
+               arg_index=1, line=line)
+        fa.add(this_id, fld)
+        ret = N(M.RETURN, code=f"return this.{nm}", line=line)
+        ret.add(fa)
+        body.add(ret)
+        m.add(body)
+        m.add(N(M.METHOD_RETURN, code="RET", type_full_name=ty,
+                evaluation_strategy=M.BY_VALUE, line=line))
+        return m
+
+    def _canonical_record_ctor(self, full: str, line: int) -> N:
+        """Canonical `<init>` assigning every component
+        (RecordTests.scala:179-217)."""
+        comps = self.record_components.get(full, [])
+        tys = [ty for _, ty, _, _ in comps]
+        simple = full.split(".")[-1].split("$")[-1]
+        ctor = N(M.METHOD, code=f"public {simple}({', '.join(tys)})",
+                 name=M.CONSTRUCTOR,
+                 full_name=f"{full}.{M.CONSTRUCTOR}:void({','.join(tys)})",
+                 signature=f"void({','.join(tys)})", line=line,
+                 ast_parent_type=M.TYPE_DECL, ast_parent_full_name=full)
+        this = N(M.METHOD_PARAMETER_IN, code="this", name="this",
+                 type_full_name=full, param_index=0, line=line,
+                 evaluation_strategy=M.BY_SHARING)
+        ctor.add(this)
+        params = []
+        for i, (rty, ty, nm, _ln) in enumerate(comps, start=1):
+            p = N(M.METHOD_PARAMETER_IN, code=f"{rty} {nm}", name=nm,
+                  type_full_name=ty, param_index=i, line=line,
+                  evaluation_strategy=(M.BY_VALUE if ty in JAVA_PRIMITIVES
+                                       else M.BY_SHARING))
+            ctor.add(p)
+            params.append(p)
+        body = N(M.BLOCK, line=line)
+        for (rty, ty, nm, _ln), p in zip(comps, params):
+            body.add(self._record_component_assign(full, ty, nm, line, this, p))
+        ctor.add(body)
+        ctor.add(N(M.METHOD_RETURN, code="RET", type_full_name="void",
+                   evaluation_strategy=M.BY_VALUE, line=line))
+        return ctor
+
+    def _record_component_assign(self, full: str, ty: str, nm: str, line: int,
+                                 this_param: N, value_param: N | None) -> N:
+        this_id = N(M.IDENTIFIER, code="this", name="this",
+                    type_full_name=full, arg_index=1, line=line)
+        this_id.ref_target = this_param
+        fld = N(M.FIELD_IDENTIFIER, code=nm, name=nm, canonical_name=nm,
+                arg_index=2, line=line)
+        fa = N(M.CALL, code=f"this.{nm}", name=M.OP_FIELD_ACCESS,
+               method_full_name=M.OP_FIELD_ACCESS,
+               dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
+               arg_index=1, line=line)
+        fa.add(this_id, fld)
+        val = N(M.IDENTIFIER, code=nm, name=nm, type_full_name=ty,
+                arg_index=2, line=line)
+        if value_param is not None:
+            val.ref_target = value_param
+        asg = N(M.CALL, code=f"this.{nm} = {nm}", name=M.OP_ASSIGNMENT,
+                method_full_name=M.OP_ASSIGNMENT,
+                dispatch_type=M.STATIC_DISPATCH, type_full_name=ty, line=line)
+        asg.add(fa, val)
+        return asg
+
+    def _synthesize_record_parts(self, decl: N, full: str, line: int) -> None:
+        comps = self.record_components.get(full, [])
+        if not comps:
+            return
+        declared = {c.name for c in decl.children if c.kind == M.METHOD}
+        for rty, ty, nm, ln in comps:
+            decl.add(N(M.MEMBER, code=f"{rty} {nm}", name=nm,
+                       type_full_name=ty, line=ln,
+                       ast_parent_type=M.TYPE_DECL,
+                       ast_parent_full_name=full))
+            if nm not in declared:
+                decl.add(self._record_accessor(full, rty, ty, nm, ln))
+        canon_sig = f"void({','.join(ty for _, ty, _, _ in comps)})"
+        have_canon = full in self.compact_ctor_classes or any(
+            c.kind == M.METHOD and c.name == M.CONSTRUCTOR
+            and c.signature == canon_sig for c in decl.children)
+        if not have_canon:
+            decl.add(self._canonical_record_ctor(full, line))
+
+    def _emit_external_bindings(self, decl: N, full: str) -> None:
+        """BINDING children for erased signatures inherited from EXTERNAL
+        generic supertypes: a method whose parameter types equal the
+        supertype's type arguments also binds under the argument positions
+        erased to java.lang.Object (BindingTests.scala:16-27: SomeConsumer
+        implements Consumer<Integer> -> accept binds void(java.lang.Integer)
+        AND void(java.lang.Object)). Internal supertypes are handled by the
+        distributed binding pass over the inheritance closure."""
+        sups = self.generic_supers.get(full)
+        if not sups:
+            return
+        internal = set(self.declared_types.values())
+        ext = [(s, targs) for s, targs in sups if s not in internal]
+        if not ext:
+            return
+        for m in [c for c in decl.children
+                  if c.kind == M.METHOD and c.name != M.CONSTRUCTOR]:
+            sig = m.signature
+            if "(" not in sig:
+                continue
+            ret, inner = sig.split("(", 1)
+            inner = inner.rstrip(")")
+            params = inner.split(",") if inner else []
+            for _sfn, targs in ext:
+                erased_args = set()
+                for a in targs:
+                    base = a.split("<", 1)[0].strip()
+                    if base and base != "?":
+                        erased_args.add(self.resolve_type(base))
+                mapped = ["java.lang.Object" if p in erased_args else p
+                          for p in params]
+                if mapped == params:
+                    continue
+                bsig = f"{ret}({','.join(mapped)})"
+                b = N(M.BINDING, code=f"{m.name}:{bsig}", name=m.name,
+                      signature=bsig, method_full_name=m.full_name,
+                      line=m.line, ast_parent_type=M.TYPE_DECL,
+                      ast_parent_full_name=full)
+                b.ref_target = m
+                decl.add(b)
 
     def _member_init_assign(self, class_full: str, fname: str, ty: str,
                             init: N, line: int, this_param: N | None) -> N:
@@ -444,17 +708,73 @@ class JavaParser(CParser):
                 j = i - 1
                 if toks[j].t == "id":
                     mname = toks[j].v
-                    # find return type token(s) before name; detect static
+                    # find return type token(s) before name; detect static;
+                    # collect a method-level `<T extends B>` group so the
+                    # registered signature is ERASED like the parsed one
+                    # (GenericsTests.scala:43-51 call mfn uses erased types)
                     k = j - 1
                     is_static = False
                     ret = "void"
-                    # walk back over type tokens
-                    tp_end = k
-                    while k >= 0 and toks[k].v in ("]", "[", ">", "<") :
+                    genv: dict[str, str] = {}
+                    while k >= 0 and toks[k].v in ("]", "["):
                         k -= 1
+                    if k >= 0 and toks[k].v == ">":
+                        # return type's own generic args — skip balanced
+                        d = 1
+                        k -= 1
+                        while k >= 0 and d:
+                            if toks[k].v == ">":
+                                d += 1
+                            elif toks[k].v == "<":
+                                d -= 1
+                            k -= 1
                     if k >= 0 and (toks[k].t == "id" or (toks[k].t == "kw" and toks[k].v in JAVA_TYPE_KEYWORDS)):
                         ret = toks[k].v
                         k -= 1
+                    while k >= 1 and toks[k].v == "." and toks[k - 1].t == "id":
+                        k -= 2
+                    if k >= 0 and toks[k].v == ">":
+                        # method type-parameter group: collect back to '<'
+                        d = 1
+                        k -= 1
+                        grp = []
+                        while k >= 0 and d:
+                            if toks[k].v == ">":
+                                d += 1
+                            elif toks[k].v == "<":
+                                d -= 1
+                            if d:
+                                grp.append(toks[k])
+                            k -= 1
+                        grp.reverse()
+                        # parse `T [extends Bound[.Q]*] [, ...]` erasures
+                        gi = 0
+                        while gi < len(grp):
+                            if grp[gi].t != "id":
+                                gi += 1
+                                continue
+                            tp_name = grp[gi].v
+                            gi += 1
+                            bound = None
+                            if gi < len(grp) and grp[gi].v == "extends":
+                                gi += 1
+                                parts = []
+                                while gi < len(grp) and (grp[gi].t == "id" or grp[gi].v == "."):
+                                    parts.append(grp[gi].v)
+                                    gi += 1
+                                bound = "".join(parts)
+                                # drop compound `& B` bounds
+                                while gi < len(grp) and grp[gi].v != ",":
+                                    gi += 1
+                            genv[tp_name] = (self.resolve_type(bound)
+                                             if bound else "java.lang.Object")
+                            while gi < len(grp) and grp[gi].v != ",":
+                                gi += 1
+                            gi += 1
+                        # chase param-as-bound one level (U extends T)
+                        for tp_name, b in list(genv.items()):
+                            if b in genv:
+                                genv[tp_name] = genv[b]
                     while k >= 0 and toks[k].v in MODIFIERS:
                         if toks[k].v == "static":
                             is_static = True
@@ -473,7 +793,8 @@ class JavaParser(CParser):
                             if d2 == 0:
                                 break
                         elif d2 == 1 and expect_type and (toks[m2].t == "id" or (toks[m2].t == "kw" and toks[m2].v in JAVA_TYPE_KEYWORDS)):
-                            ptypes.append(self.resolve_type(toks[m2].v))
+                            pv = toks[m2].v
+                            ptypes.append(genv.get(pv) or self.resolve_type(pv))
                             expect_type = False
                         elif d2 == 1 and vv == ",":
                             expect_type = True
@@ -482,7 +803,7 @@ class JavaParser(CParser):
                         fullname = f"{class_full}.{M.CONSTRUCTOR}:void({','.join(ptypes)})"
                         self.class_methods[class_full][M.CONSTRUCTOR] = (fullname, False)
                     else:
-                        sig = f"{self.resolve_type(ret)}({','.join(ptypes)})"
+                        sig = f"{genv.get(ret) or self.resolve_type(ret)}({','.join(ptypes)})"
                         self.class_methods[class_full][mname] = (f"{class_full}.{mname}:{sig}", is_static)
                     # skip past this member's body/semicolon
             i += 1
@@ -506,15 +827,32 @@ class JavaParser(CParser):
             return None
         if t.v in ("class", "interface", "enum", "record"):
             return self.parse_java_class(t.v)
-        if self.at("<"):  # generic method type params
-            self.skip_balanced("<", ">")
+        if self.at("<"):  # generic method type params — erase for this member
+            self.tparam_env.append(self._parse_type_params())
+            try:
+                return self._parse_member_tail(class_full, class_kw, is_static)
+            finally:
+                self.tparam_env.pop()
+        return self._parse_member_tail(class_full, class_kw, is_static)
+
+    def _parse_member_tail(self, class_full: str, class_kw: str,
+                           is_static: bool):
         start = self.peek()
+        if start is None:
+            return None
         # constructor
-        cls_simple = class_full.split(".")[-1]
-        if start is not None and start.t == "id" and start.v == cls_simple and self.at("(", 1):
+        cls_simple = class_full.split(".")[-1].split("$")[-1]
+        if start.t == "id" and start.v == cls_simple and self.at("(", 1):
             self.next()
             return self.parse_java_method("void", M.CONSTRUCTOR, start, class_full,
                                           is_static=False)
+        # compact record constructor: `public Foo { ... }` — becomes the
+        # canonical ctor: record-component params, `this.x = x` assigns
+        # FIRST, then the compact body (RecordTests.scala:25-70)
+        if (class_kw == "record" and start.t == "id" and start.v == cls_simple
+                and self.at("{", 1)):
+            self.next()
+            return self._parse_compact_ctor(class_full, start)
         if class_kw == "enum" and start is not None and start.t == "id" and not self.looks_like_java_type():
             # enum constants: IDENT [,(args)] ... until ';'
             while self.peek() is not None and not self.at(";") and not self.at("}"):
@@ -571,6 +909,42 @@ class JavaParser(CParser):
             self.next()
         return members
 
+    def _parse_compact_ctor(self, class_full: str, start: Tok) -> N:
+        comps = self.record_components.get(class_full, [])
+        tys = [ty for _, ty, _, _ in comps]
+        simple = class_full.split(".")[-1].split("$")[-1]
+        ctor = N(M.METHOD, code=f"public {simple}", name=M.CONSTRUCTOR,
+                 full_name=f"{class_full}.{M.CONSTRUCTOR}:void({','.join(tys)})",
+                 signature=f"void({','.join(tys)})", line=start.line,
+                 ast_parent_type=M.TYPE_DECL, ast_parent_full_name=class_full)
+        self.push_scope()
+        this = N(M.METHOD_PARAMETER_IN, code="this", name="this",
+                 type_full_name=class_full, param_index=0, line=start.line,
+                 evaluation_strategy=M.BY_SHARING)
+        ctor.add(this)
+        self.declare("this", this)
+        params = []
+        for i, (rty, ty, nm, _ln) in enumerate(comps, start=1):
+            p = N(M.METHOD_PARAMETER_IN, code=f"{rty} {nm}", name=nm,
+                  type_full_name=ty, param_index=i, line=start.line,
+                  evaluation_strategy=(M.BY_VALUE if ty in JAVA_PRIMITIVES
+                                       else M.BY_SHARING))
+            ctor.add(p)
+            params.append(p)
+            self.declare(nm, p)
+        body = self.parse_compound()
+        for (rty, ty, nm, _ln), p in reversed(list(zip(comps, params))):
+            body.children.insert(0, self._record_component_assign(
+                class_full, ty, nm, start.line, this, p))
+        ctor.add(body)
+        ctor.add(N(M.METHOD_RETURN, code="RET", type_full_name="void",
+                   evaluation_strategy=M.BY_VALUE, line=start.line))
+        self.pop_scope()
+        self.compact_ctor_classes.add(class_full)
+        self.class_methods.setdefault(class_full, {})[M.CONSTRUCTOR] = (
+            ctor.full_name, False)
+        return ctor
+
     def _maybe_member_init(self, class_full: str, name: str, ty: str,
                            is_static: bool, line: int) -> None:
         """Capture a non-static field initializer expression; javasrc2cpg
@@ -596,22 +970,27 @@ class JavaParser(CParser):
     def parse_java_method(self, ret_ty: str, name: str, start: Tok,
                           class_full: str, is_static: bool):
         self.expect("(")
-        params: list[tuple[str, str, bool]] = []
+        # (resolved type, raw source type, name, variadic) — code keeps the
+        # raw spelling ("String s", SynchronizedTests.scala:46)
+        params: list[tuple[str, str, str, bool]] = []
         while not self.at(")"):
             self.skip_annotations()
             while self.at("final"):
                 self.next()
-            pty = self.resolve_type(self.parse_java_type())
+            raw_pty = self.parse_java_type()
+            pty = self.resolve_type(raw_pty)
             variadic = False
             if self.at("..."):
                 self.next()
                 variadic = True
                 pty += "[]"
+                raw_pty += "..."
             pname = self.next().v if self.peek() is not None and self.peek().t == "id" else ""
             while self.at("[") and self.at("]", 1):
                 self.next(); self.next()
                 pty += "[]"
-            params.append((pty, pname, variadic))
+                raw_pty += "[]"
+            params.append((pty, raw_pty, pname, variadic))
             if self.at(","):
                 self.next()
         self.expect(")")
@@ -641,10 +1020,14 @@ class JavaParser(CParser):
                      evaluation_strategy=M.BY_SHARING)
             method.add(this)
             self.declare("this", this)
-        for i, (pty, pname, var) in enumerate(params, start=1):
-            p = N(M.METHOD_PARAMETER_IN, code=f"{pty} {pname}".strip(), name=pname,
+        for i, (pty, raw_pty, pname, var) in enumerate(params, start=1):
+            # primitives BY_VALUE, objects/arrays BY_SHARING
+            # (AstForMethodsCreator.scala:361; MethodParameterTests.scala:27-45)
+            p = N(M.METHOD_PARAMETER_IN, code=f"{raw_pty} {pname}".strip(), name=pname,
                   type_full_name=pty, param_index=i, is_variadic=var,
-                  line=start.line, evaluation_strategy=M.BY_SHARING)
+                  line=start.line,
+                  evaluation_strategy=(M.BY_VALUE if pty in JAVA_PRIMITIVES
+                                       else M.BY_SHARING))
             method.add(p)
             if pname:
                 self.declare(pname, p)
@@ -669,9 +1052,19 @@ class JavaParser(CParser):
             self.next()
             return [self.parse_compound()]
         if t.v in ("synchronized",) and self.at("(", 1):
-            self.next()
-            self.skip_balanced("(", ")")
-            return [self.parse_compound()]
+            # synchronized(expr) { ... } -> BLOCK [MODIFIER, expr, BLOCK]
+            # (SynchronizedTests.scala:52-62)
+            kw = self.next()
+            self.expect("(")
+            expr = self.parse_expression()
+            self.expect(")")
+            blk = N(M.BLOCK, code=f"synchronized ({expr.code})", line=kw.line,
+                    type_full_name="void")
+            mod = N(M.MODIFIER, code="SYNCHRONIZED", name="SYNCHRONIZED",
+                    line=kw.line)
+            body = self.parse_compound()
+            blk.add(mod, expr, body)
+            return [blk]
         if t.v == "assert":
             self.next()
             expr = self.parse_expression()
@@ -713,7 +1106,26 @@ class JavaParser(CParser):
             k += 1
         self.pos = save
         if not is_foreach:
-            return super().parse_for()
+            # classic for keeps the reference's full-header code
+            # "for (int i = 0; i < c; i++)" (ControlStructureTests:797-799)
+            d = 0
+            j = save + 1
+            close = None
+            while j < len(self.toks):
+                v = self.toks[j].v
+                if v == "(":
+                    d += 1
+                elif v == ")":
+                    d -= 1
+                    if d == 0:
+                        close = self.toks[j]
+                        break
+                j += 1
+            node = super().parse_for()
+            if close is not None and node.kind == M.CONTROL_STRUCTURE:
+                open_tok = self.toks[save + 1]
+                node.code = f"for ({self.src[open_tok.b:close.a].strip()})"
+            return node
         kw_tok = self.next()
         self.expect("(")
         self.push_scope()
@@ -865,6 +1277,107 @@ class JavaParser(CParser):
         wrap = N(M.BLOCK, code="", line=line, type_full_name="void")
         wrap.add(*prelude, node)
         return wrap
+
+    def parse_throw(self) -> N:
+        th = self.peek()
+        node = super().parse_throw()
+        # javasrc keeps the trailing semicolon in the code
+        # ("throw ex;", NewControlStructureTests:766-783)
+        end = self.toks[self.pos - 1]
+        node.code = self.slice(th, end)
+        return node
+
+    def parse_switch(self) -> N:
+        # arrow-form (switch EXPRESSION) detection: '->' before any ':' at
+        # brace depth 1 → MATCH control structure (ControlStructureTests:
+        # 956-1027); classic form reuses the C lowering with javasrc's
+        # "switch(<sel>)" code spelling (ControlStructureTests:892-894)
+        j = self.pos
+        depth = 0
+        brace = None
+        while j < len(self.toks):
+            v = self.toks[j].v
+            if v == "(":
+                depth += 1
+            elif v == ")":
+                depth -= 1
+            elif v == "{" and depth == 0:
+                brace = j
+                break
+            j += 1
+        arrow = False
+        if brace is not None:
+            d = 0
+            for k in range(brace, len(self.toks)):
+                v = self.toks[k].v
+                if v == "{":
+                    d += 1
+                elif v == "}":
+                    d -= 1
+                    if d == 0:
+                        break
+                elif v == "->" and d == 1:
+                    arrow = True
+                    break
+                elif v == ":" and d == 1:
+                    break
+        if arrow:
+            return self._parse_arrow_switch()
+        node = super().parse_switch()
+        node.code = f"switch({node.children[0].code})"
+        return node
+
+    def _parse_arrow_switch(self) -> N:
+        """switch expression with `case X -> result;` arms → MATCH control
+        structure: body children are JUMP_TARGET("case", <label>), the label
+        literal, then the result expression per arm; `default ->` contributes
+        JUMP_TARGET("default") + result (ControlStructureTests.scala:969-1026)."""
+        kw = self.next()
+        self.expect("(")
+        sel = self.parse_expression()
+        self.expect(")")
+        node = N(M.CONTROL_STRUCTURE, code=f"switch({sel.code})",
+                 control_structure_type=M.CS_MATCH, line=kw.line)
+        sel.role = M.ROLE_CONDITION
+        node.add(sel)
+        open_tok = self.expect("{")
+        body = N(M.BLOCK, code="", line=open_tok.line, type_full_name="void")
+        self.push_scope()
+        while self.peek() is not None and not self.at("}"):
+            if self.at("case"):
+                c = self.next()
+                lstart = self.peek()
+                while self.peek() is not None and not self.at("->"):
+                    self.next()
+                lend = self.toks[self.pos - 1]
+                label = self.src[lstart.a:lend.b].strip() if lstart is not None else ""
+                body.add(N(M.JUMP_TARGET, code=label, name="case", line=c.line))
+                body.add(N(M.LITERAL, code=label, line=c.line))
+            elif self.at("default"):
+                d = self.next()
+                while self.peek() is not None and not self.at("->"):
+                    self.next()
+                body.add(N(M.JUMP_TARGET, code="default", name="default",
+                           line=d.line))
+            else:
+                self.next()
+                continue
+            if self.at("->"):
+                self.next()
+            if self.at("{"):
+                body.add(self.parse_compound())
+            else:
+                expr = self.parse_expression()
+                if expr is not None:
+                    body.add(expr)
+                if self.at(";"):
+                    self.next()
+        if self.at("}"):
+            self.next()
+        self.pop_scope()
+        body.role = M.ROLE_WHEN_TRUE
+        node.add(body)
+        return node
 
     def parse_try(self) -> N:
         kw = self.next()

@@ -51,6 +51,7 @@ JUMP_LABEL = "JUMP_LABEL"
 MODIFIER = "MODIFIER"
 UNKNOWN = "UNKNOWN"
 COMMENT = "COMMENT"
+BINDING = "BINDING"  # vtable entry: (name, signature) -> METHOD (BindingTableAdapterImpls.scala)
 IMPORT = "IMPORT"
 FINDING = "FINDING"
 
@@ -74,6 +75,7 @@ NON_CFG_KINDS = frozenset(
         META_DATA,
         COMMENT,
         IMPORT,
+        BINDING,
     }
 )
 

@@ -162,7 +162,12 @@ def ast_edges(nodes: DataFrame) -> DataFrame:
 
     role_map = F.create_map(*[F.lit(x) for kv in M.ROLE_EDGE_LABELS.items() for x in kv])
     candidates = F.array(
-        edge(F.col("parent_id").isNotNull(), F.col("parent_id"), F.col("id"), M.AST),
+        # BINDING children attach via BINDS (vtable entry), not AST
+        # (BindingTableAdapterImpls.scala: typeDecl -BINDS-> binding)
+        edge(F.col("parent_id").isNotNull() & (F.col("kind") != M.BINDING),
+             F.col("parent_id"), F.col("id"), M.AST),
+        edge(F.col("parent_id").isNotNull() & (F.col("kind") == M.BINDING),
+             F.col("parent_id"), F.col("id"), M.BINDS),
         edge((F.col("role") != "") & F.col("parent_id").isNotNull(),
              F.col("parent_id"), F.col("id"), role_map[F.col("role")]),
         # ARGUMENT comes only from CALL/RETURN parents: the parser assigns
@@ -214,7 +219,12 @@ def derived_edges(nodes: DataFrame) -> DataFrame:
 
     role_map = F.create_map(*[F.lit(x) for kv in M.ROLE_EDGE_LABELS.items() for x in kv])
     candidates = F.array(
-        edge(F.col("parent_id").isNotNull(), F.col("parent_id"), F.col("id"), M.AST),
+        # BINDING children attach via BINDS (vtable entry), not AST
+        # (BindingTableAdapterImpls.scala: typeDecl -BINDS-> binding)
+        edge(F.col("parent_id").isNotNull() & (F.col("kind") != M.BINDING),
+             F.col("parent_id"), F.col("id"), M.AST),
+        edge(F.col("parent_id").isNotNull() & (F.col("kind") == M.BINDING),
+             F.col("parent_id"), F.col("id"), M.BINDS),
         edge((F.col("role") != "") & F.col("parent_id").isNotNull(),
              F.col("parent_id"), F.col("id"), role_map[F.col("role")]),
         edge((F.col("arg_index") >= 0) & F.col("parent_id").isNotNull(),

@@ -44,7 +44,7 @@ PARTIAL_RELATIONS = {"cdg"}
 NON_CFG_KINDS = (
     M.LOCAL, M.MODIFIER, M.TYPE_DECL, M.MEMBER, M.JUMP_LABEL,
     M.METHOD_PARAMETER_IN, M.METHOD_PARAMETER_OUT, M.NAMESPACE_BLOCK,
-    M.FILE, M.META_DATA, M.TYPE, M.NAMESPACE,
+    M.FILE, M.META_DATA, M.TYPE, M.NAMESPACE, M.BINDING,
 )
 
 _EXT = {"c": "c", "cpp": "cpp", "java": "java", "javascript": "js"}
