@@ -875,9 +875,11 @@ class CParser:
     def parse_if(self) -> N:
         kw = self.next()
         cond, close = self.parse_condition_parens()
-        node = N(M.CONTROL_STRUCTURE, code=f"if ({self.src[kw.b:close.a].strip().lstrip('(')})",
+        inner = self.src[kw.b:close.a].strip()
+        if inner.startswith("("):  # drop exactly the header's own open paren
+            inner = inner[1:].lstrip()
+        node = N(M.CONTROL_STRUCTURE, code=f"if ({inner})",
                  control_structure_type=M.CS_IF, line=kw.line)
-        node.code = "if (" + self.src[self.toks_index_after(kw).a:close.a] + ")"
         cond = self.wrap_condition(cond)
         cond.role = M.ROLE_CONDITION
         node.add(cond)
@@ -887,11 +889,17 @@ class CParser:
         if self.at("else"):
             e = self.next()
             els_stmt = self.parse_statement()
-            els = N(M.CONTROL_STRUCTURE, code="else", control_structure_type=M.CS_ELSE,
-                    role=M.ROLE_WHEN_FALSE, line=e.line)
-            els.add(*els_stmt)
-            node.add(els)
+            node.add(self.make_else(e, els_stmt))
         return node
+
+    def make_else(self, e: Tok, stmts: list[N]) -> N:
+        """C/C++/JS: an ELSE control structure wrapping the else branch
+        (c2cpg AstForStatementsCreator). javasrc overrides this with a plain
+        false-body BLOCK (ControlStructureTests.scala:701-716)."""
+        els = N(M.CONTROL_STRUCTURE, code="else", control_structure_type=M.CS_ELSE,
+                role=M.ROLE_WHEN_FALSE, line=e.line)
+        els.add(*stmts)
+        return els
 
     def toks_index_after(self, tok: Tok) -> Tok:
         # first token after `tok` — used for code slices like `if (<...>)`;
@@ -1362,6 +1370,7 @@ class CParser:
                 node = call
             elif self.at(".") or self.at("->"):
                 arrow = self.next().v == "->"
+                self.skip_explicit_type_args()  # Java `x.<T>m()` — no-op here
                 fld_tok = self.next()
                 if self.at("("):
                     # member call: receiver.method(args)
@@ -1392,6 +1401,12 @@ class CParser:
 
     def try_tagged_template(self, node: "N", start: "Tok") -> "N | None":
         """JS hook: `tag\`...\`` tagged template calls; no-op for C."""
+        return None
+
+    def skip_explicit_type_args(self) -> None:
+        """Java hook: explicit type arguments in `recv.<T1,T2>method(...)`
+        are consumed (erasure drops them); no-op for C/JS where `.<` cannot
+        start a member access."""
         return None
 
     # ---------------- macro expansion (MacroHandler.scala:31-118) -----------

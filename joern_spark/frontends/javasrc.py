@@ -53,6 +53,16 @@ MODIFIERS = frozenset(
     transient volatile strictfp sealed default""".split()
 )
 
+# common java.util types resolvable under `import java.util.*;` — the
+# reference resolves these through the JDK type solver
+# (MethodParameterTests.scala:153-165 List<String> -> java.util.List)
+JAVA_UTIL = frozenset(
+    """List Map Set ArrayList HashMap HashSet LinkedList LinkedHashMap
+    Iterator Collection Collections Arrays Optional Queue Deque ArrayDeque
+    TreeMap TreeSet Stack Vector Objects Comparator Scanner Random
+    UUID Date Calendar""".split()
+)
+
 # java.lang implicit imports — resolved like javasrc2cpg's TypeInfoCalculator
 JAVA_LANG = {
     n: f"java.lang.{n}"
@@ -105,6 +115,8 @@ class JavaParser(CParser):
         super().__init__(content, path, "java")
         self.package = ""
         self.imports: dict[str, str] = {}  # simple name -> fqn
+        self.star_java_util = False      # `import java.util.*;` seen
+        self.unknown_star_import = False  # non-JDK wildcard import seen
         self.lambda_counter = 0
         # methods declared per class fullname: name -> (fullname, is_static)
         self.class_methods: dict[str, dict[str, tuple[str, bool]]] = {}
@@ -146,6 +158,15 @@ class JavaParser(CParser):
             return self.imports[base] + suffix
         if base in JAVA_LANG:
             return JAVA_LANG[base] + suffix
+        if self.star_java_util and base in JAVA_UTIL:
+            return f"java.util.{base}{suffix}"
+        # a simple class-like name that could only come from an unresolvable
+        # wildcard import -> <unresolvedNamespace> prefix
+        # (GenericsTests.scala:89-96 `import a.*; Bar<Integer>` ->
+        # <unresolvedNamespace>.Bar)
+        if (self.unknown_star_import and "." not in base
+                and base[:1].isupper() and base not in JAVA_TYPE_KEYWORDS):
+            return f"{M.UNRESOLVED_NAMESPACE}.{base}{suffix}"
         return name.replace("*", "[]")
 
     def _parse_type_params(self) -> dict[str, str]:
@@ -373,6 +394,12 @@ class JavaParser(CParser):
                     self.next()
                 if not star and parts:
                     self.imports[parts[-1]] = ".".join(parts)
+                elif star:
+                    pkg = ".".join(parts)
+                    if pkg == "java.util":
+                        self.star_java_util = True
+                    else:
+                        self.unknown_star_import = True
                 continue
             if t.v == ";":
                 self.next()
@@ -1044,6 +1071,15 @@ class JavaParser(CParser):
     def wrap_condition(self, cond: N) -> N:
         return cond  # Java conditions are boolean — no !=0 wrap
 
+    def make_else(self, e: Tok, stmts: list[N]) -> N:
+        """javasrc: the else branch is a plain BLOCK reached via FALSE_BODY
+        (an else-if chain nests the second IF inside that block,
+        ControlStructureTests.scala:701-716)."""
+        b = N(M.BLOCK, code="", role=M.ROLE_WHEN_FALSE, line=e.line,
+              type_full_name="void")
+        b.add(*stmts)
+        return b
+
     def parse_statement(self) -> list[N]:
         t = self.peek()
         if t is None:
@@ -1199,7 +1235,10 @@ class JavaParser(CParser):
                                      mk_ident(src, src_decl, src_ty), rhs,
                                      src_ty))
 
-        item_loc = N(M.LOCAL, code=f"{raw_ty} {item}", name=item,
+        # array form keeps the declaration code; the iterator form's local is
+        # synthesized bare ("item", ControlStructureTests.scala:636-638)
+        item_loc = N(M.LOCAL,
+                     code=f"{raw_ty} {item}" if is_array else item, name=item,
                      type_full_name=ty, line=name_tok.line)
         self.declare(item, item_loc)
 
@@ -1286,6 +1325,44 @@ class JavaParser(CParser):
         end = self.toks[self.pos - 1]
         node.code = self.slice(th, end)
         return node
+
+    def skip_explicit_type_args(self) -> None:
+        """`f.<Integer, String>foo(0)` — consume the explicit type-argument
+        list when a balanced `<...>` is followed by `ident(`
+        (GenericsTests.scala:36-51; erasure drops the arguments)."""
+        if not self.at("<"):
+            return
+        k = 1
+        depth = 0
+        while self.peek(k - 1) is not None:
+            v = self.peek(k - 1).v
+            if v == "<":
+                depth += 1
+            elif v == ">":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif v in (";", "{", ")"):
+                return  # comparison, not type args
+            k += 1
+        nxt, nxt2 = self.peek(k), self.peek(k + 1)
+        if nxt is not None and nxt.t == "id" and nxt2 is not None and nxt2.v == "(":
+            self.skip_balanced("<", ">")
+
+    def parse_return(self) -> N:
+        # `return switch (x) { ... };` — switch EXPRESSIONS are Java-only
+        # (ControlStructureTests.scala:956-967)
+        if self.peek(1) is not None and self.peek(1).v == "switch":
+            r = self.next()
+            sw = self.parse_switch()
+            if self.at(";"):
+                self.next()
+            end = self.toks[self.pos - 1]
+            node = N(M.RETURN, code=self.slice(r, end), line=r.line)
+            sw.arg_index = 1
+            node.add(sw)
+            return node
+        return super().parse_return()
 
     def parse_switch(self) -> N:
         # arrow-form (switch EXPRESSION) detection: '->' before any ':' at
@@ -1662,7 +1739,16 @@ class JavaParser(CParser):
         # javasrc2cpg-style: constructor invocation CALL named <init> with
         # methodFullName Type.<init>:void(...) (Defines.scala:25)
         known = self.class_methods.get(ty, {}).get(M.CONSTRUCTOR)
-        mfn = known[0] if known else f"{ty}.{M.CONSTRUCTOR}:void({','.join(M.ANY for _ in args)})"
+        if known:
+            mfn = known[0]
+        elif ty in self.declared_types.values():
+            # internal ctor-less class -> the synthesized default ctor
+            mfn = f"{ty}.{M.CONSTRUCTOR}:void({','.join(M.ANY for _ in args)})"
+        else:
+            # external class: signature unresolvable without its sources
+            # (GenericsTests.scala:18-20 `new Box<>(0)` ->
+            # box.Box.<init>:<unresolvedSignature>(1))
+            mfn = f"{ty}.{M.CONSTRUCTOR}:{M.UNRESOLVED_SIGNATURE}({len(args)})"
         call = N(M.CALL, code=self.slice(op_tok, end), name=M.CONSTRUCTOR,
                  method_full_name=mfn, dispatch_type=M.STATIC_DISPATCH,
                  line=op_tok.line, type_full_name=ty)
@@ -1798,6 +1884,13 @@ class JavaParser(CParser):
         call = N(M.CALL, code=self.slice(start, close), name=name,
                  method_full_name=mfn, dispatch_type=dispatch, signature=sig,
                  line=start.line)
+        if sig and "(" in sig:
+            # the call's type is the resolved return type — chained member
+            # calls then resolve on it (GenericsTests.scala:63
+            # `stringBox.<Integer>into().get()`)
+            ret = sig.split("(", 1)[0]
+            if ret:
+                call.type_full_name = ret
         receiver.role = M.ROLE_RECEIVER
         receiver.arg_index = 0
         call.add(receiver)

@@ -92,7 +92,9 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
                 out.append((rel, subj, ""))  # empty-set assertion marker
             for o in objs:
                 out.append((rel, subj, o))
-    for rel in ("calls", "inherits", "declares", "methods", "captures"):
+    for rel in ("calls", "inherits", "declares", "methods", "captures",
+                "cs", "cscond", "params", "locals", "members", "bindings",
+                "callmfn"):
         for s, o in (case.get(rel) or []):
             out.append((rel, s, o))
     # size-only golden assertions over transitive dominator/CDG closures —
@@ -317,6 +319,100 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
         for r in rows:
             if r["kind"] == M.METHOD:
                 out.add(("methods", r["name"], r["full_name"]))
+
+    if case.get("callmfn") is not None:
+        # cpg.call.name(X).methodFullName.l — subject = call name, objects
+        # the methodFullNames of every call site with that name
+        for r in rows:
+            if r["kind"] == M.CALL and r["method_full_name"]:
+                out.add(("callmfn", r["name"], r["method_full_name"]))
+
+    if case.get("cs") is not None or case.get("cscond") is not None:
+        methods = {r["node_idx"]: r for r in rows if r["kind"] == M.METHOD}
+        cs_rows = [r for r in rows if r["kind"] == M.CONTROL_STRUCTURE]
+        for r in cs_rows:
+            m = methods.get(r["method_idx"])
+            if m is None:
+                continue
+            subj = f'{m["name"]}:{r["control_structure_type"]}'
+            if case.get("cs") is not None:
+                out.add(("cs", subj, r["code"]))
+            if case.get("cscond") is not None:
+                for c in rows:
+                    if (c["parent_idx"] == r["node_idx"]
+                            and c["role"] == M.ROLE_CONDITION):
+                        out.add(("cscond", subj, c["code"]))
+
+    if case.get("params") is not None:
+        methods = {r["node_idx"]: r for r in rows if r["kind"] == M.METHOD}
+        for r in rows:
+            if r["kind"] == M.METHOD_PARAMETER_IN:
+                m = methods.get(r["method_idx"])
+                if m is not None:
+                    out.add(("params", f'{m["name"]}.{r["name"]}',
+                             f'{r["param_index"]}:{r["type_full_name"]}:'
+                             f'{r["evaluation_strategy"]}'))
+
+    if case.get("locals") is not None:
+        methods = {r["node_idx"]: r for r in rows if r["kind"] == M.METHOD}
+        for r in rows:
+            if r["kind"] == M.LOCAL:
+                m = methods.get(r["method_idx"])
+                if m is not None:
+                    out.add(("locals", f'{m["name"]}.{r["name"]}',
+                             f'{r["code"]}|{r["type_full_name"]}'))
+
+    if case.get("members") is not None:
+        tds = {r["node_idx"]: r for r in rows if r["kind"] == M.TYPE_DECL}
+        for r in rows:
+            if r["kind"] == M.MEMBER:
+                td = tds.get(r["parent_idx"])
+                if td is not None:
+                    out.add(("members", f'{td["name"]}.{r["name"]}',
+                             r["type_full_name"]))
+
+    if case.get("bindings") is not None:
+        # sequential mirror of operators.bindings.binding_relation
+        tds = [r for r in rows if r["kind"] == M.TYPE_DECL]
+        own_m: dict[str, list] = defaultdict(list)
+        ext_b: dict[str, list] = defaultdict(list)
+        for r in rows:
+            if (r["kind"] == M.METHOD and r["ast_parent_type"] == M.TYPE_DECL
+                    and r["ast_parent_full_name"]):
+                own_m[r["ast_parent_full_name"]].append(
+                    (r["name"], r["signature"], r["full_name"]))
+            elif r["kind"] == M.BINDING:
+                ext_b[r["ast_parent_full_name"]].append(
+                    (r["name"], r["signature"], r["method_full_name"]))
+        sup = {r["full_name"]: list(r.get("inherits_from") or []) for r in tds}
+
+        def _ancestors(fn: str, seen: set | None = None) -> set:
+            seen = set() if seen is None else seen
+            for s in sup.get(fn, []):
+                if s not in seen:
+                    seen.add(s)
+                    _ancestors(s, seen)
+            return seen
+
+        def _arity(sig: str) -> int:
+            inner = sig[sig.find("(") + 1:sig.rfind(")")] if "(" in sig else ""
+            return 0 if not inner else inner.count(",") + 1
+
+        for td in tds:
+            fn = td["full_name"]
+            entries: dict[tuple[str, str], str] = {}
+            for n, s, t in own_m.get(fn, []) + ext_b.get(fn, []):
+                entries.setdefault((n, s), t)
+            ovr = {}
+            for n, s, t in own_m.get(fn, []):
+                ovr.setdefault((n, _arity(s)), t)
+            for anc in _ancestors(fn):
+                for n, s, t in own_m.get(anc, []) + ext_b.get(anc, []):
+                    if n == "<init>":
+                        continue
+                    entries.setdefault((n, s), ovr.get((n, _arity(s)), t))
+            for (n, s), t in entries.items():
+                out.add(("bindings", f'{td["name"]}:{n}', f"{s}->{t}"))
 
     if case.get("captures") is not None:
         # (closure method name, captured declaration name) — an identifier

@@ -578,3 +578,779 @@ CASES += [
         cite=f"{JQ}/MethodReturnTests.scala:9-31",
     ),
 ]
+
+# --------------------------------------------------------------------------- #
+# Round-4 breadth blitz: BindingTests / MethodParameterTests /
+# SynchronizedTests / ControlStructureTests transcriptions (verdict r3 #1/#2).
+# --------------------------------------------------------------------------- #
+
+CASES += [
+    # BindingTests.scala:7-27 — overriding a generic interface method binds
+    # BOTH the declared signature and the super's erased one, each targeting
+    # the override.
+    dict(
+        name="java-bindings-generic", lang="java", wrap=False,
+        code="""
+import java.util.function.Consumer;
+
+class SomeConsumer implements Consumer<Integer> {
+  public void accept(Integer i) {}
+}
+""",
+        bindings=[
+            ["SomeConsumer:accept",
+             "void(java.lang.Integer)->SomeConsumer.accept:void(java.lang.Integer)"],
+            ["SomeConsumer:accept",
+             "void(java.lang.Object)->SomeConsumer.accept:void(java.lang.Integer)"],
+        ],
+        cite="javasrc2cpg/src/test/scala/io/joern/javasrc2cpg/querying/BindingTests.scala:7-27",
+    ),
+    # BindingTests.scala:29-77 — a bounded-generic chain: OtherConsumer
+    # carries its own erasure plus BOTH inherited erasures, all re-targeted
+    # at its override; SomeConsumer keeps two.
+    dict(
+        name="java-bindings-chain", lang="java", wrap=False,
+        code="""
+import java.util.function.Consumer;
+
+class SomeConsumer<I extends Number> implements Consumer<I> {
+  public void accept(I i) {}
+}
+
+class OtherConsumer<U extends Integer> implements SomeConsumer<U> {
+  public void accept(U i) {}
+}
+""",
+        bindings=[
+            ["SomeConsumer:accept",
+             "void(java.lang.Number)->SomeConsumer.accept:void(java.lang.Number)"],
+            ["SomeConsumer:accept",
+             "void(java.lang.Object)->SomeConsumer.accept:void(java.lang.Number)"],
+            ["OtherConsumer:accept",
+             "void(java.lang.Integer)->OtherConsumer.accept:void(java.lang.Integer)"],
+            ["OtherConsumer:accept",
+             "void(java.lang.Number)->OtherConsumer.accept:void(java.lang.Integer)"],
+            ["OtherConsumer:accept",
+             "void(java.lang.Object)->OtherConsumer.accept:void(java.lang.Integer)"],
+        ],
+        cite="javasrc2cpg/src/test/scala/io/joern/javasrc2cpg/querying/BindingTests.scala:29-77",
+    ),
+]
+
+JQP = f"{JQ}/MethodParameterTests.scala"
+
+CASES += [
+    # MethodParameterTests.scala:8-50 — this/p1/p2 index, type, evaluation
+    # strategy (primitives BY_VALUE, this BY_SHARING).
+    dict(
+        name="java-params-basic", lang="java", wrap=False,
+        code="""
+class Foo {
+  int foo(int p1, int p2) {
+     return 1;
+  }
+}
+""",
+        params=[["foo.this", "0:Foo:BY_SHARING"],
+                ["foo.p1", "1:int:BY_VALUE"],
+                ["foo.p2", "2:int:BY_VALUE"]],
+        cite=f"{JQP}:8-50",
+    ),
+    # :52-63 — unbound generic method type -> java.lang.Object.
+    dict(
+        name="java-params-generic-unbound", lang="java", wrap=False,
+        code="""
+class Foo {
+  <T> int foo(T p1) {
+     return 1;
+  }
+}
+""",
+        params=[["foo.p1", "1:java.lang.Object:BY_SHARING"]],
+        cite=f"{JQP}:52-63",
+    ),
+    # :65-77 — bounded generic method type -> the bound.
+    dict(
+        name="java-params-generic-bound", lang="java", wrap=False,
+        code="""
+class Foo {
+  <T extends java.lang.Number> int foo(T p1) {
+     return 1;
+  }
+}
+""",
+        params=[["foo.p1", "1:java.lang.Number:BY_SHARING"]],
+        cite=f"{JQP}:65-77",
+    ),
+    # :79-91 — a bound that is itself a bounded type parameter chases
+    # transitively.
+    dict(
+        name="java-params-generic-chained", lang="java", wrap=False,
+        code="""
+class Foo {
+  <U extends java.lang.Number, T extends U> int foo(T p1) {
+     return 1;
+  }
+}
+""",
+        params=[["foo.p1", "1:java.lang.Number:BY_SHARING"]],
+        cite=f"{JQP}:79-91",
+    ),
+    # :93-106 — class-level unbound type parameter -> java.lang.Object.
+    dict(
+        name="java-params-class-generic", lang="java", wrap=False,
+        code="""
+class Foo<T> {
+  int foo(T p1) {
+     return 1;
+  }
+}
+""",
+        params=[["foo.p1", "1:java.lang.Object:BY_SHARING"]],
+        cite=f"{JQP}:93-106",
+    ),
+    # :108-121 — class-level bounded type parameter -> the bound.
+    dict(
+        name="java-params-class-generic-bound", lang="java", wrap=False,
+        code="""
+class Foo<T extends java.lang.Number> {
+  int foo(T p1) {
+     return 1;
+  }
+}
+""",
+        params=[["foo.p1", "1:java.lang.Number:BY_SHARING"]],
+        cite=f"{JQP}:108-121",
+    ),
+    # :123-136 — class-level chained bound.
+    dict(
+        name="java-params-class-generic-chained", lang="java", wrap=False,
+        code="""
+class Foo<U extends java.lang.Number, T extends U> {
+  int foo(T p1) {
+     return 1;
+  }
+}
+""",
+        params=[["foo.p1", "1:java.lang.Number:BY_SHARING"]],
+        cite=f"{JQP}:123-136",
+    ),
+    # :139-151 — imported external type.
+    dict(
+        name="java-params-imported", lang="java", wrap=False,
+        code="""
+import foo.bar.Baz;
+class Main {
+ void run(Baz p1) {}
+}
+""",
+        params=[["run.p1", "1:foo.bar.Baz:BY_SHARING"]],
+        cite=f"{JQP}:139-151",
+    ),
+    # :167-179 — imported external generic type keeps only the raw type.
+    dict(
+        name="java-params-imported-generic", lang="java", wrap=False,
+        code="""
+import foo.bar.Baz;
+class Main {
+  void run(Baz<String> p1) {}
+}
+""",
+        params=[["run.p1", "1:foo.bar.Baz:BY_SHARING"]],
+        cite=f"{JQP}:167-179",
+    ),
+]
+
+CASES += [
+    # SynchronizedTests.scala:16-62 — a synchronized method parses like a
+    # plain one; a synchronized statement lowers to a BLOCK holding the
+    # SYNCHRONIZED modifier, the monitor expression and the body block.
+    dict(
+        name="java-synchronized", lang="java", wrap=False,
+        code="""
+public class Foo {
+  public static synchronized String foo(String s) {
+    return s;
+  }
+
+  public static String bar(String s) {
+    synchronized (this) {
+      s += "A";
+    }
+    return s;
+  }
+}
+""",
+        methods=[["foo", "Foo.foo:java.lang.String(java.lang.String)"],
+                 ["bar", "Foo.bar:java.lang.String(java.lang.String)"]],
+        params=[["foo.s", "1:java.lang.String:BY_SHARING"],
+                ["bar.s", "1:java.lang.String:BY_SHARING"]],
+        ast={("synchronized (this)", 0, "BLOCK"):
+                 ["SYNCHRONIZED", "this", "<empty>"]},
+        cite=f"{JQ}/SynchronizedTests.scala:16-62",
+    ),
+]
+
+CASES += [
+    # ControlStructureTests.scala:816-938 (old-style suite) — the classic
+    # control-structure inventory: try/if/switch/for/while/do identification
+    # plus break/continue codes and the complex boolean condition.
+    dict(
+        name="java-cs-inventory", lang="java", wrap=False,
+        code="""
+class Foo {
+  int bar(boolean x, boolean y, boolean z) {
+    if (x || (y && z)) {
+      return 1;
+    }
+    return 2;
+  }
+
+  void foo(int x, int y) {
+    try { } catch(Exception exc) {
+    }
+
+    for(int i = 0; i < 10; i++) {
+      if (x > y) {
+        continue;
+      }
+      while(y++ < x) {
+        printf("foo");
+      }
+    }
+
+    switch(y) {
+      case 1:
+        printf("bar");
+        break;
+      default:
+    };
+
+    int i = 0;
+    do {
+      i++;
+    } while(i < 11);
+  }
+
+  public void elseTest(boolean b) {
+    int x;
+    if (b) {
+      x = 42;
+    } else {
+      x = 39;
+    }
+  }
+}
+""",
+        cs=[["foo:TRY", "try"],
+            ["foo:SWITCH", "switch(y)"],
+            ["foo:BREAK", "break;"],
+            ["foo:CONTINUE", "continue;"],
+            ["foo:FOR", "for (int i = 0; i < 10; i++)"],
+            ["elseTest:IF", "if (b)"],
+            ["bar:IF", "if (x || (y && z))"]],
+        cscond=[["foo:IF", "x > y"],
+                ["foo:FOR", "i < 10"],
+                ["foo:WHILE", "y++ < x"],
+                ["foo:DO", "i < 11"],
+                ["foo:SWITCH", "y"],
+                ["bar:IF", "x || (y && z)"],
+                ["elseTest:IF", "b"]],
+        # else branch is a plain false-body BLOCK (:920-938): the IF's
+        # children are condition + then-block + else-block
+        ast={("if (b)", 0, "CONTROL_STRUCTURE"): ["b", "<empty>"]},
+        cite=f"{JQ}/ControlStructureTests.scala:816-938",
+    ),
+    # NewControlStructureTests:686-717 — if/else-if/else chain: the second
+    # IF nests inside the first's false-body block.
+    dict(
+        name="java-if-elseif-else", lang="java", wrap=False,
+        code="""
+public class Foo {
+  public static void foo(int c) {
+    if (c > 10) {
+      c -= 10;
+    } else if (c < 10) {
+      c += 10;
+    } else {
+      c = 10;
+    }
+  }
+}
+""",
+        cs=[["foo:IF", "if (c > 10)"], ["foo:IF", "if (c < 10)"]],
+        cscond=[["foo:IF", "c > 10"], ["foo:IF", "c < 10"]],
+        ast={("if (c > 10)", 0, "CONTROL_STRUCTURE"): ["c > 10", "<empty>"],
+             ("if (c < 10)", 0, "CONTROL_STRUCTURE"): ["c < 10", "<empty>"]},
+        cite=f"{JQ}/ControlStructureTests.scala:686-717",
+    ),
+    # NewControlStructureTests:719-736 — do-while.
+    dict(
+        name="java-do-while", lang="java", wrap=False,
+        code="""
+public class Foo {
+  public static void foo(int c) {
+    do {
+      c += 1;
+    } while (c < 10);
+  }
+}
+""",
+        cs=[["foo:DO", "do"]],
+        cscond=[["foo:DO", "c < 10"]],
+        ast={("do", 0, "CONTROL_STRUCTURE"): ["<empty>", "c < 10"]},
+        cite=f"{JQ}/ControlStructureTests.scala:719-736",
+    ),
+    # NewControlStructureTests:738-764 — try/catch/finally body wiring; the
+    # catch/finally sub-structures hang off the TRY node in order.
+    dict(
+        name="java-try-catch-finally", lang="java", wrap=False,
+        code="""
+public class Foo {
+  public static int foo(int c) {
+    try {
+      return 5 / c;
+    } catch (Exception ex) {
+      printf("catch");
+    } finally {
+      printf("finally");
+    }
+  }
+}
+""",
+        cs=[["foo:TRY", "try"]],
+        ast={("try", 0, "CONTROL_STRUCTURE"): ["<empty>", "catch", "finally"]},
+        calls=[["foo", "printf"]],
+        cite=f"{JQ}/ControlStructureTests.scala:738-764",
+    ),
+    # NewControlStructureTests:25-52 — multiple catches + finally; each arm's
+    # calls stay inside the method.
+    dict(
+        name="java-try-multi-catch", lang="java", wrap=False,
+        code="""
+public class Foo {
+  static void foo() {
+    try { foo(); }
+    catch (SomeException x1) { x1(); }
+    catch (OtherException x2) { x2(); }
+    finally { bar(); }
+  }
+}
+""",
+        cs=[["foo:TRY", "try"]],
+        ast={("try", 0, "CONTROL_STRUCTURE"):
+                 ["<empty>", "catch", "finally"]},
+        calls=[["foo", "foo"], ["foo", "x1"], ["foo", "x2"], ["foo", "bar"]],
+        cite=f"{JQ}/ControlStructureTests.scala:25-52",
+    ),
+    # NewControlStructureTests:766-783 — throw keeps the statement code and
+    # carries the thrown expression as its argument.
+    dict(
+        name="java-throw", lang="java", wrap=False,
+        code="""
+public class Foo {
+  public static void foo(Exception ex) {
+    throw ex;
+  }
+}
+""",
+        cs=[["foo:THROW", "throw ex;"]],
+        ast={("throw ex;", 0, "CONTROL_STRUCTURE"): ["ex"]},
+        cite=f"{JQ}/ControlStructureTests.scala:766-783",
+    ),
+    # NewControlStructureTests:786-812 — classic for-loop full-header code.
+    dict(
+        name="java-for-classic", lang="java", wrap=False,
+        code="""
+public class Foo {
+  public static int foo(int c) {
+    for (int i = 0; i < c; i++) {
+      printf("x", i);
+    }
+  }
+}
+""",
+        cs=[["foo:FOR", "for (int i = 0; i < c; i++)"]],
+        cscond=[["foo:FOR", "i < c"]],
+        calls=[["foo", "printf"]],
+        cite=f"{JQ}/ControlStructureTests.scala:786-812",
+    ),
+    # ControlStructureTests:940-954 — switch conditioned on `this`.
+    dict(
+        name="java-switch-on-this", lang="java", wrap=False,
+        code="""
+class Foo {
+  public boolean isConnected() {
+    switch (this) {
+      case Reconnected:
+        return true;
+
+      case ConnectionLost:
+      default:
+        return false;
+    }
+  }
+}
+""",
+        cs=[["isConnected:SWITCH", "switch(this)"]],
+        cscond=[["isConnected:SWITCH", "this"]],
+        cite=f"{JQ}/ControlStructureTests.scala:940-954",
+    ),
+    # ControlStructureTests:956-1027 — arrow-syntax switch expression lowers
+    # to a MATCH control structure with selector + flat case body.
+    dict(
+        name="java-switch-arrow", lang="java", wrap=False,
+        code="""
+public class Foo {
+  public String test(int x) {
+    return switch (x) {
+      case 1 -> "one";
+      case 2 -> "two";
+      default -> "other";
+    };
+  }
+}
+""",
+        cs=[["test:MATCH", "switch(x)"]],
+        cscond=[["test:MATCH", "x"]],
+        ast={("switch(x)", 0, "CONTROL_STRUCTURE"): ["x", "<empty>"]},
+        cite=f"{JQ}/ControlStructureTests.scala:956-1027",
+    ),
+]
+
+# --------------------------------------------------------------------------- #
+# GenericsTests / RecordTests / ConstructorInvocationTests / foreach /
+# MethodParameterTests(java.util.*) transcriptions.
+# --------------------------------------------------------------------------- #
+
+JQG = f"{JQ}/GenericsTests.scala"
+
+CASES += [
+    # GenericsTests.scala:7-29 — unresolved external generic class: erased
+    # call fullnames with <unresolvedSignature>(n); local keeps the raw type.
+    dict(
+        name="java-generics-unresolved-decl", lang="java", wrap=False,
+        code="""import box.Box;
+
+public class Foo {
+  public static void test() {
+    Box<Integer> b = new Box<>(0);
+    b.get();
+  }
+}
+""",
+        callmfn=[["<init>", "box.Box.<init>:<unresolvedSignature>(1)"],
+                 ["get", "box.Box.get:<unresolvedSignature>(0)"]],
+        locals=[["test.b", "Box b|box.Box"]],
+        cite=f"{JQG}:7-29",
+    ),
+    # :31-52 — generic method: erased fullname on the METHOD and the
+    # explicit-type-arg call site.
+    dict(
+        name="java-generics-method", lang="java", wrap=False,
+        code="""package foo;
+
+class Foo {
+  public <S, T> T foo(S s) { return null; }
+
+  static void test(Foo f) {
+      f.<Integer, String>foo(0);
+  }
+}
+""",
+        methods=[["foo", "foo.Foo.foo:java.lang.Object(java.lang.Object)"]],
+        callmfn=[["foo", "foo.Foo.foo:java.lang.Object(java.lang.Object)"]],
+        cite=f"{JQG}:31-52",
+    ),
+    # :54-74 — parameterized returns erase to the raw type in call
+    # fullnames; chained calls resolve on the erased return.
+    dict(
+        name="java-generics-param-returns", lang="java", wrap=False,
+        code="""package foo;
+
+class Box<T> {
+  public <S> Box<S> into() { return null; }
+
+  public T get() { return null; }
+
+  static void test(Box<String> stringBox) {
+    stringBox.<Integer>into().get();
+  }
+}
+""",
+        callmfn=[["into", "foo.Box.into:foo.Box()"],
+                 ["get", "foo.Box.get:java.lang.Object()"]],
+        cite=f"{JQG}:54-74",
+    ),
+    # :76-97 — wildcard-import type stays <unresolvedNamespace>-prefixed in
+    # both the parameter type and the call fullname.
+    dict(
+        name="java-generics-unresolved-var", lang="java", wrap=False,
+        code="""package foo;
+import a.*;
+import b.*;
+
+class Foo {
+
+  void foo(Bar<Integer> b) {
+    b.bar();
+  }
+}
+""",
+        params=[["foo.b", "1:<unresolvedNamespace>.Bar:BY_SHARING"]],
+        callmfn=[["bar",
+                  "<unresolvedNamespace>.Bar.bar:<unresolvedSignature>(0)"]],
+        cite=f"{JQG}:76-97",
+    ),
+    # :99-112 — generic field types erase in member typeFullName.
+    dict(
+        name="java-generics-field", lang="java", wrap=False,
+        code="""
+package foo;
+class Box<T> {}
+
+class Foo {
+  Box<Integer> box;
+}
+""",
+        members=[["Foo.box", "foo.Box"]],
+        cite=f"{JQG}:99-112",
+    ),
+    # :114-263 — the old generics suite: erasure across returns, params,
+    # bounds, compound bounds, wildcards; constructor call; inheritance.
+    dict(
+        name="java-generics-old-suite", lang="java", wrap=False,
+        code="""import java.util.function.Function;
+
+class Box<T> {
+
+    private T item;
+
+    public T getItem() {
+        return item;
+    }
+
+    public void setItem(T item) {
+        this.item = item;
+    }
+
+    public <G> Box<G> map(Function<T, G> f) {
+        G newValue = f.apply(item);
+        Box<G> newBox = new Box<G>();
+        return newBox.withValue(newValue);
+    }
+
+    public Box<T> withValue(T value) {
+        this.item = value;
+        return this;
+    }
+
+    public static <K extends Number> K idK(K item) {
+        return item;
+    }
+
+    public static <K extends Number & Comparable> K idKC(K item) {
+        return item;
+    }
+
+    public static <K extends Comparable> K idC(K item) {
+        return item;
+    }
+
+    public static void testWildCard(Box<? extends Comparable> b) {
+        System.out.println(b);
+    }
+
+    public static void testWildCardLower(Box<? super Integer> b) {
+        System.out.println(b);
+    }
+}
+
+
+public class Test extends Box<String> {}
+""",
+        methods=[
+            ["getItem", "Box.getItem:java.lang.Object()"],          # :189-193
+            ["setItem", "Box.setItem:void(java.lang.Object)"],      # :195-204
+            ["map", "Box.map:Box(java.util.function.Function)"],    # :206-213
+            ["withValue", "Box.withValue:Box(java.lang.Object)"],   # :223-228
+            ["idK", "Box.idK:java.lang.Number(java.lang.Number)"],  # :230-235
+            ["idKC", "Box.idKC:java.lang.Number(java.lang.Number)"],# :237-242
+            ["idC",
+             "Box.idC:java.lang.Comparable(java.lang.Comparable)"], # :244-249
+            ["testWildCard", "Box.testWildCard:void(Box)"],         # :251-256
+            ["testWildCardLower",
+             "Box.testWildCardLower:void(Box)"],                    # :258-263
+        ],
+        params=[["setItem.item", "1:java.lang.Object:BY_SHARING"],  # :201-204
+                ["map.f", "1:java.util.function.Function:BY_SHARING"]],
+        callmfn=[["<init>", "Box.<init>:void()"]],                  # :215-221
+        inherits=[["Test", "Box"]],                                 # :265-269
+        cite=f"{JQG}:114-270",
+    ),
+]
+
+CASES += [
+    # MethodParameterTests.scala:153-165 — java.util.* wildcard import
+    # resolves JDK collection types.
+    dict(
+        name="java-params-java-util-star", lang="java", wrap=False,
+        code="""
+import java.util.*;
+class Main {
+ void run(List<String> p1) {}
+}
+""",
+        params=[["run.p1", "1:java.util.List:BY_SHARING"]],
+        cite=f"{JQP}:153-165",
+    ),
+]
+
+JQR = f"{JQ}/RecordTests.scala"
+
+CASES += [
+    # RecordTests.scala:10-131 — compact constructor: canonical params, the
+    # synthesized `this.value = value` FIRST in the body, the private member,
+    # the accessor method returning `this.value`, java.lang.Record supertype.
+    dict(
+        name="java-record-compact", lang="java", wrap=False,
+        code="""
+package foo;
+
+record Foo(String value) {
+  public Foo {
+    System.out.println(value);
+  }
+}
+""",
+        inherits=[["Foo", "java.lang.Record"]],                       # :21-23
+        methods=[["<init>", "foo.Foo.<init>:void(java.lang.String)"], # :26-27
+                 ["value", "foo.Foo.value:java.lang.String()"]],      # :82-84
+        params=[["<init>.this", "0:foo.Foo:BY_SHARING"],              # :29-34
+                ["<init>.value", "1:java.lang.String:BY_SHARING"]],
+        members=[["Foo.value", "java.lang.String"]],                  # :72-77
+        calls=[["<init>", "println"]],                                # :61-66
+        ast={("this.value = value", 0, "CALL"):
+                 ["this.value", "value"],                             # :36-59
+             ("return this.value", 0, "RETURN"): ["this.value"]},     # :101-112
+        cite=f"{JQR}:10-131",
+    ),
+    # :133-217 — explicit non-canonical constructor COEXISTS with the
+    # synthesized canonical one.
+    dict(
+        name="java-record-noncanonical", lang="java", wrap=False,
+        code="""
+package foo;
+
+record Foo(String value) {
+    public Foo() {
+        this.value = "value";
+    }
+}
+""",
+        methods=[["<init>", "foo.Foo.<init>:void()"],                  # :147
+                 ["<init>", "foo.Foo.<init>:void(java.lang.String)"],  # :179
+                 ["value", "foo.Foo.value:java.lang.String()"]],
+        ast={("this.value = \"value\"", 0, "CALL"):
+                 ["this.value", "\"value\""]},                         # :153-175
+        cite=f"{JQR}:133-217",
+    ),
+]
+
+JQC = f"{JQ}/ConstructorInvocationTests.scala"
+
+CASES += [
+    # ConstructorInvocationTests.scala:111-127 — `new Foo(1)` resolves to the
+    # declared ctor's fullname and signature.
+    dict(
+        name="java-ctor-invocation", lang="java", wrap=False,
+        code="""
+class Foo {
+  Foo(long aaa) {
+  }
+  static void method() {
+    Foo foo = new Foo(1);
+  }
+}
+""",
+        callmfn=[["<init>", "Foo.<init>:void(long)"]],
+        methods=[["<init>", "Foo.<init>:void(long)"],
+                 ["method", "Foo.method:void()"]],
+        cite=f"{JQC}:111-127",
+    ),
+    # :179-243 — ctor overloads: fullnames, signatures, parameter names.
+    dict(
+        name="java-ctor-overloads", lang="java", wrap=False,
+        code="""
+class Foo {
+  int x;
+
+  public Foo(int x) {
+    this.x = x;
+  }
+
+  public int getValue() {
+    return x;
+  }
+}
+
+class Bar extends Foo {
+  public Bar(int x) {
+  }
+
+  public Bar(int x, int y) {
+  }
+
+  public static Bar id(Bar b) {
+    return b;
+  }
+
+  public static void test1() {
+    Bar b = new Bar(4, 2);
+  }
+}
+""",
+        methods=[["<init>", "Foo.<init>:void(int)"],
+                 ["<init>", "Bar.<init>:void(int)"],        # :229-234
+                 ["<init>", "Bar.<init>:void(int,int)"],    # :236-242
+                 ["getValue", "Foo.getValue:int()"],
+                 ["id", "Bar.id:Bar(Bar)"],
+                 ["test1", "Bar.test1:void()"]],
+        params=[["getValue.this", "0:Foo:BY_SHARING"],
+                ["id.b", "1:Bar:BY_SHARING"]],
+        inherits=[["Bar", "Foo"]],
+        cite=f"{JQC}:179-243",
+    ),
+]
+
+CASES += [
+    # NewControlStructureTests:533-683 — foreach over a collection lowers to
+    # iterator()/hasNext()/next() with the $iterLocal0 temp; the sink call
+    # resolves statically.
+    dict(
+        name="java-foreach-collection", lang="java", wrap=False,
+        code="""
+import java.util.List;
+
+public class Foo {
+  public static void sink(String s) {}
+
+  public static void foo(List<String> items) {
+    for (String item : items) {
+      sink(item);
+    }
+  }
+}
+""",
+        locals=[["foo.$iterLocal0", "$iterLocal0|java.util.Iterator"],  # :548-557
+                ["foo.item", "item|java.lang.String"]],                 # :636-639
+        callmfn=[["iterator", "java.util.List.iterator:java.util.Iterator()"],  # :580-582
+                 ["hasNext", "java.util.Iterator.hasNext:boolean()"],           # :605-607
+                 ["next", "java.util.Iterator.next:java.lang.Object()"],        # :656-658
+                 ["sink", "Foo.sink:void(java.lang.String)"],                   # :670-672
+                 ["<operator>.assignment", "<operator>.assignment"]],
+        cs=[["foo:WHILE", "while"]],
+        cscond=[["foo:WHILE", "$iterLocal0.hasNext()"]],
+        cite=f"{JQ}/ControlStructureTests.scala:533-683",
+    ),
+]

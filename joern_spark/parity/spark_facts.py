@@ -214,6 +214,57 @@ def spark_facts(spark: SparkSession) -> DataFrame:
         .select("lang", "kase", F.lit("captures").alias("relation"),
                 F.col("mname").alias("subj"), F.col("decl_name").alias("obj")))
 
+    # call-site methodFullName inventory keyed by call name
+    out.append(
+        base.filter((F.col("kind") == M.CALL)
+                    & (F.col("method_full_name") != ""))
+        .select("lang", "kase", F.lit("callmfn").alias("relation"),
+                F.col("name").alias("subj"),
+                F.col("method_full_name").alias("obj")))
+
+    # control-structure inventory per enclosing method: subject
+    # "<method>:<CS_TYPE>", objects the node codes / condition codes
+    cs = (base.filter(F.col("kind") == M.CONTROL_STRUCTURE)
+          .join(methods, F.col("method_id") == F.col("mid"))
+          .withColumn("subj", F.concat_ws(
+              ":", F.col("mname"), F.col("control_structure_type"))))
+    out.append(cs.select("lang", "kase", F.lit("cs").alias("relation"),
+                         "subj", F.col("code").alias("obj")))
+    conds = base.filter(F.col("role") == M.ROLE_CONDITION).select(
+        F.col("parent_id").alias("cs_id"), F.col("code").alias("obj"))
+    out.append(
+        cs.select("lang", "kase", "subj", F.col("id").alias("cs_id"))
+        .join(conds, "cs_id")
+        .select("lang", "kase", F.lit("cscond").alias("relation"),
+                "subj", "obj"))
+
+    # parameter / local / member property facts
+    out.append(
+        base.filter(F.col("kind") == M.METHOD_PARAMETER_IN)
+        .join(methods, F.col("method_id") == F.col("mid"))
+        .select("lang", "kase", F.lit("params").alias("relation"),
+                F.concat_ws(".", F.col("mname"), F.col("name")).alias("subj"),
+                F.concat_ws(":", F.col("param_index"),
+                            F.col("type_full_name"),
+                            F.col("evaluation_strategy")).alias("obj")))
+    out.append(
+        base.filter(F.col("kind") == M.LOCAL)
+        .join(methods, F.col("method_id") == F.col("mid"))
+        .select("lang", "kase", F.lit("locals").alias("relation"),
+                F.concat_ws(".", F.col("mname"), F.col("name")).alias("subj"),
+                F.concat_ws("|", F.col("code"),
+                            F.col("type_full_name")).alias("obj")))
+    td_dim = base.filter(F.col("kind") == M.TYPE_DECL).select(
+        F.col("id").alias("td_id"), F.col("name").alias("td_name"))
+    out.append(
+        base.filter(F.col("kind") == M.MEMBER)
+        .join(td_dim, F.col("parent_id") == F.col("td_id"))
+        .select("lang", "kase", F.lit("members").alias("relation"),
+                F.concat_ws(".", F.col("td_name"), F.col("name")).alias("subj"),
+                F.col("type_full_name").alias("obj")))
+
+    out.append(_binding_facts(base))
+
     out.append(_flow_facts(nodes))
 
     facts = out[0]
@@ -224,6 +275,82 @@ def spark_facts(spark: SparkSession) -> DataFrame:
 
 _FACT_OUT = ("lang string, kase string, relation string, "
              "subj string, obj string")
+
+
+def _binding_facts(base: DataFrame) -> DataFrame:
+    """Case-scoped vtable facts — the same joins as
+    ``operators.bindings.binding_relation`` with ``kase`` in every key (the
+    fixture corpus reuses class fullnames like `Foo` across cases, so the
+    real pass's global fullname keys would cross-contaminate here)."""
+    from joern_spark.operators.bindings import _arity
+
+    own_m = (base.filter((F.col("kind") == M.METHOD)
+                         & (F.col("ast_parent_type") == M.TYPE_DECL)
+                         & (F.col("ast_parent_full_name") != ""))
+             .select("lang", "kase",
+                     F.col("ast_parent_full_name").alias("td_fn"),
+                     F.col("name").alias("bname"),
+                     F.col("signature").alias("bsig"),
+                     F.col("full_name").alias("target_fn")))
+    ext_b = (base.filter(F.col("kind") == M.BINDING)
+             .select("lang", "kase",
+                     F.col("ast_parent_full_name").alias("td_fn"),
+                     F.col("name").alias("bname"),
+                     F.col("signature").alias("bsig"),
+                     F.col("method_full_name").alias("target_fn")))
+    bbase = own_m.unionByName(ext_b).distinct()
+
+    inh = (base.filter((F.col("kind") == M.TYPE_DECL)
+                       & F.col("inherits_from").isNotNull())
+           .select("lang", "kase", F.col("full_name").alias("desc"),
+                   F.explode("inherits_from").alias("anc")))
+    key = lambda k, fn: F.xxhash64(F.col(k), fn)  # noqa: E731
+    edges = inh.select(key("kase", F.col("desc")).alias("src"),
+                       key("kase", F.col("anc")).alias("dst"))
+    closed = _closure(edges)
+    km = (inh.select("lang", "kase", F.col("desc").alias("fn"))
+          .unionByName(inh.select("lang", "kase", F.col("anc").alias("fn")))
+          .unionByName(base.filter(F.col("kind") == M.TYPE_DECL)
+                       .select("lang", "kase", F.col("full_name").alias("fn")))
+          .distinct()
+          .withColumn("k", F.xxhash64(F.col("kase"), F.col("fn"))))
+    pairs = (closed
+             .join(km.select(F.col("k").alias("src"), "lang", "kase",
+                             F.col("fn").alias("td_fn")), "src")
+             .join(km.select(F.col("k").alias("dst"),
+                             F.col("kase").alias("kase2"),
+                             F.col("fn").alias("anc_fn")), "dst")
+             .filter(F.col("kase") == F.col("kase2"))
+             .select("lang", "kase", "td_fn", "anc_fn"))
+    anc_b = (pairs.join(
+        bbase.filter(F.col("bname") != "<init>")
+        .select(F.col("kase").alias("kase3"),
+                F.col("td_fn").alias("anc_fn"),
+                "bname", "bsig", "target_fn"),
+        ["anc_fn"])
+        .filter(F.col("kase") == F.col("kase3"))
+        .select("lang", "kase", "td_fn", "bname", "bsig", "target_fn"))
+    ovr = (own_m.withColumn("ar", _arity(F.col("bsig")))
+           .select("kase", "td_fn", "bname", "ar",
+                   F.col("target_fn").alias("override_fn"))
+           .dropDuplicates(["kase", "td_fn", "bname", "ar"]))
+    anc_b = (anc_b.withColumn("ar", _arity(F.col("bsig")))
+             .join(ovr, ["kase", "td_fn", "bname", "ar"], "left")
+             .select("lang", "kase", "td_fn", "bname", "bsig",
+                     F.coalesce("override_fn", "target_fn").alias("target_fn")))
+    rel = (bbase.select("lang", "kase", "td_fn", "bname", "bsig", "target_fn")
+           .unionByName(anc_b)
+           .dropDuplicates(["kase", "td_fn", "bname", "bsig"]))
+    td_names = (base.filter(F.col("kind") == M.TYPE_DECL)
+                .select("kase", F.col("full_name").alias("td_fn"),
+                        F.col("name").alias("td_name"))
+                .dropDuplicates(["kase", "td_fn"]))
+    return (rel.join(td_names, ["kase", "td_fn"])
+            .select("lang", "kase", F.lit("bindings").alias("relation"),
+                    F.concat_ws(":", F.col("td_name"), F.col("bname"))
+                    .alias("subj"),
+                    F.concat_ws("->", F.col("bsig"), F.col("target_fn"))
+                    .alias("obj")))
 
 
 def _flow_facts(nodes: DataFrame) -> DataFrame:

@@ -211,8 +211,15 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
                         F.col("signature").alias("m_sig")))
     dim_full = methods_real.unionByName(stub_dim)
 
+    # ---- stage 2b: BINDS/BINDING vtable tables -------------------------------
+    # (BindingTableAdapterImpls.scala; needs the stubs' TYPE_DECLs too, so it
+    # runs over the unioned node relation)
+    from joern_spark.operators.bindings import binding_nodes_and_edges
+    bind_nodes, bind_edges = binding_nodes_and_edges(all_nodes)
+    all_nodes = all_nodes.unionByName(bind_nodes)
+
     # ---- stage 3: edges ------------------------------------------------------
-    edges = derived_edges(ok).unionByName(base_edges)
+    edges = derived_edges(ok).unionByName(base_edges).unionByName(bind_edges)
     canonical = None
     call_edges = None
     if run_callgraph:
