@@ -120,6 +120,10 @@ class JavaParser(CParser):
         self.lambda_counter = 0
         # methods declared per class fullname: name -> (fullname, is_static)
         self.class_methods: dict[str, dict[str, tuple[str, bool]]] = {}
+        # class fullname -> resolved supertype fullnames (for unqualified /
+        # receiver-typed call resolution up the hierarchy,
+        # CallTests "call to method in different class")
+        self.class_supers: dict[str, list[str]] = {}
         # non-static field initializers per class fullname:
         # (field name, type, init expr, line) — folded into constructors
         self.member_inits: dict[str, list[tuple[str, str, N, int]]] = {}
@@ -165,7 +169,8 @@ class JavaParser(CParser):
         # (GenericsTests.scala:89-96 `import a.*; Bar<Integer>` ->
         # <unresolvedNamespace>.Bar)
         if (self.unknown_star_import and "." not in base
-                and base[:1].isupper() and base not in JAVA_TYPE_KEYWORDS):
+                and base[:1].isupper() and base != M.ANY
+                and base not in JAVA_TYPE_KEYWORDS):
             return f"{M.UNRESOLVED_NAMESPACE}.{base}{suffix}"
         return name.replace("*", "[]")
 
@@ -476,6 +481,7 @@ class JavaParser(CParser):
             implicit = {"enum": "java.lang.Enum",
                         "record": "java.lang.Record"}.get(kw, "java.lang.Object")
             inherits.insert(0, implicit)
+        self.class_supers[full] = list(inherits)
         # nested type-decl NAME carries the $-joined path from the top-level
         # class (cpg.typeDecl.nameExact("OuterClass$InnerInterface"),
         # TypeDeclTests.scala:407-409); code keeps the simple name
@@ -823,6 +829,8 @@ class JavaParser(CParser):
                             pv = toks[m2].v
                             ptypes.append(genv.get(pv) or self.resolve_type(pv))
                             expect_type = False
+                        elif d2 == 1 and toks[m2].v == "..." and ptypes:
+                            ptypes[-1] += "[]"  # varargs erase to arrays
                         elif d2 == 1 and vv == ",":
                             expect_type = True
                         m2 += 1
@@ -1805,6 +1813,46 @@ class JavaParser(CParser):
         ref.add(method)
         return ref
 
+    def _enclosing_class_chain(self) -> list[str]:
+        """Innermost-first fullnames of the enclosing type declarations
+        ($-joined binary names)."""
+        chain = []
+        names = [p for p in self.ns if p]
+        for i in range(len(names), 0, -1):
+            nested = "$".join(names[:i])
+            chain.append(f"{self.package}.{nested}" if self.package else nested)
+        return chain
+
+    def _lookup_unqualified(self, name: str) -> tuple[str, bool] | None:
+        """Unqualified call resolution: (1) the enclosing class's own and
+        INHERITED members — the fullname prefix stays the enclosing class
+        (CallTests "call to method in same class": MoreDerived.method even
+        though Base declares it); (2) lexically enclosing classes — the
+        declaring class's registered fullname (MethodTests2: Foo.method
+        from inside Foo.Sub)."""
+        chain = self._enclosing_class_chain()
+        if not chain:
+            return None
+        cur = chain[0]
+        seen: set[str] = set()
+        stack = [cur]
+        while stack:
+            c = stack.pop(0)
+            if c in seen:
+                continue
+            seen.add(c)
+            info = self.class_methods.get(c, {}).get(name)
+            if info is not None:
+                fullname, is_static = info
+                sig = fullname.split(":", 1)[1] if ":" in fullname else ""
+                return f"{cur}.{name}:{sig}", is_static
+            stack.extend(self.class_supers.get(c, []))
+        for c in chain[1:]:
+            info = self.class_methods.get(c, {}).get(name)
+            if info is not None:
+                return info
+        return None
+
     def build_call(self, callee: N, start: Tok) -> N:
         self.next()  # (
         args: list[N] = []
@@ -1818,16 +1866,19 @@ class JavaParser(CParser):
         # intra-class resolution against the pre-scanned member table
         resolved = None
         is_static = False
-        cls_full = ".".join(([self.package] if self.package else []) + self.ns)
-        info = self.class_methods.get(cls_full, {}).get(name)
+        info = self._lookup_unqualified(name)
         if info is not None:
             resolved, is_static = info
         if resolved is not None:
             mfn = resolved
             dispatch = M.STATIC_DISPATCH if is_static else M.DYNAMIC_DISPATCH
         else:
-            mfn = (f"{M.UNRESOLVED_NAMESPACE}.{name}:"
-                   f"{M.UNRESOLVED_SIGNATURE}({len(args)})")
+            # unresolved unqualified call: prefixed with the enclosing class
+            # when there is one (CallTests "calls with unresolved receivers":
+            # foo() -> Test.foo:<unresolvedSignature>(0))
+            chain = self._enclosing_class_chain()
+            prefix = chain[0] if chain else M.UNRESOLVED_NAMESPACE
+            mfn = f"{prefix}.{name}:{M.UNRESOLVED_SIGNATURE}({len(args)})"
             # unresolvable calls default to dynamic dispatch
             # (AstForCallExpressionsCreator.dispatchTypeForCall:378-390)
             dispatch = M.DYNAMIC_DISPATCH
@@ -1867,11 +1918,26 @@ class JavaParser(CParser):
         close = self.expect(")")
         recv_ty = self.resolve_type(receiver.type_full_name)
         name = fld_tok.v
-        info = self.class_methods.get(recv_ty, {}).get(name)
+        # walk the receiver type's inheritance chain; the fullname prefix
+        # stays the receiver's STATIC type (CallTests "call to method in
+        # different class": derived.method -> Derived.method:void(int))
+        info = None
+        seen: set[str] = set()
+        stack = [recv_ty]
+        while stack:
+            c = stack.pop(0)
+            if not c or c in seen:
+                continue
+            seen.add(c)
+            info = self.class_methods.get(c, {}).get(name)
+            if info is not None:
+                break
+            stack.extend(self.class_supers.get(c, []))
         if info is not None:
-            mfn, is_static = info
+            found_fn, is_static = info
             dispatch = M.STATIC_DISPATCH if is_static else M.DYNAMIC_DISPATCH
-            sig = mfn.split(":", 1)[1]
+            sig = found_fn.split(":", 1)[1] if ":" in found_fn else ""
+            mfn = f"{recv_ty}.{name}:{sig}"
         elif recv_ty and recv_ty != M.ANY:
             mfn = f"{recv_ty}.{name}:{M.UNRESOLVED_SIGNATURE}({len(args)})"
             dispatch = M.DYNAMIC_DISPATCH

@@ -1354,3 +1354,135 @@ public class Foo {
         cite=f"{JQ}/ControlStructureTests.scala:533-683",
     ),
 ]
+
+# --------------------------------------------------------------------------- #
+# LocalTests / MethodTests / CallTests transcriptions.
+# --------------------------------------------------------------------------- #
+
+CASES += [
+    # LocalTests.scala:7-30 — local name/code/typeFullName.
+    dict(
+        name="java-locals", lang="java", wrap=False,
+        code="""
+ class Foo {
+   int foo() {
+     int x;
+     Integer y = null;
+   }
+ }
+""",
+        locals=[["foo.x", "int x|int"],
+                ["foo.y", "Integer y|java.lang.Integer"]],
+        cite=f"{JQ}/LocalTests.scala:7-30",
+    ),
+    # MethodTests.scala:77-92 — unqualified call from a nested class
+    # resolves against the lexically enclosing class.
+    dict(
+        name="java-method-nested-call", lang="java", wrap=False,
+        code="""
+class Foo {
+  static class Sub {
+    void foo() {
+      method(1);
+    }
+  }
+  static void method(Integer x) {
+  }
+}
+""",
+        callmfn=[["method", "Foo.method:void(java.lang.Integer)"]],
+        cite=f"{JQ}/MethodTests.scala:77-92",
+    ),
+    # MethodTests.scala:107-175 — generic/imported return types in method
+    # fullnames and signatures.
+    dict(
+        name="java-method-return-types", lang="java", wrap=False,
+        code="""
+import java.util.*;
+import foo.bar.Baz;
+class Foo {
+ List<String> run() {
+   return null;
+ }
+ Baz<String> run2(Baz<String> x) {
+   return x;
+ }
+}
+""",
+        methods=[["run", "Foo.run:java.util.List()"],
+                 ["run2", "Foo.run2:foo.bar.Baz(foo.bar.Baz)"]],
+        cite=f"{JQ}/MethodTests.scala:107-175",
+    ),
+]
+
+JQCall = f"{JQ}/CallTests.scala"
+
+CASES += [
+    # CallTests.scala:136-151 — unresolved receivers: the unqualified call
+    # prefixes the enclosing class; the chained member call on its unknown
+    # result falls back to <unresolvedNamespace>.
+    dict(
+        name="java-call-unresolved-recv", lang="java", wrap=False,
+        code="""
+import a.*;
+
+class Test {
+
+  void test() {
+    foo().bar();
+  }
+}
+""",
+        callmfn=[["foo", "Test.foo:<unresolvedSignature>(0)"],
+                 ["bar", "<unresolvedNamespace>.bar:<unresolvedSignature>(0)"]],
+        cite=f"{JQCall}:136-151",
+    ),
+    # :198-213 — varargs erase to an array parameter in the resolved call.
+    dict(
+        name="java-call-varargs", lang="java", wrap=False,
+        code="""
+class Test {
+  void foo(String... inputs) {
+    System.out.println(inputs.length);
+  }
+
+  void test() {
+    foo("a", "b");
+  }
+}
+""",
+        callmfn=[["foo", "Test.foo:void(java.lang.String[])"]],
+        methods=[["foo", "Test.foo:void(java.lang.String[])"]],
+        cite=f"{JQCall}:198-213",
+    ),
+    # :345-407 (single-file adaptation) — hierarchy call resolution: a
+    # member call on a Derived receiver resolves Base's method under the
+    # receiver's static type; an unqualified call inside MoreDerived
+    # resolves under MoreDerived.
+    dict(
+        name="java-call-hierarchy", lang="java", wrap=False,
+        code="""
+class Base {
+  void method(int aaa) {}
+}
+
+class Derived extends Base {}
+
+class MoreDerived extends Derived {
+  void user2() {
+    method(1);
+  }
+}
+
+class User {
+  static void user(Derived derived) {
+    derived.method(1);
+  }
+}
+""",
+        callmfn=[["method", "Derived.method:void(int)"],
+                 ["method", "MoreDerived.method:void(int)"]],
+        inherits=[["Derived", "Base"], ["MoreDerived", "Derived"]],
+        cite=f"{JQCall}:345-407",
+    ),
+]
