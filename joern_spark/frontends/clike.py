@@ -1333,8 +1333,7 @@ class CParser:
             node = N(M.LITERAL, code=t.v, line=t.line,
                      type_full_name="bool" if t.v in ("true", "false") else M.ANY)
         elif t.v == "this":
-            node = N(M.IDENTIFIER, code="this", name="this", line=t.line,
-                     type_full_name=(self.ns[-1] + "*") if self.ns else M.ANY)
+            node = self.this_expr(t)
         elif t.t == "id" or t.t == "kw":
             name = t.v
             while self.at("::"):
@@ -1408,6 +1407,12 @@ class CParser:
         are consumed (erasure drops them); no-op for C/JS where `.<` cannot
         start a member access."""
         return None
+
+    def this_expr(self, t: Tok) -> N:
+        """C++: `this` is a pointer to the enclosing class; javasrc
+        overrides with the scoped `this` parameter (value semantics)."""
+        return N(M.IDENTIFIER, code="this", name="this", line=t.line,
+                 type_full_name=(self.ns[-1] + "*") if self.ns else M.ANY)
 
     # ---------------- macro expansion (MacroHandler.scala:31-118) -----------
 

@@ -1079,6 +1079,19 @@ class JavaParser(CParser):
     def wrap_condition(self, cond: N) -> N:
         return cond  # Java conditions are boolean — no !=0 wrap
 
+    def this_expr(self, t: Tok) -> N:
+        """Java `this`: REFs the enclosing method's `this` parameter and
+        carries its (non-pointer) type (CallTests "have ref edges from
+        explicit `this` to method parameter")."""
+        decl = self.lookup("this")
+        chain = self._enclosing_class_chain()
+        node = N(M.IDENTIFIER, code="this", name="this", line=t.line,
+                 type_full_name=(decl.type_full_name if decl is not None
+                                 else (chain[0] if chain else M.ANY)))
+        if decl is not None:
+            node.ref_target = decl
+        return node
+
     def make_else(self, e: Tok, stmts: list[N]) -> N:
         """javasrc: the else branch is a plain BLOCK reached via FALSE_BODY
         (an else-if chain nests the second IF inside that block,
@@ -1472,10 +1485,13 @@ class JavaParser(CParser):
             self.push_scope()
             while not self.at(")"):
                 if self.looks_like_java_type():
-                    ty = self.resolve_type(self.parse_java_type())
+                    raw_ty = self.parse_java_type()
+                    ty = self.resolve_type(raw_ty)
                     if self.peek() is not None and self.peek().t == "id":
                         nm = self.next()
-                        loc = N(M.LOCAL, code=f"{ty} {nm.v}", name=nm.v,
+                        # code keeps the raw spelling ("FileReader fr",
+                        # ControlStructureTests.scala:81-83)
+                        loc = N(M.LOCAL, code=f"{raw_ty} {nm.v}", name=nm.v,
                                 type_full_name=ty, line=nm.line)
                         node.add(loc)
                         self.declare(nm.v, loc)
@@ -1653,12 +1669,15 @@ class JavaParser(CParser):
         lhs = super().parse_binary(min_prec)
         while self.at("instanceof"):
             op = self.next()
-            ty = self.resolve_type(self.parse_java_type())
+            raw_ty = self.parse_java_type()
+            ty = self.resolve_type(raw_ty)
             if self.peek() is not None and self.peek().t == "id":
                 self.next()  # pattern variable
-            tref = N(M.TYPE_REF, code=ty, type_full_name=ty, line=op.line, arg_index=2)
+            # code keeps the raw source spelling; the TYPE_REF carries the
+            # resolved fullname (SpecialOperatorTests instanceOf shape)
+            tref = N(M.TYPE_REF, code=raw_ty, type_full_name=ty, line=op.line, arg_index=2)
             lhs.arg_index = 1
-            call = N(M.CALL, code=f"{lhs.code} instanceof {ty}", name=M.OP_INSTANCE_OF,
+            call = N(M.CALL, code=f"{lhs.code} instanceof {raw_ty}", name=M.OP_INSTANCE_OF,
                      method_full_name=M.OP_INSTANCE_OF, dispatch_type=M.STATIC_DISPATCH,
                      line=op.line, type_full_name="boolean")
             call.add(lhs, tref)

@@ -1486,3 +1486,231 @@ class User {
         cite=f"{JQCall}:345-407",
     ),
 ]
+
+# --------------------------------------------------------------------------- #
+# Foreach / try-with-resources / enum / members / scope transcriptions.
+# --------------------------------------------------------------------------- #
+
+CASES += [
+    # NewControlStructureTests:371-531 — foreach over a native array lowers
+    # to the $idx0-indexed FOR with sizeOf condition and indexAccess body.
+    dict(
+        name="java-foreach-array", lang="java", wrap=False,
+        code="""
+public class Foo {
+  public static void sink(String s) {}
+
+  public static void foo(String[] items) {
+    for (String item : items) {
+      sink(item);
+    }
+  }
+}
+""",
+        locals=[["foo.$idx0", "$idx0|int"],                       # :384-391
+                ["foo.item", "String item|java.lang.String"]],    # :476-478
+        callmfn=[["sink", "Foo.sink:void(java.lang.String)"],     # :511-513
+                 ["<operator>.assignment", "<operator>.assignment"],
+                 ["<operator>.lessThan", "<operator>.lessThan"],  # :422-425
+                 ["<operator>.sizeOf", "<operator>.sizeOf"],      # :434-437
+                 ["<operator>.postIncrement",
+                  "<operator>.postIncrement"],                    # :453-456
+                 ["<operator>.indexAccess", "<operator>.indexAccess"]],
+        cscond=[["foo:FOR", "$idx0 < items.length"]],
+        cite=f"{JQ}/ControlStructureTests.scala:371-531",
+    ),
+    # :169-369 — foreach over an array-initializer expression copies it into
+    # $iterLocal0 first.
+    dict(
+        name="java-foreach-array-expr", lang="java", wrap=False,
+        code="""
+public class Foo {
+  public static void sink(String s) {}
+
+  public static void foo() {
+    for (String item : new String[] {"a", "b", "c"}) {
+      sink(item);
+    }
+  }
+}
+""",
+        locals=[["foo.$iterLocal0", "$iterLocal0|java.lang.String[]"],  # :182-189
+                ["foo.$idx0", "$idx0|int"],
+                ["foo.item", "String item|java.lang.String"]],
+        cscond=[["foo:FOR", "$idx0 < $iterLocal0.length"]],
+        cite=f"{JQ}/ControlStructureTests.scala:169-369",
+    ),
+    # :54-124 — try-with-resources: one LOCAL + assignment + <init> per
+    # resource, raw-type local codes.
+    dict(
+        name="java-try-with-resources", lang="java", wrap=False,
+        code="""
+import java.io.FileReader;
+import java.io.IOException;
+import java.io.BufferedReader;
+
+public class Foo {
+    static String foo(String path) throws IOException {
+        try (FileReader fr = new FileReader(path);
+             BufferedReader br = new BufferedReader(fr)) {
+            return br.readLine();
+        }
+    }
+}
+""",
+        locals=[["foo.fr", "FileReader fr|java.io.FileReader"],        # :81-83
+                ["foo.br", "BufferedReader br|java.io.BufferedReader"]],  # :99-101
+        callmfn=[["<init>",
+                  "java.io.FileReader.<init>:<unresolvedSignature>(1)"],
+                 ["<init>",
+                  "java.io.BufferedReader.<init>:<unresolvedSignature>(1)"],
+                 ["readLine",
+                  "java.io.BufferedReader.readLine:<unresolvedSignature>(0)"]],
+        cs=[["foo:TRY", "try"]],
+        cite=f"{JQ}/ControlStructureTests.scala:54-124",
+    ),
+]
+
+CASES += [
+    # EnumTests.scala:8-29 + MemberTests basics — enum default ctor
+    # fullname; member name/typeFullName inventory incl. statics.
+    dict(
+        name="java-enum-ctor", lang="java", wrap=False,
+        code="""
+public enum FuzzyBool {
+  TRUE,
+  FALSE,
+  MAYBE
+}
+""",
+        methods=[["<init>", "FuzzyBool.<init>:void()"]],
+        inherits=[["FuzzyBool", "java.lang.Enum"]],
+        cite=f"{JQ}/EnumTests.scala:8-29",
+    ),
+    # MemberTests.scala:10-35 — member typeFullNames (static + instance);
+    # initializers move into the default ctor, the MEMBER keeps no children.
+    dict(
+        name="java-members", lang="java", wrap=False,
+        code="""
+class Foo {
+  int x = 1;
+  static int y;
+  String s = "two";
+}
+""",
+        members=[["Foo.x", "int"], ["Foo.y", "int"],
+                 ["Foo.s", "java.lang.String"]],
+        ast={("this.x = 1", 0, "CALL"): ["this.x", "1"],
+             ("this.s = \"two\"", 0, "CALL"): ["this.s", "\"two\""]},
+        cite=f"{JQ}/MemberTests.scala:10-35,133-160",
+    ),
+    # ScopeTests-style — locals keep their declaring block scope; inner
+    # blocks see distinct locals; intra-class calls resolve, unknown names
+    # get the enclosing-class unresolved fullname.
+    dict(
+        name="java-scopes", lang="java", wrap=False,
+        code="""
+class Foo {
+  Integer method(Integer aaa) {
+    Integer outerScope = counter();
+    if (aaa == 1) {
+      Integer irrelevantVariable = bbb();
+    }
+    return outerScope;
+  }
+  Integer counter() { return 1; }
+}
+""",
+        locals=[["method.outerScope", "Integer outerScope|java.lang.Integer"],
+                ["method.irrelevantVariable",
+                 "Integer irrelevantVariable|java.lang.Integer"]],
+        callmfn=[["counter", "Foo.counter:java.lang.Integer()"],
+                 ["bbb", "Foo.bbb:<unresolvedSignature>(0)"],
+                 ["<operator>.assignment", "<operator>.assignment"],
+                 ["<operator>.equals", "<operator>.equals"]],
+        cite=f"{JQ}/ScopeTests.scala (scope shapes); CallTests.scala:136-151 (unresolved prefix)",
+    ),
+]
+
+CASES += [
+    # CallTests "calls to instance methods in same class" (:283-330) —
+    # implicit and explicit `this` receivers resolve identically.
+    dict(
+        name="java-call-this-receiver", lang="java", wrap=False,
+        code="""
+class Foo {
+  public void test() {
+    foo(42);
+    this.foo(42);
+  }
+
+  public void foo(int x) {}
+}
+""",
+        callmfn=[["foo", "Foo.foo:void(int)"]],
+        calls=[["test", "foo"]],
+        cite=f"{JQCall}:283-330",
+    ),
+    # NamespaceBlockTests / MethodTests — package-qualified fullnames on
+    # interface methods; interface methods keep declared signatures.
+    dict(
+        name="java-package-interface", lang="java", wrap=False,
+        code="""
+package a.b;
+
+interface Conn {
+  int connect(String url);
+}
+""",
+        methods=[["connect", "a.b.Conn.connect:int(java.lang.String)"]],
+        params=[["connect.url", "1:java.lang.String:BY_SHARING"]],
+        cite=f"{JQ}/NamespaceBlockTests.scala (package fullname scheme); TypeDeclTests.scala:166-174",
+    ),
+    # LambdaTests nested closures — the inner lambda captures BOTH the
+    # enclosing method's parameter and the outer lambda's parameter.
+    dict(
+        name="java-lambda-nested-capture", lang="java", wrap=False,
+        code="""
+class Foo {
+  void test1(String fallback) {
+    java.util.function.Function<String,String> f = s -> {
+      java.util.function.Function<String,String> g = t -> t + fallback + s;
+      return g.apply(s);
+    };
+  }
+}
+""",
+        captures=[["<lambda>1", "fallback"], ["<lambda>1", "s"]],
+        cite=f"{JQ}/LambdaTests.scala:121-155 (capture rule, nested shape)",
+    ),
+    # ConditionalTests-adjacent: instanceof lowers to
+    # <operator>.instanceOf with (expr, type) arguments
+    # (SpecialOperatorTests.scala).
+    dict(
+        name="java-instanceof", lang="java", wrap=False,
+        code="""
+class Foo {
+  public boolean foo(Object o) {
+    return o instanceof String;
+  }
+}
+""",
+        ast={("o instanceof String", 0, "CALL"): ["o", "String"]},
+        cite=f"{JQ}/SpecialOperatorTests.scala (instanceOf lowering)",
+    ),
+    # CastExpr — <operator>.cast with (TYPE_REF, expr) arguments
+    # (SpecialOperatorTests.scala cast tests).
+    dict(
+        name="java-cast", lang="java", wrap=False,
+        code="""
+class Foo {
+  public int foo(Object o) {
+    int x = (int) o;
+    return x;
+  }
+}
+""",
+        ast={("(int) o", 0, "CALL"): ["int", "o"]},
+        cite=f"{JQ}/SpecialOperatorTests.scala (cast lowering)",
+    ),
+]
