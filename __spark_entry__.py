@@ -158,6 +158,20 @@ def q_cpg_declares(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+def q_cpg_bindings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized BINDING vtable (BindingTableAdapterImpls.scala):
+    one row per (type_decl, bound name, bound signature) with the METHOD
+    fullname the entry dispatches to. Reads the persisted BINDING nodes —
+    validates the pipeline's stage-2b joins end-to-end."""
+    n = _cpg(spark)["nodes"]
+    return (n.filter(F.col("kind") == "BINDING")
+            .select(_s("ast_parent_full_name").alias("td_full_name"),
+                    _s("name").alias("bname"),
+                    _s("signature").alias("bsig"),
+                    _s("method_full_name").alias("target_fn"))
+            .distinct())
+
+
 def q_cpg_operator_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _cpg(spark)["nodes"]
     return (n.filter((F.col("kind") == "CALL")
@@ -399,6 +413,9 @@ def _cpg_oracles() -> dict[str, str]:
         "cpg_captures": O.values_sql(
             O.expected_captures(),
             ["path", "closure_full_name", "captured_name"]),
+        "cpg_bindings": O.values_sql(
+            O.expected_bindings(),
+            ["td_full_name", "bname", "bsig", "target_fn"]),
         "cpg_parity": _parity_oracle_sql(),
     }
 
@@ -438,6 +455,7 @@ CPG_QUERIES = {
     "cpg_type_recovery": q_cpg_type_recovery,
     "cpg_declared_only": q_cpg_declared_only,
     "cpg_captures": q_cpg_captures,
+    "cpg_bindings": q_cpg_bindings,
     "cpg_parity": q_cpg_parity,
 }
 

@@ -27,7 +27,7 @@ class N:
         "ast_parent_type", "ast_parent_full_name", "inherits_from",
         "alias_type_full_name", "evaluation_strategy", "param_index",
         "is_variadic", "is_external", "line", "line_end", "children",
-        "ref_target", "idx",
+        "ref_target", "idx", "has_body",
     )
 
     def __init__(self, kind: str, code: str = "", name: str = "", line: int = 0, **kw):
@@ -57,6 +57,7 @@ class N:
         self.param_index = -1
         self.is_variadic = False
         self.is_external = False
+        self.has_body = False
         self.children: list[N] = []
         self.ref_target: Optional[N] = None  # parse-time REF (ident -> LOCAL/PARAM)
         self.idx = -1

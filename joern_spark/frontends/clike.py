@@ -222,6 +222,7 @@ class CParser:
         self.global_block = f"{path}:{M.GLOBAL}"
         self.typedefs: set[str] = set()
         self.declared_types: dict[str, str] = {}  # simple name -> qualified fullname
+        self.extern_c = 0  # inside extern "C" → C naming for free functions
         # preprocessor macro state (MacroHandler analogue)
         self.includes = scan_includes(content)
         self.macros: dict[str, Macro] = scan_macros(content)
@@ -363,7 +364,18 @@ class CParser:
         ptr = ""
         while self.at_any(("*", "&")):
             ptr += "*" if self.next().v == "*" else ""
-        base = " ".join(p for p in parts if p not in ("const", "volatile", "static", "inline", "extern", "register", "constexpr"))
+        core = [p for p in parts if p not in ("const", "volatile", "static", "inline", "extern", "register", "constexpr")]
+        # CDT-style size-specifier normalization (MethodTests.scala:
+        # "long int"->"long", "long long int"->"longlong", "short int"->
+        # "short"): a redundant `int` next to a size keyword drops; the
+        # remaining multiword core concatenates without spaces
+        if len(core) > 1 and "int" in core and \
+                any(w in ("long", "short", "signed", "unsigned") for w in core):
+            core = [w for w in core if w != "int"]
+        base = ("".join(core) if all(
+            w in ("long", "short", "signed", "unsigned", "int", "char",
+                  "double", "float") for w in core) and len(core) > 1
+            else " ".join(core))
         base = self.declared_types.get(base, base)
         return (base + ptr) if base else ("ANY" + ptr)
 
@@ -445,17 +457,25 @@ class CParser:
                          ast_parent_full_name=self.global_block)
             return None
         if t.v == "extern" and self.peek(1) is not None and self.peek(1).t == "str":
+            # extern "C": free functions inside take PLAIN C naming — no
+            # namespace qual, no :signature suffix (MethodTests.scala
+            # "be correct for plain extern C method": NNN + extern "C"
+            # int method(int) -> fullName "method")
             self.next(); self.next()
-            if self.at("{"):
-                self.next()
-                out = []
-                while not self.at("}"):
-                    r = self.parse_top_level()
-                    if r is not None:
-                        out.extend(r if isinstance(r, list) else [r])
-                self.next()
-                return out
-            return self.parse_top_level()
+            self.extern_c += 1
+            try:
+                if self.at("{"):
+                    self.next()
+                    out = []
+                    while not self.at("}"):
+                        r = self.parse_top_level()
+                        if r is not None:
+                            out.extend(r if isinstance(r, list) else [r])
+                    self.next()
+                    return out
+                return self.parse_top_level()
+            finally:
+                self.extern_c -= 1
         # function definition / prototype / global var
         return self.parse_declaration_or_function()
 
@@ -679,15 +699,22 @@ class CParser:
                                  body="parse")
 
     def _make_method(self, ret_ty: str, name: str, start: Tok,
-                     class_full: str | None, params, body):
+                     class_full: str | None, params, body,
+                     const_method: bool = False, this_type: str | None = None):
         sig_params = ",".join(p[0] for p in params if not p[2])
-        signature = f"{ret_ty}({sig_params})"
-        if self.lang == "cpp":
+        # const member functions carry the <const> tag in the signature
+        # (FullNameProvider.signature: Defines.ConstSuffix; MethodTests
+        # "_json_value.[]:_json_value&(int)<const>")
+        signature = f"{ret_ty}({sig_params})" + (M.CONST_SUFFIX if const_method else "")
+        if self.lang == "cpp" and not (self.extern_c and class_full is None):
             q = self.qual(name) if class_full is None else f"{class_full.rstrip('.')}" + ("." if class_full and not class_full.endswith(".") else "") + name
             if class_full is not None and class_full.endswith("."):
                 q = class_full + name
             full_name = f"{q}:{signature}"
         else:
+            # C — and extern "C" free functions in C++ translation units —
+            # use the bare name (sanitizeMethodLikeFullName isCPPFunction
+            # gate; MethodTests "plain extern C method" -> "method")
             full_name = name if class_full is None else f"{class_full}.{name}"
         parent_type = M.TYPE_DECL if class_full else M.NAMESPACE_BLOCK
         parent_full = class_full if class_full else self.global_block
@@ -695,7 +722,17 @@ class CParser:
         method = N(M.METHOD, code=f"{ret_ty} {name} ({sig_params})", name=name,
                    full_name=full_name, signature=signature, line=start.line,
                    ast_parent_type=parent_type, ast_parent_full_name=parent_full)
+        method.has_body = body is not None
         self.push_scope()
+        if this_type is not None:
+            # implicit receiver (AstCreator this-parameter; MethodTests
+            # "class method with implicit member access": name `this`,
+            # typeFullName `A*`, index 0)
+            p0 = N(M.METHOD_PARAMETER_IN, code="this", name="this",
+                   type_full_name=this_type, param_index=0, line=start.line,
+                   evaluation_strategy=M.BY_SHARING)
+            method.add(p0)
+            self.declare("this", p0)
         for i, (pty, pname, var) in enumerate(params, start=1):
             p = N(M.METHOD_PARAMETER_IN, code=f"{pty} {pname}".strip() if not var else "...",
                   name=pname or f"param{i}", type_full_name=pty or M.ANY,

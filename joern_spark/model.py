@@ -170,6 +170,7 @@ UNKNOWN_FULL_NAME = "<unknownFullName>"
 UNRESOLVED_NAMESPACE = "<unresolvedNamespace>"
 UNRESOLVED_SIGNATURE = "<unresolvedSignature>"
 CONSTRUCTOR = "<init>"
+CONST_SUFFIX = "<const>"  # const member-function signature tag (c2cpg Defines.ConstSuffix)
 STATIC_INIT = "<clinit>"
 LAMBDA_PREFIX = "<lambda>"
 PROGRAM_METHOD = ":program"  # jssrc per-file pseudo method

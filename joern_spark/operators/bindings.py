@@ -51,7 +51,12 @@ def binding_relation(nodes: DataFrame,
                    F.col("signature").alias("bsig"),
                    F.col("method_full_name").alias("target_fn"))
            .distinct())
-    base = own.unionByName(ext)
+    # priority: own declaration beats a parse-time erasure row beats an
+    # inherited row (BindingTable.scala resolves in the same order); the
+    # final min_by over (prio, target_fn) keeps the whole relation
+    # deterministic under shuffle reordering
+    base = (own.withColumn("prio", F.lit(0))
+            .unionByName(ext.withColumn("prio", F.lit(1))))
 
     if closure is None:
         from joern_spark.operators.callgraph import inheritance_closure
@@ -70,23 +75,29 @@ def binding_relation(nodes: DataFrame,
     anc = (closure.select(F.col("desc").alias("td_fn"),
                           F.col("anc").alias("anc_fn"))
            .join(base.filter(F.col("bname") != M.CONSTRUCTOR)
-                 .withColumnRenamed("td_fn", "anc_fn"), "anc_fn")
+                 .drop("prio").withColumnRenamed("td_fn", "anc_fn"), "anc_fn")
            .select("td_fn", "bname", "bsig", "target_fn"))
     # re-target at the descendant's override when one exists (same name +
-    # arity — the staticLookup analogue, BindingTable.scala computed types)
-    overrides = own.select(
+    # arity — the staticLookup analogue, BindingTable.scala computed types);
+    # min_by(target_fn) breaks same-arity-overload ties deterministically
+    overrides = (own.select(
         "td_fn", "bname", _arity("bsig").alias("ar"),
-        F.col("target_fn").alias("override_fn")).dropDuplicates(
-        ["td_fn", "bname", "ar"])
+        F.col("target_fn").alias("override_fn"))
+        .groupBy("td_fn", "bname", "ar")
+        .agg(F.min("override_fn").alias("override_fn")))
     anc = (anc.withColumn("ar", _arity("bsig"))
            .join(overrides, ["td_fn", "bname", "ar"], "left")
            .select("td_fn", "bname", "bsig",
                    F.coalesce("override_fn", "target_fn").alias("target_fn")))
-    return base.unionByName(anc).dropDuplicates(["td_fn", "bname", "bsig"])
+    return (base.unionByName(anc.withColumn("prio", F.lit(2)))
+            .groupBy("td_fn", "bname", "bsig")
+            .agg(F.min_by("target_fn",
+                          F.struct("prio", "target_fn")).alias("target_fn")))
 
 
 def binding_nodes_and_edges(nodes: DataFrame,
-                            closure: DataFrame | None = None
+                            closure: DataFrame | None = None,
+                            rel: DataFrame | None = None
                             ) -> tuple[DataFrame, DataFrame]:
     """Materialize the vtable as BINDING nodes + BINDS/REF edges.
 
@@ -95,7 +106,8 @@ def binding_nodes_and_edges(nodes: DataFrame,
     BINDING -REF-> METHOD (by fullname, deduplicated dimension join).
     Parse-time BINDING rows already carry their own node/edges; they are
     excluded here by an anti-join on the id."""
-    rel = binding_relation(nodes, closure)
+    if rel is None:
+        rel = binding_relation(nodes, closure)
     bid = F.xxhash64(F.lit("BINDING"), F.col("td_fn"), F.col("bname"),
                      F.col("bsig"))
 

@@ -90,16 +90,22 @@ def inheritance_closure(nodes: DataFrame, max_depth: int = 20) -> DataFrame:
 
 def dynamic_call_edges(nodes: DataFrame, call_sites: DataFrame,
                        closure: DataFrame | None = None,
-                       dim: DataFrame | None = None) -> DataFrame:
-    """CALL edges for DYNAMIC_DISPATCH: resolve `T.name` against T and every
-    subclass of T that declares a COMPATIBLE `name` (SAFEDISPATCH candidate
-    set, DynamicCallLinker.scala:63-70). Compatibility mirrors the
-    reference's (name, signature) staticLookup (DynamicCallLinker.scala:
-    137-141): when the call site carries a resolved signature it must match
-    the candidate's exactly; otherwise (C-family member calls where the
-    frontend cannot type the args) the candidate's signature arity must
-    match the call's recorded arg count — without this, every overload of a
-    virtual method receives spurious CALL edges."""
+                       dim: DataFrame | None = None,
+                       bindings: DataFrame | None = None) -> DataFrame:
+    """CALL edges for DYNAMIC_DISPATCH: resolve `T.name` against the BINDING
+    vtable of T and of every transitive subtype of T (the reference's
+    ``validM`` lookup keyed on the binding table, DynamicCallLinker.scala:
+    63-70 + BindingTable.scala). Routing through bindings rather than raw
+    method declarations means (a) a non-overriding subtype dispatches to the
+    inherited implementation via its own vtable row, and (b) javasrc
+    erased-signature rows resolve generic interface calls
+    (``accept:void(java.lang.Object)``) to the concrete override.
+    Compatibility mirrors the reference's (name, signature) staticLookup
+    (DynamicCallLinker.scala:137-141): when the call site carries a resolved
+    signature it must match the BINDING's exactly; otherwise (C-family
+    member calls where the frontend cannot type the args) the binding's
+    signature arity must match the call's recorded arg count — without this,
+    every overload of a virtual method receives spurious CALL edges."""
     mfn = F.col("method_full_name")
     base = F.expr("CASE WHEN instr(method_full_name, ':') > 0 THEN "
                   "substring(method_full_name, 1, instr(method_full_name, ':') - 1) "
@@ -114,16 +120,24 @@ def dynamic_call_edges(nodes: DataFrame, call_sites: DataFrame,
              .withColumn("call_name", F.element_at(F.split("base", r"\."), -1)))
     if closure is None:
         closure = inheritance_closure(nodes)
+    if bindings is None:
+        from joern_spark.operators.bindings import binding_relation
+        bindings = binding_relation(nodes, closure)
     closure = closure.select(F.col("anc").alias("recv_type"), F.col("desc").alias("impl_type"))
     # candidate receiver types: the static type itself + all transitive subtypes
     self_row = calls.select("recv_type").distinct().withColumn("impl_type", F.col("recv_type"))
     cand_types = closure.unionByName(self_row).distinct()
 
-    methods = ((dim if dim is not None else method_dimension(nodes))
-               .filter(F.col("m_parent") != "")
-               .select(F.col("m_parent").alias("impl_type"), F.col("m_name").alias("call_name"),
-                       F.col("m_id"), F.col("m_sig")))
-    cands = cand_types.join(F.broadcast(methods), "impl_type")
+    # each candidate type's vtable rows, resolved to method ids (inner join:
+    # a binding whose target is not a materialized METHOD produces no edge)
+    meth_ids = ((dim if dim is not None else method_dimension(nodes))
+                .select(F.col("m_fn").alias("target_fn"), "m_id")
+                .dropDuplicates(["target_fn"]))
+    vtable = (bindings.join(meth_ids, "target_fn")
+              .select(F.col("td_fn").alias("impl_type"),
+                      F.col("bname").alias("call_name"),
+                      F.col("bsig").alias("m_sig"), "m_id"))
+    cands = cand_types.join(F.broadcast(vtable), "impl_type")
     sig_inner = F.regexp_extract("m_sig", r"\((.*)\)", 1)
     sig_arity = F.when(F.col("m_sig") == "", F.lit(None)).otherwise(
         F.when(sig_inner == "", F.lit(0)).otherwise(F.size(F.split(sig_inner, ","))))
@@ -166,7 +180,9 @@ def type_hint_call_edges(call_sites: DataFrame, rewrites: DataFrame,
 
 def run_callgraph(nodes: DataFrame, call_sites: DataFrame | None = None,
                   dim: DataFrame | None = None,
-                  rewrites: DataFrame | None = None) -> DataFrame:
+                  rewrites: DataFrame | None = None,
+                  closure: DataFrame | None = None,
+                  bindings: DataFrame | None = None) -> DataFrame:
     """``nodes`` = full node relation (incl. stubs); ``call_sites`` the small
     persisted CALL dimension; ``dim`` the full deduplicated method dimension.
     Probes and anti-joins run against the dimensions only — the big table is
@@ -182,7 +198,9 @@ def run_callgraph(nodes: DataFrame, call_sites: DataFrame | None = None,
     # call sites actually exist — one cheap probe on the call dimension.
     has_dynamic = not call_sites.filter(
         F.col("dispatch_type") == M.DYNAMIC_DISPATCH).isEmpty()
-    linked = (static.unionByName(dynamic_call_edges(nodes, call_sites, dim=dim))
+    linked = (static.unionByName(
+        dynamic_call_edges(nodes, call_sites, closure=closure, dim=dim,
+                           bindings=bindings))
               if has_dynamic else static)
     # naive linking consumes `linked` twice (anti-join + final union); lazy
     # persist dedupes most of the recompute without an extra warm-up job

@@ -88,11 +88,10 @@ def expected_static_calls() -> list[tuple[str, str]]:
 
 def expected_dynamic_calls() -> list[tuple[str, str, str, str]]:
     """(caller_full_name, call_code, call_mfn, callee_full_name) — the SAFEDISPATCH
-    candidate resolution re-derived sequentially: receiver type + transitive
-    subtypes, candidates matched on name plus signature (exact when the
-    site has one, arity gate otherwise), mirroring dynamic_call_edges."""
-    import re
-
+    candidate resolution re-derived sequentially: the BINDING vtable of the
+    receiver type + every transitive subtype, entries matched on name plus
+    binding signature (exact when the site has one, arity gate otherwise),
+    mirroring dynamic_call_edges' validM routing."""
     # global method dim + inheritance edges (the distributed linker joins
     # one global dimension — fullnames are namespace/package-scoped)
     all_methods: list[dict] = []
@@ -104,6 +103,8 @@ def expected_dynamic_calls() -> list[tuple[str, str, str, str]]:
             if r["kind"] == M.TYPE_DECL and r.get("inherits_from"):
                 for anc in r["inherits_from"]:
                     subs.setdefault(anc, set()).add(r["full_name"])
+    method_fns = {m["full_name"] for m in all_methods}
+    vtable = _binding_table_seq()
 
     def descendants(t):
         out, stack = set(), [t]
@@ -116,10 +117,9 @@ def expected_dynamic_calls() -> list[tuple[str, str, str, str]]:
         return out
 
     def sig_arity(sig):
-        m_ = re.search(r"\((.*)\)", sig)
-        if not m_:
+        if "(" not in (sig or ""):
             return None
-        return 0 if m_.group(1) == "" else len(m_.group(1).split(","))
+        return _sig_arity_of(sig)
 
     # internal methods grouped by bare name — the NaiveCallLinker fallback
     # dimension (naive_call_edges: dim.filter(~is_external) joined on name)
@@ -150,21 +150,19 @@ def expected_dynamic_calls() -> list[tuple[str, str, str, str]]:
             base, _, call_sig = mfn.partition(":")
             if mfn and mfn != M.UNKNOWN_FULL_NAME and "." in base:
                 recv, _, call_name = base.rpartition(".")
-                impl_types = {recv} | descendants(recv)
-                for m in all_methods:
-                    if m["name"] != call_name or \
-                            (m["ast_parent_full_name"] or "") not in impl_types:
-                        continue
-                    msig = m["signature"] or ""
-                    if call_sig and M.UNRESOLVED_SIGNATURE not in call_sig:
-                        ok = msig == call_sig
-                    else:
-                        ar = sig_arity(msig)
-                        ok = (ar is None or r["nargs"] < 0 or ar == r["nargs"])
-                    if ok:
-                        out.add((caller["full_name"], r["code"], mfn,
-                                 m["full_name"]))
-                        linked = True
+                for it in {recv} | descendants(recv):
+                    for (n, s), t in vtable.get(it, {}).items():
+                        if n != call_name or t not in method_fns:
+                            continue
+                        if call_sig and M.UNRESOLVED_SIGNATURE not in call_sig:
+                            ok = s == call_sig
+                        else:
+                            ar = sig_arity(s)
+                            ok = (ar is None or r["nargs"] < 0
+                                  or ar == r["nargs"])
+                        if ok:
+                            out.add((caller["full_name"], r["code"], mfn, t))
+                            linked = True
             if not linked:
                 # NaiveCallLinker fallback: an unlinked call joins EVERY
                 # internal method with its bare name
@@ -391,6 +389,91 @@ def expected_inherits() -> list[tuple[str, str]]:
             if r["kind"] == M.TYPE_DECL and r["inherits_from"]:
                 for p in r["inherits_from"]:
                     out.add((r["full_name"], p))
+    return sorted(out)
+
+
+def _sig_arity_of(sig: str) -> int:
+    inner = sig[sig.find("(") + 1:sig.rfind(")")] if "(" in sig else ""
+    return 0 if not inner else inner.count(",") + 1
+
+
+@lru_cache(maxsize=1)
+def _binding_table_seq() -> dict[str, dict[tuple[str, str], str]]:
+    """td_full_name -> {(name, sig): target_fn} — sequential mirror of
+    operators.bindings.binding_relation (same priority order: own decl <
+    parse-time erasure row < inherited, ties broken on target_fn)."""
+    own_m: dict[str, list] = {}
+    ext_b: dict[str, list] = {}
+    sup: dict[str, list] = {}
+    tds: set[str] = set()
+    for repo, path, commit, lang, rows in local_files():
+        for r in rows:
+            if (r["kind"] == M.METHOD and r["ast_parent_type"] == M.TYPE_DECL
+                    and r["ast_parent_full_name"]):
+                own_m.setdefault(r["ast_parent_full_name"], []).append(
+                    (r["name"], r["signature"], r["full_name"]))
+            elif r["kind"] == M.BINDING:
+                ext_b.setdefault(r["ast_parent_full_name"], []).append(
+                    (r["name"], r["signature"], r["method_full_name"]))
+            elif r["kind"] == M.TYPE_DECL:
+                tds.add(r["full_name"])
+                if r.get("inherits_from"):
+                    sup.setdefault(r["full_name"], []).extend(r["inherits_from"])
+
+    def ancestors(fn, seen=None):
+        seen = set() if seen is None else seen
+        for s in sup.get(fn, []):
+            if s not in seen:
+                seen.add(s)
+                ancestors(s, seen)
+        return seen
+
+    table: dict[str, dict[tuple[str, str], str]] = {}
+    for fn in tds | set(own_m) | set(ext_b):
+        entries: dict[tuple[str, str], tuple[int, str]] = {}
+
+        def offer(k, v):
+            if k not in entries or v < entries[k]:
+                entries[k] = v
+
+        for prio, lst in ((0, own_m.get(fn, [])), (1, ext_b.get(fn, []))):
+            for n, s, t in lst:
+                offer((n, s), (prio, t))
+        ovr: dict[tuple[str, int], str] = {}
+        for n, s, t in own_m.get(fn, []):
+            k = (n, _sig_arity_of(s))
+            if k not in ovr or t < ovr[k]:
+                ovr[k] = t
+        for anc in sorted(ancestors(fn)):
+            for n, s, t in own_m.get(anc, []) + ext_b.get(anc, []):
+                if n == M.CONSTRUCTOR:
+                    continue
+                offer((n, s), (2, ovr.get((n, _sig_arity_of(s)), t)))
+        table[fn] = {k: t for k, (_, t) in entries.items()}
+    return table
+
+
+def expected_bindings() -> list[tuple[str, str, str, str]]:
+    """(td_full_name, bname, bsig, target_fn) — the BINDING vtable
+    (BindingTableAdapterImpls.scala) re-derived sequentially, unioned the
+    way the pipeline materializes nodes: a parse-time BINDING row keeps its
+    own target verbatim (the pipeline anti-joins fresh rows on their keys);
+    only keys it does not cover come from the derived relation."""
+    ext_b: dict[str, list] = {}
+    for repo, path, commit, lang, rows in local_files():
+        for r in rows:
+            if r["kind"] == M.BINDING:
+                ext_b.setdefault(r["ast_parent_full_name"], []).append(
+                    (r["name"], r["signature"], r["method_full_name"]))
+    out = set()
+    for fn, entries in _binding_table_seq().items():
+        parse_keys = set()
+        for n, s, t in ext_b.get(fn, []):
+            out.add((fn, n, s, t))
+            parse_keys.add((n, s))
+        for (n, s), t in entries.items():
+            if (n, s) not in parse_keys:
+                out.add((fn, n, s, t))
     return sorted(out)
 
 

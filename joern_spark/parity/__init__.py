@@ -400,18 +400,29 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
 
         for td in tds:
             fn = td["full_name"]
-            entries: dict[tuple[str, str], str] = {}
-            for n, s, t in own_m.get(fn, []) + ext_b.get(fn, []):
-                entries.setdefault((n, s), t)
-            ovr = {}
+            # (prio, target) min-wins — the same own < erasure-row <
+            # inherited ordering (ties on target_fn) binding_relation's
+            # min_by applies, so mirror and Spark stay bit-identical
+            entries: dict[tuple[str, str], tuple[int, str]] = {}
+
+            def _offer(entries, k, v):
+                if k not in entries or v < entries[k]:
+                    entries[k] = v
+
+            for prio, lst in ((0, own_m.get(fn, [])), (1, ext_b.get(fn, []))):
+                for n, s, t in lst:
+                    _offer(entries, (n, s), (prio, t))
+            ovr: dict[tuple[str, int], str] = {}
             for n, s, t in own_m.get(fn, []):
-                ovr.setdefault((n, _arity(s)), t)
-            for anc in _ancestors(fn):
+                k = (n, _arity(s))
+                if k not in ovr or t < ovr[k]:
+                    ovr[k] = t
+            for anc in sorted(_ancestors(fn)):
                 for n, s, t in own_m.get(anc, []) + ext_b.get(anc, []):
                     if n == "<init>":
                         continue
-                    entries.setdefault((n, s), ovr.get((n, _arity(s)), t))
-            for (n, s), t in entries.items():
+                    _offer(entries, (n, s), (2, ovr.get((n, _arity(s)), t)))
+            for (n, s), (_, t) in entries.items():
                 out.add(("bindings", f'{td["name"]}:{n}', f"{s}->{t}"))
 
     if case.get("captures") is not None:

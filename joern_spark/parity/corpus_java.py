@@ -637,6 +637,82 @@ class OtherConsumer<U extends Integer> implements SomeConsumer<U> {
     ),
 ]
 
+CASES += [
+    # BindingTable.scala createBindingTable: a plain (non-generic) override
+    # re-targets the inherited row; a non-overridden method is inherited
+    # as-is, still pointing at the super's implementation.
+    dict(
+        name="java-bindings-plain-override", lang="java", wrap=False,
+        code="""
+class BindBase {
+  public int f(int x) { return x; }
+  public int g() { return 0; }
+}
+
+class BindSub extends BindBase {
+  public int f(int x) { return x + 1; }
+}
+""",
+        bindings=[
+            ["BindBase:f", "int(int)->BindBase.f:int(int)"],
+            ["BindBase:g", "int()->BindBase.g:int()"],
+            ["BindSub:f", "int(int)->BindSub.f:int(int)"],
+            ["BindSub:g", "int()->BindBase.g:int()"],
+        ],
+        cite="javasrc2cpg/.../util/BindingTable.scala (createBindingTable)",
+    ),
+    # BindingTableAdapterImpls.scala: constructors never flow down the
+    # hierarchy — BindCtorSub binds ONLY its own void() <init>, not the
+    # super's void(int) one (an inherited ctor row would be an FP here
+    # because the subject BindCtorSub:<init> is asserted).
+    dict(
+        name="java-bindings-ctor-noninherit", lang="java", wrap=False,
+        code="""
+class BindCtorBase {
+  public BindCtorBase(int x) {}
+  public int h() { return 1; }
+}
+
+class BindCtorSub extends BindCtorBase {
+  public int h() { return 2; }
+}
+""",
+        bindings=[
+            ["BindCtorBase:<init>", "void(int)->BindCtorBase.<init>:void(int)"],
+            ["BindCtorBase:h", "int()->BindCtorBase.h:int()"],
+            ["BindCtorSub:<init>", "void()->BindCtorSub.<init>:void()"],
+            ["BindCtorSub:h", "int()->BindCtorSub.h:int()"],
+        ],
+        cite="javasrc2cpg/.../util/BindingTableAdapterImpls.scala "
+             "(constructor exclusion)",
+    ),
+    # Transitive chain with a gap: the middle class inherits the root's
+    # method unchanged; the leaf's override re-targets rows inherited from
+    # BOTH ancestors (DynamicCallLinker resolves through this closure).
+    dict(
+        name="java-bindings-deep-chain", lang="java", wrap=False,
+        code="""
+class ChainA {
+  public int m(int x) { return x; }
+}
+
+class ChainB extends ChainA {
+}
+
+class ChainC extends ChainB {
+  public int m(int x) { return 0; }
+}
+""",
+        bindings=[
+            ["ChainA:m", "int(int)->ChainA.m:int(int)"],
+            ["ChainB:m", "int(int)->ChainA.m:int(int)"],
+            ["ChainC:m", "int(int)->ChainC.m:int(int)"],
+        ],
+        cite="javasrc2cpg/.../util/BindingTable.scala + "
+             "DynamicCallLinker.scala:37-42 (transitive closure)",
+    ),
+]
+
 JQP = f"{JQ}/MethodParameterTests.scala"
 
 CASES += [

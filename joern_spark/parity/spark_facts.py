@@ -298,7 +298,9 @@ def _binding_facts(base: DataFrame) -> DataFrame:
                      F.col("name").alias("bname"),
                      F.col("signature").alias("bsig"),
                      F.col("method_full_name").alias("target_fn")))
-    bbase = own_m.unionByName(ext_b).distinct()
+    # own < parse-time erasure row — same priority binding_relation applies
+    bbase = (own_m.withColumn("prio", F.lit(0))
+             .unionByName(ext_b.withColumn("prio", F.lit(1))).distinct())
 
     inh = (base.filter((F.col("kind") == M.TYPE_DECL)
                        & F.col("inherits_from").isNotNull())
@@ -331,16 +333,18 @@ def _binding_facts(base: DataFrame) -> DataFrame:
         .filter(F.col("kase") == F.col("kase3"))
         .select("lang", "kase", "td_fn", "bname", "bsig", "target_fn"))
     ovr = (own_m.withColumn("ar", _arity(F.col("bsig")))
-           .select("kase", "td_fn", "bname", "ar",
-                   F.col("target_fn").alias("override_fn"))
-           .dropDuplicates(["kase", "td_fn", "bname", "ar"]))
+           .groupBy("kase", "td_fn", "bname", "ar")
+           .agg(F.min("target_fn").alias("override_fn")))
     anc_b = (anc_b.withColumn("ar", _arity(F.col("bsig")))
              .join(ovr, ["kase", "td_fn", "bname", "ar"], "left")
              .select("lang", "kase", "td_fn", "bname", "bsig",
                      F.coalesce("override_fn", "target_fn").alias("target_fn")))
-    rel = (bbase.select("lang", "kase", "td_fn", "bname", "bsig", "target_fn")
-           .unionByName(anc_b)
-           .dropDuplicates(["kase", "td_fn", "bname", "bsig"]))
+    rel = (bbase.select("lang", "kase", "td_fn", "bname", "bsig",
+                        "target_fn", "prio")
+           .unionByName(anc_b.withColumn("prio", F.lit(2)))
+           .groupBy("lang", "kase", "td_fn", "bname", "bsig")
+           .agg(F.min_by("target_fn",
+                         F.struct("prio", "target_fn")).alias("target_fn")))
     td_names = (base.filter(F.col("kind") == M.TYPE_DECL)
                 .select("kase", F.col("full_name").alias("td_fn"),
                         F.col("name").alias("td_name"))

@@ -213,9 +213,23 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
 
     # ---- stage 2b: BINDS/BINDING vtable tables -------------------------------
     # (BindingTableAdapterImpls.scala; needs the stubs' TYPE_DECLs too, so it
-    # runs over the unioned node relation)
-    from joern_spark.operators.bindings import binding_nodes_and_edges
-    bind_nodes, bind_edges = binding_nodes_and_edges(all_nodes)
+    # runs over the unioned node relation). The inheritance closure and the
+    # binding relation feed BOTH this stage and the dynamic call linker —
+    # computed once, persisted (dimension-sized).
+    from joern_spark.operators.bindings import (binding_nodes_and_edges,
+                                                binding_relation)
+    from joern_spark.operators.callgraph import inheritance_closure
+    has_inh = not (all_nodes.filter((F.col("kind") == M.TYPE_DECL)
+                                    & F.col("inherits_from").isNotNull())
+                   .limit(1).isEmpty())
+    closure = (inheritance_closure(all_nodes) if has_inh
+               else spark.createDataFrame([], "desc string, anc string"))
+    # eager localCheckpoint, not lazy persist: the relation is consumed by
+    # stage 2b AND the dynamic call linker, and its plan references the full
+    # node relation several times — cutting it to a leaf keeps the final
+    # edges plan's analysis cost (Catalyst DeduplicateRelations) bounded
+    bind_rel = binding_relation(all_nodes, closure).localCheckpoint(eager=True)
+    bind_nodes, bind_edges = binding_nodes_and_edges(all_nodes, rel=bind_rel)
     all_nodes = all_nodes.unionByName(bind_nodes)
 
     # ---- stage 3: edges ------------------------------------------------------
@@ -224,7 +238,8 @@ def build_cpg(spark: SparkSession, source: DataFrame, out_dir: str | None = None
     call_edges = None
     if run_callgraph:
         linked = CG.run_callgraph(all_nodes, call_sites=call_sites,
-                                  dim=dim_full, rewrites=rewrites)
+                                  dim=dim_full, rewrites=rewrites,
+                                  closure=closure, bindings=bind_rel)
         # CALL edges stay a separate relation until after canonicalization;
         # everything else (the bulk of the volume) is independent of the
         # entity-linking stage and can materialize concurrently with it.

@@ -244,6 +244,32 @@ class Steps:
     def condition(self) -> "Steps":
         return self._hop("CONDITION", forward=True)
 
+    # ---- bindings (bindingextension/TypeDeclTraversal.scala,
+    # MethodTraversal.scala; tests semanticcpg/.../bindingextension/
+    # BindingTests.scala:27-69) ---------------------------------------------- #
+    def method_binding(self) -> "Steps":
+        """TYPE_DECL -BINDS-> BINDING (`typeDecl.methodBinding`)."""
+        return self._hop(M.BINDS, forward=True)
+
+    def bound_method(self) -> "Steps":
+        """`typeDecl.boundMethod` = methodBinding.referencedMethod."""
+        return self.method_binding()._hop(M.REF, forward=True)
+
+    def referencing_binding(self) -> "Steps":
+        """METHOD <-REF- BINDING (`method.referencingBinding`)."""
+        bnd = self._hop(M.REF, forward=False)
+        return Steps(self.cpg, bnd.df.filter(F.col("kind") == M.BINDING))
+
+    def binding_type_decl(self) -> "Steps":
+        """`method.bindingTypeDecl` / `binding.bindingTypeDecl` — the
+        TYPE_DECL that BINDS the (referencing) binding."""
+        bindings = self.df.filter(F.col("kind") == M.BINDING)
+        methods = self.df.filter(F.col("kind") == M.METHOD)
+        via = Steps(self.cpg, bindings)._hop(M.BINDS, forward=False)
+        via2 = (Steps(self.cpg, methods).referencing_binding()
+                ._hop(M.BINDS, forward=False))
+        return Steps(self.cpg, via.df.unionByName(via2.df).distinct())
+
     # ---- method structure (MethodTraversal.scala:16-171) ------------------- #
     def parameter(self) -> "Steps":
         n = self.cpg.nodes.filter(F.col("kind") == M.METHOD_PARAMETER_IN)

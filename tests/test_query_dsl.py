@@ -150,3 +150,54 @@ def test_number_of_lines(cpg):
     rows = (cpg.method("print_number").number_of_lines()
             .df.select("number_of_lines").collect())
     assert rows and all(r["number_of_lines"] >= 1 for r in rows)
+
+
+# --------------------------------------------------------------------------- #
+# Binding steps — transcription of semanticcpg/src/test/scala/io/shiftleft/
+# semanticcpg/language/bindingextension/BindingTests.scala:27-69 (the MockCpg
+# there has one TYPE_DECL binding <init> + one method; io.test.cross.Helpers
+# is the same shape: <init> + tripler).
+# --------------------------------------------------------------------------- #
+
+def test_binding_method_binding(cpg):
+    """typeDecl.methodBinding — BindingTests.scala:28-33."""
+    b = cpg.type_decl("Helpers").method_binding()
+    assert names(b) == ["<init>", "tripler"]
+
+
+def test_binding_bound_method(cpg):
+    """typeDecl.methodBinding.boundMethod == typeDecl.boundMethod —
+    BindingTests.scala:35-40,56-61."""
+    via_binding = cpg.type_decl("Helpers").method_binding()._hop("REF", True)
+    direct = cpg.type_decl("Helpers").bound_method()
+    assert names(via_binding) == ["<init>", "tripler"]
+    assert names(direct) == ["<init>", "tripler"]
+
+
+def test_binding_referencing_binding(cpg):
+    """method.referencingBinding — BindingTests.scala:42-47."""
+    b = cpg.method("tripler").referencing_binding()
+    assert names(b) == ["tripler"]
+    assert names(b, "kind") == ["BINDING"]
+
+
+def test_binding_type_decl_from_method(cpg):
+    """method.referencingBinding.bindingTypeDecl and the method.bindingTypeDecl
+    sugar — BindingTests.scala:49-54,63-68."""
+    tds = cpg.method("tripler").referencing_binding().binding_type_decl()
+    assert names(tds) == ["Helpers"]
+    sugar = cpg.method("tripler").binding_type_decl()
+    assert names(sugar) == ["Helpers"]
+
+
+def test_binding_override_retarget(cpg):
+    """The inherited-arity-2 binding on a subclass keeps the super's method
+    as target while the overridden arity-1 one re-targets
+    (BindingTable.scala computed-type semantics; cpp fixture geo.Circle)."""
+    b = cpg.type_decl("Circle").method_binding()
+    rows = sorted((r["signature"], r["method_full_name"])
+                  for r in b.df.select("signature", "method_full_name").collect())
+    assert rows == [
+        ("int(int)", "geo.Circle.area:int(int)"),
+        ("int(int,int)", "geo.Shape.area:int(int,int)"),
+    ]
