@@ -283,6 +283,33 @@ class CParser:
                 depth -= 1
                 if depth == 0:
                     return t
+            elif close_v == ">" and t.v == ">>" and depth >= 2:
+                # `>>` lexes as one token; inside nested template args
+                # (std::map<string, vector<int>>) it closes two levels
+                depth -= 2
+                if depth == 0:
+                    return t
+
+    def peek_matching_gt(self, limit: int = 128) -> bool:
+        """True iff a balanced ``<...>`` starts at the cursor within `limit`
+        tokens and before any ``;``/``{``/``}`` — distinguishes a template
+        argument list from a comparison in declarator position."""
+        depth = 0
+        for k in range(limit):
+            t = self.peek(k)
+            if t is None or t.v in (";", "{", "}"):
+                return False
+            if t.v == "<":
+                depth += 1
+            elif t.v == ">":
+                depth -= 1
+                if depth == 0:
+                    return True
+            elif t.v == ">>" and depth >= 2:
+                depth -= 2
+                if depth == 0:
+                    return True
+        return False
 
     # ---------------- scope ----------------
     def push_scope(self):
@@ -347,7 +374,11 @@ class CParser:
                     self.next()
                     continue  # elaborated specifier: keep the tag name only
                 parts.append(self.next().v)
-                saw_core = True
+                # qualifiers do not end the specifier — `const struct X&`
+                # must still take X as the core type
+                if t.v not in ("const", "volatile", "static", "inline",
+                               "extern", "register", "constexpr"):
+                    saw_core = True
                 continue
             if t.t == "id" and not saw_core:
                 parts.append(self.next().v)
@@ -363,7 +394,9 @@ class CParser:
             break
         ptr = ""
         while self.at_any(("*", "&")):
-            ptr += "*" if self.next().v == "*" else ""
+            # both decorators survive into type names — the reference writes
+            # `_json_value&(char*)<const>` (MethodTests operator overloads)
+            ptr += self.next().v
         core = [p for p in parts if p not in ("const", "volatile", "static", "inline", "extern", "register", "constexpr")]
         # CDT-style size-specifier normalization (MethodTests.scala:
         # "long int"->"long", "long long int"->"longlong", "short int"->
@@ -389,6 +422,37 @@ class CParser:
                     roots.extend(node)
                 else:
                     roots.append(node)
+        # forward-declaration dedup: repeated declarations of one fullname
+        # collapse to a single METHOD, a definition winning over prototypes
+        # (MethodTests.scala "MethodTest9": three `int abs(int);` rows +
+        # usage -> exactly one `abs:int(int)`; out-of-line class methods
+        # likewise merge with their in-class declaration)
+        best: dict[str, N] = {}
+
+        def _scan(n: N):
+            if n.kind == M.METHOD:
+                cur = best.get(n.full_name)
+                if cur is None or (n.has_body and not cur.has_body):
+                    best[n.full_name] = n
+            elif n.kind == M.TYPE_DECL:  # nested classes carry methods too
+                for c in n.children:
+                    _scan(c)
+
+        for r in roots:
+            _scan(r)
+
+        def _keep(m: N) -> bool:
+            return m.kind != M.METHOD or best.get(m.full_name) is m
+
+        def _prune(n: N):
+            if n.kind == M.TYPE_DECL and n.children:
+                n.children = [c for c in n.children if _keep(c)]
+                for c in n.children:
+                    _prune(c)
+
+        roots = [r for r in roots if _keep(r)]
+        for r in roots:
+            _prune(r)
         # macro METHOD stubs for every expanded macro (one per fullname,
         # MacroHandler.createMacroMethodStub)
         roots.extend(getattr(self, "macro_methods", []))
@@ -408,11 +472,17 @@ class CParser:
         if t.v == "namespace":
             return self.parse_namespace()
         if t.v in ("template",):
-            # skip `template <...>` prefix, parse what follows
+            # `template <...>` prefix: parse what follows; a bare `template`
+            # introduces an EXPLICIT INSTANTIATION (`template void f<int>(int);`,
+            # `template class Y<char*>;`) which creates no new METHOD/TYPE_DECL
+            # (AstCreationPassTests "template class"/"template function":
+            # exactly one node survives)
             self.next()
             if self.at("<"):
                 self.skip_balanced("<", ">")
-            return self.parse_top_level()
+                return self.parse_top_level()
+            self.skip_to_semicolon()
+            return None
         if t.v == "typedef":
             return self.parse_typedef()
         if t.v == "using":
@@ -496,6 +566,30 @@ class CParser:
 
     def parse_typedef(self):
         start = self.next()
+        if self.at_any(("struct", "class", "union")) and \
+                self.peek(1) is not None and self.peek(1).t == "id" and \
+                self.at("{", 2):
+            # `typedef struct X { ... } alias;` — the composite parses as a
+            # full TYPE_DECL (members/methods included); the alias becomes a
+            # second TYPE_DECL with aliasTypeFullName -> X
+            decl = self.parse_class()
+            alias = None
+            if self.peek() is not None and self.peek().t == "id":
+                alias = self.next().v
+            while self.peek() is not None and not self.at(";"):
+                self.next()
+            if self.at(";"):
+                self.next()
+            out = [decl]
+            if alias:
+                self.typedefs.add(alias)
+                out.append(N(M.TYPE_DECL, code=f"typedef {decl.name} {alias}",
+                             name=alias, full_name=self.qual(alias),
+                             alias_type_full_name=decl.full_name,
+                             line=start.line,
+                             ast_parent_type=M.NAMESPACE_BLOCK,
+                             ast_parent_full_name=self.global_block))
+            return out
         ty = self.parse_type()
         name = ""
         while self.peek() is not None and not self.at(";"):
@@ -513,7 +607,7 @@ class CParser:
                  ast_parent_full_name=self.global_block)
 
     # ---------------- class / struct ----------------
-    def parse_class(self) -> N:
+    def parse_class(self, nested_in: str | None = None) -> N:
         kw = self.next()  # struct/class/union
         name_tok = self.next()
         name = name_tok.v
@@ -535,8 +629,8 @@ class CParser:
                 break
         decl = N(M.TYPE_DECL, code=f"{kw.v} {name}", name=name, full_name=full,
                  inherits_from=inherits or None, line=kw.line,
-                 ast_parent_type=M.NAMESPACE_BLOCK,
-                 ast_parent_full_name=self.global_block)
+                 ast_parent_type=M.TYPE_DECL if nested_in else M.NAMESPACE_BLOCK,
+                 ast_parent_full_name=nested_in or self.global_block)
         self.typedefs.add(name)
         self.declared_types[name] = full
         self.expect("{")
@@ -560,19 +654,33 @@ class CParser:
 
     def parse_class_member(self, class_full: str):
         is_virtual = False
+        is_static = False
         while self.at_any(("virtual", "static", "inline", "explicit", "friend", "constexpr", "mutable")):
             if self.at("virtual"):
                 is_virtual = True
+            if self.at("static"):
+                is_static = True
             self.next()
         start = self.peek()
-        # constructor / destructor
+        # nested class/struct/union (MethodTests.scala "nested class":
+        # Outer.Inner fullnames; AstCreationPassTests "constructor
+        # initializer": Foo.Bar.Bar:void(float))
+        if self.at_any(("class", "struct", "union")) and \
+                self.peek(1) is not None and self.peek(1).t == "id" and \
+                (self.at("{", 2) or self.at(":", 2)):
+            return self.parse_class(nested_in=class_full)
+        # constructor / destructor — c2cpg names constructors after the
+        # class (fullName Foo.Foo:void(int), AstCreationPassTests:1470-1476),
+        # destructors keep the `~` name
         if self.at("~") or (start is not None and start.t == "id" and start.v == class_full.split(".")[-1] and self.at("(", 1)):
             dtor = self.at("~")
             if dtor:
                 self.next()
             nm = self.next().v
-            nm = ("~" + nm) if dtor else M.CONSTRUCTOR
-            return self.parse_function_rest("void", nm, start, class_full, dynamic=is_virtual)
+            nm = ("~" + nm) if dtor else nm
+            return self.parse_function_rest("void", nm, start, class_full,
+                                            dynamic=is_virtual,
+                                            is_static=is_static)
         ty = self.parse_type()
         if self.peek() is None:
             return None
@@ -589,12 +697,22 @@ class CParser:
             return None
         name = self.next().v
         if name == "operator":
+            # overload name is the bare symbol (shortName strips the
+            # `operator` keyword; MethodTests "extern C class operator
+            # overloads": fullnames `_json_value.[]:...`)
             sym = ""
             while self.peek() is not None and not self.at("("):
                 sym += self.next().v
-            name = "operator" + sym
+            if sym == "" and self.at("("):
+                # operator() — the symbol IS the call parens
+                self.next()
+                self.expect(")")
+                sym = "()"
+            name = sym
         if self.at("("):
-            return self.parse_function_rest(ty, name, start, class_full, dynamic=is_virtual)
+            return self.parse_function_rest(ty, name, start, class_full,
+                                            dynamic=is_virtual,
+                                            is_static=is_static)
         # member variable(s)
         members = [N(M.MEMBER, code=f"{ty} {name}", name=name, type_full_name=ty, line=start.line)]
         while self.at(","):
@@ -623,18 +741,30 @@ class CParser:
             self.skip_to_semicolon()
             return None
         name = self.next().v
-        while self.at("::"):  # out-of-class definition Class::method
+        if self.at("<") and self.lang == "cpp" and self.peek_matching_gt():
+            # template-id declarator `foo<A, B, C>(...)` — args stripped
+            # from the short name (FullNameProvider.stripTemplateTags;
+            # MethodTests.scala "MethodTest6": fullName "foo:void()")
+            self.skip_balanced("<", ">")
+        pushed = 0
+        while self.at("::"):  # out-of-class definition Class::(Nested::)method
             self.next()
-            ty_cls = name
+            self.ns.append(name)
+            pushed += 1
             name = self.next().v
-            self.ns.append(ty_cls)
-            try:
+            if self.at("<") and self.peek_matching_gt():
+                self.skip_balanced("<", ">")
+        try:
+            if pushed:
                 if self.at("("):
-                    return self.parse_function_rest(ty, name, start, self.qual(""), trailing_ns=1)
-            finally:
+                    return self.parse_function_rest(
+                        ty, name, start, self.qual(""), trailing_ns=pushed,
+                        this_class=self.qual("").rstrip("."))
+            elif self.at("("):
+                return self.parse_function_rest(ty, name, start, None)
+        finally:
+            for _ in range(pushed):
                 self.ns.pop()
-        if self.at("("):
-            return self.parse_function_rest(ty, name, start, None)
         # global variable: skip to ;
         self.skip_to_semicolon()
         return None
@@ -649,7 +779,9 @@ class CParser:
             self.next()
 
     def parse_function_rest(self, ret_ty: str, name: str, start: Tok, class_full: str | None,
-                            dynamic: bool = False, trailing_ns: int = 0):
+                            dynamic: bool = False, trailing_ns: int = 0,
+                            is_static: bool = False,
+                            this_class: str | None = None):
         """At '(' of a function declarator."""
         self.expect("(")
         params: list[tuple[str, str, bool]] = []  # (type, name, variadic)
@@ -679,11 +811,29 @@ class CParser:
             if self.at(","):
                 self.next()
         self.expect(")")
+        const_method = False
         while self.at_any(("const", "override", "final", "noexcept")):
+            if self.at("const"):
+                const_method = True
             self.next()
         if self.at("->"):  # trailing return type
             self.next()
             ret_ty = self.parse_type()
+        if self.at(":") and self.lang == "cpp":
+            # constructor member-initializer list — skip to the body
+            while self.peek() is not None and not self.at_any(("{", ";")):
+                if self.at("("):
+                    self.skip_balanced("(", ")")
+                    continue
+                self.next()
+        # implicit receiver for C++ non-static member functions (typed
+        # `Class*`, MethodTests.scala "implicit member access")
+        this_ty = None
+        if self.lang == "cpp" and not is_static:
+            if this_class is not None:
+                this_ty = this_class + "*"
+            elif class_full is not None and not class_full.endswith("."):
+                this_ty = class_full + "*"
         if self.at(";"):  # prototype — METHOD node with params + RET, no body
             # (c2cpg emits METHOD nodes for function declarations too; the
             # dataflow golden tests address prototype params/method-returns,
@@ -691,12 +841,14 @@ class CParser:
             # appears in flows as ("sink(int* cont)", 3) / ("RET", 2))
             self.next()
             return self._make_method(ret_ty, name, start, class_full, params,
-                                     body=None)
+                                     body=None, const_method=const_method,
+                                     this_type=this_ty)
         if not self.at("{"):
             self.skip_to_semicolon()
             return None
         return self._make_method(ret_ty, name, start, class_full, params,
-                                 body="parse")
+                                 body="parse", const_method=const_method,
+                                 this_type=this_ty)
 
     def _make_method(self, ret_ty: str, name: str, start: Tok,
                      class_full: str | None, params, body,
@@ -717,7 +869,7 @@ class CParser:
             # gate; MethodTests "plain extern C method" -> "method")
             full_name = name if class_full is None else f"{class_full}.{name}"
         parent_type = M.TYPE_DECL if class_full else M.NAMESPACE_BLOCK
-        parent_full = class_full if class_full else self.global_block
+        parent_full = class_full.rstrip(".") if class_full else self.global_block
 
         method = N(M.METHOD, code=f"{ret_ty} {name} ({sig_params})", name=name,
                    full_name=full_name, signature=signature, line=start.line,

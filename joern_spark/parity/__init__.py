@@ -101,6 +101,10 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
     # exact-count facts, so a single extra or missing edge scores FP+FN
     for key, n in (case.get("postdom_count") or {}).items():
         out.append(("postdom_count", _norm_key(key), str(n)))
+    # exact METHOD-node count per fullname (forward-decl dedup assertions,
+    # MethodTests.scala MethodTest9 / template-function tests)
+    for s, n in (case.get("mcount") or []):
+        out.append(("mcount", s, str(n)))
     for key, callee, n in (case.get("controls_count") or []):
         out.append(("controls_count", f"{_norm_key(key)}->{callee}", str(n)))
     for f in (case.get("flows") or []):
@@ -319,6 +323,14 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
         for r in rows:
             if r["kind"] == M.METHOD:
                 out.add(("methods", r["name"], r["full_name"]))
+
+    if case.get("mcount") is not None:
+        cnt: dict[str, int] = defaultdict(int)
+        for r in rows:
+            if r["kind"] == M.METHOD:
+                cnt[r["full_name"]] += 1
+        for fn, n in cnt.items():
+            out.add(("mcount", fn, str(n)))
 
     if case.get("callmfn") is not None:
         # cpg.call.name(X).methodFullName.l — subject = call name, objects

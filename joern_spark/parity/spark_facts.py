@@ -198,6 +198,14 @@ def spark_facts(spark: SparkSession) -> DataFrame:
         .select("lang", "kase", F.lit("methods").alias("relation"),
                 F.col("name").alias("subj"), F.col("full_name").alias("obj")))
 
+    # exact METHOD count per fullname (forward-decl dedup assertions)
+    out.append(
+        base.filter(F.col("kind") == M.METHOD)
+        .groupBy("lang", "kase", F.col("full_name").alias("subj"))
+        .agg(F.count("*").cast("string").alias("obj"))
+        .select("lang", "kase", F.lit("mcount").alias("relation"),
+                "subj", "obj"))
+
     # (closure method name, captured declaration name) — same rule as
     # base.capture_edges, name-keyed for the parity scorer
     cap_uses = base.filter((F.col("kind") == M.IDENTIFIER)

@@ -230,10 +230,30 @@ class Steps:
 
     # ---- expression context (ExpressionTraversal.scala:14-70) -------------- #
     def argument(self, i: int | None = None) -> "Steps":
-        out = self._hop(M.ARGUMENT, forward=True)
+        """From CALLs: the AST arguments. From METHOD_PARAMETER_INs: the
+        arguments passed at every linked call site in the parameter's
+        position (ParameterTraversal.argument — DdgCfgQueryTests.scala:
+        `cpg.method("sink").parameter.argument`)."""
+        out = Steps(self.cpg, self.df.filter(F.col("kind") != M.METHOD_PARAMETER_IN)) \
+            ._hop(M.ARGUMENT, forward=True).df
         if i is not None:
-            out = Steps(self.cpg, out.df.filter(F.col("arg_index") == i))
-        return out
+            out = out.filter(F.col("arg_index") == i)
+        pars = self.df.filter(F.col("kind") == M.METHOD_PARAMETER_IN).select(
+            F.col("parent_id").alias("pm_id"), F.col("param_index").alias("pi"))
+        e = self.cpg.edges
+        sites = pars.join(
+            e.filter(F.col("label") == M.CALL_EDGE)
+            .select(F.col("src").alias("cs_id"), F.col("dst").alias("pm_id")),
+            "pm_id")
+        args = (sites.join(
+            e.filter(F.col("label") == M.ARGUMENT)
+            .select(F.col("src").alias("cs_id"), F.col("dst").alias("arg_id")),
+            "cs_id")
+            .join(self.cpg.nodes, F.col("arg_id") == F.col("id"))
+            .filter(F.col("arg_index") == F.col("pi"))
+            .select(*[F.col(c) for c in self.cpg.nodes.columns]))
+        return Steps(self.cpg, out.select(*self.cpg.nodes.columns)
+                     .unionByName(args).distinct())
 
     def in_call(self) -> "Steps":
         return self._hop(M.ARGUMENT, forward=False)
