@@ -348,6 +348,51 @@ def q_cpg_dynamic_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+def q_cpg_usage_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage slicing v0 (UsageSlicing.scala): definedBy / invokedCall /
+    argToCall rows per LOCAL/PARAM declaration — the flattened
+    ObjectUsageSlice relation."""
+    from joern_spark.operators.slicing import usage_slices
+    c = _cpg(spark)
+    rows = usage_slices(c["nodes"].filter(F.col("parse_error") == ""),
+                        c["edges"])
+    return rows.select(_s("method_full_name").alias("method_full_name"),
+                       _s("var_name").alias("var_name"),
+                       _s("var_kind").alias("var_kind"),
+                       _s("relation").alias("relation"),
+                       _s("call_name").alias("call_name"),
+                       _s("detail").alias("detail"))
+
+
+def q_cpg_dataflow_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged data-flow slice (DataFlowSlicing.scala): depth-20 backward
+    REACHING_DEF closure of all call arguments, flattened SliceNode rows."""
+    from joern_spark.operators.slicing import dataflow_slices
+    c = _cpg(spark)
+    rows = dataflow_slices(c["nodes"].filter(F.col("parse_error") == ""),
+                           c["edges"])
+    return rows.select(_s("method_full_name").alias("method_full_name"),
+                       _s("node_kind").alias("node_kind"),
+                       _s("name").alias("name"),
+                       _s("code").alias("code"),
+                       _s("type_full_name").alias("type_full_name"))
+
+
+def q_cpg_api_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoernVectors BagOfAPISymbolsForMethods: per-method feature-bag
+    digests (n_features, total_count, crc32-weighted dim sum)."""
+    from joern_spark.operators.vectors import api_vector_summaries
+    c = _cpg(spark)
+    rows = api_vector_summaries(
+        c["nodes"].filter(F.col("parse_error") == ""))
+    return rows.select(_s("path").alias("path"),
+                       _s("method_full_name").alias("method_full_name"),
+                       F.col("n_features").cast("long").alias("n_features"),
+                       F.col("total_count").cast("long").alias("total_count"),
+                       F.col("dim_weighted_sum").cast("long")
+                       .alias("dim_weighted_sum"))
+
+
 def q_cpg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE north-star metric: P/R per (lang, relation) vs golden expectations
     hand-transcribed from the reference's own test suites (citations in
@@ -416,6 +461,18 @@ def _cpg_oracles() -> dict[str, str]:
         "cpg_bindings": O.values_sql(
             O.expected_bindings(),
             ["td_full_name", "bname", "bsig", "target_fn"]),
+        "cpg_usage_slices": O.values_sql(
+            O.expected_usage_slices(),
+            ["method_full_name", "var_name", "var_kind", "relation",
+             "call_name", "detail"]),
+        "cpg_dataflow_slices": O.values_sql(
+            O.expected_dataflow_slices(),
+            ["method_full_name", "node_kind", "name", "code",
+             "type_full_name"]),
+        "cpg_api_vectors": O.values_sql(
+            O.expected_api_vectors(),
+            ["path", "method_full_name", "n_features", "total_count",
+             "dim_weighted_sum"]),
         "cpg_parity": _parity_oracle_sql(),
     }
 
@@ -456,6 +513,9 @@ CPG_QUERIES = {
     "cpg_declared_only": q_cpg_declared_only,
     "cpg_captures": q_cpg_captures,
     "cpg_bindings": q_cpg_bindings,
+    "cpg_usage_slices": q_cpg_usage_slices,
+    "cpg_dataflow_slices": q_cpg_dataflow_slices,
+    "cpg_api_vectors": q_cpg_api_vectors,
     "cpg_parity": q_cpg_parity,
 }
 

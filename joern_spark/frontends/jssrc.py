@@ -382,22 +382,63 @@ class JsParser(CParser):
             if self.at("default"):
                 self.next()
             return self.parse_statement()
-        # import ... — record as IMPORT node; skip to ; remembering the
-        # module string (importedEntity, XImportsPass analogue)
+        # import ... — IMPORT nodes with importedEntity (name) and
+        # importedAs (canonical_name); full_name carries the TYPE the
+        # binding resolves to for XTypeRecovery: `module:Alias` for named
+        # and default imports (TypeRecoveryPassTests.scala: WebClient ->
+        # "slack_sdk:WebClient", default google -> "googleapis:google"),
+        # bare module for `import * as m` namespace imports.
         start = t
         module = ""
+        named: list[str] = []     # { A, B as C } local aliases
+        default_alias = ""
+        star_alias = ""
         while self.peek() is not None and not self.at(";"):
             if self.at("{"):
-                self.skip_balanced("{", "}")
+                self.next()
+                while self.peek() is not None and not self.at("}"):
+                    tok = self.next()
+                    if tok.t in ("id", "kw") and tok.v != "as":
+                        if named and self.toks[self.pos - 2].v == "as":
+                            named[-1] = tok.v  # `X as Y` rebinds to Y
+                        else:
+                            named.append(tok.v)
+                if self.at("}"):
+                    self.next()
+                continue
+            if self.at("*"):
+                self.next()
+                if self.at("as"):
+                    self.next()
+                    if self.peek() is not None and self.peek().t == "id":
+                        star_alias = self.next().v
                 continue
             tok = self.next()
             if tok.t == "str":
                 module = tok.v.strip("'\"`")
+            elif tok.t == "id" and tok.v not in ("from",) and not default_alias \
+                    and not named and not star_alias:
+                default_alias = tok.v
         semi = self.toks[self.pos - 1]
         if self.at(";"):
             semi = self.next()
-        return [N(M.IMPORT, code=self.slice(start, semi), name=module,
-                  full_name=module, line=t.line)]
+        code = self.slice(start, semi)
+        out = []
+        for alias in named:
+            out.append(N(M.IMPORT, code=code, name=module,
+                         full_name=f"{module}:{alias}",
+                         canonical_name=alias, line=t.line))
+        if default_alias:
+            out.append(N(M.IMPORT, code=code, name=module,
+                         full_name=f"{module}:{default_alias}",
+                         canonical_name=default_alias, line=t.line))
+        if star_alias:
+            out.append(N(M.IMPORT, code=code, name=module, full_name=module,
+                         canonical_name=star_alias, line=t.line))
+        if not out:  # bare `import "m";` side-effect import
+            out.append(N(M.IMPORT, code=code, name=module, full_name=module,
+                         line=t.line))
+        return out
 
     def parse_var_decl(self) -> list[N]:
         kw = self.next()  # var/let/const

@@ -1,21 +1,33 @@
-"""XTypeRecovery lite — flow-insensitive type propagation for JavaScript
+"""XTypeRecovery for JavaScript — flow-insensitive type propagation
 (x2cpg/.../passes/frontend/XTypeRecovery.scala, default 2 iterations;
 DummyReturnType `<returnValue>` marker at XTypeRecovery.scala:259; the
 recovered methodFullNames then drive call linking like
-XTypeHintCallLinker).
+XTypeHintCallLinker). Fullnames use the reference's `:` path separator
+(TypeRecoveryPassTests.scala: `google.drive(...)` -> "googleapis:drive",
+`sg.send(...)` -> "sendgrid:SendGridAPIClient:send", assigned results ->
+"...:send:<returnValue>").
 
-Scope (v1): require() module bindings and one return-value hop —
+Recovered-type seeds (each a small dimension derived from the node table):
 
-    const mysql = require('mysql');        // mysql    : "mysql"
-    var con = mysql.createConnection();    // rewrite -> mysql.createConnection
-                                           // con      : "mysql.createConnection.<returnValue>"
-    con.query(x);                          // rewrite -> mysql.createConnection.<returnValue>.query
+* ``v = require('m')``            -> v : "m"
+* ES import bindings              -> alias : IMPORT.full_name
+  ("m:Alias" for named/default imports, bare "m" for `import * as`;
+  the frontend resolves the type into the IMPORT node)
+* destructured require            -> `g = _tmp.g` on a bare-module base
+  propagates the module ("googleapis:drive" via `const { google } = ...`)
+* literals                        -> __ecma.Number / __ecma.String
+* array-literal lowering          -> __ecma.Array (the `__ecma.Array.factory()`
+  block, so `z.push(4)` resolves to "__ecma.Array:push")
+* ``v = new T(...)``              -> v : type(T)
 
-Implementation is the join-propagate-agg shape the reference's symbol table
-implies: each iteration derives a (path, var, type) symbol table from
-assignment roots, joins it onto unresolved member-call receivers, and feeds
-newly-typed call results back. All joins key on (path, name) — file-local,
-so they co-partition with the parse layout and never shuffle corpus-wide.
+A member call `b.f(...)` is rewritten only when `b` has exactly ONE
+recovered type (multi-hint receivers stay unresolved, mirroring the
+reference's dynamicTypeHint behavior); its assigned result takes
+`mfn:<returnValue>`.
+
+Scale shape: every join keys on (path, var) — file-local, co-partitioned
+with the parse layout, no corpus-wide shuffle; the symbol table is a
+dimension proportional to assignments-with-recoverable-rhs.
 """
 
 from __future__ import annotations
@@ -32,68 +44,159 @@ def _js_children(nodes: DataFrame) -> DataFrame:
         "id", "parent_id", "arg_index", "kind", "name", "code", "path")
 
 
+def js_symbol_table(nodes: DataFrame, iterations: int = 2) -> DataFrame:
+    """-> (path, var, type) multi-hint symbol table (see module doc)."""
+    return _recover(nodes, iterations)[1]
+
+
 def js_mfn_rewrites(nodes: DataFrame, iterations: int = 2) -> DataFrame:
     """-> (id, rec_mfn): methodFullName rewrites for JS dynamic member calls
     whose receiver's type was recovered."""
+    return _recover(nodes, iterations)[0]
+
+
+def _recover(nodes: DataFrame, iterations: int = 2
+             ) -> tuple[DataFrame, DataFrame]:
     ch = _js_children(nodes)
     calls = nodes.filter((F.col("lang") == "javascript")
                          & (F.col("kind") == M.CALL)).select(
         "id", "name", "method_full_name", "path", "dispatch_type")
 
-    # assignment skeleton: (assign_id, path, lhs_name, rhs_id); assign_idx
-    # (the assignment's preorder index) makes duplicate-binding resolution
-    # deterministic — the sequential oracle keeps the FIRST binding in
-    # document order, so so do we (min_by assign_idx below).
+    # assignment skeleton: (assign_id, path, lhs_name, rhs_id, rhs_kind)
     assigns = nodes.filter((F.col("lang") == "javascript")
                            & (F.col("kind") == M.CALL)
                            & (F.col("name") == M.OP_ASSIGNMENT)).select(
-        F.col("id").alias("assign_id"), "path",
-        F.col("node_idx").alias("assign_idx"))
+        F.col("id").alias("assign_id"), "path")
     lhs = ch.filter((F.col("arg_index") == 1) & (F.col("kind") == M.IDENTIFIER)) \
             .select(F.col("parent_id").alias("assign_id"),
                     F.col("name").alias("var"))
     rhs = ch.filter(F.col("arg_index") == 2).select(
         F.col("parent_id").alias("assign_id"), F.col("id").alias("rhs_id"),
-        F.col("kind").alias("rhs_kind"))
+        F.col("kind").alias("rhs_kind"), F.col("name").alias("rhs_name"),
+        F.col("code").alias("rhs_code"))
     askel = assigns.join(lhs, "assign_id").join(rhs, "assign_id")
 
-    # seed: var = require('module')
+    # ---- seeds ---------------------------------------------------------- #
+    # var = require('module')
     req = calls.filter(F.col("name") == "require").select(
         F.col("id").alias("rhs_id"))
     req_arg = ch.filter((F.col("arg_index") == 1) & (F.col("kind") == M.LITERAL)) \
                 .select(F.col("parent_id").alias("rhs_id"),
-                        F.regexp_replace("code", "['\"`]", "").alias("module"))
-    st = (askel.join(req, "rhs_id").join(req_arg, "rhs_id")
-          .groupBy("path", "var")
-          .agg(F.min_by("module", "assign_idx").alias("type")))
+                        F.regexp_replace("code", "['\"`]", "").alias("type"))
+    seed_req = (askel.join(req, "rhs_id").join(req_arg, "rhs_id")
+                .select("path", "var", "type"))
+
+    # ES import bindings (IMPORT nodes carry the resolved type in full_name)
+    seed_imp = (nodes.filter((F.col("lang") == "javascript")
+                             & (F.col("kind") == M.IMPORT)
+                             & (F.col("canonical_name") != ""))
+                .select("path", F.col("canonical_name").alias("var"),
+                        F.col("full_name").alias("type")))
+
+    # literal builtins
+    lit_type = F.when(F.col("rhs_code").rlike(r"^['\"`]"), "__ecma.String") \
+        .when(F.col("rhs_code").rlike(r"^[0-9][0-9_.xXbBoOeE+-]*$"),
+              "__ecma.Number")
+    seed_lit = (askel.filter(F.col("rhs_kind") == M.LITERAL)
+                .withColumn("type", lit_type)
+                .filter(F.col("type").isNotNull())
+                .select("path", "var", "type"))
+
+    # lowered array literal: rhs BLOCK containing `__ecma.Array.factory()`
+    blk_assign = ch.filter((F.col("kind") == M.CALL)
+                           & (F.col("name") == M.OP_ASSIGNMENT)).select(
+        F.col("parent_id").alias("rhs_id"), F.col("id").alias("ba_id"))
+    factory = ch.filter((F.col("kind") == M.CALL)
+                        & (F.col("name") == "__ecma.Array.factory")
+                        & (F.col("arg_index") == 2)).select(
+        F.col("parent_id").alias("ba_id"))
+    seed_arr = (askel.filter(F.col("rhs_kind") == M.BLOCK)
+                .join(blk_assign, "rhs_id").join(factory, "ba_id")
+                .select("path", "var", F.lit("__ecma.Array").alias("type"))
+                .distinct())
+
+    # `v = new T(...)`: rhs BLOCK containing <operator>.new whose receiver
+    # (arg_index -1 IDENTIFIER) names the constructed type
+    new_calls = ch.filter((F.col("kind") == M.CALL)
+                          & (F.col("name") == M.OP + "new")).select(
+        F.col("parent_id").alias("rhs_id"), F.col("id").alias("new_id"))
+    new_recv = ch.filter((F.col("kind") == M.IDENTIFIER)
+                         & (F.col("arg_index") == -1)).select(
+        F.col("parent_id").alias("new_id"), F.col("name").alias("tname"))
+    new_edges = (askel.filter(F.col("rhs_kind") == M.BLOCK)
+                 .join(new_calls, "rhs_id").join(new_recv, "new_id")
+                 .select("path", "var", "tname"))
+
+    # destructured-require members: `v = <fieldAccess>(b, f)` — propagate a
+    # single bare-module base type to v
+    fa_assign = (askel.filter((F.col("rhs_kind") == M.CALL)
+                              & (F.col("rhs_name") == M.OP_FIELD_ACCESS))
+                 .select("path", "var", "rhs_id"))
+    fa_base = ch.filter((F.col("arg_index") == 1)
+                        & (F.col("kind") == M.IDENTIFIER)).select(
+        F.col("parent_id").alias("rhs_id"), F.col("name").alias("bvar"))
+    fa_edges = fa_assign.join(fa_base, "rhs_id").select("path", "var", "bvar")
+
+    # The symbol table is a small dimension (proportional to assignments
+    # with a recoverable RHS) but is referenced ~5x per iteration below —
+    # without lineage truncation the self-referencing unions grow the
+    # Catalyst plan geometrically (measured: >170 M-char plan strings at 2
+    # iterations). Eager localCheckpoint per iteration keeps the plan flat,
+    # same pattern as the CC loop in plans/pipeline.py.
+    st = (seed_req.unionByName(seed_imp).unionByName(seed_lit)
+          .unionByName(seed_arr).distinct().localCheckpoint(eager=True))
 
     # member-call receivers: call -> base ARGUMENT(0) identifier name
     base_ident = ch.filter((F.col("arg_index") == 0)
                            & (F.col("kind") == M.IDENTIFIER)).select(
         F.col("parent_id").alias("id"), F.col("name").alias("var"))
     member_calls = (calls.filter((F.col("dispatch_type") == M.DYNAMIC_DISPATCH)
-                                 & (F.col("method_full_name") == M.UNKNOWN_FULL_NAME))
+                                 & (F.col("method_full_name") == M.UNKNOWN_FULL_NAME)
+                                 & (F.col("name") != "require"))
                     .join(base_ident, "id")
                     .select("id", "name", "path", "var"))
 
+    ret_lhs = askel.select("path", "var", "rhs_id")
+
     rewrites = None
     for _ in range(iterations):
+        # constructed-type propagation: v = new T() takes T's types
+        st = st.unionByName(
+            new_edges.join(st.withColumnRenamed("var", "tname"),
+                           ["path", "tname"])
+            .select("path", "var", "type")).distinct()
+        # destructured-require propagation (single bare-module base only)
+        bare = (st.groupBy("path", F.col("var").alias("bvar"))
+                .agg(F.collect_set("type").alias("tys"))
+                .filter(F.size("tys") == 1)
+                .select("path", "bvar", F.element_at("tys", 1).alias("type"))
+                .filter(~F.col("type").contains(":")
+                        & ~F.col("type").startswith("__ecma.")))
+        st = st.unionByName(
+            fa_edges.join(bare, ["path", "bvar"]).select("path", "var", "type")
+        ).distinct()
+        # single-typed receivers -> methodFullName rewrite
+        single = (st.groupBy("path", "var")
+                  .agg(F.collect_set("type").alias("tys"))
+                  .filter(F.size("tys") == 1)
+                  .select("path", "var", F.element_at("tys", 1).alias("type")))
         remaining = member_calls if rewrites is None else \
             member_calls.join(rewrites.select("id"), "id", "left_anti")
-        rw = (remaining.join(st, ["path", "var"])
+        rw = (remaining.join(single, ["path", "var"])
               .select("id",
-                      F.concat_ws(".", F.col("type"), F.col("name")).alias("rec_mfn"),
+                      F.concat_ws(":", F.col("type"), F.col("name")).alias("rec_mfn"),
                       "path"))
+        rw = rw.localCheckpoint(eager=True)
         rewrites = rw if rewrites is None else rewrites.unionByName(rw)
-        # next iteration's symbol table: var = <recovered call>() results;
-        # earlier bindings win (anti-join keeps the pass deterministic)
-        ret = (askel.join(rw.select(F.col("id").alias("rhs_id"), "rec_mfn"),
-                          "rhs_id")
-               .groupBy("path", "var")
-               .agg(F.concat(F.min_by("rec_mfn", "assign_idx"),
-                             F.lit("." + RETURN_VALUE)).alias("type")))
-        st = st.unionByName(ret.join(st, ["path", "var"], "left_anti"))
-    return rewrites.select("id", "rec_mfn")
+        # assigned results take `mfn:<returnValue>`
+        ret = (ret_lhs.join(rw.select(F.col("id").alias("rhs_id"), "rec_mfn"),
+                            "rhs_id")
+               .select("path", "var",
+                       F.concat(F.col("rec_mfn"),
+                                F.lit(":" + RETURN_VALUE)).alias("type")))
+        st = (st.unionByName(ret).distinct()
+              .localCheckpoint(eager=True))
+    return rewrites.select("id", "rec_mfn"), st
 
 
 def apply_rewrites(call_sites: DataFrame, rewrites: DataFrame) -> DataFrame:

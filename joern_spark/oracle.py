@@ -173,10 +173,19 @@ def expected_dynamic_calls() -> list[tuple[str, str, str, str]]:
     return sorted(out)
 
 
-def _js_recovered(rows: list[dict]) -> dict[int, str]:
-    """node_idx -> recovered methodFullName, the sequential mirror of
-    operators.typerecovery.js_mfn_rewrites (2 iterations, require bindings
-    + one <returnValue> hop, first binding wins)."""
+def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]:
+    """(node_idx -> recovered methodFullName, var -> ordered type hints) —
+    the sequential mirror of operators.typerecovery.js_mfn_rewrites:
+    flow-insensitive, 2 iterations, reference `:`-separated fullname scheme
+    (x2cpg XTypeRecovery pathSep; TypeRecoveryPassTests.scala:
+    google.drive -> "googleapis:drive", sg.send ->
+    "sendgrid:SendGridAPIClient:send", response ->
+    "...:send:<returnValue>"). Seeds: require() bindings, ES import
+    bindings (IMPORT nodes carry the resolved type in full_name),
+    destructured-require field accesses, literal builtins
+    (__ecma.Number/String), array-literal lowerings (__ecma.Array), and
+    `new T(...)` constructor results. A member call is rewritten only when
+    its receiver has exactly ONE recovered type."""
     import re
 
     kids: dict[int, list[dict]] = {}
@@ -189,6 +198,18 @@ def _js_recovered(rows: list[dict]) -> dict[int, str]:
                 return c
         return None
 
+    st: dict[str, list[str]] = {}
+
+    def add(var, ty):
+        lst = st.setdefault(var, [])
+        if ty not in lst:
+            lst.append(ty)
+
+    # ES import / require IMPORT-node seeds (full_name = resolved type)
+    for r in rows:
+        if r["kind"] == M.IMPORT and r.get("canonical_name"):
+            add(r["canonical_name"], r["full_name"])
+
     assigns = []
     for r in rows:
         if r["kind"] == M.CALL and r["name"] == M.OP_ASSIGNMENT:
@@ -196,28 +217,69 @@ def _js_recovered(rows: list[dict]) -> dict[int, str]:
             rh = child(r["node_idx"], 2)
             if lh is not None and rh is not None:
                 assigns.append((lh["name"], rh))
-    st: dict[str, str] = {}
+
+    news: list[tuple[str, str]] = []  # (var, constructed type name)
     for var, rh in assigns:
         if rh["kind"] == M.CALL and rh["name"] == "require":
             lit = child(rh["node_idx"], 1, (M.LITERAL,))
-            if lit is not None and var not in st:
-                st[var] = re.sub(r"['\"`]", "", lit["code"])
+            if lit is not None:
+                add(var, re.sub(r"['\"`]", "", lit["code"]))
+        elif rh["kind"] == M.LITERAL:
+            code = rh["code"]
+            if code[:1] in "'\"`":
+                add(var, "__ecma.String")
+            elif re.fullmatch(r"[0-9][0-9_.xXbBoOeE+-]*", code):
+                add(var, "__ecma.Number")
+        elif rh["kind"] == M.BLOCK:
+            # lowered array literal (`__ecma.Array.factory()`) or `new T()`
+            for c in kids.get(rh["node_idx"], []):
+                if c["kind"] == M.CALL and c["name"] == M.OP_ASSIGNMENT:
+                    inner = child(c["node_idx"], 2)
+                    if inner is not None and inner["kind"] == M.CALL and \
+                            inner["name"] == "__ecma.Array.factory":
+                        add(var, "__ecma.Array")
+                if c["kind"] == M.CALL and c["name"] == M.OP + "new":
+                    recv = None
+                    for cc in kids.get(c["node_idx"], []):
+                        if cc["kind"] == M.IDENTIFIER and cc["arg_index"] == -1:
+                            recv = cc
+                    if recv is not None:
+                        news.append((var, recv["name"]))
+
     member = []
     for r in rows:
         if r["kind"] == M.CALL and r["dispatch_type"] == M.DYNAMIC_DISPATCH \
-                and r["method_full_name"] == M.UNKNOWN_FULL_NAME:
+                and r["method_full_name"] == M.UNKNOWN_FULL_NAME \
+                and r["name"] not in ("require",):
             b = child(r["node_idx"], 0, (M.IDENTIFIER,))
             if b is not None:
                 member.append((r, b["name"]))
+
     rec: dict[int, str] = {}
     for _ in range(2):
-        for r, var in member:
-            if var in st and r["node_idx"] not in rec:
-                rec[r["node_idx"]] = f"{st[var]}.{r['name']}"
+        for var, tname in news:
+            for ty in st.get(tname, []):
+                add(var, ty)
+        # destructured-require members: `v = _tmp.g` on a bare-module base
         for var, rh in assigns:
-            if rh["node_idx"] in rec and var not in st:
-                st[var] = rec[rh["node_idx"]] + ".<returnValue>"
-    return rec
+            if rh["kind"] == M.CALL and rh["name"] == M.OP_FIELD_ACCESS:
+                b = child(rh["node_idx"], 1, (M.IDENTIFIER,))
+                tys = st.get(b["name"], []) if b is not None else []
+                if len(tys) == 1 and ":" not in tys[0] \
+                        and not tys[0].startswith("__ecma."):
+                    add(var, tys[0])
+        for r, var in member:
+            tys = st.get(var, [])
+            if len(tys) == 1 and r["node_idx"] not in rec:
+                rec[r["node_idx"]] = f"{tys[0]}:{r['name']}"
+        for var, rh in assigns:
+            if rh["node_idx"] in rec:
+                add(var, rec[rh["node_idx"]] + ":<returnValue>")
+    return rec, st
+
+
+def _js_recovered(rows: list[dict]) -> dict[int, str]:
+    return _js_recover(rows)[0]
 
 
 def _call_mfn(r: dict, rec: dict[int, str]) -> str:
@@ -475,6 +537,142 @@ def expected_bindings() -> list[tuple[str, str, str, str]]:
             if (n, s) not in parse_keys:
                 out.add((fn, n, s, t))
     return sorted(out)
+
+
+def expected_usage_slices() -> list[tuple[str, str, str, str, str, str]]:
+    """(method_full_name, var_name, var_kind, relation, call_name, detail)
+    — sequential mirror of operators.slicing.usage_slices (UsageSlicing.scala
+    v0: definedBy / invokedCall / argToCall per LOCAL/PARAM declaration)."""
+    out = set()
+    for repo, path, commit, lang, rows in local_files():
+        by_idx = {r["node_idx"]: r for r in rows}
+        kids: dict[int, list[dict]] = {}
+        for r in rows:
+            kids.setdefault(r["parent_idx"], []).append(r)
+
+        def method_fn(r):
+            m = by_idx.get(r["method_idx"] if r["method_idx"] is not None
+                           and r["method_idx"] >= 0 else r["parent_idx"])
+            return m["full_name"] if m is not None and m["kind"] == M.METHOD \
+                else None
+
+        decls = {}
+        for r in rows:
+            if r["kind"] in (M.LOCAL, M.METHOD_PARAMETER_IN) and \
+                    not r["name"].startswith("_tmp_") and \
+                    r["name"] not in ("this", "self"):
+                fn = method_fn(r)
+                if fn is not None:
+                    decls[r["node_idx"]] = (fn, r["name"], r["kind"])
+                    if r["kind"] == M.METHOD_PARAMETER_IN:
+                        out.add((fn, r["name"], r["kind"], "definedBy", "",
+                                 r["name"]))
+        for r in rows:
+            if r["kind"] != M.IDENTIFIER or r.get("ref_idx", -1) < 0 \
+                    or r["ref_idx"] not in decls:
+                continue
+            fn, vname, vkind = decls[r["ref_idx"]]
+            call = by_idx.get(r["parent_idx"])
+            if call is None or call["kind"] != M.CALL:
+                continue
+            cname = call["name"]
+            if r["arg_index"] == 0 and call["dispatch_type"] == M.DYNAMIC_DISPATCH \
+                    and not cname.startswith(M.OP):
+                out.add((fn, vname, vkind, "invokedCall", cname, call["code"]))
+            if r["arg_index"] >= 1 and not cname.startswith(M.OP):
+                out.add((fn, vname, vkind, "argToCall", cname,
+                         f"arg{r['arg_index']}"))
+            if cname == M.OP_ASSIGNMENT and r["arg_index"] == 1:
+                for rh in kids.get(call["node_idx"], []):
+                    if rh["arg_index"] == 2 and \
+                            rh["name"] not in ("require", "import"):
+                        out.add((fn, vname, vkind, "definedBy", rh["name"],
+                                 rh["code"]))
+    return sorted(out)
+
+
+def expected_dataflow_slices() -> list[tuple[str, str, str, str, str]]:
+    """(method_full_name, node_kind, name, code, type_full_name) — sequential
+    mirror of operators.slicing.dataflow_slices (DataFlowSlicing.scala:20-59:
+    call arguments seed a depth-20 backward REACHING_DEF walk; merged slice;
+    cfgNodeToSliceNode name special-casing)."""
+    from collections import defaultdict, deque
+    out = set()
+    rdef_code = M.IE_CODE[M.REACHING_DEF]
+    for repo, path, commit, lang, rows in local_files():
+        by_idx = {r["node_idx"]: r for r in rows}
+        back = defaultdict(list)  # dst -> [src]
+        for r in rows:
+            if r["kind"] == M.METHOD and r["ie_src"]:
+                for s_i, d_i, lbl in zip(r["ie_src"], r["ie_dst"],
+                                         r["ie_label"]):
+                    if lbl == rdef_code:
+                        back[d_i].append(s_i)
+        seeds = {r["node_idx"] for r in rows
+                 if r["arg_index"] is not None and r["arg_index"] >= 0
+                 and by_idx.get(r["parent_idx"], {}).get("kind") == M.CALL}
+        visited = set(seeds)
+        q = deque((s, 0) for s in seeds)
+        while q:
+            n, d = q.popleft()
+            if d >= 20:
+                continue
+            for s in back.get(n, ()):
+                if s not in visited:
+                    visited.add(s)
+                    q.append((s, d + 1))
+        for idx in visited:
+            r = by_idx[idx]
+            m = r if r["kind"] == M.METHOD else (
+                by_idx.get(r["method_idx"]) if r["method_idx"] is not None
+                and r["method_idx"] >= 0 else None)
+            if m is None or m["kind"] != M.METHOD:
+                continue
+            name = {M.RETURN: "RET"}.get(r["kind"], r["name"])
+            if r["kind"] == M.METHOD_REF:
+                name = r["method_full_name"]
+            elif r["kind"] == M.TYPE_REF:
+                name = r["type_full_name"]
+            out.add((m["full_name"], r["kind"], name, r["code"],
+                     r["type_full_name"] or ""))
+    return sorted(out)
+
+
+def expected_api_vectors() -> list[tuple[str, str, int, int, int]]:
+    """(path, method_full_name, n_features, total_count, dim_weighted_sum)
+    — sequential mirror of operators.vectors.api_vector_summaries
+    (JoernVectors.scala BagOfAPISymbolsForMethods: per internal method the
+    bag of AST-node codes, nearest-enclosing-method containment; dim =
+    crc32(code), bit-identical between Spark's F.crc32 and zlib.crc32).
+    Keyed per (path, full_name) method instance — same-fullname methods in
+    one file merge bags, mirroring the distributed groupBy."""
+    import zlib
+    from collections import Counter
+    merged: dict[tuple[str, str], Counter] = {}
+    for repo, path, commit, lang, rows in local_files():
+        bags: dict[int, Counter] = {}
+        names: dict[int, str] = {}
+        for r in rows:
+            if r["kind"] == M.METHOD:
+                bags.setdefault(r["node_idx"], Counter())[r["code"]] += 1
+                names[r["node_idx"]] = r["full_name"]
+        for r in rows:
+            mi = r["method_idx"]
+            if mi is not None and mi >= 0 and mi in bags:
+                bags[mi][r["code"]] += 1
+                # MethodDecoratorPass clones every PARAM_IN as a PARAM_OUT
+                # AST child (operators/base.py parameter_out_nodes), and
+                # method.ast includes it — count the code twice
+                if r["kind"] == M.METHOD_PARAMETER_IN:
+                    bags[mi][r["code"]] += 1
+        for idx, bag in bags.items():
+            key = (path, names[idx])
+            merged.setdefault(key, Counter()).update(bag)
+    return sorted(
+        (path, name, len(bag), sum(bag.values()),
+         sum(zlib.crc32(code.encode("utf-8")) * c
+             for code, c in bag.items()))
+        for (path, name), bag in merged.items())
 
 
 def expected_declares() -> list[tuple[str, str]]:

@@ -94,7 +94,7 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
                 out.append((rel, subj, o))
     for rel in ("calls", "inherits", "declares", "methods", "captures",
                 "cs", "cscond", "params", "locals", "members", "bindings",
-                "callmfn"):
+                "callmfn", "typerec"):
         for s, o in (case.get(rel) or []):
             out.append((rel, s, o))
     # size-only golden assertions over transitive dominator/CDG closures —
@@ -323,6 +323,19 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
         for r in rows:
             if r["kind"] == M.METHOD:
                 out.add(("methods", r["name"], r["full_name"]))
+
+    if case.get("typerec") is not None:
+        # XTypeRecovery facts: recovered call methodFullNames keyed by the
+        # call code, identifier type hints keyed by `id:<var>` with the
+        # hint set sorted (flow-insensitive union, TypeRecoveryPassTests)
+        from joern_spark.oracle import _js_recover
+        rec, st = _js_recover(rows)
+        by_idx = {r["node_idx"]: r for r in rows}
+        for idx, mfn in rec.items():
+            out.add(("typerec", by_idx[idx]["code"], mfn))
+        for var, tys in st.items():
+            if not var.startswith("_tmp_"):
+                out.add(("typerec", f"id:{var}", ",".join(sorted(tys))))
 
     if case.get("mcount") is not None:
         cnt: dict[str, int] = defaultdict(int)

@@ -976,3 +976,103 @@ CASES += [
         ("{id = {}, b} = {}", 0, "BLOCK"): ["id"],
     }, cite=MCITE + ":178-228"),
 ]
+
+
+# --------------------------------------------------------------------------- #
+# Round-4 XTypeRecovery transcriptions (verdict r3 next-round item #4) —
+# jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/TypeRecoveryPassTests.scala.
+# Facts: recovered call methodFullNames keyed by call code; identifier
+# type-hint sets keyed `id:<var>` (sorted, comma-joined).
+# --------------------------------------------------------------------------- #
+
+TRCITE = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/"
+          "TypeRecoveryPassTests.scala")
+
+CASES += [
+    # :42-100 — ES named imports feed `new`-constructed identifiers; member
+    # calls resolve through them; assigned results take :<returnValue>.
+    dict(name="js-typerec-import-new", lang="javascript", wrap=False, code="""
+import { WebClient } from "slack_sdk";
+import { SendGridAPIClient } from "sendgrid";
+
+const client = new WebClient("WOLOLO");
+const sg = new SendGridAPIClient("SENGRID_KEY_WOLOLO");
+
+function sendSlackMessage(chan, msg) {
+    client.chatPostMessage(channel=chan, text=msg);
+}
+
+let response = sg.send(message);
+""",
+         typerec=[
+             ["client.chatPostMessage(channel=chan, text=msg)",
+              "slack_sdk:WebClient:chatPostMessage"],          # :90-93
+             ["sg.send(message)", "sendgrid:SendGridAPIClient:send"],  # :77-80
+             ["id:client", "slack_sdk:WebClient"],             # :82-88
+             ["id:sg", "sendgrid:SendGridAPIClient"],          # :69-74
+             ["id:response",
+              "sendgrid:SendGridAPIClient:send:<returnValue>"],  # :95-98
+         ],
+         cite=TRCITE + ":42-100"),
+    # :253-275 — type obtained via assignment from `require`.
+    dict(name="js-typerec-require", lang="javascript", wrap=False, code="""
+const google = require('googleapis');
+const driveObj = google.drive({ version: 'v3', auth });
+""",
+         typerec=[
+             ["google.drive({ version: 'v3', auth })", "googleapis:drive"],
+             ["id:google", "googleapis"],
+             ["id:driveObj", "googleapis:drive:<returnValue>"],
+         ],
+         cite=TRCITE + ":253-275 (methodFullName googleapis:drive; "
+              "driveObj googleapis:drive:<returnValue>)"),
+    # :277-297 — the same through a destructuring `const { google } = ...`.
+    dict(name="js-typerec-require-destructured", lang="javascript",
+         wrap=False, code="""
+const { google } = require('googleapis');
+const driveObj = google.drive({ version: 'v3', auth });
+""",
+         typerec=[
+             ["google.drive({ version: 'v3', auth })", "googleapis:drive"],
+             ["id:google", "googleapis"],
+             ["id:driveObj", "googleapis:drive:<returnValue>"],
+         ],
+         cite=TRCITE + ":277-297"),
+    # :11-40 — literals declared from built-in types: flow-insensitive hint
+    # union across shadowed scopes; array literals type __ecma.Array and
+    # resolve member calls (z.push -> __ecma.Array:push).
+    dict(name="js-typerec-literals", lang="javascript", wrap=False, code="""
+let x = 123;
+
+function foo_shadowing() {
+   let x = "foo";
+}
+
+z = [1, 2, 3];
+
+z.push(4)
+""",
+         typerec=[
+             ["id:x", "__ecma.Number,__ecma.String"],   # :25-29 (both scopes)
+             ["id:z", "__ecma.Array"],                  # :31-34
+             ["z.push(4)", "__ecma.Array:push"],        # :36-39
+         ],
+         cite=TRCITE + ":11-40"),
+    # ImportsPassTests.scala:14-28 + the classic require chain: member call
+    # on a require-bound module, then a second hop through <returnValue>.
+    dict(name="js-typerec-require-chain", lang="javascript", wrap=False,
+         code="""
+const mysql = require('mysql');
+var con = mysql.createConnection();
+con.query("SELECT 1");
+""",
+         typerec=[
+             ["mysql.createConnection()", "mysql:createConnection"],
+             ["con.query(\"SELECT 1\")",
+              "mysql:createConnection:<returnValue>:query"],
+             ["id:mysql", "mysql"],
+             ["id:con", "mysql:createConnection:<returnValue>"],
+         ],
+         cite=TRCITE + " (require binding + XTypeRecovery.scala:259 "
+              "DummyReturnType hop)"),
+]

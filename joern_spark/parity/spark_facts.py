@@ -206,6 +206,24 @@ def spark_facts(spark: SparkSession) -> DataFrame:
         .select("lang", "kase", F.lit("mcount").alias("relation"),
                 "subj", "obj"))
 
+    # XTypeRecovery facts: recovered call mfns by call code + identifier
+    # type-hint sets (sorted) by `id:<var>` — the distributed twin of the
+    # sequential _js_recover mirror
+    from joern_spark.operators.typerecovery import _recover
+    rw, st = _recover(nodes)
+    out.append(
+        rw.join(base.select("lang", "kase", "id", "code"), "id")
+        .select("lang", "kase", F.lit("typerec").alias("relation"),
+                F.col("code").alias("subj"), F.col("rec_mfn").alias("obj")))
+    kase_of_path = base.select("lang", "kase", "path").distinct()
+    out.append(
+        st.filter(~F.col("var").startswith("_tmp_"))
+        .groupBy("path", "var")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_set("type"))).alias("obj"))
+        .join(kase_of_path, "path")
+        .select("lang", "kase", F.lit("typerec").alias("relation"),
+                F.concat(F.lit("id:"), F.col("var")).alias("subj"), "obj"))
+
     # (closure method name, captured declaration name) — same rule as
     # base.capture_edges, name-keyed for the parity scorer
     cap_uses = base.filter((F.col("kind") == M.IDENTIFIER)

@@ -201,3 +201,62 @@ def test_binding_override_retarget(cpg):
         ("int(int)", "geo.Circle.area:int(int)"),
         ("int(int,int)", "geo.Shape.area:int(int,int)"),
     ]
+
+
+def test_usage_slices_match_sequential(cpg):
+    """UsageSlicing v0 (UsageSlicing.scala): the distributed slice relation
+    equals the sequential mirror row-for-row."""
+    from pyspark.sql import functions as F
+    from joern_spark.operators.slicing import usage_slices
+    from joern_spark.oracle import expected_usage_slices
+    got = sorted(
+        tuple(r) for r in usage_slices(
+            cpg.nodes.filter(F.col("parse_error") == ""), cpg.edges)
+        .collect())
+    assert got == expected_usage_slices()
+    rels = {r[3] for r in got}
+    assert {"definedBy", "invokedCall", "argToCall"} <= rels
+
+
+def test_dataflow_slices_match_sequential(cpg):
+    """DataFlowSlicing (DataFlowSlicing.scala:20-59): the distributed
+    depth-bounded backward REACHING_DEF closure equals the sequential
+    multi-source BFS mirror row-for-row."""
+    from pyspark.sql import functions as F
+    from joern_spark.operators.slicing import dataflow_slices
+    from joern_spark.oracle import expected_dataflow_slices
+    got = sorted(
+        tuple("" if v is None else v for v in r) for r in dataflow_slices(
+            cpg.nodes.filter(F.col("parse_error") == ""), cpg.edges)
+        .collect())
+    want = expected_dataflow_slices()
+    assert got == want
+    # the slice reaches beyond the literal seed set (definitions upstream
+    # of call arguments) and keeps the RETURN -> "RET" renaming
+    assert any(r[1] == "RETURN" and r[2] == "RET" for r in got) or \
+        all(r[1] != "RETURN" for r in got)
+
+
+def test_api_vectors_match_sequential(cpg):
+    """JoernVectors BagOfAPISymbolsForMethods: per-method feature-bag
+    digests equal the sequential mirror (crc32 dims bit-identical)."""
+    from pyspark.sql import functions as F
+    from joern_spark.operators.vectors import api_vector_summaries
+    from joern_spark.oracle import expected_api_vectors
+    got = sorted(
+        tuple(r) for r in api_vector_summaries(
+            cpg.nodes.filter(F.col("parse_error") == "")).collect())
+    assert got == expected_api_vectors()
+
+
+def test_bag_of_properties_shape(cpg):
+    """JoernVectors BagOfPropertiesForNodes: every parsed node yields its
+    label feature plus the non-empty NAME/FULL_NAME/CODE features."""
+    from pyspark.sql import functions as F
+    from joern_spark.operators.vectors import bag_of_properties
+    bp = bag_of_properties(cpg.nodes)
+    labels = bp.filter(F.col("key") == "label")
+    n_nodes = cpg.nodes.filter(F.col("parse_error") == "").count()
+    assert labels.count() == n_nodes
+    keys = {r["key"] for r in bp.select("key").distinct().collect()}
+    assert keys == {"CODE", "FULL_NAME", "NAME", "label"}
