@@ -1507,30 +1507,56 @@ class CParser:
         C parser keeps its old behavior (comma inside parens is an error)."""
         return None
 
-    def parse_postfix(self) -> N:
-        t = self.next()
+    def unresolved_ident_type(self, name: str) -> str:
+        """Language hook: type of an identifier with no declaration in
+        scope. Java resolves class-name receivers (`Foo.MAX_VALUE` ->
+        identifier Foo typed Foo, FieldAccessTests.scala:46-52)."""
+        return M.ANY
+
+    def method_ref_expr(self, t: "Tok") -> "N | None":
+        """Language hook at `<ident> ::`: Java builds a METHOD_REF
+        (`Bar::bar`, MethodRefTests.scala); C++ returns None and keeps the
+        qualified-name loop."""
+        return None
+
+    def make_literal(self, t: "Tok") -> "N | None":
+        """Language hook: literal token -> LITERAL node (or None for
+        non-literals). C/C++ typing here; Java overrides suffix/boolean/
+        String rules (LiteralTests.scala)."""
         if t.t == "num":
-            node = N(M.LITERAL, code=t.v, line=t.line,
+            return N(M.LITERAL, code=t.v, line=t.line,
                      type_full_name="double" if ("." in t.v or "e" in t.v.lower() and not t.v.lower().startswith("0x")) else "int")
-        elif t.t == "str":
-            node = N(M.LITERAL, code=t.v, line=t.line, type_full_name="char*")
-        elif t.t == "char":
-            node = N(M.LITERAL, code=t.v, line=t.line, type_full_name="char")
-        elif t.v in ("true", "false", "nullptr", "NULL"):
+        if t.t == "str":
+            return N(M.LITERAL, code=t.v, line=t.line, type_full_name="char*")
+        if t.t == "char":
+            return N(M.LITERAL, code=t.v, line=t.line, type_full_name="char")
+        if t.v in ("true", "false", "nullptr", "NULL"):
             # NULL is a macro expanding to a literal — CDT (with macro
             # handling) emits a LITERAL here, so do we
-            node = N(M.LITERAL, code=t.v, line=t.line,
+            return N(M.LITERAL, code=t.v, line=t.line,
                      type_full_name="bool" if t.v in ("true", "false") else M.ANY)
+        return None
+
+    def parse_postfix(self) -> N:
+        t = self.next()
+        lit = self.make_literal(t)
+        if lit is not None:
+            node = lit
         elif t.v == "this":
             node = self.this_expr(t)
         elif t.t == "id" or t.t == "kw":
             name = t.v
+            if self.at("::"):
+                mr = self.method_ref_expr(t)
+                if mr is not None:
+                    return mr
             while self.at("::"):
                 self.next()
                 name += "." + self.next().v
             decl = self.lookup(name)
             node = N(M.IDENTIFIER, code=t.v if "." not in name else name, name=name, line=t.line,
-                     type_full_name=decl.type_full_name if decl is not None else M.ANY)
+                     type_full_name=(decl.type_full_name if decl is not None
+                                     else self.unresolved_ident_type(name)))
             if decl is not None:
                 node.ref_target = decl
         else:

@@ -63,6 +63,35 @@ JAVA_UTIL = frozenset(
     UUID Date Calendar""".split()
 )
 
+# Minimal JDK method-signature table — the reference resolves these through
+# JavaParser's reflection type solver against the real JDK (CallTests.scala
+# "calls to imported methods"); entries limited to methods its tests assert.
+# (class fullname, method name) -> overload list like class_methods values.
+JDK_METHODS: dict[tuple[str, str], list[tuple[str, bool, list[str]]]] = {
+    ("java.lang.String", "valueOf"): [
+        ("java.lang.String.valueOf:java.lang.String(boolean)", True,
+         ["boolean"]),
+        ("java.lang.String.valueOf:java.lang.String(int)", True, ["int"]),
+        ("java.lang.String.valueOf:java.lang.String(long)", True, ["long"]),
+        ("java.lang.String.valueOf:java.lang.String(char)", True, ["char"]),
+        ("java.lang.String.valueOf:java.lang.String(java.lang.Object)",
+         True, ["java.lang.Object"]),
+    ],
+    ("java.lang.String", "length"): [
+        ("java.lang.String.length:int()", False, [])],
+    ("java.lang.String", "equals"): [
+        ("java.lang.String.equals:boolean(java.lang.Object)", False,
+         ["java.lang.Object"])],
+    ("java.lang.String", "substring"): [
+        ("java.lang.String.substring:java.lang.String(int)", False, ["int"]),
+        ("java.lang.String.substring:java.lang.String(int,int)", False,
+         ["int", "int"])],
+    ("java.lang.String", "charAt"): [
+        ("java.lang.String.charAt:char(int)", False, ["int"])],
+    ("java.lang.String", "toString"): [
+        ("java.lang.String.toString:java.lang.String()", False, [])],
+}
+
 # java.lang implicit imports — resolved like javasrc2cpg's TypeInfoCalculator
 JAVA_LANG = {
     n: f"java.lang.{n}"
@@ -111,6 +140,90 @@ class JavaParser(CParser):
                 return size
         return call
 
+    def make_literal(self, t) -> "N | None":
+        """Java literal typing (LiteralTests.scala expectedOutput +
+        TypeInfoCalculator): numeric suffixes f/F -> float, d/D or
+        decimal-point/exponent -> double, l/L -> long; strings ->
+        java.lang.String; true/false -> boolean; null -> Literal("null")."""
+        if t.t == "num":
+            v = t.v.lower()
+            if v.startswith(("0x", "0b")):
+                ty = "long" if v.endswith("l") else "int"
+            elif v.endswith("f"):
+                ty = "float"
+            elif v.endswith("d") or "." in v or "e" in v:
+                ty = "double"
+            elif v.endswith("l"):
+                ty = "long"
+            else:
+                ty = "int"
+            return N(M.LITERAL, code=t.v, line=t.line, type_full_name=ty)
+        if t.t == "str":
+            return N(M.LITERAL, code=t.v, line=t.line,
+                     type_full_name="java.lang.String")
+        if t.t == "char":
+            return N(M.LITERAL, code=t.v, line=t.line, type_full_name="char")
+        if t.v in ("true", "false"):
+            return N(M.LITERAL, code=t.v, line=t.line,
+                     type_full_name="boolean")
+        if t.v == "null":
+            return N(M.LITERAL, code="null", line=t.line,
+                     type_full_name="null")
+        return None
+
+    def method_ref_expr(self, t) -> "N | None":
+        """`Base::method` / `recv::method` / `Type::new` -> METHOD_REF
+        (MethodRefTests.scala): methodFullName resolved through the scope
+        type or class table (unresolved signature WITHOUT arity when only
+        the type is known — :37-60; <unresolvedNamespace> when nothing is
+        — :63-79); typeFullName = the receiver/class fullname."""
+        self.next()  # ::
+        mtok = self.next()
+        mname = M.CONSTRUCTOR if mtok.v == "new" else mtok.v
+        code = f"{t.v}::{mtok.v}"
+        decl = self.lookup(t.v)
+        ty = (self.resolve_type(decl.type_full_name) if decl is not None
+              else self.unresolved_ident_type(t.v))
+        entries = None
+        if ty and ty != M.ANY:
+            seen: set[str] = set()
+            stack = [ty]
+            while stack:
+                c = stack.pop(0)
+                if not c or c in seen:
+                    continue
+                seen.add(c)
+                entries = (self.class_methods.get(c, {}).get(mname)
+                           or JDK_METHODS.get((c, mname)))
+                if entries:
+                    break
+                stack.extend(self.class_supers.get(c, []))
+        if entries:
+            sig = entries[0][0].split(":", 1)[1]
+            mfn, node_ty = f"{ty}.{mname}:{sig}", ty
+        elif ty and ty != M.ANY:
+            mfn, node_ty = f"{ty}.{mname}:{M.UNRESOLVED_SIGNATURE}", ty
+        else:
+            mfn = f"{M.UNRESOLVED_NAMESPACE}.{mname}:{M.UNRESOLVED_SIGNATURE}"
+            node_ty = M.ANY
+        return N(M.METHOD_REF, code=code, name=code, line=t.line,
+                 method_full_name=mfn, type_full_name=node_ty)
+
+    def unresolved_ident_type(self, name: str) -> str:
+        """A bare identifier with no local/param/field in scope that names a
+        known class IS that class (static member access receiver,
+        FieldAccessTests.scala:46-52 `Foo.MAX_VALUE` -> identifier Foo
+        typed Foo; JavaParser's symbol solving)."""
+        if name in self.declared_types:
+            return self.declared_types[name]
+        if name in self.imports:
+            return self.imports[name]
+        if name in JAVA_LANG:
+            return JAVA_LANG[name]
+        if self.star_java_util and name in JAVA_UTIL:
+            return f"java.util.{name}"
+        return M.ANY
+
     def __init__(self, content: str, path: str):
         super().__init__(content, path, "java")
         self.package = ""
@@ -118,8 +231,14 @@ class JavaParser(CParser):
         self.star_java_util = False      # `import java.util.*;` seen
         self.unknown_star_import = False  # non-JDK wildcard import seen
         self.lambda_counter = 0
-        # methods declared per class fullname: name -> (fullname, is_static)
-        self.class_methods: dict[str, dict[str, tuple[str, bool]]] = {}
+        # methods declared per class fullname: name -> overload list of
+        # (fullname, is_static, param_types) — JLS-lite selection by arg
+        # count/types (CallTests "static methods in different files")
+        self.class_methods: dict[str, dict[str, list[tuple[str, bool, list[str]]]]] = {}
+        # fullnames declared with `...` — call sites pack the trailing
+        # arguments into <operator>.arrayInitializer (TypeTests.scala
+        # "use an arrayInitializer call node to represent varargs")
+        self.varargs_methods: set[str] = set()
         # class fullname -> resolved supertype fullnames (for unqualified /
         # receiver-typed call resolution up the hierarchy,
         # CallTests "call to method in different class")
@@ -383,9 +502,12 @@ class JavaParser(CParser):
                 self.package = ".".join(parts)
                 continue
             if t.v == "import":
+                line = t.line
                 self.next()
+                is_static = False
                 if self.at("static"):
                     self.next()
+                    is_static = True
                 parts = [self.next().v]
                 star = False
                 while self.at("."):
@@ -397,14 +519,23 @@ class JavaParser(CParser):
                     parts.append(self.next().v)
                 if self.at(";"):
                     self.next()
+                entity = ".".join(parts)
                 if not star and parts:
-                    self.imports[parts[-1]] = ".".join(parts)
+                    self.imports[parts[-1]] = entity
                 elif star:
-                    pkg = ".".join(parts)
-                    if pkg == "java.util":
+                    if entity == "java.util":
                         self.star_java_util = True
                     else:
                         self.unknown_star_import = True
+                # IMPORT node per declaration (ImportTests.scala:26-36):
+                # importedEntity = the dotted path, importedAs = the simple
+                # name ("*" for on-demand imports), code without semicolon
+                imported_as = "*" if star else parts[-1]
+                code = ("import " + ("static " if is_static else "")
+                        + entity + (".*" if star else ""))
+                roots.append(N(M.IMPORT, code=code, name=imported_as,
+                               full_name=entity, canonical_name=imported_as,
+                               line=line))
                 continue
             if t.v == ";":
                 self.next()
@@ -748,8 +879,11 @@ class JavaParser(CParser):
                     k = j - 1
                     is_static = False
                     ret = "void"
+                    ret_arr = 0  # array dims on the return type (T[] foo())
                     genv: dict[str, str] = {}
                     while k >= 0 and toks[k].v in ("]", "["):
+                        if toks[k].v == "]":
+                            ret_arr += 1
                         k -= 1
                     if k >= 0 and toks[k].v == ">":
                         # return type's own generic args — skip balanced
@@ -814,6 +948,7 @@ class JavaParser(CParser):
                         k -= 1
                     # param types: scan inside parens at same depth
                     ptypes: list[str] = []
+                    is_varargs = False
                     d2 = 0
                     m2 = i
                     expect_type = True
@@ -831,15 +966,30 @@ class JavaParser(CParser):
                             expect_type = False
                         elif d2 == 1 and toks[m2].v == "..." and ptypes:
                             ptypes[-1] += "[]"  # varargs erase to arrays
+                            is_varargs = True
                         elif d2 == 1 and vv == ",":
                             expect_type = True
                         m2 += 1
                     if mname == class_full.split(".")[-1]:
                         fullname = f"{class_full}.{M.CONSTRUCTOR}:void({','.join(ptypes)})"
-                        self.class_methods[class_full][M.CONSTRUCTOR] = (fullname, False)
+                        self.class_methods[class_full].setdefault(
+                            M.CONSTRUCTOR, []).append(
+                            (fullname, False, list(ptypes)))
+                        if is_varargs:
+                            self.varargs_methods.add(
+                                f"{M.CONSTRUCTOR}:void({','.join(ptypes)})")
                     else:
-                        sig = f"{genv.get(ret) or self.resolve_type(ret)}({','.join(ptypes)})"
-                        self.class_methods[class_full][mname] = (f"{class_full}.{mname}:{sig}", is_static)
+                        rty = (genv.get(ret) or self.resolve_type(ret)) \
+                            + "[]" * ret_arr
+                        sig = f"{rty}({','.join(ptypes)})"
+                        fullname = f"{class_full}.{mname}:{sig}"
+                        self.class_methods[class_full].setdefault(
+                            mname, []).append(
+                            (fullname, is_static, list(ptypes)))
+                        if is_varargs:
+                            # keyed name:sig — call sites re-prefix the
+                            # fullname with the receiver's static type
+                            self.varargs_methods.add(f"{mname}:{sig}")
                     # skip past this member's body/semicolon
             i += 1
         self.pos = save
@@ -976,8 +1126,9 @@ class JavaParser(CParser):
                    evaluation_strategy=M.BY_VALUE, line=start.line))
         self.pop_scope()
         self.compact_ctor_classes.add(class_full)
-        self.class_methods.setdefault(class_full, {})[M.CONSTRUCTOR] = (
-            ctor.full_name, False)
+        self.class_methods.setdefault(class_full, {})[M.CONSTRUCTOR] = [(
+            ctor.full_name, False,
+            [self.resolve_type(t) for (_r, t, _n, _l) in comps])]
         return ctor
 
     def _maybe_member_init(self, class_full: str, name: str, ty: str,
@@ -1767,7 +1918,7 @@ class JavaParser(CParser):
         # methodFullName Type.<init>:void(...) (Defines.scala:25)
         known = self.class_methods.get(ty, {}).get(M.CONSTRUCTOR)
         if known:
-            mfn = known[0]
+            mfn = self._pick_overload(known, args)[0]
         elif ty in self.declared_types.values():
             # internal ctor-less class -> the synthesized default ctor
             mfn = f"{ty}.{M.CONSTRUCTOR}:void({','.join(M.ANY for _ in args)})"
@@ -1842,7 +1993,78 @@ class JavaParser(CParser):
             chain.append(f"{self.package}.{nested}" if self.package else nested)
         return chain
 
-    def _lookup_unqualified(self, name: str) -> tuple[str, bool] | None:
+    _BOX = {"int": "java.lang.Integer", "long": "java.lang.Long",
+            "double": "java.lang.Double", "float": "java.lang.Float",
+            "boolean": "java.lang.Boolean", "byte": "java.lang.Byte",
+            "short": "java.lang.Short", "char": "java.lang.Character"}
+
+    def _pick_overload(self, entries: list[tuple[str, bool, list[str]]],
+                       args: list[N]) -> tuple[str, bool, list[str]]:
+        """JLS-lite overload selection (JavaParser's MethodResolutionLogic
+        stand-in): prefer exact arity (varargs arrays absorb extras), then
+        the candidate whose parameter types agree with the argument static
+        types (boxing counts half); document order breaks ties."""
+        if len(entries) == 1:
+            return entries[0]
+
+        def arity_ok(e):
+            pt = e[2]
+            if len(pt) == len(args):
+                return True
+            return bool(pt) and pt[-1].endswith("[]") \
+                and len(args) >= len(pt) - 1
+
+        cands = [e for e in entries if arity_ok(e)] or entries
+
+        def score(e):
+            pt, s = e[2], 0
+            for i, a in enumerate(args):
+                at = self.resolve_type(a.type_full_name or M.ANY)
+                if i < len(pt):
+                    p = pt[i]
+                elif pt and pt[-1].endswith("[]"):
+                    p = pt[-1][:-2]
+                else:
+                    continue
+                if at == M.ANY:
+                    continue
+                if at == p:
+                    s += 2
+                elif self._BOX.get(at) == p or self._BOX.get(p) == at:
+                    s += 1
+            return s
+        return max(cands, key=score)
+
+    def _pack_varargs(self, name: str, sig: str, args: list[N],
+                      line: int) -> list[N]:
+        """Wrap a varargs call's trailing arguments in
+        <operator>.arrayInitializer typed as the erased array parameter
+        (TypeTests.scala "use an arrayInitializer call node to represent
+        varargs in the call AST"); a directly-passed array stays as-is."""
+        if f"{name}:{sig}" not in self.varargs_methods or "(" not in sig:
+            return args
+        inner = sig[sig.index("(") + 1:-1]
+        ptypes = inner.split(",") if inner else []
+        if not ptypes or not ptypes[-1].endswith("[]"):
+            return args
+        nfixed = len(ptypes) - 1
+        if len(args) == len(ptypes) and \
+                (args[-1].type_full_name or "").endswith("[]"):
+            return args
+        tail = args[nfixed:]
+        arr = N(M.CALL, code=", ".join(a.code for a in tail),
+                name=M.OP_ARRAY_INITIALIZER,
+                method_full_name=M.OP_ARRAY_INITIALIZER,
+                dispatch_type=M.STATIC_DISPATCH, line=line,
+                type_full_name=ptypes[-1])
+        for i, a in enumerate(tail, start=1):
+            a.arg_index = i
+            arr.add(a)
+        return args[:nfixed] + [arr]
+
+    def _lookup_unqualified(self, name: str,
+                            args: list[N] | None = None
+                            ) -> tuple[str, bool] | None:
         """Unqualified call resolution: (1) the enclosing class's own and
         INHERITED members — the fullname prefix stays the enclosing class
         (CallTests "call to method in same class": MoreDerived.method even
@@ -1860,16 +2082,19 @@ class JavaParser(CParser):
             if c in seen:
                 continue
             seen.add(c)
-            info = self.class_methods.get(c, {}).get(name)
-            if info is not None:
-                fullname, is_static = info
+            entries = self.class_methods.get(c, {}).get(name)
+            if entries:
+                fullname, is_static, _pt = self._pick_overload(
+                    entries, args or [])
                 sig = fullname.split(":", 1)[1] if ":" in fullname else ""
                 return f"{cur}.{name}:{sig}", is_static
             stack.extend(self.class_supers.get(c, []))
         for c in chain[1:]:
-            info = self.class_methods.get(c, {}).get(name)
-            if info is not None:
-                return info
+            entries = self.class_methods.get(c, {}).get(name)
+            if entries:
+                fullname, is_static, _pt = self._pick_overload(
+                    entries, args or [])
+                return fullname, is_static
         return None
 
     def build_call(self, callee: N, start: Tok) -> N:
@@ -1885,12 +2110,15 @@ class JavaParser(CParser):
         # intra-class resolution against the pre-scanned member table
         resolved = None
         is_static = False
-        info = self._lookup_unqualified(name)
+        info = self._lookup_unqualified(name, args)
         if info is not None:
             resolved, is_static = info
         if resolved is not None:
             mfn = resolved
             dispatch = M.STATIC_DISPATCH if is_static else M.DYNAMIC_DISPATCH
+            if ":" in resolved:
+                args = self._pack_varargs(
+                    name, resolved.split(":", 1)[1], args, start.line)
         else:
             # unresolved unqualified call: prefixed with the enclosing class
             # when there is one (CallTests "calls with unresolved receivers":
@@ -1948,15 +2176,18 @@ class JavaParser(CParser):
             if not c or c in seen:
                 continue
             seen.add(c)
-            info = self.class_methods.get(c, {}).get(name)
-            if info is not None:
+            entries = (self.class_methods.get(c, {}).get(name)
+                       or JDK_METHODS.get((c, name)))
+            if entries:
+                info = self._pick_overload(entries, args)
                 break
             stack.extend(self.class_supers.get(c, []))
         if info is not None:
-            found_fn, is_static = info
+            found_fn, is_static, _pt = info
             dispatch = M.STATIC_DISPATCH if is_static else M.DYNAMIC_DISPATCH
             sig = found_fn.split(":", 1)[1] if ":" in found_fn else ""
             mfn = f"{recv_ty}.{name}:{sig}"
+            args = self._pack_varargs(name, sig, args, start.line)
         elif recv_ty and recv_ty != M.ANY:
             mfn = f"{recv_ty}.{name}:{M.UNRESOLVED_SIGNATURE}({len(args)})"
             dispatch = M.DYNAMIC_DISPATCH

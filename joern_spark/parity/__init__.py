@@ -94,9 +94,16 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
                 out.append((rel, subj, o))
     for rel in ("calls", "inherits", "declares", "methods", "captures",
                 "cs", "cscond", "params", "locals", "members", "bindings",
-                "callmfn", "typerec"):
+                "callmfn", "typerec", "imports"):
         for s, o in (case.get(rel) or []):
             out.append((rel, s, o))
+    # node typeFullName assertions keyed like cfg subjects (code@idx[#KIND])
+    # — cpg.identifier/literal/call .typeFullName golden values
+    for key, ty in (case.get("nodetype") or {}).items():
+        out.append(("nodetype", _norm_key(key), ty))
+    # METHOD_REF methodFullName assertions (MethodRefTests)
+    for key, mfn in (case.get("nodemfn") or {}).items():
+        out.append(("nodemfn", _norm_key(key), mfn))
     # size-only golden assertions over transitive dominator/CDG closures —
     # exact-count facts, so a single extra or missing edge scores FP+FN
     for key, n in (case.get("postdom_count") or {}).items():
@@ -351,6 +358,29 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
         for r in rows:
             if r["kind"] == M.CALL and r["method_full_name"]:
                 out.add(("callmfn", r["name"], r["method_full_name"]))
+
+    if case.get("imports") is not None:
+        # cpg.imports — subject = the IMPORT node code, object =
+        # importedAs|importedEntity (ImportTests.scala:26-36)
+        for r in rows:
+            if r["kind"] == M.IMPORT:
+                out.add(("imports", r["code"],
+                         f'{r["canonical_name"] or ""}|{r["full_name"]}'))
+
+    if case.get("nodetype") is not None:
+        # node typeFullName keyed like cfg subjects — identifier/literal/
+        # call .typeFullName golden assertions (LiteralTests,
+        # FieldAccessTests, TypeTests)
+        for r in rows:
+            for k in keys.get(r["node_idx"], []):
+                out.add(("nodetype", k, r["type_full_name"] or ""))
+
+    if case.get("nodemfn") is not None:
+        # METHOD_REF methodFullName keyed like cfg subjects
+        for r in rows:
+            if r["kind"] == M.METHOD_REF:
+                for k in keys.get(r["node_idx"], []):
+                    out.add(("nodemfn", k, r["method_full_name"] or ""))
 
     if case.get("cs") is not None or case.get("cscond") is not None:
         methods = {r["node_idx"]: r for r in rows if r["kind"] == M.METHOD}

@@ -1790,3 +1790,356 @@ class Foo {
         cite=f"{JQ}/SpecialOperatorTests.scala (cast lowering)",
     ),
 ]
+
+# --------------------------------------------------------------------------- #
+# Round-4 breadth: ImportTests, java.lang resolution, static overloads,
+# identifier/literal typeFullName golden values (nodetype relation).
+# --------------------------------------------------------------------------- #
+
+CASES += [
+    # ImportTests.scala:9-37 — IMPORT nodes carry importedAs/importedEntity
+    # and the semicolon-less code; wildcard imports keep importedAs "*".
+    dict(
+        name="java-imports", lang="java", wrap=False,
+        code="""
+package org.codeminers.controller;
+
+import org.codeminers.thirdparty.ThirdParty;
+import org.codeminers.thirdparty.util.*;
+
+public class Controller {
+
+    public void foo() {
+        Request request = new Request();
+        ThirdParty.getSgClient().api(request);
+    }
+}""",
+        imports=[
+            ["import org.codeminers.thirdparty.ThirdParty",
+             "ThirdParty|org.codeminers.thirdparty.ThirdParty"],
+            ["import org.codeminers.thirdparty.util.*",
+             "*|org.codeminers.thirdparty.util"],
+        ],
+        cite=f"{JQ}/ImportTests.scala:9-37",
+    ),
+    # CallTests.scala:54-66 — static java.lang method resolved through the
+    # implicit java.lang import with full JDK signature.
+    dict(
+        name="java-call-jdk-valueof", lang="java", wrap=False,
+        code="""
+class Test {
+  public void test() {
+    String.valueOf(true);
+  }
+}
+""",
+        callmfn=[["valueOf",
+                  "java.lang.String.valueOf:java.lang.String(boolean)"]],
+        cite=f"{JQCall}:54-66",
+    ),
+    # CallTests.scala:68-78 — instance method on a java.lang-typed receiver.
+    dict(
+        name="java-call-jdk-length", lang="java", wrap=False,
+        code="""
+class Test {
+  public void test(String s) {
+  s.length();
+  }
+}
+""",
+        callmfn=[["length", "java.lang.String.length:int()"]],
+        cite=f"{JQCall}:68-78",
+    ),
+    # CallTests.scala:226-250 (single-file adaptation of the two-file
+    # fixture) — static cross-class call picks the overload whose parameter
+    # type matches the argument's static type.
+    dict(
+        name="java-call-static-overload", lang="java", wrap=False,
+        code="""
+public class Foo {
+  public static Foo foo(String arg) {
+    return new Foo();
+  }
+
+  public static Foo foo(int x) {
+    return new Foo();
+  }
+}
+
+class Bar {
+  public static void bar(String barArg) {
+    Foo.foo(barArg);
+  }
+}
+""",
+        callmfn=[["foo", "Foo.foo:Foo(java.lang.String)"]],
+        cite=f"{JQCall}:226-250",
+    ),
+    # FieldAccessTests.scala:46-68 — the static-access receiver identifier
+    # is TYPED as the class; object receivers keep their declared type.
+    dict(
+        name="java-field-access-types", lang="java", wrap=False,
+        code="""
+class Foo {
+  public static int MAX_VALUE = 12;
+  public int value;
+}
+
+class Test {
+public void foo() {
+  int x = Foo.MAX_VALUE;
+}
+
+public void bar() {
+  Foo f = new Foo();
+  int y = f.value;
+}
+}
+""",
+        nodetype={("Foo", 0, "IDENTIFIER"): "Foo",
+                  ("f", 0, "IDENTIFIER"): "Foo"},
+        ast={("Foo.MAX_VALUE", 0, "CALL"): ["Foo", "MAX_VALUE"],
+             ("f.value", 0, "CALL"): ["f", "value"]},
+        cite=f"{JQ}/FieldAccessTests.scala:46-68",
+    ),
+    # LiteralTests.scala:10-66 — identifier typeFullName for every literal
+    # form's declared variable; `null` is a LITERAL (NullLiteralExpr ->
+    # type "null", AstCreator.scala:349).
+    dict(
+        name="java-literal-ident-types", lang="java", wrap=False,
+        code="""
+class Test {
+  public void foo() {
+    byte a = 0b10110010;
+    short b = 0;
+    int c = 0175;
+    int d = 0xABCD;
+    long e = 9223372036854775807;
+    float f = 0.42f;
+    double g = 11d;
+    double h = 11.0;
+    double i = 1.0e2D;
+    char j = 'j';
+    char k = 062;
+    char l = '\\n';
+    String m = "Hello, world!";
+    String n = null;
+    boolean o = true;
+    boolean p = false;
+  }
+}
+""",
+        nodetype={("a", 0, "IDENTIFIER"): "byte",
+                  ("b", 0, "IDENTIFIER"): "short",
+                  ("c", 0, "IDENTIFIER"): "int",
+                  ("d", 0, "IDENTIFIER"): "int",
+                  ("e", 0, "IDENTIFIER"): "long",
+                  ("f", 0, "IDENTIFIER"): "float",
+                  ("g", 0, "IDENTIFIER"): "double",
+                  ("h", 0, "IDENTIFIER"): "double",
+                  ("i", 0, "IDENTIFIER"): "double",
+                  ("j", 0, "IDENTIFIER"): "char",
+                  ("k", 0, "IDENTIFIER"): "char",
+                  ("l", 0, "IDENTIFIER"): "char",
+                  ("m", 0, "IDENTIFIER"): "java.lang.String",
+                  ("n", 0, "IDENTIFIER"): "java.lang.String",
+                  ("o", 0, "IDENTIFIER"): "boolean",
+                  ("p", 0, "IDENTIFIER"): "boolean",
+                  ("null", 0, "LITERAL"): "null"},
+        cite=f"{JQ}/LiteralTests.scala:10-66",
+    ),
+]
+
+# --------------------------------------------------------------------------- #
+# MethodRefTests.scala — `A::b` METHOD_REF nodes.
+# --------------------------------------------------------------------------- #
+
+CASES += [
+    # :9-35 (single-file adaptation of the two-file fixture; both classes
+    # share package b) — resolved method ref: full signature + class type.
+    dict(
+        name="java-methodref-resolved", lang="java", wrap=False,
+        code="""
+package b;
+class Bar {
+  void bar(int x) {}
+}
+
+class Foo {
+  void doNothing(Object c) {}
+
+  void foo() {
+    doNothing(Bar::bar);
+  }
+}
+""",
+        nodemfn={("Bar::bar", 0, "METHOD_REF"): "b.Bar.bar:void(int)"},
+        nodetype={("Bar::bar", 0, "METHOD_REF"): "b.Bar"},
+        cite=f"{JQ}/MethodRefTests.scala:9-35",
+    ),
+    # :37-60 — import-known type, unresolved member: signature-less
+    # <unresolvedSignature> (no arity), type keeps the imported fullname.
+    dict(
+        name="java-methodref-known-type", lang="java", wrap=False,
+        code="""
+import b.Bar;
+
+class Foo {
+  void foo() {
+    doNothing(Bar::bar);
+  }
+}
+""",
+        nodemfn={("Bar::bar", 0, "METHOD_REF"):
+                 "b.Bar.bar:<unresolvedSignature>"},
+        nodetype={("Bar::bar", 0, "METHOD_REF"): "b.Bar"},
+        cite=f"{JQ}/MethodRefTests.scala:37-60",
+    ),
+    # :62-79 — fully unresolved method ref.
+    dict(
+        name="java-methodref-unresolved", lang="java", wrap=False,
+        code="""
+class Foo {
+  void foo() {
+    doNothing(Bar::bar);
+  }
+}
+""",
+        nodemfn={("Bar::bar", 0, "METHOD_REF"):
+                 "<unresolvedNamespace>.bar:<unresolvedSignature>"},
+        nodetype={("Bar::bar", 0, "METHOD_REF"): "ANY"},
+        cite=f"{JQ}/MethodRefTests.scala:62-79",
+    ),
+    # :81-104 — instance method ref through a local receiver.
+    dict(
+        name="java-methodref-instance", lang="java", wrap=False,
+        code="""
+package foo;
+
+public class Foo {
+  void doNothing(Object c) {}
+
+  void func(int x) {}
+
+  void foo() {
+    Foo f = new Foo();
+    doNothing(f::func);
+  }
+}
+""",
+        nodemfn={("f::func", 0, "METHOD_REF"): "foo.Foo.func:void(int)"},
+        nodetype={("f::func", 0, "METHOD_REF"): "foo.Foo"},
+        cite=f"{JQ}/MethodRefTests.scala:81-104",
+    ),
+]
+
+CASES += [
+    # TypeTests.scala:62-121 — varargs: array-erased method/call signatures
+    # AND the call-site lowering that packs trailing arguments into an
+    # <operator>.arrayInitializer typed as the array parameter.
+    dict(
+        name="java-varargs-packing", lang="java", wrap=False,
+        code="""
+class Foo {
+  public static String[] foo(boolean b, String... items) {
+    return b ? items : new String[1];
+  }
+
+  public void test(boolean b, String item1, String item2) {
+    String[] items = foo(b, item1, item2);
+  }
+}
+""",
+        methods=[["foo",
+                  "Foo.foo:java.lang.String[](boolean,java.lang.String[])"]],
+        callmfn=[["foo",
+                  "Foo.foo:java.lang.String[](boolean,java.lang.String[])"]],
+        params=[["foo.b", "1:boolean:BY_VALUE"],
+                ["foo.items", "2:java.lang.String[]:BY_SHARING"]],
+        ast={("foo(b, item1, item2)", 0, "CALL"): ["b", "item1, item2"],
+             ("item1, item2", 0, "CALL"): ["item1", "item2"]},
+        nodetype={("item1, item2", 0, "CALL"): "java.lang.String[]",
+                  ("item1", 0, "IDENTIFIER"): "java.lang.String",
+                  ("item2", 0, "IDENTIFIER"): "java.lang.String"},
+        cite=f"{JQ}/TypeTests.scala:62-121",
+    ),
+]
+
+# --------------------------------------------------------------------------- #
+# CapturingTests.scala — lambda capture sets (captures relation: the
+# exact set of enclosing-method declarations a closure references).
+# --------------------------------------------------------------------------- #
+
+CASES += [
+    # :30-55 — explicit `this` in a lambda captures the enclosing `this`.
+    dict(
+        name="java-capture-this", lang="java", wrap=False,
+        code="""
+public class Foo {
+  public void test() {
+    Runnable r = () -> {
+      System.out.println(this);
+    };
+  }
+}
+""",
+        captures=[["<lambda>0", "this"]],
+        cite=f"{JQ}/CapturingTests.scala:30-55",
+    ),
+    # :57-77 — `this.field` access captures `this`.
+    dict(
+        name="java-capture-this-field", lang="java", wrap=False,
+        code="""
+public class Foo {
+  private String value = "test";
+
+  public void test() {
+    Runnable r = () -> {
+      System.out.println(this.value);
+    };
+  }
+}
+""",
+        captures=[["<lambda>0", "this"]],
+        cite=f"{JQ}/CapturingTests.scala:57-77",
+    ),
+    # :79-99 — `this.method()` call captures `this`.
+    dict(
+        name="java-capture-this-call", lang="java", wrap=False,
+        code="""
+public class Foo {
+  private void helper() {}
+
+  public void test() {
+    Runnable r = () -> {
+      this.helper();
+    };
+  }
+}
+""",
+        captures=[["<lambda>0", "this"]],
+        cite=f"{JQ}/CapturingTests.scala:79-99",
+    ),
+    # :123-149 — try-with-resources: the lambda captures `path` but NOT
+    # `reader` (declared inside the try resource clause). Exact-set: a
+    # spurious reader capture is a false positive.
+    dict(
+        name="java-capture-try-resource", lang="java", wrap=False,
+        code="""
+import java.io.*;
+
+public class Foo {
+  public void test(String path) {
+    Runnable r = () -> {
+      try (BufferedReader reader = new BufferedReader(new FileReader(path))) {
+        System.out.println(reader.readLine());
+      } catch (IOException e) {
+      }
+    };
+  }
+}
+""",
+        captures=[["<lambda>0", "path"]],
+        cite=f"{JQ}/CapturingTests.scala:123-149",
+    ),
+]

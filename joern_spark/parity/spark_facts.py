@@ -248,6 +248,34 @@ def spark_facts(spark: SparkSession) -> DataFrame:
                 F.col("name").alias("subj"),
                 F.col("method_full_name").alias("obj")))
 
+    # cpg.imports inventory: subject = IMPORT code, object =
+    # importedAs|importedEntity
+    out.append(
+        base.filter(F.col("kind") == M.IMPORT)
+        .select("lang", "kase", F.lit("imports").alias("relation"),
+                F.col("code").alias("subj"),
+                F.concat_ws("|", F.coalesce("canonical_name", F.lit("")),
+                            F.col("full_name")).alias("obj")))
+
+    # node typeFullName keyed like cfg subjects (both key spellings)
+    both_keys = F.explode(F.array(
+        F.concat_ws("", F.col("dc"), F.lit("@"), F.col("i_plain")),
+        F.concat_ws("", F.col("dc"), F.lit("@"), F.col("i_kind"),
+                    F.lit("#"), F.col("kind")))).alias("subj")
+    out.append(
+        keyed.select("lang", "kase", both_keys,
+                     F.coalesce("type_full_name", F.lit("")).alias("obj"))
+        .withColumn("relation", F.lit("nodetype"))
+        .select("lang", "kase", "relation", "subj", "obj"))
+
+    # METHOD_REF methodFullName keyed the same way
+    out.append(
+        keyed.filter(F.col("kind") == M.METHOD_REF)
+        .select("lang", "kase", both_keys,
+                F.coalesce("method_full_name", F.lit("")).alias("obj"))
+        .withColumn("relation", F.lit("nodemfn"))
+        .select("lang", "kase", "relation", "subj", "obj"))
+
     # control-structure inventory per enclosing method: subject
     # "<method>:<CS_TYPE>", objects the node codes / condition codes
     cs = (base.filter(F.col("kind") == M.CONTROL_STRUCTURE)
