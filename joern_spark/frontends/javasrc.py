@@ -424,15 +424,90 @@ class JavaParser(CParser):
         nxt = self.peek(k)
         return nxt is not None and nxt.t == "id"
 
-    def skip_annotations(self):
+    def skip_annotations(self) -> list[N]:
+        """Parse (not skip) `@Name`, `@Name(expr)`, `@Name(k = v, ...)` into
+        ANNOTATION nodes and return them; parse_member/parse_type_decl
+        attach them to the following METHOD/TYPE_DECL
+        (AnnotationTests.scala). `@interface` (an annotation-type
+        declaration) is left for parse_type_decl."""
+        out: list[N] = []
         while self.at("@"):
-            self.next()
-            if self.peek() is not None and self.peek().t in ("id", "kw"):
+            if self.peek(1) is not None and self.peek(1).v == "interface":
+                self.next()  # parse_type_decl handles `interface Name {}`
+                return out
+            at_tok = self.next()
+            if self.peek() is None or self.peek().t not in ("id", "kw"):
+                continue
+            parts = [self.next().v]
+            while self.at(".") and self.peek(1) is not None:
                 self.next()
-                while self.at(".") and self.peek(1) is not None:
-                    self.next(); self.next()
-                if self.at("("):
-                    self.skip_balanced("(", ")")
+                parts.append(self.next().v)
+            name = parts[-1]
+            dotted = ".".join(parts)
+            full = (self.imports.get(name) or self.declared_types.get(name)
+                    or JAVA_LANG.get(name)
+                    or (dotted if len(parts) > 1 else name))
+            ann = N(M.ANNOTATION, name=name, full_name=full, line=at_tok.line)
+            code = f"@{dotted}"
+            if self.at("("):
+                self.next()
+                inner_parts: list[str] = []
+                order = 1
+                while self.peek() is not None and not self.at(")"):
+                    # `k = v` pair or a bare value (implicit `value =`)
+                    if (self.peek().t == "id" and self.peek(1) is not None
+                            and self.peek(1).v == "="):
+                        pname = self.next().v
+                        self.next()  # =
+                        vtok_start = self.peek()
+                        val = self._annotation_value()
+                        acode = f"{pname} = {val[0]}"
+                        inner_parts.append(acode)
+                    else:
+                        pname = "value"
+                        vtok_start = self.peek()
+                        val = self._annotation_value()
+                        acode = val[0]
+                        inner_parts.append(acode)
+                    assign = N(M.ANNOTATION_PARAMETER_ASSIGN, code=acode,
+                               line=vtok_start.line if vtok_start else at_tok.line)
+                    p = N(M.ANNOTATION_PARAMETER, code=pname,
+                          line=assign.line)
+                    v = N(M.ANNOTATION_LITERAL, code=val[1], name=val[1],
+                          line=assign.line)
+                    v.arg_index = 2
+                    assign.add(p)
+                    assign.add(v)
+                    ann.add(assign)
+                    order += 1
+                    if self.at(","):
+                        self.next()
+                if self.at(")"):
+                    self.next()
+                code += f"({', '.join(inner_parts)})"
+            ann.code = code
+            out.append(ann)
+        return out
+
+    def _annotation_value(self) -> tuple[str, str]:
+        """One annotation value expression -> (source code, display code
+        with string quotes stripped like AnnotationLiteral.code)."""
+        depth = 0
+        toks: list[str] = []
+        first = self.peek()
+        while self.peek() is not None:
+            t = self.peek()
+            if depth == 0 and t.v in (",", ")"):
+                break
+            if t.v in ("(", "{"):
+                depth += 1
+            elif t.v in (")", "}"):
+                depth -= 1
+            toks.append(self.next().v)
+        src = " ".join(toks)
+        if first is not None and first.t == "str" and len(toks) == 1:
+            return src, src[1:-1]
+        return src, src
 
     # ---------------- top level ----------------
     def _prescan_type_decls(self) -> None:
@@ -546,14 +621,18 @@ class JavaParser(CParser):
         return roots
 
     def parse_type_decl(self) -> N | None:
-        self.skip_annotations()
+        anns = self.skip_annotations()
         while self.at_any(MODIFIERS):
             self.next()
         t = self.peek()
         if t is None:
             return None
         if t.v in ("class", "interface", "enum", "record"):
-            return self.parse_java_class(t.v)
+            decl = self.parse_java_class(t.v)
+            if decl is not None:
+                for a in anns:
+                    decl.add(a)
+            return decl
         # stray token — skip to avoid infinite loop
         self.next()
         return None
@@ -995,12 +1074,26 @@ class JavaParser(CParser):
         self.pos = save
 
     def parse_member(self, class_full: str, class_kw: str):
-        self.skip_annotations()
+        anns = self.skip_annotations()
         is_static = False
         while self.at_any(MODIFIERS):
             if self.at("static"):
                 is_static = True
             self.next()
+        anns += self.skip_annotations()  # `public @Override void ...`
+        member = self._parse_member_rest(class_full, class_kw, is_static)
+        if anns:
+            targets = member if isinstance(member, list) else [member]
+            for mnode in targets or []:
+                if mnode is not None and mnode.kind in (
+                        M.METHOD, M.TYPE_DECL, M.MEMBER):
+                    for a in anns:
+                        mnode.add(a)
+                    break
+        return member
+
+    def _parse_member_rest(self, class_full: str, class_kw: str,
+                           is_static: bool):
         if self.at(";"):
             self.next()
             return None

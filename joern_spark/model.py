@@ -54,6 +54,10 @@ COMMENT = "COMMENT"
 BINDING = "BINDING"  # vtable entry: (name, signature) -> METHOD (BindingTableAdapterImpls.scala)
 IMPORT = "IMPORT"
 FINDING = "FINDING"
+ANNOTATION = "ANNOTATION"
+ANNOTATION_PARAMETER_ASSIGN = "ANNOTATION_PARAMETER_ASSIGN"
+ANNOTATION_PARAMETER = "ANNOTATION_PARAMETER"
+ANNOTATION_LITERAL = "ANNOTATION_LITERAL"
 
 # Kinds that participate in the CFG (reference CfgCreator.cfgFor dispatch,
 # x2cpg/.../cfgcreation/CfgCreator.scala:99-128).
@@ -76,6 +80,10 @@ NON_CFG_KINDS = frozenset(
         COMMENT,
         IMPORT,
         BINDING,
+        ANNOTATION,
+        ANNOTATION_PARAMETER_ASSIGN,
+        ANNOTATION_PARAMETER,
+        ANNOTATION_LITERAL,
     }
 )
 

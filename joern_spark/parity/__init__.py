@@ -45,6 +45,8 @@ NON_CFG_KINDS = (
     M.LOCAL, M.MODIFIER, M.TYPE_DECL, M.MEMBER, M.JUMP_LABEL,
     M.METHOD_PARAMETER_IN, M.METHOD_PARAMETER_OUT, M.NAMESPACE_BLOCK,
     M.FILE, M.META_DATA, M.TYPE, M.NAMESPACE, M.BINDING,
+    M.ANNOTATION, M.ANNOTATION_PARAMETER_ASSIGN, M.ANNOTATION_PARAMETER,
+    M.ANNOTATION_LITERAL,
 )
 
 _EXT = {"c": "c", "cpp": "cpp", "java": "java", "javascript": "js"}
@@ -94,7 +96,7 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
                 out.append((rel, subj, o))
     for rel in ("calls", "inherits", "declares", "methods", "captures",
                 "cs", "cscond", "params", "locals", "members", "bindings",
-                "callmfn", "typerec", "imports"):
+                "callmfn", "typerec", "imports", "annot", "annotkids"):
         for s, o in (case.get(rel) or []):
             out.append((rel, s, o))
     # node typeFullName assertions keyed like cfg subjects (code@idx[#KIND])
@@ -381,6 +383,26 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
             if r["kind"] == M.METHOD_REF:
                 for k in keys.get(r["node_idx"], []):
                     out.add(("nodemfn", k, r["method_full_name"] or ""))
+
+    if case.get("annot") is not None:
+        # cpg.method/.typeDecl .annotation — subject = owner name, object =
+        # name|fullName|code (AnnotationTests node properties)
+        for r in rows:
+            if r["kind"] == M.ANNOTATION:
+                p = by_idx.get(r["parent_idx"])
+                if p is not None and p["kind"] in (M.METHOD, M.TYPE_DECL,
+                                                   M.MEMBER):
+                    out.add(("annot", p["name"],
+                             f'{r["name"]}|{r["full_name"]}|{r["code"]}'))
+
+    if case.get("annotkids") is not None:
+        # annotation parameter tree: child codes under ANNOTATION /
+        # ANNOTATION_PARAMETER_ASSIGN parents, subject = parent code
+        for r in rows:
+            p = by_idx.get(r["parent_idx"])
+            if p is not None and p["kind"] in (
+                    M.ANNOTATION, M.ANNOTATION_PARAMETER_ASSIGN):
+                out.add(("annotkids", p["code"], r["code"]))
 
     if case.get("cs") is not None or case.get("cscond") is not None:
         methods = {r["node_idx"]: r for r in rows if r["kind"] == M.METHOD}

@@ -2143,3 +2143,132 @@ public class Foo {
         cite=f"{JQ}/CapturingTests.scala:123-149",
     ),
 ]
+
+# --------------------------------------------------------------------------- #
+# AnnotationTests.scala — ANNOTATION nodes with name/fullName/code and the
+# parameter-assign tree (annot / annotkids relations).
+# --------------------------------------------------------------------------- #
+
+CASES += [
+    # :31-72 — normal `k = v` annotation: node properties + parameterAssign
+    # (code "value = \"classAnnotation\"") with ANNOTATION_PARAMETER "value"
+    # and the quote-stripped AnnotationLiteral "classAnnotation".
+    dict(
+        name="java-annotation-normal", lang="java", wrap=False,
+        code="""
+import some.NormalAnnotation;
+public class SomeClass {
+
+  @NormalAnnotation(value = "classAnnotation")
+  void function() {
+
+  }
+}
+""",
+        annot=[["function",
+                'NormalAnnotation|some.NormalAnnotation|'
+                '@NormalAnnotation(value = "classAnnotation")']],
+        annotkids=[['@NormalAnnotation(value = "classAnnotation")',
+                    'value = "classAnnotation"'],
+                   ['value = "classAnnotation"', "value"],
+                   ['value = "classAnnotation"', "classAnnotation"]],
+        cite=f"{JQ}/AnnotationTests.scala:31-72",
+    ),
+    # :74-113 — single-value annotation: parameterAssign keeps the quoted
+    # code, the implicit parameter is "value", the literal is stripped.
+    dict(
+        name="java-annotation-single", lang="java", wrap=False,
+        code="""
+import some.SingleAnnotation;
+public class SomeClass {
+
+  @SingleAnnotation("classAnnotation")
+  void function() {
+
+  }
+}
+""",
+        annot=[["function",
+                'SingleAnnotation|some.SingleAnnotation|'
+                '@SingleAnnotation("classAnnotation")']],
+        annotkids=[['@SingleAnnotation("classAnnotation")',
+                    '"classAnnotation"'],
+                   ['"classAnnotation"', "value"],
+                   ['"classAnnotation"', "classAnnotation"]],
+        cite=f"{JQ}/AnnotationTests.scala:74-113",
+    ),
+    # :115-138 — marker annotation `@MarkerAnnotation()`: no parameter
+    # assigns (empty annotkids under the annotation = exact-set).
+    dict(
+        name="java-annotation-marker", lang="java", wrap=False,
+        code="""
+import some.MarkerAnnotation;
+public class SomeClass {
+
+  @MarkerAnnotation()
+  void function() {
+
+  }
+}
+""",
+        annot=[["function",
+                "MarkerAnnotation|some.MarkerAnnotation|@MarkerAnnotation()"]],
+        annotkids=[],
+        cite=f"{JQ}/AnnotationTests.scala:115-138",
+    ),
+    # :140-164 — constructor annotation attaches to <init>.
+    dict(
+        name="java-annotation-ctor", lang="java", wrap=False,
+        code="""
+import some.MarkerAnnotation;
+public class SomeClass {
+
+  @MarkerAnnotation()
+  public SomeClass() {
+
+  }
+}
+""",
+        annot=[["<init>",
+                "MarkerAnnotation|some.MarkerAnnotation|@MarkerAnnotation()"]],
+        cite=f"{JQ}/AnnotationTests.scala:140-164",
+    ),
+    # :204-225 — integer-valued normal annotation.
+    dict(
+        name="java-annotation-int-value", lang="java", wrap=False,
+        code="""
+import some.NormalAnnotation;
+public class SomeClass {
+
+  @NormalAnnotation(value = 2)
+  void function() {
+
+  }
+}
+""",
+        annot=[["function",
+                "NormalAnnotation|some.NormalAnnotation|"
+                "@NormalAnnotation(value = 2)"]],
+        annotkids=[["@NormalAnnotation(value = 2)", "value = 2"],
+                   ["value = 2", "value"],
+                   ["value = 2", "2"]],
+        cite=f"{JQ}/AnnotationTests.scala:204-225",
+    ),
+    # :9-29 (single-file adaptation: the @interface and its use share
+    # package foo) — annotation type resolution through declared types.
+    dict(
+        name="java-annotation-resolved", lang="java", wrap=False,
+        code="""
+package foo;
+
+@interface TestMarker {}
+
+class Bar {
+  @TestMarker
+  public void bar() {}
+}
+""",
+        annot=[["bar", "TestMarker|foo.TestMarker|@TestMarker"]],
+        cite=f"{JQ}/AnnotationTests.scala:9-29",
+    ),
+]

@@ -276,6 +276,24 @@ def spark_facts(spark: SparkSession) -> DataFrame:
         .withColumn("relation", F.lit("nodemfn"))
         .select("lang", "kase", "relation", "subj", "obj"))
 
+    # annotation facts: owner-keyed node properties + the parameter tree
+    owner_dim = base.filter(F.col("kind").isin(
+        M.METHOD, M.TYPE_DECL, M.MEMBER)).select(
+        F.col("id").alias("own_id"), F.col("name").alias("own_name"))
+    out.append(
+        base.filter(F.col("kind") == M.ANNOTATION)
+        .join(owner_dim, F.col("parent_id") == F.col("own_id"))
+        .select("lang", "kase", F.lit("annot").alias("relation"),
+                F.col("own_name").alias("subj"),
+                F.concat_ws("|", "name", "full_name", "code").alias("obj")))
+    ann_parent = base.filter(F.col("kind").isin(
+        M.ANNOTATION, M.ANNOTATION_PARAMETER_ASSIGN)).select(
+        F.col("id").alias("ap_id"), F.col("code").alias("ap_code"))
+    out.append(
+        base.join(ann_parent, F.col("parent_id") == F.col("ap_id"))
+        .select("lang", "kase", F.lit("annotkids").alias("relation"),
+                F.col("ap_code").alias("subj"), F.col("code").alias("obj")))
+
     # control-structure inventory per enclosing method: subject
     # "<method>:<CS_TYPE>", objects the node codes / condition codes
     cs = (base.filter(F.col("kind") == M.CONTROL_STRUCTURE)
