@@ -54,9 +54,9 @@ _EXT = {"c": "c", "cpp": "cpp", "java": "java", "javascript": "js"}
 
 def corpus() -> list[dict]:
     from joern_spark.parity import (corpus_c, corpus_c_flows, corpus_java,
-                                    corpus_js)
+                                    corpus_java_flows, corpus_js)
     return (corpus_c.CASES + corpus_c_flows.CASES + corpus_js.CASES
-            + corpus_java.CASES)
+            + corpus_java.CASES + corpus_java_flows.CASES)
 
 
 def case_path(case: dict) -> str:
@@ -118,7 +118,12 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
         out.append(("controls_count", f"{_norm_key(key)}->{callee}", str(n)))
     for f in (case.get("flows") or []):
         from joern_spark.parity.flows import serialize
-        if "count" in f:
+        if "reachable" in f:
+            out.append(("flows", f["name"], f"reachable={f['reachable']}"))
+        elif "reachable_pairs" in f:
+            out.append(("flows", f["name"],
+                        f"pairs={f['reachable_pairs']}"))
+        elif "count" in f:
             out.append(("flows", f["name"], f"count={f['count']}"))
         elif not f["want"]:
             out.append(("flows", f["name"], ""))  # empty-set assertion

@@ -237,19 +237,32 @@ def _is_call_retval(case: _Case, i: int) -> bool:
     return not any(dst == -1 for _src, dst in s)
 
 
+def _callees(case: _Case, call_row: dict) -> list[dict]:
+    """Candidate callee METHOD rows for a call. Name-keyed like the engine's
+    NoResolve mode, EXCEPT constructors: `new Baz(x)` must not resolve to a
+    same-file `Foo.<init>` — the reference matches by methodFullName, so
+    <init> candidates are filtered to the constructed type's fullname
+    prefix (javasrc ReturnTests case2: external Baz stays external)."""
+    ms = case.methods_by_name.get(call_row["name"], [])
+    if call_row["name"] == M.CONSTRUCTOR and ms:
+        mfn = call_row.get("method_full_name") or ""
+        want_ty = mfn.split(":", 1)[0]  # "Baz.<init>"
+        ms = [m for m in ms if m["full_name"].split(":", 1)[0] == want_ty]
+    return ms
+
+
 def _is_output_arg_of_internal_method(case: _Case, i: int) -> bool:
     c = case.in_call(i)
     if c is None or _sem_for_call(c) is not None:
         return False
-    return any(case.has_body(m["node_idx"])
-               for m in case.methods_by_name.get(c["name"], []))
+    return any(case.has_body(m["node_idx"]) for m in _callees(case, c))
 
 
 def _internal_methods_for_call(case: _Case, call_row: dict) -> bool:
     """True iff non-external methods exist for the call (synthesized stubs
     are external, parsed methods — including prototypes — are internal)."""
     return any(not m.get("is_external", False)
-               for m in case.methods_by_name.get(call_row["name"], []))
+               for m in _callees(case, call_row))
 
 
 def _element_visible(case: _Case, parent: int, child: int) -> bool:
@@ -437,8 +450,11 @@ def select_nodes(case: _Case, spec: dict) -> list[int]:
         out = []
         for m in ms:
             for p in case.params_of(m["node_idx"]):
-                if "name" not in s or p["name"] == s["name"]:
-                    out.append(p["node_idx"])
+                if "name" in s and p["name"] != s["name"]:
+                    continue
+                if "index" in s and p["param_index"] != s["index"]:
+                    continue
+                out.append(p["node_idx"])
         return out
     if "method_return" in spec:
         return [case.method_return_of(m["node_idx"])["node_idx"]
@@ -456,19 +472,30 @@ def select_nodes(case: _Case, spec: dict) -> list[int]:
                     continue
             out.append(r["node_idx"])
         return out
+    def _in_method(r, s):
+        # optional `method` scoping (JavaDataflowFixture's
+        # sourceMethod.literal / sinkMethod.call selectors)
+        if "method" not in s:
+            return True
+        m = case.by_idx.get(r["method_idx"])
+        return m is not None and m["name"] == s["method"]
+
     if "identifier" in spec:
         s = spec["identifier"] or {}
         return [r["node_idx"] for r in case.rows if r["kind"] == M.IDENTIFIER
-                and ("name" not in s or r["name"] == s["name"])]
+                and ("name" not in s or r["name"] == s["name"])
+                and _in_method(r, s)]
     if "literal" in spec:
         s = spec["literal"] or {}
         return [r["node_idx"] for r in case.rows if r["kind"] == M.LITERAL
-                and ("code" not in s or r["code"] == s["code"])]
+                and ("code" not in s or r["code"] == s["code"])
+                and _in_method(r, s)]
     if "call" in spec:
         s = spec["call"]
         return [r["node_idx"] for r in case.rows if r["kind"] == M.CALL
                 and ("name" not in s or r["name"] == s["name"])
-                and ("code" not in s or r["code"] == s["code"])]
+                and ("code" not in s or r["code"] == s["code"])
+                and _in_method(r, s)]
     if "call_arg" in spec:
         s = spec["call_arg"]
         out = []
@@ -479,6 +506,8 @@ def select_nodes(case: _Case, spec: dict) -> list[int]:
                 continue
             if "code" in s and r["code"] != s["code"]:
                 continue
+            if not _in_method(r, s):
+                continue
             for c in case.kids[r["node_idx"]]:
                 if c["arg_index"] < 1:
                     continue
@@ -487,6 +516,15 @@ def select_nodes(case: _Case, spec: dict) -> list[int]:
                 if "arg_code" in s and c["code"] != s["arg_code"]:
                     continue
                 out.append(c["node_idx"])
+                if s.get("subtree"):
+                    # .argument(i).ast.collectAll[Expression] — the whole
+                    # argument subtree (JavaDataflowFixture sink)
+                    stack = list(case.kids[c["node_idx"]])
+                    while stack:
+                        n = stack.pop()
+                        if n["kind"] in EXPRESSION_KINDS:
+                            out.append(n["node_idx"])
+                        stack.extend(case.kids[n["node_idx"]])
         return out
     if "assign_target_of_call" in spec:
         # cpg.call(X).inAssignment.target — argument(1) of the enclosing
@@ -599,7 +637,7 @@ def enumerate_paths(case: _Case, source_spec: dict, sink_spec: dict,
             def _int_no_sem(call_row):
                 return _sem_for_call(call_row) is None and any(
                     not m.get("is_external", False)
-                    for m in case.methods_by_name.get(call_row["name"], []))
+                    for m in _callees(case, call_row))
 
             def _came_from_callee(call_row):
                 if len(path) < 2:
@@ -608,7 +646,7 @@ def enumerate_paths(case: _Case, source_spec: dict, sink_spec: dict,
                 if p1["kind"] not in (M.METHOD_RETURN, M.METHOD_PARAMETER_IN):
                     return False
                 return any(m["node_idx"] == p1["method_idx"]
-                           for m in case.methods_by_name.get(call_row["name"], []))
+                           for m in _callees(case, call_row))
 
             blocked = False
             if r["kind"] == M.CALL and not r["name"].startswith("<operator>") \
@@ -629,7 +667,7 @@ def enumerate_paths(case: _Case, source_spec: dict, sink_spec: dict,
                 # paramOut has no incoming edges and the partial dies.
                 blocked = not any(
                     case.has_body(m["node_idx"])
-                    for m in case.methods_by_name.get(enc["name"], []))
+                    for m in _callees(case, enc))
             if not blocked:
                 for prev, vis in rd_back.get(cur, ()):
                     steps.append((prev, ((prev, vis),) + path, cdepth, stack))
@@ -650,7 +688,7 @@ def enumerate_paths(case: _Case, source_spec: dict, sink_spec: dict,
                                           ((a["node_idx"], True),) + path,
                                           cdepth + 1, stack))
             if r["kind"] == M.CALL and not r["name"].startswith("<operator>"):
-                for m in case.methods_by_name.get(r["name"], []):
+                for m in _callees(case, r):
                     if case.has_body(m["node_idx"]):
                         mr = case.method_return_of(m["node_idx"])
                         if mr is None or cur in stack:
@@ -704,7 +742,18 @@ def case_flow_facts(rows: list[dict], flow_specs: list[dict]) -> list[tuple[str,
         if "min_elements" in f:  # path.elements.sizeIs > N-1 filters
             paths = [p for p in paths if len(p) >= f["min_elements"]]
         serialized = sorted({serialize(result_pairs(case, p)) for p in paths})
-        if "count" in f:  # size-only assertion in the reference test
+        if "reachable" in f:
+            # sink.reachableBy(source).size — distinct SOURCE nodes reached
+            # (JavaDataflowFixture.getConstSourceSink assertions)
+            out.append((f["name"],
+                        f"reachable={len({p[0] for p in paths})}"))
+        elif "reachable_pairs" in f:
+            # reachableBy over a multi-node sink set counts the source once
+            # per sink it reaches (javasrc ArrayTests "This is 2 due to how
+            # the sink is constructed")
+            out.append((f["name"],
+                        f"pairs={len({(p[0], p[-1]) for p in paths})}"))
+        elif "count" in f:  # size-only assertion in the reference test
             out.append((f["name"], f"count={len(serialized)}"))
         else:
             for s in serialized:
