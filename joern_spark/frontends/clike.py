@@ -1519,6 +1519,12 @@ class CParser:
         qualified-name loop."""
         return None
 
+    def identifier_expr(self, node: "N") -> "N":
+        """Language hook on a freshly built identifier expression: Java
+        wraps bare instance-member reads into `this.<field>` fieldAccess
+        (AstForNameExpressionsCreator.createImplicitBaseFieldAccess)."""
+        return node
+
     def make_literal(self, t: "Tok") -> "N | None":
         """Language hook: literal token -> LITERAL node (or None for
         non-literals). C/C++ typing here; Java overrides suffix/boolean/
@@ -1559,6 +1565,7 @@ class CParser:
                                      else self.unresolved_ident_type(name)))
             if decl is not None:
                 node.ref_target = decl
+            node = self.identifier_expr(node)
         else:
             raise ParseError(f"unexpected token {t.v!r} in expression at line {t.line}")
         return self.parse_postfix_ops(node, t)

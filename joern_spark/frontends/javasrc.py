@@ -209,6 +209,42 @@ class JavaParser(CParser):
         return N(M.METHOD_REF, code=code, name=code, line=t.line,
                  method_full_name=mfn, type_full_name=node_ty)
 
+    def identifier_expr(self, node: N) -> N:
+        """Bare member reads wrap into an implicit-base fieldAccess
+        (AstForNameExpressionsCreator.createImplicitBaseFieldAccess):
+        instance members -> `this.<field>` with the `this` identifier
+        REF-ing the enclosing this parameter; static members -> a TYPE_REF
+        base named after the enclosing class."""
+        d = node.ref_target
+        if d is None or d.kind != M.MEMBER:
+            return node
+        fname = node.name
+        if id(d) in self.static_member_ids:
+            cls_full = d.ast_parent_full_name or ""
+            cls_name = cls_full.split(".")[-1] if cls_full else ""
+            base = N(M.TYPE_REF, code=cls_name, type_full_name=cls_full,
+                     line=node.line)
+            code = f"{cls_name}.{fname}"
+        else:
+            this_decl = self.lookup("this")
+            if this_decl is None:
+                return node
+            base = N(M.IDENTIFIER, code="this", name="this", line=node.line,
+                     type_full_name=this_decl.type_full_name)
+            base.ref_target = this_decl
+            code = f"this.{fname}"
+        fa = N(M.CALL, code=code, name=M.OP_FIELD_ACCESS,
+               method_full_name=M.OP_FIELD_ACCESS,
+               dispatch_type=M.STATIC_DISPATCH, line=node.line,
+               type_full_name=node.type_full_name)
+        base.arg_index = 1
+        fld = N(M.FIELD_IDENTIFIER, code=fname, name=fname,
+                canonical_name=fname, line=node.line)
+        fld.arg_index = 2
+        fa.add(base)
+        fa.add(fld)
+        return fa
+
     def unresolved_ident_type(self, name: str) -> str:
         """A bare identifier with no local/param/field in scope that names a
         known class IS that class (static member access receiver,
@@ -239,6 +275,9 @@ class JavaParser(CParser):
         # arguments into <operator>.arrayInitializer (TypeTests.scala
         # "use an arrayInitializer call node to represent varargs")
         self.varargs_methods: set[str] = set()
+        # MEMBER nodes declared static — their bare reads wrap with a
+        # TYPE_REF base instead of `this` (identifier_expr)
+        self.static_member_ids: set[int] = set()
         # class fullname -> resolved supertype fullnames (for unqualified /
         # receiver-typed call resolution up the hierarchy,
         # CallTests "call to method in different class")
@@ -246,6 +285,11 @@ class JavaParser(CParser):
         # non-static field initializers per class fullname:
         # (field name, type, init expr, line) — folded into constructors
         self.member_inits: dict[str, list[tuple[str, str, N, int]]] = {}
+        # static field initializers per class fullname: (field name, raw
+        # declared type spelling, init expr, line) — synthesized into one
+        # `<clinit>` method per class (AstForMethodsCreator.scala:218-226
+        # clinitAstFromStaticInits; NewObjectTests.scala flow sources)
+        self.static_inits: dict[str, list[tuple[str, str, N, int]]] = {}
         # foreach lowering temporaries (`$iterLocalN` / `$idxN`,
         # ControlStructureTests.scala:169-640)
         self.iterlocal_counter = 0
@@ -728,6 +772,9 @@ class JavaParser(CParser):
                 for m in decl.children:
                     if m.kind == M.METHOD and m.name == M.CONSTRUCTOR:
                         self._inject_member_inits(m, full, inits)
+        sinits = self.static_inits.pop(full, [])
+        if sinits:
+            decl.add(self._clinit_method(full, sinits))
         self._emit_external_bindings(decl, full)
         self.tparam_env.pop()
         return decl
@@ -895,6 +942,47 @@ class JavaParser(CParser):
                 dispatch_type=M.STATIC_DISPATCH, type_full_name=ty, line=line)
         asg.add(fa, init_c)
         return asg
+
+    def _clinit_method(self, class_full: str,
+                       inits: list[tuple[str, str, N, int]]) -> N:
+        """Synthesized `<clinit>` holding the static field initializers as
+        `<operator>.assignment` calls whose target is an implicit-TYPE_REF-
+        base fieldAccess (AstForMethodsCreator.clinitAstFromStaticInits +
+        AstForNameExpressionsCreator.createImplicitBaseFieldAccess: static
+        base renders as the simple class name; assignment code keeps the
+        declared-type prefix — NewObjectTests.scala expects
+        `String Bar.CONST = "<const>"`)."""
+        simple = class_full.split(".")[-1]
+        line = inits[0][3]
+        m = N(M.METHOD, code=M.STATIC_INIT, name=M.STATIC_INIT,
+              full_name=f"{class_full}.{M.STATIC_INIT}:void()",
+              signature="void()", line=line, ast_parent_type=M.TYPE_DECL,
+              ast_parent_full_name=class_full)
+        body = N(M.BLOCK, line=line)
+        for fname, raw_ty, init, iline in inits:
+            ty = self.resolve_type(raw_ty)
+            base = N(M.TYPE_REF, code=simple, type_full_name=class_full,
+                     arg_index=1, line=iline)
+            fld = N(M.FIELD_IDENTIFIER, code=fname, name=fname,
+                    canonical_name=fname, arg_index=2, line=iline)
+            fa = N(M.CALL, code=f"{simple}.{fname}", name=M.OP_FIELD_ACCESS,
+                   method_full_name=M.OP_FIELD_ACCESS,
+                   dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
+                   arg_index=1, line=iline)
+            fa.add(base, fld)
+            init_c = _clone_ast(init)
+            init_c.arg_index = 2
+            asg = N(M.CALL, code=f"{raw_ty} {simple}.{fname} = {init.code}",
+                    name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
+                    dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
+                    line=iline)
+            asg.add(fa, init_c)
+            body.add(asg)
+        m.add(body)
+        m.line_end = line
+        m.add(N(M.METHOD_RETURN, code="RET", type_full_name="void",
+                evaluation_strategy=M.BY_VALUE, line=line))
+        return m
 
     def _default_constructor(self, class_full: str, line: int,
                              inits: list[tuple[str, str, N, int]]) -> N:
@@ -1143,7 +1231,8 @@ class JavaParser(CParser):
             if self.at(";"):
                 self.next()
             return None
-        ty = self.resolve_type(self.parse_java_type())
+        raw_ty = self.parse_java_type()
+        ty = self.resolve_type(raw_ty)
         if self.peek() is None or self.peek().t != "id":
             # skip unparseable
             while self.peek() is not None and not self.at_any((";", "}")):
@@ -1162,7 +1251,10 @@ class JavaParser(CParser):
                      line=start.line, ast_parent_type=M.TYPE_DECL,
                      ast_parent_full_name=class_full)]
         self.declare(name, members[0])
-        self._maybe_member_init(class_full, name, ty, is_static, start.line)
+        if is_static:
+            self.static_member_ids.add(id(members[0]))
+        self._maybe_member_init(class_full, name, ty, is_static, start.line,
+                                raw_ty)
         while self.peek() is not None and not self.at(";"):
             if self.at(","):
                 self.next()
@@ -1173,8 +1265,10 @@ class JavaParser(CParser):
                            ast_parent_full_name=class_full)
                     members.append(mb)
                     self.declare(nm2, mb)
+                    if is_static:
+                        self.static_member_ids.add(id(mb))
                     self._maybe_member_init(class_full, nm2, ty, is_static,
-                                            start.line)
+                                            start.line, raw_ty)
                 continue
             if self.at("{"):
                 self.skip_balanced("{", "}")
@@ -1225,12 +1319,15 @@ class JavaParser(CParser):
         return ctor
 
     def _maybe_member_init(self, class_full: str, name: str, ty: str,
-                           is_static: bool, line: int) -> None:
+                           is_static: bool, line: int,
+                           raw_ty: str = "") -> None:
         """Capture a non-static field initializer expression; javasrc2cpg
         moves these into every constructor as `this.<name> = <init>`
         (MemberTests.scala:114-160: the MEMBER itself keeps no children).
-        Static initializers and brace array initializers are skipped (the
-        generic token-skip in the caller eats them)."""
+        Static initializers go to a synthesized `<clinit>` method
+        (AstForTypeDeclsCreator.getStaticFieldInitializers +
+        clinitAstFromStaticInits). Brace array initializers are skipped
+        (the generic token-skip in the caller eats them)."""
         if not self.at("="):
             return
         if self.peek(1) is not None and self.peek(1).v == "{":
@@ -1242,7 +1339,10 @@ class JavaParser(CParser):
         except Exception:
             self.pos = save
             return
-        if not is_static:
+        if is_static:
+            self.static_inits.setdefault(class_full, []).append(
+                (name, raw_ty or ty, init, line))
+        else:
             self.member_inits.setdefault(class_full, []).append(
                 (name, ty, init, line))
 

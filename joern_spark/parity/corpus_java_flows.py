@@ -840,3 +840,212 @@ public class Foo {
         cite=f"{JDF}/ArrayTests.scala",
     ),
 ]
+
+
+def _o(method: str, n: int) -> dict:
+    """ObjectTests via getConstSourceSink: MALICIOUS literal source, sink
+    = the println argument(1) SUBTREE (JavaDataflowFixture
+    `.argument(1).ast.collectAll[Expression]`), reachableBy counted once
+    per (source, reached sink expression) pair."""
+    return dict(name=f"obj_{method}",
+                source={"literal": {"code": MAL, "method": method}},
+                sink={"call_arg": {"name": "println", "index": 1,
+                                   "method": method, "subtree": True}},
+                reachable_pairs=n)
+
+
+CASES += [
+    # NewObjectTests — static field initializer literals as sources: the
+    # literal in the synthesized <clinit> expands to the member's first
+    # usage (SourcesToStartingPoints), here the println argument itself.
+    dict(
+        name="java-flow-newobject-simple", lang="java", wrap=False,
+        code="""
+class Bar {
+ static String CONST = "<const>";
+ static void run() {
+   System.out.println(CONST);
+ }
+}""",
+        flows=[dict(
+            name="static_simple",
+            source={"literal": {}},
+            sink={"call_arg": {"name": "println", "index": 1}},
+            want=[[('String Bar.CONST = "<const>"', 3),
+                   ("System.out.println(CONST)", 5)]],
+        )],
+        cite=f"{JDF}/ObjectTests.scala (NewObjectTests, simple name)",
+    ),
+    dict(
+        name="java-flow-newobject-qualified", lang="java", wrap=False,
+        code="""
+class Bar {
+ static String CONST = "<const>";
+ static void run() {
+   System.out.println(Bar.CONST);
+ }
+}""",
+        flows=[dict(
+            name="static_qualified",
+            source={"literal": {}},
+            sink={"call_arg": {"name": "println", "index": 1}},
+            want=[[('String Bar.CONST = "<const>"', 3),
+                   ("System.out.println(Bar.CONST)", 5)]],
+        )],
+        cite=f"{JDF}/ObjectTests.scala (NewObjectTests, qualified name)",
+    ),
+    # ObjectTests — dataflow through objects: constructor-argument taint of
+    # the constructed value, field reads/writes, getters, aliases. Counts
+    # (incl. the reference's own acknowledged over-taints in test2/5/7 and
+    # the alias-write miss in test10) transcribed verbatim.
+    dict(
+        name="java-flow-objects", lang="java", wrap=False,
+        code="""
+class Bar {
+    public String s;
+    public String t = "SAFE";
+
+    public Bar(String s) {
+        this.s = s;
+    }
+
+    public void setS(String s) {
+        this.s = s;
+    }
+
+    public void setT(String t) {
+        this.t = t;
+    }
+
+    public void printS() {
+        System.out.println(s);
+    }
+
+    public void printT() {
+        System.out.println(t);
+    }
+
+    public String getS() {
+        return s;
+    }
+
+    public String getT() {
+        return t;
+    }
+}
+
+public class Foo {
+
+    public void test1() {
+        Bar b = new Bar("MALICIOUS");
+        System.out.println(b.s);
+    }
+
+    public void test2() {
+        Bar b = new Bar("MALICIOUS");
+        System.out.println(b.t);
+    }
+
+    public void test3() {
+        Bar b = new Bar("SAFE");
+        b.s = "MALICIOUS";
+        System.out.println(b.s);
+    }
+
+    public void test4() {
+        Bar b = new Bar("MALICIOUS");
+        String s = b.getS();
+        System.out.println(s);
+    }
+
+    public void test5() {
+        Bar b = new Bar("MALICIOUS");
+        String s = b.getT();
+        System.out.println(s);
+    }
+
+    public void test6() {
+        Bar b = new Bar("MALICIOUS");
+        b.printS();
+    }
+
+    public void test7() {
+        Bar b = new Bar("MALICIOUS");
+        b.printT();
+    }
+
+    public void test8() {
+        Bar b = new Bar("MALICIOUS");
+        b.setS("SAFE");
+        String s = b.s;
+        System.out.println(s);
+    }
+
+    public void test9() {
+        Bar b1 = new Bar("MALICIOUS");
+        Bar b2 = b1;
+        String s = b2.s;
+        System.out.println(s);
+    }
+
+    public void test10() {
+        Bar b1 = new Bar("SAFE");
+        Bar b2 = b1;
+        b2.s = "MALICIOUS";
+        System.out.println(b1.s);
+    }
+}
+
+class Baz {
+    public String value;
+
+    public Baz(String s) {
+        value = s;
+    }
+
+    public String toString() {
+        return value;
+    }
+
+    public static void sink(Baz b) {
+        System.out.println(b.toString());
+    }
+
+    public void test11() {
+        Baz b = new Baz("MALICIOUS");
+        sink(b);
+    }
+
+    public void test12() {
+        sink(new Baz("MALICIOUS"));
+    }
+}
+""",
+        flows=[
+            # test1 uses an explicit single-node sink (argument(1) only)
+            dict(name="obj_test1",
+                 source={"literal": {"method": "test1"}},
+                 sink={"call_arg": {"name": "println", "index": 1,
+                                    "method": "test1"}},
+                 reachable=1),
+            _o("test2", 2), _o("test3", 2), _o("test4", 1), _o("test5", 1),
+            dict(name="obj_test6",
+                 source={"literal": {"code": MAL, "method": "test6"}},
+                 sink={"call_arg": {"name": "println", "index": 1,
+                                    "method": "printS", "subtree": True}},
+                 reachable_pairs=2),
+            dict(name="obj_test7",
+                 source={"literal": {"code": MAL, "method": "test7"}},
+                 sink={"call_arg": {"name": "println", "index": 1,
+                                    "method": "printT", "subtree": True}},
+                 reachable_pairs=2),
+            # test8 is pendingUntilFixed in the reference (expected 0,
+            # actual over-taint) — not transcribable as a stable count
+            _o("test9", 1), _o("test10", 0),
+        ],
+        # "not create Baz method with ANY type in signature": the static
+        # sink(Baz) resolves its parameter type
+        methods=[("sink", "Baz.sink:void(Baz)")],
+        cite=f"{JDF}/ObjectTests.scala",
+    ),
+]

@@ -556,11 +556,123 @@ def select_nodes(case: _Case, spec: dict) -> list[int]:
 # backwards flow search
 # --------------------------------------------------------------------------- #
 
+_FIELD_ACCESS_NAMES = {"<operator>.fieldAccess", "<operator>.indirectFieldAccess"}
+
+
+def _not_lhs_of_assignment(case: _Case, i: int) -> bool:
+    """BaseSourceToStartingPoints.notLeftHandOfAssignment: the node is not
+    argument(1) of an assignment-family call."""
+    r = case.by_idx[i]
+    if r["arg_index"] != 1:
+        return True
+    p = case.by_idx.get(r["parent_idx"])
+    return not (p is not None and p["kind"] == M.CALL
+                and p["name"].startswith("<operator>.assignment"))
+
+
+def _literal_member_usages(case: _Case, lit: dict) -> list[int]:
+    """SourcesToStartingPoints literal arm (SourcesToStartingPoints.scala:
+    literalToInitializedMembers + usages + usageInOtherClasses): a literal
+    that initializes a member — i.e. sits under an assignment inside
+    `<clinit>` / `<init>` whose target is a fieldAccess — expands to the
+    first non-written usage of that member per method: same-class methods
+    match `this`/typed-identifier bases; the all-methods pass additionally
+    matches TYPE_REF bases (static access, NewObjectTests.scala)."""
+    m = case.by_idx.get(lit["method_idx"])
+    if m is None or m["name"] not in (M.STATIC_INIT, M.CONSTRUCTOR,
+                                      "__init__"):
+        return []
+    # enclosing assignment(s): walk the parent chain (inAstMinusLeaf)
+    targets: list[dict] = []
+    cur = lit
+    while True:
+        p = case.by_idx.get(cur["parent_idx"])
+        if p is None or p["kind"] == M.METHOD:
+            break
+        if p["kind"] == M.CALL and p["name"].startswith(
+                "<operator>.assignment"):
+            tgt = next((c for c in case.kids[p["node_idx"]]
+                        if c["arg_index"] == 1), None)
+            if tgt is not None and tgt["kind"] == M.CALL \
+                    and tgt["name"] in _FIELD_ACCESS_NAMES:
+                targets.append(tgt)
+        cur = p
+    if not targets:
+        return []
+    td_full = m["ast_parent_full_name"]
+
+    def _subtree_rows(root_idx: int, kind: str) -> list[dict]:
+        found, stack = [], list(case.kids[root_idx])
+        while stack:
+            n = stack.pop()
+            if n["kind"] == kind:
+                found.append(n)
+            stack.extend(case.kids[n["node_idx"]])
+        return sorted(found, key=lambda r: r["node_idx"])
+
+    out: list[int] = []
+    field_names = {fi["canonical_name"]
+                   for t in targets
+                   for fi in _subtree_rows(t["node_idx"], M.FIELD_IDENTIFIER)}
+    if not field_names:
+        return []
+    td_simple = td_full.split(".")[-1]
+    for meth in case.methods:
+        same_class = meth.get("ast_parent_full_name") == td_full
+        if same_class and meth["name"] in (M.STATIC_INIT, M.CONSTRUCTOR,
+                                           "__init__"):
+            continue
+        fas = [r for r in _subtree_rows(meth["node_idx"], M.CALL)
+               if r["name"] in _FIELD_ACCESS_NAMES]
+        fas.sort(key=lambda r: (r["line"], r["node_idx"]))
+        for name in field_names:
+            # same-class pass (firstUsagesOf fieldIdentifier arm):
+            # identifier base named this/self or typed as the class
+            if same_class:
+                for fa in fas:
+                    a1 = next((c for c in case.kids[fa["node_idx"]]
+                               if c["arg_index"] == 1), None)
+                    a2 = next((c for c in case.kids[fa["node_idx"]]
+                               if c["arg_index"] == 2), None)
+                    if a1 is None or a2 is None \
+                            or a2["kind"] != M.FIELD_IDENTIFIER \
+                            or a2["canonical_name"] != name:
+                        continue
+                    if not (a1["kind"] == M.IDENTIFIER
+                            and (a1["name"] in ("this", "self")
+                                 or a1["type_full_name"] == td_full)):
+                        continue
+                    if not _not_lhs_of_assignment(case, fa["node_idx"]):
+                        break  # takeWhile stops at the first written usage
+                    out.append(fa["node_idx"])
+            # all-methods pass (usageInOtherClasses): identifier OR
+            # TYPE_REF base typed as the class; first hit only
+            for fa in fas:
+                a1 = next((c for c in case.kids[fa["node_idx"]]
+                           if c["arg_index"] == 1), None)
+                a2 = next((c for c in case.kids[fa["node_idx"]]
+                           if c["arg_index"] == 2), None)
+                if a1 is None or a2 is None \
+                        or a2["kind"] != M.FIELD_IDENTIFIER \
+                        or a2["canonical_name"] != name:
+                    continue
+                if a1["kind"] not in (M.IDENTIFIER, M.TYPE_REF) \
+                        or a1["type_full_name"] != td_full:
+                    continue
+                if not _not_lhs_of_assignment(case, fa["node_idx"]):
+                    break
+                out.append(fa["node_idx"])
+                break  # headOption
+    return out
+
+
 def _starting_points(case: _Case, sources: list[int]) -> dict[int, int]:
     """SourcesToStartingPoints (SourcesToStartingPoints.scala:193-221):
     -> {starting node -> original source node}. A METHOD_RETURN source is
     replaced by the call sites of its method (the displayed path then gets
-    the METHOD_RETURN prepended); other CfgNodes start at themselves."""
+    the METHOD_RETURN prepended); a LITERAL initializing a member expands
+    to that member's first usage per method; other CfgNodes start at
+    themselves."""
     out: dict[int, int] = {}
     for s in sources:
         r = case.by_idx[s]
@@ -572,6 +684,9 @@ def _starting_points(case: _Case, sources: list[int]) -> dict[int, int]:
                     out.setdefault(site["node_idx"], s)
         else:
             out[s] = s
+            if r["kind"] == M.LITERAL:
+                for u in _literal_member_usages(case, r):
+                    out.setdefault(u, s)
     return out
 
 
@@ -591,11 +706,14 @@ def enumerate_paths(case: _Case, source_spec: dict, sink_spec: dict,
         if _is_valid_edge(case, d, s):
             rd_back[d].append((s, _element_visible(case, s, d)))
 
+    # arg_index 0 is the receiver — it unwinds to an instance method's
+    # `this` parameter (param_index 0), e.g. ObjectTests test6/test7
+    # b.printS() tainting `this` inside printS
     args_by_method: dict[str, list[tuple[dict, dict]]] = defaultdict(list)
     for site in case.rows:
         if site["kind"] == M.CALL:
             for a in case.kids[site["node_idx"]]:
-                if a["arg_index"] >= 1:
+                if a["arg_index"] >= 0:
                     args_by_method[site["name"]].append((site, a))
 
     sources = set(select_nodes(case, source_spec))
@@ -648,12 +766,20 @@ def enumerate_paths(case: _Case, source_spec: dict, sink_spec: dict,
                 return any(m["node_idx"] == p1["method_idx"]
                            for m in _callees(case, call_row))
 
+            # Constructor calls behave like the reference's lowered form
+            # (receiver arg + this-paramOut unwind): the constructed value
+            # is tainted by every constructor argument, and traversal is
+            # never forced through the (RETURN-less) <init> body — javasrc
+            # ObjectTests "find a path through the constructor and field".
+            is_ctor = r["kind"] == M.CALL and r["name"] == M.CONSTRUCTOR
             blocked = False
             if r["kind"] == M.CALL and not r["name"].startswith("<operator>") \
+                    and not is_ctor \
                     and _int_no_sem(r) and not _came_from_callee(r):
                 blocked = True  # case 3
             enc = case.in_call(cur)
             if not blocked and len(path) > 1 and enc is not None \
+                    and enc["name"] != M.CONSTRUCTOR \
                     and not enc["name"].startswith("<operator>") \
                     and _int_no_sem(enc) and not _came_from_callee(enc):
                 # case 4: output-arg partial. When the callee has a body,
@@ -687,7 +813,14 @@ def enumerate_paths(case: _Case, source_spec: dict, sink_spec: dict,
                             steps.append((a["node_idx"],
                                           ((a["node_idx"], True),) + path,
                                           cdepth + 1, stack))
-            if r["kind"] == M.CALL and not r["name"].startswith("<operator>"):
+            if is_ctor:
+                for a in case.kids[cur]:  # ctor args taint the new object
+                    if a["arg_index"] >= 1:
+                        steps.append((a["node_idx"],
+                                      ((a["node_idx"], True),) + path,
+                                      cdepth, stack))
+            if r["kind"] == M.CALL and not r["name"].startswith("<operator>") \
+                    and not is_ctor:
                 for m in _callees(case, r):
                     if case.has_body(m["node_idx"]):
                         mr = case.method_return_of(m["node_idx"])
