@@ -1231,6 +1231,13 @@ class JavaParser(CParser):
             if self.at(";"):
                 self.next()
             return None
+        if start.t == "id" and self.at("(", 1):
+            # return-type-less method declaration (`public foo() {...}`) —
+            # JavaParser tolerates these (javasrc LambdaTests fixtures);
+            # recover as a void method named after the identifier
+            self.next()
+            return self.parse_java_method("void", start.v, start, class_full,
+                                          is_static=is_static)
         raw_ty = self.parse_java_type()
         ty = self.resolve_type(raw_ty)
         if self.peek() is None or self.peek().t != "id":

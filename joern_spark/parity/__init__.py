@@ -125,6 +125,9 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
                         f"pairs={f['reachable_pairs']}"))
         elif "count" in f:
             out.append(("flows", f["name"], f"count={f['count']}"))
+        elif "nonempty" in f:
+            out.append(("flows", f["name"],
+                        f"nonempty={str(bool(f['nonempty'])).lower()}"))
         elif not f["want"]:
             out.append(("flows", f["name"], ""))  # empty-set assertion
         else:
@@ -524,7 +527,7 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
 
     if case.get("flows"):
         from joern_spark.parity.flows import case_flow_facts
-        for s, o in case_flow_facts(rows, case["flows"]):
+        for s, o in case_flow_facts(rows, case["flows"], case.get("semantics")):
             out.add(("flows", s, o))
     return out
 

@@ -26,6 +26,7 @@ from the reference suite — this extractor is only the "got" side.
 
 from __future__ import annotations
 
+import re as _re
 from collections import defaultdict, deque
 
 from joern_spark import model as M
@@ -141,7 +142,12 @@ class _Case:
     .scala), whose stub params show up in golden flows as e.g.
     ``("sink(p1)", -1)`` (DataFlowTests.scala "DataFlowTest37")."""
 
-    def __init__(self, rows: list[dict]):
+    def __init__(self, rows: list[dict], semantics: list | None = None):
+        # [(methodFullName pattern, is_regex, [(src_arg, dst_arg), ...])]
+        self.extra_semantics = [
+            (sp["mfn"], bool(sp.get("regex")),
+             [tuple(x) for x in sp.get("flows", [])])
+            for sp in (semantics or [])]
         rows = list(rows) + _stub_rows(rows)
         self.rows = rows
         self.by_idx = {r["node_idx"]: r for r in rows}
@@ -181,8 +187,15 @@ class _Case:
 # EdgeValidator (EdgeValidator.scala) + argument flow semantics
 # --------------------------------------------------------------------------- #
 
-def _sem_for_call(call_row: dict):
-    """Semantics for the called method; None = unknown (s.isEmpty)."""
+def _sem_for_call(case: "_Case", call_row: dict):
+    """Semantics for the called method; None = unknown (s.isEmpty).
+    Case-level custom semantics (JavaDataflowFixture `withSemantics`,
+    SemanticTests.scala:14-23) match the call's methodFullName exactly or
+    by regex and take precedence over the name-keyed defaults."""
+    for pat, is_regex, flows in case.extra_semantics:
+        mfn = call_row.get("method_full_name") or ""
+        if (_re.fullmatch(pat, mfn) if is_regex else pat == mfn):
+            return flows
     return SEMANTICS.get(call_row["name"])
 
 
@@ -192,7 +205,7 @@ def _is_used(case: _Case, i: int) -> bool:
     c = case.in_call(i)
     if c is None:
         return True
-    s = _sem_for_call(c)
+    s = _sem_for_call(case, c)
     if s is None:
         return True
     if s == PASSTHROUGH:
@@ -206,7 +219,7 @@ def _is_defined(case: _Case, i: int) -> bool:
     c = case.in_call(i)
     if c is None:
         return True
-    s = _sem_for_call(c)
+    s = _sem_for_call(case, c)
     if s is None:
         return True
     if s == PASSTHROUGH:
@@ -217,7 +230,7 @@ def _is_defined(case: _Case, i: int) -> bool:
 
 def _has_defined_flow_to(case: _Case, src_i: int, dst_i: int) -> bool:
     c = case.in_call(src_i)
-    s = _sem_for_call(c) if c is not None else None
+    s = _sem_for_call(case, c) if c is not None else None
     if s is None:
         return True
     si, di = case.by_idx[src_i]["arg_index"], case.by_idx[dst_i]["arg_index"]
@@ -231,7 +244,7 @@ def _is_call_retval(case: _Case, i: int) -> bool:
     r = case.by_idx.get(i)
     if r is None or r["kind"] != M.CALL:
         return False
-    s = _sem_for_call(r)
+    s = _sem_for_call(case, r)
     if s is None or s == PASSTHROUGH:
         return False
     return not any(dst == -1 for _src, dst in s)
@@ -253,7 +266,7 @@ def _callees(case: _Case, call_row: dict) -> list[dict]:
 
 def _is_output_arg_of_internal_method(case: _Case, i: int) -> bool:
     c = case.in_call(i)
-    if c is None or _sem_for_call(c) is not None:
+    if c is None or _sem_for_call(case, c) is not None:
         return False
     return any(case.has_body(m["node_idx"]) for m in _callees(case, c))
 
@@ -281,7 +294,7 @@ def _element_visible(case: _Case, parent: int, child: int) -> bool:
     if same:
         if pc is None:
             return True  # no enclosing call: no semantics, no methods
-        sem_exists = _sem_for_call(pc) is not None
+        sem_exists = _sem_for_call(case, pc) is not None
         return (sem_exists and _is_defined(case, parent)) \
             or not _internal_methods_for_call(case, pc)
     return _is_defined(case, parent)
@@ -480,11 +493,18 @@ def select_nodes(case: _Case, spec: dict) -> list[int]:
         m = case.by_idx.get(r["method_idx"])
         return m is not None and m["name"] == s["method"]
 
+    if "member" in spec:  # cpg.member.name(X) — MEMBER-node sources
+        s = spec["member"] or {}
+        return [r["node_idx"] for r in case.rows if r["kind"] == M.MEMBER
+                and ("name" not in s or r["name"] == s["name"])]
     if "identifier" in spec:
         s = spec["identifier"] or {}
-        return [r["node_idx"] for r in case.rows if r["kind"] == M.IDENTIFIER
-                and ("name" not in s or r["name"] == s["name"])
-                and _in_method(r, s)]
+        out = [r["node_idx"] for r in case.rows if r["kind"] == M.IDENTIFIER
+               and ("name" not in s or r["name"] == s["name"])
+               and _in_method(r, s)]
+        if s.get("head"):  # cpg.identifier(X).head — first in document order
+            out = out[:1]
+        return out
     if "literal" in spec:
         s = spec["literal"] or {}
         return [r["node_idx"] for r in case.rows if r["kind"] == M.LITERAL
@@ -666,12 +686,99 @@ def _literal_member_usages(case: _Case, lit: dict) -> list[int]:
     return out
 
 
+def _first_usage_for_name(case: _Case, meth: dict, name: str) -> int | None:
+    """BaseSourceToStartingPoints.firstUsagesForName: the FIRST non-written
+    usage of `name` in `meth` — identifier reads by name plus fieldAccess
+    reads whose base code is `this`/`self`/the method's class simple name;
+    both streams takeWhile not-LHS, combined sorted, headOption."""
+    td_simple = (meth.get("ast_parent_full_name") or "").split(".")[-1]
+    sub: list[dict] = []
+    stack = list(case.kids[meth["node_idx"]])
+    while stack:
+        n = stack.pop()
+        sub.append(n)
+        stack.extend(case.kids[n["node_idx"]])
+    sub.sort(key=lambda r: (r["line"], r["node_idx"]))
+    cands: list[dict] = []
+    for r in sub:  # identifier usages, takeWhile not-LHS
+        if r["kind"] == M.IDENTIFIER and r["name"] == name:
+            if not _not_lhs_of_assignment(case, r["node_idx"]):
+                break
+            cands.append(r)
+    for r in sub:  # fieldAccess usages with this/self/class-name base
+        if r["kind"] != M.CALL or r["name"] not in _FIELD_ACCESS_NAMES:
+            continue
+        a1 = next((c for c in case.kids[r["node_idx"]]
+                   if c["arg_index"] == 1), None)
+        a2 = next((c for c in case.kids[r["node_idx"]]
+                   if c["arg_index"] == 2), None)
+        if a1 is None or a2 is None \
+                or a2["kind"] != M.FIELD_IDENTIFIER \
+                or a2["canonical_name"] != name:
+            continue
+        if a1["code"] not in ("this", "self", td_simple):
+            continue
+        if not _not_lhs_of_assignment(case, r["node_idx"]):
+            break
+        cands.append(r)
+    if not cands:
+        return None
+    return min(cands, key=lambda r: (r["line"], r["node_idx"]))["node_idx"]
+
+
+def _member_usages(case: _Case, member: dict) -> list[int]:
+    """SourcesToStartingPoints Member arm: `cpg.member` sources expand to
+    the first non-written usage per non-constructor method of the member's
+    class (BaseSourceToStartingPoints.usages + firstUsagesForName)."""
+    td_full = member["ast_parent_full_name"]
+    out: list[int] = []
+    for meth in case.methods:
+        if meth.get("ast_parent_full_name") != td_full:
+            continue
+        if meth["name"] in (M.STATIC_INIT, M.CONSTRUCTOR, "__init__"):
+            continue
+        u = _first_usage_for_name(case, meth, member["name"])
+        if u is not None:
+            out.append(u)
+    return out
+
+
+def _captured_usages(case: _Case, ident: dict) -> list[int]:
+    """SourcesToStartingPoints Identifier arm, capturedReferences:
+    `x.refsTo.capturedByMethodRef.referencedMethod.flatMap(
+    firstUsagesForName(x.name, _))` — an identifier source whose declaration
+    is captured by a closure expands to the first usage of the name in each
+    capturing method (javasrc LambdaTests `myValue` into the lambda body).
+    Capture is derived as: another method contains an identifier REF-ing
+    the same declaration (the `captures` relation)."""
+    d_idx = ident.get("ref_idx", -1)
+    if d_idx is None or d_idx < 0:
+        return []
+    d = case.by_idx.get(d_idx)
+    if d is None:
+        return []
+    capturing = {r["method_idx"] for r in case.rows
+                 if r["kind"] == M.IDENTIFIER and r.get("ref_idx") == d_idx
+                 and r["method_idx"] != d["method_idx"]
+                 and r["method_idx"] >= 0}
+    out: list[int] = []
+    for midx in sorted(capturing):
+        meth = case.by_idx.get(midx)
+        if meth is None:
+            continue
+        u = _first_usage_for_name(case, meth, ident["name"])
+        if u is not None:
+            out.append(u)
+    return out
+
+
 def _starting_points(case: _Case, sources: list[int]) -> dict[int, int]:
     """SourcesToStartingPoints (SourcesToStartingPoints.scala:193-221):
     -> {starting node -> original source node}. A METHOD_RETURN source is
     replaced by the call sites of its method (the displayed path then gets
     the METHOD_RETURN prepended); a LITERAL initializing a member expands
-    to that member's first usage per method; other CfgNodes start at
+    to that member's first usage per method; a MEMBER source is replaced
+    by its first usage per method of its class; other CfgNodes start at
     themselves."""
     out: dict[int, int] = {}
     for s in sources:
@@ -682,10 +789,16 @@ def _starting_points(case: _Case, sources: list[int]) -> dict[int, int]:
             for site in case.rows:
                 if site["kind"] == M.CALL and site["name"] == mname:
                     out.setdefault(site["node_idx"], s)
+        elif r["kind"] == M.MEMBER:
+            for u in _member_usages(case, r):
+                out.setdefault(u, s)
         else:
             out[s] = s
             if r["kind"] == M.LITERAL:
                 for u in _literal_member_usages(case, r):
+                    out.setdefault(u, s)
+            elif r["kind"] == M.IDENTIFIER:
+                for u in _captured_usages(case, r):
                     out.setdefault(u, s)
     return out
 
@@ -753,7 +866,7 @@ def enumerate_paths(case: _Case, source_spec: dict, sink_spec: dict,
             # through the callee), unless we just came out of that callee
             # (via its METHOD_RETURN or a parameter).
             def _int_no_sem(call_row):
-                return _sem_for_call(call_row) is None and any(
+                return _sem_for_call(case, call_row) is None and any(
                     not m.get("is_external", False)
                     for m in _callees(case, call_row))
 
@@ -819,6 +932,25 @@ def enumerate_paths(case: _Case, source_spec: dict, sink_spec: dict,
                         steps.append((a["node_idx"],
                                       ((a["node_idx"], True),) + path,
                                       cdepth, stack))
+            if r["kind"] == M.METHOD_REF:
+                # TaskCreator forMethodRefs (TaskCreator.scala:156-171): a
+                # method ref expands into the referenced method's RETURN
+                # statements with its METHOD_RETURN spliced into the path
+                # (lambda passed to map/forEach, javasrc LambdaTests)
+                for m in case.methods:
+                    if m["full_name"] != r.get("method_full_name"):
+                        continue
+                    mr = case.method_return_of(m["node_idx"])
+                    if mr is None:
+                        continue
+                    mrp = ((mr["node_idx"], True),) + path \
+                        if mr["node_idx"] not in pnodes else path
+                    for ret in case.rows:
+                        if ret["kind"] == M.RETURN and \
+                                ret["method_idx"] == m["node_idx"]:
+                            steps.append((ret["node_idx"],
+                                          ((ret["node_idx"], True),) + mrp,
+                                          cdepth + 1, stack))
             if r["kind"] == M.CALL and not r["name"].startswith("<operator>") \
                     and not is_ctor:
                 for m in _callees(case, r):
@@ -863,10 +995,11 @@ def enumerate_paths(case: _Case, source_spec: dict, sink_spec: dict,
     return out
 
 
-def case_flow_facts(rows: list[dict], flow_specs: list[dict]) -> list[tuple[str, str]]:
+def case_flow_facts(rows: list[dict], flow_specs: list[dict],
+                    semantics: list | None = None) -> list[tuple[str, str]]:
     """-> (subj, obj) facts for one case: subj = flow name; obj = serialized
     path (exact-set assertions) or 'count=N' (size-only assertions)."""
-    case = _Case(rows)
+    case = _Case(rows, semantics)
     out: list[tuple[str, str]] = []
     for f in flow_specs:
         paths = enumerate_paths(case, f["source"], f["sink"],
@@ -888,6 +1021,9 @@ def case_flow_facts(rows: list[dict], flow_specs: list[dict]) -> list[tuple[str,
                         f"pairs={len({(p[0], p[-1]) for p in paths})}"))
         elif "count" in f:  # size-only assertion in the reference test
             out.append((f["name"], f"count={len(serialized)}"))
+        elif "nonempty" in f:  # `.isEmpty shouldBe false` assertions
+            out.append((f["name"],
+                        f"nonempty={str(bool(paths)).lower()}"))
         else:
             for s in serialized:
                 out.append((f["name"], s))

@@ -439,15 +439,15 @@ def _flow_facts(nodes: DataFrame) -> DataFrame:
 
     from joern_spark.parity.flows import case_flow_facts
 
-    flow_specs = {c["name"]: (c["lang"], c["flows"])
+    flow_specs = {c["name"]: (c["lang"], c["flows"], c.get("semantics"))
                   for c in P.corpus() if c.get("flows")}
     paths = [P.case_path(c) for c in P.corpus() if c.get("flows")]
 
     def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         kase = key[0].rsplit("/", 1)[-1].rsplit(".", 1)[0]
-        lang, specs = flow_specs[kase]
+        lang, specs, semantics = flow_specs[kase]
         rows = pdf.to_dict("records")
-        facts = case_flow_facts(rows, specs)
+        facts = case_flow_facts(rows, specs, semantics)
         return pd.DataFrame(
             [(lang, kase, "flows", s, o) for s, o in facts],
             columns=["lang", "kase", "relation", "subj", "obj"])
