@@ -178,12 +178,23 @@ class JsParser(CParser):
                            line=tok.line)
                 self.scopes[0].setdefault(name, marker)
 
+
+    def _this_param(self, line: int) -> N:
+        """Every jssrc2cpg method-like gets an explicit `this` parameter at
+        index 0, BY_VALUE (AstCreator.scala:98-100, AstForFunctionsCreator
+        .scala:348,441) — flow path renders include it ("f(this, x, y)",
+        jssrc DataflowTests)."""
+        return N(M.METHOD_PARAMETER_IN, code="this", name="this",
+                 param_index=0, type_full_name=M.ANY, line=line,
+                 evaluation_strategy=M.BY_VALUE)
+
     def parse(self) -> list[N]:
         self._hoist_top_level_functions()
         program = N(M.METHOD, code="<program>", name=M.PROGRAM_METHOD,
                     full_name=f"{self.path}:{M.PROGRAM_METHOD}",
                     signature="", line=1, ast_parent_type=M.NAMESPACE_BLOCK,
                     ast_parent_full_name=self.global_block)
+        program.add(self._this_param(1))
         block = N(M.BLOCK, code="", line=1, type_full_name=M.ANY)
         while self.peek() is not None:
             try:
@@ -197,7 +208,55 @@ class JsParser(CParser):
         program.line_end = self.toks[-1].line if self.toks else 1
         program.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                       evaluation_strategy=M.BY_VALUE, line=1))
+        self._rename_const_closures(program)
         return [program]
+
+    def _rename_const_closures(self, program: N) -> None:
+        """ConstClosurePass (x2cpg/.../frontendspecific/jssrc2cpg/
+        ConstClosurePass.scala): closures assigned to a `const`, to an
+        object-literal field (`_tmp_X.name = <ref>`), or to a `var`/`let`
+        assigned exactly once, take the target's name: METHOD name/fullName
+        become `<enclosing>:<name>`, the METHOD_REF follows."""
+        assign_counts: dict[str, int] = {}
+        candidates: list[tuple[str, str, N, str]] = []  # (name, kind, asg, enclosing)
+
+        def walk(node: N, enclosing: str) -> None:
+            enc = node.full_name if node.kind == M.METHOD else enclosing
+            if node.kind == M.CALL and node.name == M.OP_ASSIGNMENT:
+                tgt = next((c for c in node.children if c.arg_index == 1), None)
+                src = next((c for c in node.children if c.arg_index == 2), None)
+                if tgt is not None and tgt.kind == M.IDENTIFIER:
+                    assign_counts[tgt.name] = assign_counts.get(tgt.name, 0) + 1
+                if src is not None and src.kind == M.METHOD_REF:
+                    if tgt is not None and tgt.kind == M.IDENTIFIER \
+                            and node.code.startswith("const "):
+                        candidates.append((tgt.name, "const", node, enc))
+                    elif tgt is not None and tgt.kind == M.IDENTIFIER \
+                            and node.code.startswith(("var ", "let ")):
+                        candidates.append((tgt.name, "mutable", node, enc))
+                    elif tgt is not None and tgt.kind == M.CALL \
+                            and node.code.startswith("_tmp_"):
+                        fi = next((c for c in tgt.children
+                                   if c.kind == M.FIELD_IDENTIFIER), None)
+                        if fi is not None:
+                            candidates.append((fi.canonical_name, "const",
+                                               node, enc))
+            for c in node.children:
+                walk(c, enc)
+
+        walk(program, program.full_name)
+        for name, kind, asg, enc in candidates:
+            if kind == "mutable" and assign_counts.get(name, 0) != 1:
+                continue
+            ref = next((c for c in asg.children if c.kind == M.METHOD_REF), None)
+            meth = next((c for c in (ref.children if ref else ())
+                         if c.kind == M.METHOD), None)
+            if ref is None or meth is None:
+                continue
+            full = f"{enc}:{name}"
+            meth.name = name
+            meth.full_name = full
+            ref.method_full_name = full
 
     # ---------------- statements ----------------
     def wrap_condition(self, cond: N) -> N:
@@ -482,11 +541,11 @@ class JsParser(CParser):
                 ident.ref_target = loc
                 init.arg_index = 2
                 # code carries the declaration keyword and the RAW source
-                # rhs, like the reference ("var x = 1" :206-212; "var x = []"
-                # :26-31 even though the rhs lowers to the Array factory)
-                rhs_raw = self.slice(self.toks[rhs_start],
-                                     self.toks[self.pos - 1])
-                call = N(M.CALL, code=f"{kw.v} {name} = {rhs_raw}",
+                # slice of `name = rhs`, spacing preserved, like the
+                # reference ("var x = 1" :206-212; "var z =  x ? ..." with
+                # its double space, jssrc DataflowTests conditional case)
+                decl_raw = self.slice(name_tok, self.toks[self.pos - 1])
+                call = N(M.CALL, code=f"{kw.v} {decl_raw}",
                          name=M.OP_ASSIGNMENT,
                          method_full_name=M.OP_ASSIGNMENT,
                          dispatch_type=M.STATIC_DISPATCH, line=name_tok.line)
@@ -620,6 +679,9 @@ class JsParser(CParser):
             self.declare(name, fn_marker)
         self.push_scope()
         self.scope_path.append(name)
+        tp = self._this_param(kw.line)
+        method.add(tp)
+        self.declare("this", tp)
         self.expect("(")
         i = 0
         defaults: list[tuple[str, str]] = []
@@ -746,6 +808,9 @@ class JsParser(CParser):
                    ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD}")
         self.push_scope()
         self.scope_path.append(name)
+        tp = self._this_param(start_tok.line)
+        method.add(tp)
+        self.declare("this", tp)
         i = 0
         defaults: list[tuple[str, str]] = []
         if self.at("("):
@@ -761,12 +826,28 @@ class JsParser(CParser):
                           evaluation_strategy=M.BY_SHARING)
                     method.add(p)
                     self.declare(pn.v, p)
+                    if self.at(":"):  # TS parameter type annotation — skip
+                        self.next()
+                        depth = 0
+                        while self.peek() is not None:
+                            v = self.peek().v
+                            if v in ("<", "(", "["):
+                                depth += 1
+                            elif v in (">", ")", "]"):
+                                if depth == 0:
+                                    break
+                                depth -= 1
+                            elif depth == 0 and v in (",", "="):
+                                break
+                            self.next()
                     if self.at("="):
                         self.next()
                         defaults.append(
                             (pn.v, self.parse_assignment_expr().code))
                 elif self.at("{") or self.at("["):
                     self.skip_balanced(self.peek().v, "}" if self.at("{") else "]")
+                elif not self.at(")") and not self.at(","):
+                    self.next()  # unknown token — always make progress
                 if self.at(","):
                     self.next()
             self.next()
@@ -851,6 +932,9 @@ class JsParser(CParser):
                                ast_parent_full_name=full)
                     self.push_scope()
                     self.scope_path.append(mname)
+                    tp = self._this_param(mt.line)
+                    method.add(tp)
+                    self.declare("this", tp)
                     self.next()
                     i = 0
                     while not self.at(")"):
@@ -883,10 +967,13 @@ class JsParser(CParser):
                     if self.at(";"):
                         self.next()
                     decl.add(N(M.MEMBER, code=mname, name=mname,
-                               type_full_name=M.ANY, line=mt.line))
+                               type_full_name=M.ANY, line=mt.line,
+                               ast_parent_type=M.TYPE_DECL,
+                               ast_parent_full_name=full))
                     continue
                 decl.add(N(M.MEMBER, code=mname, name=mname, type_full_name=M.ANY,
-                           line=mt.line))
+                           line=mt.line, ast_parent_type=M.TYPE_DECL,
+                           ast_parent_full_name=full))
                 if self.at(";"):
                     self.next()
                 continue
@@ -1137,6 +1224,9 @@ class JsParser(CParser):
                            ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD}")
                 self.push_scope()
                 self.scope_path.append(name)
+                tp = self._this_param(key.line)
+                method.add(tp)
+                self.declare("this", tp)
                 self.next()
                 i = 0
                 while self.peek() is not None and not self.at(")"):

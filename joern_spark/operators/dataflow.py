@@ -383,6 +383,40 @@ def reaching_def_edges(rows: list[dict], method_row: dict,
                     add(m_idx, n)
             add(n, exit_idx, "<RET>")
 
+    # block arguments (lowered object/new expressions, DdgGenerator
+    # addEdgeForBlock): the block's last expression feeds the block node,
+    # which feeds the enclosing call/return — `foo({tmp = {}; tmp.p = x;
+    # tmp})` propagates x into foo (jssrc DataflowTests object notation)
+    def add_edge_for_block(block_i: int, towards_i: int) -> None:
+        cs = kids.get(block_i, [])
+        if not cs:
+            return
+        last = cs[-1]
+        if last["kind"] == M.IDENTIFIER:
+            ins = [d for d in in_sets.get(last["node_idx"], ())
+                   if is_using(last["node_idx"], d)
+                   and by_idx[d]["kind"] in (M.IDENTIFIER, M.CALL)]
+            for d in ins:
+                add(d, block_i, label_of(d))
+            if ins:
+                add(block_i, towards_i)
+        elif last["kind"] == M.CALL:
+            add(last["node_idx"], block_i, label_of(last["node_idx"]))
+            add(block_i, towards_i)
+
+    for n in sorted(nodes):
+        r = by_idx.get(n)
+        if r is None:
+            continue
+        if r["kind"] == M.CALL:
+            for a in args_of(n):
+                if a["kind"] == M.BLOCK:
+                    add_edge_for_block(a["node_idx"], n)
+        elif r["kind"] == M.RETURN:
+            for c in kids.get(n, []):
+                if c["kind"] == M.BLOCK:
+                    add_edge_for_block(c["node_idx"], n)
+
     # exit node in-defs
     for d in in_sets.get(exit_idx, ()):
         add(d, exit_idx, label_of(d))

@@ -54,8 +54,10 @@ _EXT = {"c": "c", "cpp": "cpp", "java": "java", "javascript": "js"}
 
 def corpus() -> list[dict]:
     from joern_spark.parity import (corpus_c, corpus_c_flows, corpus_java,
-                                    corpus_java_flows, corpus_js)
+                                    corpus_java_flows, corpus_js,
+                                    corpus_js_flows)
     return (corpus_c.CASES + corpus_c_flows.CASES + corpus_js.CASES
+            + corpus_js_flows.CASES
             + corpus_java.CASES + corpus_java_flows.CASES)
 
 
@@ -125,6 +127,8 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
                         f"pairs={f['reachable_pairs']}"))
         elif "count" in f:
             out.append(("flows", f["name"], f"count={f['count']}"))
+        elif "result_count" in f:
+            out.append(("flows", f["name"], f"results={f['result_count']}"))
         elif "nonempty" in f:
             out.append(("flows", f["name"],
                         f"nonempty={str(bool(f['nonempty'])).lower()}"))

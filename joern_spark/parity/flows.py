@@ -171,14 +171,26 @@ class _Case:
                      if r["kind"] == M.METHOD_RETURN), None)
 
     def has_body(self, m_idx: int) -> bool:
-        """Internal non-stub: definition with a body block (the reference's
-        `method.isExternal || method.start.isStub.nonEmpty` complement)."""
+        """Has a CFG: a definition with a body block (possibly empty) — the
+        condition for the paramIn->paramOut unwind and callee-RETURN
+        expansion to exist at all."""
         return any(r["kind"] == M.BLOCK for r in self.kids[m_idx])
 
+    def is_stub(self, m_idx: int) -> bool:
+        """The reference's `.isStub`: a method whose block has no children
+        (MethodTraversal.isStub). `function foo(x) {}` is a stub, so
+        isOutputArgOfInternalMethod does NOT block arg-to-arg taint at its
+        call sites (jssrc DataflowTests "function call argument" counts 6)."""
+        return not any(r["kind"] == M.BLOCK and self.kids[r["node_idx"]]
+                       for r in self.kids[m_idx])
+
     def in_call(self, i: int) -> dict | None:
-        """The call this node is an argument of (Expression.inCall)."""
+        """The call this node is an argument of (Expression.inCall).
+        Receivers (argumentIndex 0) ARE arguments in the reference schema —
+        excluding them lets taint bridge through `this` args unchecked by
+        the call's semantics (jssrc DataflowTests free-to-RET)."""
         p = self.by_idx.get(self.by_idx[i]["parent_idx"])
-        if p is not None and p["kind"] == M.CALL and self.by_idx[i]["arg_index"] >= 1:
+        if p is not None and p["kind"] == M.CALL and self.by_idx[i]["arg_index"] >= 0:
             return p
         return None
 
@@ -265,10 +277,14 @@ def _callees(case: _Case, call_row: dict) -> list[dict]:
 
 
 def _is_output_arg_of_internal_method(case: _Case, i: int) -> bool:
+    """Engine.isOutputArgOfInternalMethod: internal AND not-a-stub
+    (`methodsForCall(call).internal.isNotStub.nonEmpty`) and no
+    semantics."""
     c = case.in_call(i)
     if c is None or _sem_for_call(case, c) is not None:
         return False
-    return any(case.has_body(m["node_idx"]) for m in _callees(case, c))
+    return any(case.has_body(m["node_idx"]) and not case.is_stub(m["node_idx"])
+               for m in _callees(case, c))
 
 
 def _internal_methods_for_call(case: _Case, call_row: dict) -> bool:
@@ -375,7 +391,49 @@ def _rd_edges(case: _Case) -> list[tuple[int, int, str]]:
                  if r["method_idx"] == m["node_idx"] or r["node_idx"] == m["node_idx"]]
         cfg = cfg_for_method(mrows, m)
         edges += reaching_def_edges(mrows, m, cfg)
+    edges += _capture_edges(case)
     return edges
+
+
+def _capture_edges(case: _Case) -> list[tuple[int, int, str]]:
+    """DdgGenerator.addEdgesToCapturedIdentifiersAndParameters: for every
+    identifier, REACHING_DEF edges to the FIRST same-named identifier in
+    each method capturing its declaration (identifierToFirstUsages /
+    firstIdentifierFromCapturedScopes — plain head, no written-usage
+    filter); for every captured parameter, edges to EVERY identifier in
+    the capturing method (the over-approximation is filtered by the
+    EdgeValidator at query time)."""
+    decl_capturing: dict[int, set[int]] = defaultdict(set)
+    idents_by_method: dict[int, list[dict]] = defaultdict(list)
+    for r in case.rows:
+        if r["kind"] != M.IDENTIFIER:
+            continue
+        idents_by_method[r["method_idx"]].append(r)
+        d_idx = r.get("ref_idx", -1)
+        if d_idx is None or d_idx < 0:
+            continue
+        d = case.by_idx.get(d_idx)
+        if d is not None and r["method_idx"] != d["method_idx"] \
+                and r["method_idx"] >= 0:
+            decl_capturing[d_idx].add(r["method_idx"])
+    for v in idents_by_method.values():
+        v.sort(key=lambda r: (r["line"], r["node_idx"]))
+    out: list[tuple[int, int, str]] = []
+    for r in case.rows:
+        if r["kind"] == M.IDENTIFIER:
+            d_idx = r.get("ref_idx", -1)
+            for midx in sorted(decl_capturing.get(d_idx, ())):
+                if midx == r["method_idx"]:
+                    continue
+                first = next((i for i in idents_by_method[midx]
+                              if i["name"] == r["name"]), None)
+                if first is not None and first["node_idx"] != r["node_idx"]:
+                    out.append((r["node_idx"], first["node_idx"], r["name"]))
+        elif r["kind"] == M.METHOD_PARAMETER_IN:
+            for midx in sorted(decl_capturing.get(r["node_idx"], ())):
+                for i in idents_by_method[midx]:
+                    out.append((r["node_idx"], i["node_idx"], r["name"]))
+    return out
 
 
 # --------------------------------------------------------------------------- #
@@ -501,6 +559,7 @@ def select_nodes(case: _Case, spec: dict) -> list[int]:
         s = spec["identifier"] or {}
         out = [r["node_idx"] for r in case.rows if r["kind"] == M.IDENTIFIER
                and ("name" not in s or r["name"] == s["name"])
+               and ("line" not in s or r["line"] == s["line"])
                and _in_method(r, s)]
         if s.get("head"):  # cpg.identifier(X).head — first in document order
             out = out[:1]
@@ -509,12 +568,29 @@ def select_nodes(case: _Case, spec: dict) -> list[int]:
         s = spec["literal"] or {}
         return [r["node_idx"] for r in case.rows if r["kind"] == M.LITERAL
                 and ("code" not in s or r["code"] == s["code"])
+                and ("line" not in s or r["line"] == s["line"])
                 and _in_method(r, s)]
+    if "field_access" in spec:
+        # cpg.fieldAccess.where(_.fieldIdentifier.canonicalName(X))
+        s = spec["field_access"] or {}
+        out = []
+        for r in case.rows:
+            if r["kind"] != M.CALL or r["name"] not in _FIELD_ACCESS_NAMES:
+                continue
+            fi = next((c for c in case.kids[r["node_idx"]]
+                       if c["kind"] == M.FIELD_IDENTIFIER), None)
+            if "field" in s and (fi is None
+                                 or fi["canonical_name"] != s["field"]):
+                continue
+            out.append(r["node_idx"])
+        return out
     if "call" in spec:
         s = spec["call"]
         return [r["node_idx"] for r in case.rows if r["kind"] == M.CALL
                 and ("name" not in s or r["name"] == s["name"])
                 and ("code" not in s or r["code"] == s["code"])
+                and ("code_re" not in s
+                     or _re.fullmatch(s["code_re"], r["code"]))
                 and _in_method(r, s)]
     if "call_arg" in spec:
         s = spec["call_arg"]
@@ -526,10 +602,15 @@ def select_nodes(case: _Case, spec: dict) -> list[int]:
                 continue
             if "code" in s and r["code"] != s["code"]:
                 continue
+            if "code_re" in s and not _re.fullmatch(s["code_re"], r["code"]):
+                continue
             if not _in_method(r, s):
                 continue
             for c in case.kids[r["node_idx"]]:
-                if c["arg_index"] < 1:
+                # `.argument` with no index includes the receiver (index 0,
+                # jssrc DataflowTests "sink.size shouldBe 3 // incl. this");
+                # explicit `.argument(i)` selects that index only
+                if c["arg_index"] < (1 if "index" in s else 0):
                     continue
                 if "index" in s and c["arg_index"] != s["index"]:
                     continue
@@ -926,6 +1007,23 @@ def enumerate_paths(case: _Case, source_spec: dict, sink_spec: dict,
                             steps.append((a["node_idx"],
                                           ((a["node_idx"], True),) + path,
                                           cdepth + 1, stack))
+                    # paramToMethodRefCallReceivers (TaskCreator.scala:89-97):
+                    # a parameter of a method passed as a METHOD_REF expands
+                    # to argument(0) of the calls taking that ref — `foo` in
+                    # foo.bar((x,y) => ...) taints the closure's params
+                    if m is not None:
+                        for mr in case.rows:
+                            if mr["kind"] != M.METHOD_REF or \
+                                    mr.get("method_full_name") != m["full_name"]:
+                                continue
+                            site = case.in_call(mr["node_idx"])
+                            if site is None:
+                                continue
+                            for a in case.kids[site["node_idx"]]:
+                                if a["arg_index"] == 0:
+                                    steps.append((a["node_idx"],
+                                                  ((a["node_idx"], True),) + path,
+                                                  cdepth + 1, stack))
             if is_ctor:
                 for a in case.kids[cur]:  # ctor args taint the new object
                     if a["arg_index"] >= 1:
@@ -1021,6 +1119,10 @@ def case_flow_facts(rows: list[dict], flow_specs: list[dict],
                         f"pairs={len({(p[0], p[-1]) for p in paths})}"))
         elif "count" in f:  # size-only assertion in the reference test
             out.append((f["name"], f"count={len(serialized)}"))
+        elif "result_count" in f:
+            # `.size` over the deduplicated result set — counts one per
+            # (source, sink) result, not per distinct serialization
+            out.append((f["name"], f"results={len(paths)}"))
         elif "nonempty" in f:  # `.isEmpty shouldBe false` assertions
             out.append((f["name"],
                         f"nonempty={str(bool(paths)).lower()}"))
