@@ -1290,6 +1290,7 @@ class CParser:
                         init.add(e)
                 else:
                     init = self.parse_assignment_expr()
+                self.note_init_dynamic_type(loc, init)
                 ident = N(M.IDENTIFIER, code=name, name=name, type_full_name=ty,
                           line=name_tok.line, arg_index=1)
                 ident.ref_target = loc
@@ -1517,6 +1518,12 @@ class CParser:
         """Language hook at `<ident> ::`: Java builds a METHOD_REF
         (`Bar::bar`, MethodRefTests.scala); C++ returns None and keeps the
         qualified-name loop."""
+        return None
+
+    def note_init_dynamic_type(self, decl: "N", init: "N") -> None:
+        """Language hook: a declaration initialized from a constructor call
+        records the constructed type as the declaration's dynamic type
+        (javasrc resolves receiver calls through it — anonymous classes)."""
         return None
 
     def identifier_expr(self, node: "N") -> "N":

@@ -243,7 +243,13 @@ class JavaParser(CParser):
         fld.arg_index = 2
         fa.add(base)
         fa.add(fld)
+        fa.ref_target = d  # fieldAccess REF -> MEMBER (FieldAccessLinkerPass)
         return fa
+
+    def note_init_dynamic_type(self, decl: "N", init: "N") -> None:
+        if init.kind == M.CALL and init.name == M.CONSTRUCTOR \
+                and init.type_full_name not in ("", M.ANY):
+            self.dyn_ty[id(decl)] = init.type_full_name
 
     def unresolved_ident_type(self, name: str) -> str:
         """A bare identifier with no local/param/field in scope that names a
@@ -306,6 +312,18 @@ class JavaParser(CParser):
         # name, line)] (RecordTests.scala:10-131)
         self.record_components: dict[str, list[tuple[str, str, str, int]]] = {}
         self.compact_ctor_classes: set[str] = set()
+        # anonymous-class naming context (AnonymousClassTests.scala): a
+        # stack of (context prefix, enclosing class fullname, is_static) —
+        # the prefix is the enclosing method's `Class.method`, a field
+        # initializer's `Class.field`, or a lambda's fullname; anon decls
+        # become `{prefix}.{Super}$N` with N counted per prefix
+        self.anon_ctx: list[tuple[str, str, bool]] = []
+        self.anon_counts: dict[str, int] = {}
+        # declaration node id -> constructed (dynamic) type: locals/members
+        # initialized with `new X(...)` resolve receiver calls through X
+        # first (AnonymousClassTests: `b.bar()` on an anonymous-class value
+        # names `foo.Foo.foo.Bar$0.bar:void()`)
+        self.dyn_ty: dict[int, str] = {}
 
     # ---------------- naming ----------------
     def resolve_type(self, name: str) -> str:
@@ -1341,11 +1359,17 @@ class JavaParser(CParser):
             return  # array initializer — leave to the skip loop
         save = self.pos
         self.next()
+        self.anon_ctx.append((f"{class_full}.{name}", class_full, is_static))
         try:
             init = self.parse_assignment_expr()
         except Exception:
             self.pos = save
             return
+        finally:
+            self.anon_ctx.pop()
+        member = self.lookup(name)
+        if member is not None and member.kind == M.MEMBER:
+            self.note_init_dynamic_type(member, init)
         if is_static:
             self.static_inits.setdefault(class_full, []).append(
                 (name, raw_ty or ty, init, line))
@@ -1418,7 +1442,12 @@ class JavaParser(CParser):
             if pname:
                 self.declare(pname, p)
         if body:
-            blk = self.parse_compound()
+            self.anon_ctx.append((f"{class_full}.{name}", class_full,
+                                  is_static))
+            try:
+                blk = self.parse_compound()
+            finally:
+                self.anon_ctx.pop()
             method.add(blk)
             method.line_end = blk.line_end
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=ret_ty,
@@ -1932,6 +1961,7 @@ class JavaParser(CParser):
                     init = self.parse_array_initializer(ty)
                 else:
                     init = self.parse_assignment_expr()
+                self.note_init_dynamic_type(loc, init)
                 ident = N(M.IDENTIFIER, code=name, name=name, type_full_name=ty,
                           line=name_tok.line, arg_index=1)
                 ident.ref_target = loc
@@ -1962,7 +1992,9 @@ class JavaParser(CParser):
         if t is None:
             raise ParseError("EOF in expression")
         if t.v == "new":
-            return self.parse_new()
+            # postfix chains continue off the construction
+            # (`new Thread(...).start()`)
+            return self.parse_postfix_ops(self.parse_new(), t)
         # lambda `(a, b) -> expr` or `x -> expr`
         if t.v == "(" or t.t == "id":
             k = self.pos
@@ -2112,8 +2144,8 @@ class JavaParser(CParser):
                     self.next()
             self.next()
         end = self.toks[self.pos - 1]
-        if self.at("{"):  # anonymous class body — skip
-            end = self.skip_balanced("{", "}")
+        if self.at("{"):  # anonymous class body
+            return self._parse_anon_class(ty, args, op_tok, end)
         # javasrc2cpg-style: constructor invocation CALL named <init> with
         # methodFullName Type.<init>:void(...) (Defines.scala:25)
         known = self.class_methods.get(ty, {}).get(M.CONSTRUCTOR)
@@ -2133,6 +2165,102 @@ class JavaParser(CParser):
         for i, a in enumerate(args, start=1):
             a.arg_index = i
             call.add(a)
+        return call
+
+    def _parse_anon_class(self, super_full: str, args: list["N"],
+                          op_tok: "Tok", hdr_end: "Tok") -> "N":
+        """`new Bar(...) { members }` — an anonymous TYPE_DECL named
+        `Bar$N` with fullname `{context}.Bar$N` where the context is the
+        enclosing method (`foo.Foo.foo`), field initializer (`foo.Foo.b`)
+        or lambda fullname, and N counts anonymous classes per context
+        (AnonymousClassTests.scala). The decl inherits ONLY the written
+        supertype; a default `<init>:void()` takes an `outerClass`
+        parameter (assigned first in the body) in instance contexts. The
+        expression value is the `<init>` CALL typed as the anonymous
+        class, with the TYPE_DECL attached as an AST-only child."""
+        if self.anon_ctx:
+            ctx, encl_cls, is_static = self.anon_ctx[-1]
+        else:
+            encl_cls = self.qual("").rstrip(".$") or self.package
+            ctx, is_static = encl_cls, True
+        idx = self.anon_counts.get(ctx, 0)
+        self.anon_counts[ctx] = idx + 1
+        simple = super_full.split(".")[-1].split("$")[-1]
+        name = f"{simple}${idx}"
+        full = f"{ctx}.{name}"
+        decl = N(M.TYPE_DECL, code=f"new {simple}(...) {{...}}", name=name,
+                 full_name=full, inherits_from=[super_full],
+                 line=op_tok.line, ast_parent_type=M.METHOD,
+                 ast_parent_full_name=ctx)
+        self.class_supers[full] = [super_full]
+        self.class_methods.setdefault(full, {})
+        self.expect("{")
+        self.push_scope()
+        self._prescan_members(full)
+        while self.peek() is not None and not self.at("}"):
+            member = self.parse_member(full, "class")
+            if member is not None:
+                decl.add(*member) if isinstance(member, list) else decl.add(member)
+        if self.at("}"):
+            self.next()
+        self.pop_scope()
+        # default constructor: this + (instance context) outerClass param
+        # with `this.outerClass = outerClass` first, then member inits
+        inits = self.member_inits.pop(full, [])
+        line = op_tok.line
+        ctor = N(M.METHOD, code=f"{name}()", name=M.CONSTRUCTOR,
+                 full_name=f"{full}.{M.CONSTRUCTOR}:void()",
+                 signature="void()", line=line, ast_parent_type=M.TYPE_DECL,
+                 ast_parent_full_name=full)
+        this = N(M.METHOD_PARAMETER_IN, code="this", name="this",
+                 type_full_name=full, param_index=0, line=line,
+                 evaluation_strategy=M.BY_SHARING)
+        ctor.add(this)
+        body = N(M.BLOCK, line=line)
+        if not is_static:
+            outer = N(M.METHOD_PARAMETER_IN, code=f"{encl_cls} outerClass",
+                      name="outerClass", type_full_name=encl_cls,
+                      param_index=1, line=line,
+                      evaluation_strategy=M.BY_SHARING)
+            ctor.add(outer)
+            this_id = N(M.IDENTIFIER, code="this", name="this",
+                        type_full_name=full, arg_index=1, line=line)
+            this_id.ref_target = this
+            fld = N(M.FIELD_IDENTIFIER, code="outerClass", name="outerClass",
+                    canonical_name="outerClass", arg_index=2, line=line)
+            fa = N(M.CALL, code="this.outerClass", name=M.OP_FIELD_ACCESS,
+                   method_full_name=M.OP_FIELD_ACCESS,
+                   dispatch_type=M.STATIC_DISPATCH, type_full_name=encl_cls,
+                   arg_index=1, line=line)
+            fa.add(this_id, fld)
+            outer_id = N(M.IDENTIFIER, code="outerClass", name="outerClass",
+                         type_full_name=encl_cls, arg_index=2, line=line)
+            outer_id.ref_target = outer
+            asg = N(M.CALL, code="this.outerClass = outerClass",
+                    name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
+                    dispatch_type=M.STATIC_DISPATCH, type_full_name=encl_cls,
+                    line=line)
+            asg.add(fa, outer_id)
+            body.add(asg)
+        for fname, fty, init, iline in inits:
+            body.add(self._member_init_assign(full, fname, fty, init,
+                                              iline, this))
+        ctor.add(body)
+        ctor.line_end = line
+        ctor.add(N(M.METHOD_RETURN, code="RET", type_full_name="void",
+                   evaluation_strategy=M.BY_VALUE, line=line))
+        decl.add(ctor)
+        self.class_methods[full].setdefault(M.CONSTRUCTOR, []).append(
+            (ctor.full_name, False, []))
+        self._emit_external_bindings(decl, full)
+        call = N(M.CALL, code=self.slice(op_tok, hdr_end), name=M.CONSTRUCTOR,
+                 method_full_name=ctor.full_name,
+                 dispatch_type=M.STATIC_DISPATCH, line=op_tok.line,
+                 type_full_name=full)
+        for i, a in enumerate(args, start=1):
+            a.arg_index = i
+            call.add(a)
+        call.add(decl)
         return call
 
     def parse_lambda(self) -> N:
@@ -2165,16 +2293,22 @@ class JavaParser(CParser):
             method.add(p)
             self.declare(pname, p)
         self.expect("->")
-        if self.at("{"):
-            method.add(self.parse_compound())
-        else:
-            body = self.parse_assignment_expr()
-            blk = N(M.BLOCK, code="", line=start.line, type_full_name="void")
-            ret = N(M.RETURN, code=f"return {body.code}", line=body.line)
-            body.arg_index = 1
-            ret.add(body)
-            blk.add(ret)
-            method.add(blk)
+        encl_cls = self.anon_ctx[-1][1] if self.anon_ctx else owner
+        is_static = self.anon_ctx[-1][2] if self.anon_ctx else False
+        self.anon_ctx.append((full, encl_cls, is_static))
+        try:
+            if self.at("{"):
+                method.add(self.parse_compound())
+            else:
+                body = self.parse_assignment_expr()
+                blk = N(M.BLOCK, code="", line=start.line, type_full_name="void")
+                ret = N(M.RETURN, code=f"return {body.code}", line=body.line)
+                body.arg_index = 1
+                ret.add(body)
+                blk.add(ret)
+                method.add(blk)
+        finally:
+            self.anon_ctx.pop()
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                      evaluation_strategy=M.BY_VALUE, line=start.line))
         self.pop_scope()
@@ -2364,6 +2498,10 @@ class JavaParser(CParser):
                 self.next()
         close = self.expect(")")
         recv_ty = self.resolve_type(receiver.type_full_name)
+        # prefer the receiver's recorded dynamic (constructed) type
+        d = getattr(receiver, "ref_target", None)
+        if d is not None and id(d) in self.dyn_ty:
+            recv_ty = self.dyn_ty[id(d)]
         name = fld_tok.v
         # walk the receiver type's inheritance chain; the fullname prefix
         # stays the receiver's STATIC type (CallTests "call to method in

@@ -2272,3 +2272,184 @@ class Bar {
         cite=f"{JQ}/AnnotationTests.scala:9-29",
     ),
 ]
+
+
+CASES += [
+    # AnonymousClassTests.scala:19-51 — anonymous classes under lambdas get
+    # per-context `$N` indices and lambda-fullname prefixes.
+    dict(
+        name="java-anon-lambda", lang="java", wrap=False,
+        code="""
+package foo;
+
+public class Foo {
+
+    private static FirstProvider method1() {
+        return firstTask -> {
+            firstTask.doFirst(new Action() { });
+        };
+    }
+
+    private SecondProvider method2() {
+        return secondTask -> {
+            secondTask.doSecond(new Action() { });
+        };
+    }
+}
+""",
+        mcount=[("foo.Foo.<lambda>0.Action$0.<init>:void()", 1),
+                ("foo.Foo.<lambda>1.Action$0.<init>:void()", 1)],
+        cite="querying/AnonymousClassTests.scala:19-51 (mixed static/"
+             "non-static anonymous classes as children of lambdas)",
+    ),
+    # :53-135 — anonymous class extending an interface in a method body:
+    # naming, inheritance, bindings for the explicit method, the default
+    # constructor's this/outerClass parameters and body, and the <init>
+    # call site. (Argument-level lowering of the construction — receiver +
+    # outerClass arguments at the call — is not asserted here: this engine
+    # keeps the single-call `new` lowering.)
+    dict(
+        name="java-anon-interface", lang="java", wrap=False,
+        code="""
+package foo;
+
+interface Bar {
+  void bar();
+}
+
+class Foo {
+  static void sink(String s) {}
+
+  void foo() {
+    Bar b = new Bar() {
+      public void bar() {
+        sink("BAR");
+      }
+    };
+
+    b.bar();
+  }
+}
+""",
+        inherits=[("Bar", "java.lang.Object"),
+                  ("Foo", "java.lang.Object"),
+                  ("Bar$0", "foo.Bar")],
+        bindings=[("Bar:bar", "void()->foo.Bar.bar:void()"),
+                  ("Bar$0:bar", "void()->foo.Foo.foo.Bar$0.bar:void()"),
+                  ("Bar$0:<init>", "void()->foo.Foo.foo.Bar$0.<init>:void()"),
+                  ("Foo:sink",
+                   "void(java.lang.String)->foo.Foo.sink:void(java.lang.String)"),
+                  ("Foo:<init>", "void()->foo.Foo.<init>:void()")],
+        mcount=[("foo.Foo.foo.Bar$0.<init>:void()", 1),
+                ("foo.Foo.foo.Bar$0.bar:void()", 1)],
+        params=[("<init>.this", "0:foo.Foo.foo.Bar$0:BY_SHARING"),
+                ("<init>.this", "0:foo.Foo:BY_SHARING"),
+                ("<init>.outerClass", "1:foo.Foo:BY_SHARING")],
+        callmfn=[("<init>", "foo.Foo.foo.Bar$0.<init>:void()"),
+                 ("bar", "foo.Foo.foo.Bar$0.bar:void()"),
+                 ("sink", "foo.Foo.sink:void(java.lang.String)")],
+        nodetype={("new Bar()", 0, "CALL"): "foo.Foo.foo.Bar$0"},
+        cite="querying/AnonymousClassTests.scala:53-135",
+    ),
+    # :137-190 — anonymous class in an instance field initializer: the
+    # `foo.Foo.b.Bar$0` naming and construction inside Foo's <init>.
+    dict(
+        name="java-anon-field", lang="java", wrap=False,
+        code="""
+package foo;
+
+interface Bar {
+  void bar();
+}
+
+class Foo {
+  Bar b = new Bar() {
+    void bar() {
+      sink("BAR");
+    }
+  };
+
+  void foo() {
+    b.bar();
+  }
+}
+""",
+        inherits=[("Bar$0", "foo.Bar")],
+        mcount=[("foo.Foo.b.Bar$0.<init>:void()", 1),
+                ("foo.Foo.b.Bar$0.bar:void()", 1)],
+        callmfn=[("<init>", "foo.Foo.b.Bar$0.<init>:void()"),
+                 ("bar", "foo.Foo.b.Bar$0.bar:void()")],
+        cite="querying/AnonymousClassTests.scala:137-190",
+    ),
+    # :192-232 — anonymous class in a STATIC field initializer: same
+    # naming; construction moves to <clinit>; no outerClass parameter.
+    dict(
+        name="java-anon-static-field", lang="java", wrap=False,
+        code="""
+package foo;
+
+interface Bar {
+  void bar();
+}
+
+class Foo {
+  static Bar b = new Bar() {
+    public void bar() {
+      sink("BAR");
+    }
+  };
+
+  void foo() {
+    b.bar();
+  }
+}
+""",
+        mcount=[("foo.Foo.b.Bar$0.<init>:void()", 1),
+                ("foo.Foo.<clinit>:void()", 1)],
+        params=[("<init>.this", "0:foo.Foo.b.Bar$0:BY_SHARING"),
+                ("<init>.this", "0:foo.Foo:BY_SHARING")],
+        callmfn=[("<init>", "foo.Foo.b.Bar$0.<init>:void()"),
+                 ("bar", "foo.Foo.b.Bar$0.bar:void()")],
+        cite="querying/AnonymousClassTests.scala:192-232",
+    ),
+    # :306-360 — multiple anonymous classes in the same method get
+    # distinct indices, matched to their constructors and value types.
+    dict(
+        name="java-anon-multiple", lang="java", wrap=False,
+        code="""
+package foo;
+
+interface Bar {
+  void bar();
+}
+
+class Foo {
+  void foo() {
+    Bar a = new Bar() {
+      void bar() {
+        sink("A");
+      }
+    };
+    Bar b = new Bar() {
+      void bar() {
+        sink("B");
+      }
+    };
+
+    a.bar();
+    b.bar();
+  }
+}
+""",
+        inherits=[("Bar$0", "foo.Bar"), ("Bar$1", "foo.Bar")],
+        mcount=[("foo.Foo.foo.Bar$0.<init>:void()", 1),
+                ("foo.Foo.foo.Bar$1.<init>:void()", 1)],
+        callmfn=[("<init>", "foo.Foo.foo.Bar$0.<init>:void()"),
+                 ("<init>", "foo.Foo.foo.Bar$1.<init>:void()"),
+                 ("bar", "foo.Foo.foo.Bar$0.bar:void()"),
+                 ("bar", "foo.Foo.foo.Bar$1.bar:void()")],
+        nodetype={("new Bar()", 0, "CALL"): "foo.Foo.foo.Bar$0",
+                  ("new Bar()", 1, "CALL"): "foo.Foo.foo.Bar$1"},
+        cite="querying/AnonymousClassTests.scala:306-360",
+    ),
+]
