@@ -199,7 +199,7 @@ class JavaParser(CParser):
                     break
                 stack.extend(self.class_supers.get(c, []))
         if entries:
-            sig = entries[0][0].split(":", 1)[1]
+            sig = entries[0][0].rsplit(":", 1)[1]
             mfn, node_ty = f"{ty}.{mname}:{sig}", ty
         elif ty and ty != M.ANY:
             mfn, node_ty = f"{ty}.{mname}:{M.UNRESOLVED_SIGNATURE}", ty
@@ -699,10 +699,11 @@ class JavaParser(CParser):
         self.next()
         return None
 
-    def parse_java_class(self, kw: str) -> N:
+    def parse_java_class(self, kw: str, full_override: str | None = None,
+                         name_override: str | None = None) -> N:
         kw_tok = self.next()
         name = self.next().v
-        full = self.qual(name)
+        full = full_override or self.qual(name)
         self.declared_types[name] = full
         self.typedefs.add(name)
         # class-level type parameters erase for the whole body
@@ -757,7 +758,8 @@ class JavaParser(CParser):
         # nested type-decl NAME carries the $-joined path from the top-level
         # class (cpg.typeDecl.nameExact("OuterClass$InnerInterface"),
         # TypeDeclTests.scala:407-409); code keeps the simple name
-        disp_name = "$".join([p for p in self.ns if p] + [name]) if self.ns else name
+        disp_name = name_override or (
+            "$".join([p for p in self.ns if p] + [name]) if self.ns else name)
         decl = N(M.TYPE_DECL, code=f"{kw} {name}", name=disp_name, full_name=full,
                  inherits_from=inherits or None, line=kw_tok.line,
                  ast_parent_type=M.NAMESPACE_BLOCK,
@@ -1359,7 +1361,8 @@ class JavaParser(CParser):
             return  # array initializer — leave to the skip loop
         save = self.pos
         self.next()
-        self.anon_ctx.append((f"{class_full}.{name}", class_full, is_static))
+        self.anon_ctx.append((f"{class_full}.{name}", class_full, is_static,
+                              None))
         try:
             init = self.parse_assignment_expr()
         except Exception:
@@ -1443,7 +1446,7 @@ class JavaParser(CParser):
                 self.declare(pname, p)
         if body:
             self.anon_ctx.append((f"{class_full}.{name}", class_full,
-                                  is_static))
+                                  is_static, full_name))
             try:
                 blk = self.parse_compound()
             finally:
@@ -1518,7 +1521,109 @@ class JavaParser(CParser):
             cst = M.CS_BREAK if kw.v == "break" else M.CS_CONTINUE
             return [N(M.CONTROL_STRUCTURE, code=self.slice(kw, semi),
                       control_structure_type=cst, jump_label=label, line=kw.line)]
+        if t.v in ("class", "interface", "enum", "record") \
+                and self.peek(1) is not None and self.peek(1).t == "id":
+            return [self._parse_local_class(t.v)]
         return super().parse_statement()
+
+    def _parse_local_class(self, kw: str) -> N:
+        """Class declared inside a method body (LocalClassTests.scala):
+        fullname `{enclosingMethodFullName}.{Name}`; captured enclosing
+        locals/params become MEMBERs plus constructor parameters (after
+        `outerClass` in instance contexts, alphabetical) with
+        `this.<x> = <x>` assignments first in every constructor body."""
+        mfn = self.anon_ctx[-1][3] if self.anon_ctx else None
+        name = self.peek(1).v
+        full = f"{mfn}.{name}" if mfn else None
+        decl = self.parse_java_class(kw, full_override=full,
+                                     name_override=name)
+        if decl is None:
+            return decl
+        encl_cls = self.anon_ctx[-1][1] if self.anon_ctx else ""
+        is_static = self.anon_ctx[-1][2] if self.anon_ctx else True
+        # captured = identifiers referencing LOCAL/PARAM declarations
+        # OUTSIDE the local class subtree (members capture via outerClass)
+        inside: set[int] = set()
+
+        def collect(n: N) -> None:
+            inside.add(id(n))
+            for c in n.children:
+                collect(c)
+        collect(decl)
+        captured: dict[str, N] = {}
+
+        def find(n: N) -> None:
+            d = n.ref_target
+            if n.kind == M.IDENTIFIER and d is not None \
+                    and id(d) not in inside and n.name != "this" \
+                    and d.kind in (M.LOCAL, M.METHOD_PARAMETER_IN):
+                captured.setdefault(d.name, d)
+            for c in n.children:
+                find(c)
+        find(decl)
+        cap_names = sorted(captured)
+        line = decl.line
+        full = decl.full_name
+        if not is_static and encl_cls:
+            decl.add(N(M.MEMBER, code="outerClass", name="outerClass",
+                       type_full_name=encl_cls, line=line,
+                       ast_parent_type=M.TYPE_DECL,
+                       ast_parent_full_name=full))
+        for nm in cap_names:
+            decl.add(N(M.MEMBER, code=nm, name=nm,
+                       type_full_name=captured[nm].type_full_name, line=line,
+                       ast_parent_type=M.TYPE_DECL,
+                       ast_parent_full_name=full))
+        for ctor in decl.children:
+            if ctor.kind != M.METHOD or ctor.name != M.CONSTRUCTOR:
+                continue
+            this = next((c for c in ctor.children
+                         if c.kind == M.METHOD_PARAMETER_IN
+                         and c.name == "this"), None)
+            body = next((c for c in ctor.children if c.kind == M.BLOCK), None)
+            if this is None or body is None:
+                continue
+            n_params = sum(1 for c in ctor.children
+                           if c.kind == M.METHOD_PARAMETER_IN)
+            new_params: list[N] = []
+            assigns: list[N] = []
+            ordered = ([("outerClass", encl_cls)]
+                       if not is_static and encl_cls else [])
+            ordered += [(nm, captured[nm].type_full_name)
+                        for nm in cap_names]
+            for off, (nm, ty) in enumerate(ordered):
+                p = N(M.METHOD_PARAMETER_IN, code=f"{ty} {nm}", name=nm,
+                      type_full_name=ty, param_index=n_params + off,
+                      line=line, evaluation_strategy=(
+                          M.BY_VALUE if ty in JAVA_PRIMITIVES
+                          else M.BY_SHARING))
+                new_params.append(p)
+                this_id = N(M.IDENTIFIER, code="this", name="this",
+                            type_full_name=full, arg_index=1, line=line)
+                this_id.ref_target = this
+                fld = N(M.FIELD_IDENTIFIER, code=nm, name=nm,
+                        canonical_name=nm, arg_index=2, line=line)
+                fa = N(M.CALL, code=f"this.{nm}", name=M.OP_FIELD_ACCESS,
+                       method_full_name=M.OP_FIELD_ACCESS,
+                       dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
+                       arg_index=1, line=line)
+                fa.add(this_id, fld)
+                src = N(M.IDENTIFIER, code=nm, name=nm, type_full_name=ty,
+                        arg_index=2, line=line)
+                src.ref_target = p
+                asg = N(M.CALL, code=f"this.{nm} = {nm}",
+                        name=M.OP_ASSIGNMENT,
+                        method_full_name=M.OP_ASSIGNMENT,
+                        dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
+                        line=line)
+                asg.add(fa, src)
+                assigns.append(asg)
+            # params after the existing ones; assignments first in the body
+            insert_at = next((i for i, c in enumerate(ctor.children)
+                              if c.kind not in (M.METHOD_PARAMETER_IN,)), 0)
+            ctor.children[insert_at:insert_at] = new_params
+            body.children[0:0] = assigns
+        return decl
 
     def parse_for(self) -> N:
         # foreach: for (T x : coll) body
@@ -2179,7 +2284,7 @@ class JavaParser(CParser):
         expression value is the `<init>` CALL typed as the anonymous
         class, with the TYPE_DECL attached as an AST-only child."""
         if self.anon_ctx:
-            ctx, encl_cls, is_static = self.anon_ctx[-1]
+            ctx, encl_cls, is_static = self.anon_ctx[-1][:3]
         else:
             encl_cls = self.qual("").rstrip(".$") or self.package
             ctx, is_static = encl_cls, True
@@ -2295,7 +2400,7 @@ class JavaParser(CParser):
         self.expect("->")
         encl_cls = self.anon_ctx[-1][1] if self.anon_ctx else owner
         is_static = self.anon_ctx[-1][2] if self.anon_ctx else False
-        self.anon_ctx.append((full, encl_cls, is_static))
+        self.anon_ctx.append((full, encl_cls, is_static, full))
         try:
             if self.at("{"):
                 method.add(self.parse_compound())
@@ -2420,7 +2525,7 @@ class JavaParser(CParser):
             if entries:
                 fullname, is_static, _pt = self._pick_overload(
                     entries, args or [])
-                sig = fullname.split(":", 1)[1] if ":" in fullname else ""
+                sig = fullname.rsplit(":", 1)[1] if ":" in fullname else ""
                 return f"{cur}.{name}:{sig}", is_static
             stack.extend(self.class_supers.get(c, []))
         for c in chain[1:]:
@@ -2452,7 +2557,7 @@ class JavaParser(CParser):
             dispatch = M.STATIC_DISPATCH if is_static else M.DYNAMIC_DISPATCH
             if ":" in resolved:
                 args = self._pack_varargs(
-                    name, resolved.split(":", 1)[1], args, start.line)
+                    name, resolved.rsplit(":", 1)[1], args, start.line)
         else:
             # unresolved unqualified call: prefixed with the enclosing class
             # when there is one (CallTests "calls with unresolved receivers":
@@ -2465,7 +2570,7 @@ class JavaParser(CParser):
             dispatch = M.DYNAMIC_DISPATCH
         call = N(M.CALL, code=self.slice(start, close), name=name,
                  method_full_name=mfn, dispatch_type=dispatch,
-                 signature=resolved.split(":", 1)[1] if resolved and ":" in resolved else "",
+                 signature=resolved.rsplit(":", 1)[1] if resolved and ":" in resolved else "",
                  line=start.line)
         if dispatch == M.DYNAMIC_DISPATCH:
             # implicit `this` receiver for unqualified instance calls
@@ -2523,7 +2628,7 @@ class JavaParser(CParser):
         if info is not None:
             found_fn, is_static, _pt = info
             dispatch = M.STATIC_DISPATCH if is_static else M.DYNAMIC_DISPATCH
-            sig = found_fn.split(":", 1)[1] if ":" in found_fn else ""
+            sig = found_fn.rsplit(":", 1)[1] if ":" in found_fn else ""
             mfn = f"{recv_ty}.{name}:{sig}"
             args = self._pack_varargs(name, sig, args, start.line)
         elif recv_ty and recv_ty != M.ANY:

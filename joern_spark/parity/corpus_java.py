@@ -2453,3 +2453,135 @@ class Foo {
         cite="querying/AnonymousClassTests.scala:306-360",
     ),
 ]
+
+
+CASES += [
+    # LocalClassTests.scala:10-183 — a class declared in a method body:
+    # `{methodFullName}.{Name}` naming, captured locals/params as MEMBERs
+    # plus constructor parameters (outerClass first in instance contexts,
+    # then alphabetical) with `this.<x> = <x>` assignments.
+    dict(
+        name="java-local-class", lang="java", wrap=False,
+        code="""
+package foo;
+
+class Foo {
+    int capturedMember;
+    static int staticMember;
+
+    void enclosingMethod(int capturedParam) {
+        int capturedLocal = 1;
+        class Local {
+            void noCaptures(int localParam) {
+                sink(localParam);
+            }
+
+            void capturesParam() {
+                sink(capturedParam);
+            }
+
+            void capturesMember() {
+                sink(capturedMember);
+            }
+
+            void capturesLocal() {
+                sink(capturedLocal);
+            }
+
+            void staticAccess() {
+                sink(staticMember);
+            }
+        };
+    }
+}
+""",
+        inherits=[("Local", "java.lang.Object")],
+        bindings=[("Local:noCaptures",
+                   "void(int)->foo.Foo.enclosingMethod:void(int).Local."
+                   "noCaptures:void(int)"),
+                  ("Local:<init>",
+                   "void()->foo.Foo.enclosingMethod:void(int).Local."
+                   "<init>:void()")],
+        members=[("Local.outerClass", "foo.Foo"),
+                 ("Local.capturedLocal", "int"),
+                 ("Local.capturedParam", "int")],
+        mcount=[("foo.Foo.enclosingMethod:void(int).Local.noCaptures:void(int)", 1),
+                ("foo.Foo.enclosingMethod:void(int).Local.<init>:void()", 1)],
+        params=[("<init>.this",
+                 "0:foo.Foo.enclosingMethod:void(int).Local:BY_SHARING"),
+                ("<init>.this", "0:foo.Foo:BY_SHARING"),
+                ("<init>.outerClass", "1:foo.Foo:BY_SHARING"),
+                ("<init>.capturedLocal", "2:int:BY_VALUE"),
+                ("<init>.capturedParam", "3:int:BY_VALUE")],
+        ast={("this.outerClass = outerClass", 0, "CALL"):
+                 ["this.outerClass", "outerClass"],
+             ("this.capturedLocal = capturedLocal", 0, "CALL"):
+                 ["this.capturedLocal", "capturedLocal"],
+             ("this.capturedParam = capturedParam", 0, "CALL"):
+                 ["this.capturedParam", "capturedParam"]},
+        cite="querying/LocalClassTests.scala:10-183 (simple local classes)",
+    ),
+    # :185-290 — static enclosing method: no outerClass member/parameter.
+    dict(
+        name="java-local-class-static", lang="java", wrap=False,
+        code="""
+package foo;
+
+class Foo {
+    int member;
+    static int staticMember;
+
+    static void enclosingMethod(int capturedParam) {
+        int capturedLocal = 1;
+        class Local {
+            void noCaptures(int localParam) {
+                sink(localParam);
+            }
+
+            void capturesParam() {
+                sink(capturedParam);
+            }
+
+            void staticAccess() {
+                sink(staticMember);
+            }
+
+            void capturesLocal() {
+                sink(capturedLocal);
+            }
+        };
+    }
+}
+""",
+        members=[("Local.capturedLocal", "int"),
+                 ("Local.capturedParam", "int")],
+        params=[("<init>.this",
+                 "0:foo.Foo.enclosingMethod:void(int).Local:BY_SHARING"),
+                ("<init>.this", "0:foo.Foo:BY_SHARING"),
+                ("<init>.capturedLocal", "1:int:BY_VALUE"),
+                ("<init>.capturedParam", "2:int:BY_VALUE")],
+        mcount=[("foo.Foo.enclosingMethod:void(int).Local.<init>:void()", 1)],
+        cite="querying/LocalClassTests.scala:185-290 (static context)",
+    ),
+    # :310-375 — construction of a capture-less local class resolves to
+    # the local fullname's constructor.
+    dict(
+        name="java-local-class-new", lang="java", wrap=False,
+        code="""
+package foo;
+
+class Foo {
+    void enclosingMethod() {
+        class Local { }
+
+        Local l = new Local();
+    }
+}
+""",
+        members=[("Local.outerClass", "foo.Foo")],
+        callmfn=[("<init>",
+                  "foo.Foo.enclosingMethod:void().Local.<init>:void()")],
+        mcount=[("foo.Foo.enclosingMethod:void().Local.<init>:void()", 1)],
+        cite="querying/LocalClassTests.scala:310-375",
+    ),
+]
