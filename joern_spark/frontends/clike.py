@@ -230,6 +230,12 @@ class CParser:
         self.in_expansion = False
         self.macro_methods: list[N] = []
         self.macro_stubbed: set[str] = set()
+        # C++ class context: per-class member/method registries feeding the
+        # implicit `this->member` wrap and receiver-typed member-call
+        # resolution (ClassTypeTests.scala example 3)
+        self.cpp_members: list[tuple[str, dict[str, str]]] = []
+        self.cpp_class_methods: dict[str, dict[str, tuple[str, str, str]]] = {}
+        self.cpp_supers: dict[str, list[str]] = {}
 
     # ---------------- token helpers ----------------
     def peek(self, k=0) -> Tok | None:
@@ -480,6 +486,23 @@ class CParser:
             self.next()
             if self.at("<"):
                 self.skip_balanced("<", ">")
+                if self.at_any(("class", "struct", "union")) \
+                        and self.peek(1) is not None \
+                        and self.peek(1).t == "id" \
+                        and self.at(";", 2):
+                    # template forward declaration — a TYPE_DECL with no
+                    # body (TemplateTypeTests: `template<...> class Y;` and
+                    # `template<...> struct Foo;` each yield one decl)
+                    kw2 = self.next()
+                    nm = self.next().v
+                    self.next()  # ;
+                    full = self.qual(nm)
+                    self.typedefs.add(nm)
+                    self.declared_types.setdefault(nm, full)
+                    return N(M.TYPE_DECL, code=f"{kw2.v} {nm}", name=nm,
+                             full_name=full, line=kw2.line,
+                             ast_parent_type=M.NAMESPACE_BLOCK,
+                             ast_parent_full_name=self.global_block)
                 return self.parse_top_level()
             self.skip_to_semicolon()
             return None
@@ -509,23 +532,7 @@ class CParser:
                 and self.peek(2) is not None and self.peek(2).v in ("{", ":"):
             return self.parse_class()
         if t.v == "enum":
-            self.next()
-            if self.at("class") or self.at("struct"):
-                self.next()
-            name = self.next().v if self.peek() and self.peek().t == "id" else ""
-            if self.at(":"):
-                self.next()
-                self.parse_type()
-            if self.at("{"):
-                self.skip_balanced("{", "}")
-            if self.at(";"):
-                self.next()
-            if name:
-                return N(M.TYPE_DECL, code=f"enum {name}", name=name,
-                         full_name=self.qual(name), line=t.line,
-                         ast_parent_type=M.NAMESPACE_BLOCK,
-                         ast_parent_full_name=self.global_block)
-            return None
+            return self.parse_enum(t)
         if t.v == "extern" and self.peek(1) is not None and self.peek(1).t == "str":
             # extern "C": free functions inside take PLAIN C naming — no
             # namespace qual, no :signature suffix (MethodTests.scala
@@ -550,22 +557,78 @@ class CParser:
         return self.parse_declaration_or_function()
 
     def parse_namespace(self):
-        self.next()
-        name = self.next().v if self.peek() and self.peek().t == "id" else ""
+        kw = self.next()
+        # `namespace Q` or C++17 `namespace Q::V` — each segment gets its
+        # own NAMESPACE_BLOCK named `{file}:{dotted}` (NamespaceTypeTests:
+        # Q -> "Test0.cpp:Q", V -> "Test0.cpp:Q.V")
+        segs: list[str] = []
+        if self.peek() and self.peek().t == "id":
+            segs.append(self.next().v)
+            while self.at("::") and self.peek(1) is not None \
+                    and self.peek(1).t == "id":
+                self.next()
+                segs.append(self.next().v)
         self.expect("{")
-        self.ns.append(name)
         out: list[N] = []
+        for seg in segs:
+            self.ns.append(seg)
+            dotted = ".".join(p for p in self.ns if p)
+            out.append(N(M.NAMESPACE_BLOCK, code=f"namespace {seg}",
+                         name=seg, full_name=f"{self.path}:{dotted}",
+                         line=kw.line))
+        if not segs:
+            self.ns.append("")
         while self.peek() is not None and not self.at("}"):
             r = self.parse_top_level()
             if r is not None:
                 out.extend(r if isinstance(r, list) else [r])
         if self.at("}"):
             self.next()
-        self.ns.pop()
+        for _ in (segs or [""]):
+            self.ns.pop()
         return out
 
     def parse_typedef(self):
         start = self.next()
+        if self.at("enum"):
+            # `typedef enum color { ... } C;` — the enum parses fully; the
+            # alias becomes a second TYPE_DECL, and the pair cross-link via
+            # aliasTypeFullName (EnumTypeTests "simple enum typedef":
+            # color.alias = C, C.alias = color)
+            decl = self.parse_enum(start)
+            alias = None
+            if self.peek() is not None and self.peek().t == "id":
+                alias = self.next().v
+            while self.peek() is not None and not self.at(";"):
+                self.next()
+            if self.at(";"):
+                self.next()
+            out = [decl] if decl is not None else []
+            if alias and decl is not None:
+                self.typedefs.add(alias)
+                decl.code = f"typedef {decl.code}"
+                decl.alias_type_full_name = alias
+                out.append(N(M.TYPE_DECL, code=f"typedef {decl.name} {alias}",
+                             name=alias, full_name=self.qual(alias),
+                             alias_type_full_name=decl.full_name,
+                             line=start.line,
+                             ast_parent_type=M.NAMESPACE_BLOCK,
+                             ast_parent_full_name=self.global_block))
+            return out
+        if self.at_any(("struct", "class", "union")) and self.at("{", 1):
+            # `typedef struct { ... } Name;` — the anonymous composite takes
+            # the typedef name (StructTypeTests "Typedef struct with
+            # member": typeDecl Foo with member bar)
+            alias = self._peek_typedef_alias()
+            if alias:
+                kw_tok = self.peek()
+                # splice the name in by parsing as `struct Name { ... }`
+                decl = self._parse_anon_composite(alias)
+                while self.peek() is not None and not self.at(";"):
+                    self.next()
+                if self.at(";"):
+                    self.next()
+                return decl
         if self.at_any(("struct", "class", "union")) and \
                 self.peek(1) is not None and self.peek(1).t == "id" and \
                 self.at("{", 2):
@@ -606,6 +669,230 @@ class CParser:
                  line=start.line, ast_parent_type=M.NAMESPACE_BLOCK,
                  ast_parent_full_name=self.global_block)
 
+    def _parse_range_for(self, kw: "Tok") -> "N":
+        """C++11 `for (type i : coll) body` — c2cpg's de-sugaring
+        (AstForStatementsCreator.scala:400-500): a surrounding BLOCK with
+        `<iterator>0` and loop-variable LOCALs, an
+        `<iterator>0 = coll.iterator()` assignment, and a WHILE control
+        structure (code `for (decl:coll)`) testing `<iterator>0.hasNext()`
+        whose body assigns `i = <iterator>0.next()` before the original
+        body (ForEachLoopTests.scala)."""
+        ITER = "std.iterator"
+        decl_start = self.peek()
+        while self.at("const") or self.at("auto"):
+            self.next()
+        ty = self.parse_type() if not self.at(":") else M.ANY
+        name = self.next().v if self.peek() is not None and \
+            self.peek().t == "id" else "<unnamed>"
+        decl_raw = self.slice(decl_start, self.toks[self.pos - 1])
+        self.expect(":")
+        coll_start = self.peek()
+        coll = self.parse_expression()
+        coll_raw = self.slice(coll_start, self.toks[self.pos - 1]) \
+            if coll_start is not None else ""
+        self.expect(")")
+        line = kw.line
+        self.push_scope()
+        it_name = "<iterator>0"
+        blk = N(M.BLOCK, code="", line=line, type_full_name="void")
+        it_loc = N(M.LOCAL, code=it_name, name=it_name, type_full_name=ITER,
+                   line=line)
+        item_loc = N(M.LOCAL, code=name, name=name, type_full_name=ty,
+                     line=line)
+        self.declare(it_name, it_loc)
+        self.declare(name, item_loc)
+        it_id = N(M.IDENTIFIER, code=it_name, name=it_name,
+                  type_full_name=ITER, arg_index=1, line=line)
+        it_id.ref_target = it_loc
+        icall = N(M.CALL, code=f"{coll_raw}.iterator()", name="iterator",
+                  method_full_name=f"{M.UNRESOLVED_NAMESPACE}.iterator:"
+                                   f"{ITER}()",
+                  signature=f"{ITER}()", dispatch_type=M.DYNAMIC_DISPATCH,
+                  type_full_name=ITER, arg_index=2, line=line)
+        coll.role = M.ROLE_RECEIVER
+        coll.arg_index = 0
+        icall.add(coll)
+        iasg = N(M.CALL, code=f"{it_name} = {coll_raw}.iterator()",
+                 name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
+                 dispatch_type=M.STATIC_DISPATCH, type_full_name="void",
+                 line=line)
+        iasg.add(it_id, icall)
+        cs = N(M.CONTROL_STRUCTURE, code=f"for ({decl_raw}:{coll_raw})",
+               control_structure_type=M.CS_WHILE, line=line)
+        it_id2 = N(M.IDENTIFIER, code=it_name, name=it_name,
+                   type_full_name=ITER, arg_index=0, role=M.ROLE_RECEIVER,
+                   line=line)
+        it_id2.ref_target = it_loc
+        cond = N(M.CALL, code=f"{it_name}.hasNext()", name="hasNext",
+                 method_full_name=f"{ITER}.hasNext:bool()",
+                 signature="bool()", dispatch_type=M.DYNAMIC_DISPATCH,
+                 type_full_name="bool", role=M.ROLE_CONDITION, line=line)
+        cond.add(it_id2)
+        cs.add(cond)
+        wbody = N(M.BLOCK, code="", line=line, type_full_name="void",
+                  role=M.ROLE_WHEN_TRUE)
+        item_id = N(M.IDENTIFIER, code=name, name=name, type_full_name=ty,
+                    arg_index=1, line=line)
+        item_id.ref_target = item_loc
+        it_id3 = N(M.IDENTIFIER, code=it_name, name=it_name,
+                   type_full_name=ITER, arg_index=0, role=M.ROLE_RECEIVER,
+                   line=line)
+        it_id3.ref_target = it_loc
+        ncall = N(M.CALL, code=f"{it_name}.next()", name="next",
+                  method_full_name=f"{ITER}.next:{M.ANY}()",
+                  signature=f"{M.ANY}()", dispatch_type=M.DYNAMIC_DISPATCH,
+                  type_full_name=M.ANY, arg_index=2, line=line)
+        ncall.add(it_id3)
+        vasg = N(M.CALL, code=f"{name} = {it_name}.next()",
+                 name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
+                 dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
+                 line=line)
+        vasg.add(item_id, ncall)
+        wbody.add(vasg)
+        inner = N(M.BLOCK, code="", line=line, type_full_name="void")
+        if self.at("{"):
+            inner = self.parse_compound()
+        else:
+            inner.add(*self.parse_statement())
+        wbody.add(inner)
+        cs.add(wbody)
+        blk.add(it_loc, item_loc, iasg, cs)
+        self.pop_scope()
+        return blk
+
+    def parse_enum(self, t: "Tok") -> "N | None":
+        """`enum [class] Name [: T] { a, b = <expr>, ... }` — MEMBERs per
+        enumerator (typed by the underlying type when written) plus a
+        `<clinit>` method holding the initializer assignments with raw
+        source codes (EnumTypeTests.scala: `color.<clinit>:color()` with
+        "green = 20")."""
+        self.next()
+        kw2 = ""
+        if self.at("class") or self.at("struct"):
+            kw2 = f" {self.peek().v}"
+            self.next()
+        name = self.next().v if self.peek() and self.peek().t == "id" else ""
+        under = ""
+        if self.at(":"):
+            self.next()
+            under = self.parse_type()
+        if not name and not self.at("{"):
+            if self.at(";"):
+                self.next()
+            return None
+        full = self.qual(name) if name else name
+        decl = N(M.TYPE_DECL, code=f"enum{kw2} {name}".rstrip(), name=name,
+                 full_name=full, line=t.line,
+                 ast_parent_type=M.NAMESPACE_BLOCK,
+                 ast_parent_full_name=self.global_block) if name else None
+        if self.at("{"):
+            self.next()
+            inits: list[N] = []
+            while self.peek() is not None and not self.at("}"):
+                if self.peek().t != "id":
+                    self.next()
+                    continue
+                etok = self.next()
+                if decl is not None:
+                    decl.add(N(M.MEMBER, code=etok.v, name=etok.v,
+                               type_full_name=under or "int", line=etok.line))
+                if self.at("="):
+                    self.next()
+                    vstart = self.peek()
+                    # enumerator initializer expression (ends at , or })
+                    depth = 0
+                    while self.peek() is not None:
+                        v = self.peek().v
+                        if v in ("(", "[", "{"):
+                            depth += 1
+                        elif v in (")", "]"):
+                            depth -= 1
+                        elif depth == 0 and v in (",", "}"):
+                            break
+                        self.next()
+                    ident = N(M.IDENTIFIER, code=etok.v, name=etok.v,
+                              type_full_name=under or "int", arg_index=1,
+                              line=etok.line)
+                    rhs = N(M.UNKNOWN,
+                            code=self.slice(vstart, self.toks[self.pos - 1]),
+                            line=vstart.line, arg_index=2) \
+                        if vstart is not None else None
+                    asg = N(M.CALL,
+                            code=self.slice(etok, self.toks[self.pos - 1]),
+                            name=M.OP_ASSIGNMENT,
+                            method_full_name=M.OP_ASSIGNMENT,
+                            dispatch_type=M.STATIC_DISPATCH, line=etok.line)
+                    asg.add(ident)
+                    if rhs is not None:
+                        asg.add(rhs)
+                    inits.append(asg)
+                if self.at(","):
+                    self.next()
+            if self.at("}"):
+                self.next()
+            if decl is not None and inits:
+                clinit = N(M.METHOD, code=M.STATIC_INIT, name=M.STATIC_INIT,
+                           full_name=f"{full}.{M.STATIC_INIT}:{name}()",
+                           signature=f"{name}()", line=t.line,
+                           ast_parent_type=M.TYPE_DECL,
+                           ast_parent_full_name=full)
+                body = N(M.BLOCK, line=t.line)
+                body.add(*inits)
+                clinit.add(body)
+                clinit.add(N(M.METHOD_RETURN, code="RET",
+                             type_full_name=name,
+                             evaluation_strategy=M.BY_VALUE, line=t.line))
+                decl.add(clinit)
+        if self.at(";"):
+            self.next()
+        if name:
+            self.typedefs.add(name)
+        return decl
+
+    def _peek_typedef_alias(self) -> str | None:
+        """Token-scan past the balanced composite body to the trailing
+        typedef name (`typedef struct { ... } Foo;`)."""
+        i = self.pos + 1  # at "{"
+        depth = 0
+        toks = self.toks
+        while i < len(toks):
+            v = toks[i].v
+            if v == "{":
+                depth += 1
+            elif v == "}":
+                depth -= 1
+                if depth == 0:
+                    j = i + 1
+                    if j < len(toks) and toks[j].t == "id":
+                        return toks[j].v
+                    return None
+            i += 1
+        return None
+
+    def _parse_anon_composite(self, name: str) -> N:
+        """Parse `struct { ... }` as if it were `struct <name> { ... }`."""
+        kw = self.next()
+        full = self.qual(name)
+        decl = N(M.TYPE_DECL, code=f"{kw.v} {name}", name=name,
+                 full_name=full, line=kw.line,
+                 ast_parent_type=M.NAMESPACE_BLOCK,
+                 ast_parent_full_name=self.global_block)
+        self.typedefs.add(name)
+        self.declared_types[name] = full
+        self.expect("{")
+        self.ns.append(name)
+        while self.peek() is not None and not self.at("}"):
+            if self.at(";"):
+                self.next()
+                continue
+            member = self.parse_class_member(full)
+            if member is not None:
+                decl.add(*member) if isinstance(member, list) else decl.add(member)
+        if self.at("}"):
+            self.next()
+        self.ns.pop()
+        return decl
+
     # ---------------- class / struct ----------------
     def parse_class(self, nested_in: str | None = None) -> N:
         kw = self.next()  # struct/class/union
@@ -633,8 +920,10 @@ class CParser:
                  ast_parent_full_name=nested_in or self.global_block)
         self.typedefs.add(name)
         self.declared_types[name] = full
+        self.cpp_supers[full] = list(inherits)
         self.expect("{")
         self.ns.append(name)
+        self.cpp_members.append((full, {}))
         while self.peek() is not None and not self.at("}"):
             if self.at_any(("public", "private", "protected")) and self.at(":", 1):
                 self.next(); self.next()
@@ -649,6 +938,7 @@ class CParser:
             self.next()
         if self.at(";"):
             self.next()
+        self.cpp_members.pop()
         self.ns.pop()
         return decl
 
@@ -713,12 +1003,32 @@ class CParser:
             return self.parse_function_rest(ty, name, start, class_full,
                                             dynamic=is_virtual,
                                             is_static=is_static)
-        # member variable(s)
-        members = [N(M.MEMBER, code=f"{ty} {name}", name=name, type_full_name=ty, line=start.line)]
+        # member variable(s) — code is the DECLARATOR spelling: pointer
+        # stars + name + raw array suffix ("x", "*foo", "a[SIZE - 1]",
+        # StructTypeTests.scala)
+        def _decl_code(stars: str, nm: str) -> str:
+            code = f"{stars}{nm}"
+            if self.at("["):
+                lb = self.peek()
+                self.skip_balanced("[", "]")
+                code += self.slice(lb, self.toks[self.pos - 1])
+            return code
+        if self.cpp_members and self.cpp_members[-1][0] == class_full:
+            self.cpp_members[-1][1][name] = ty
+        members = [N(M.MEMBER, code=_decl_code("*" * ty.count("*"), name),
+                     name=name, type_full_name=ty, line=start.line)]
         while self.at(","):
             self.next()
+            stars2 = ""
+            while self.at("*"):
+                stars2 += "*"
+                self.next()
+            if self.peek() is None or self.peek().t != "id":
+                break
             nm2 = self.next().v
-            members.append(N(M.MEMBER, code=f"{ty} {nm2}", name=nm2, type_full_name=ty, line=start.line))
+            members.append(N(M.MEMBER, code=_decl_code(stars2, nm2), name=nm2,
+                             type_full_name=ty + stars2.replace("*", "*"),
+                             line=start.line))
         while self.peek() is not None and not self.at(";"):
             self.next()
         if self.at(";"):
@@ -874,6 +1184,10 @@ class CParser:
         method = N(M.METHOD, code=f"{ret_ty} {name} ({sig_params})", name=name,
                    full_name=full_name, signature=signature, line=start.line,
                    ast_parent_type=parent_type, ast_parent_full_name=parent_full)
+        if self.lang == "cpp" and class_full:
+            self.cpp_class_methods.setdefault(
+                class_full.rstrip("."), {})[name] = (full_name, signature,
+                                                     ret_ty)
         method.has_body = body is not None
         self.push_scope()
         if this_type is not None:
@@ -1141,6 +1455,22 @@ class CParser:
     def parse_for(self) -> N:
         kw = self.next()
         self.expect("(")
+        if self.lang == "cpp":
+            i = self.pos
+            depth = 1
+            while i < len(self.toks):
+                v = self.toks[i].v
+                if v == "(":
+                    depth += 1
+                elif v == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                elif depth == 1 and v == ";":
+                    break
+                elif depth == 1 and v == ":":
+                    return self._parse_range_for(kw)
+                i += 1
         node = N(M.CONTROL_STRUCTURE, code="for", control_structure_type=M.CS_FOR, line=kw.line)
         self.push_scope()
         # init
@@ -1528,9 +1858,32 @@ class CParser:
 
     def identifier_expr(self, node: "N") -> "N":
         """Language hook on a freshly built identifier expression: Java
-        wraps bare instance-member reads into `this.<field>` fieldAccess
-        (AstForNameExpressionsCreator.createImplicitBaseFieldAccess)."""
-        return node
+        wraps bare instance-member reads into `this.<field>` fieldAccess;
+        C++ wraps them into `this->member` indirectFieldAccess (c2cpg
+        implicit member access, ClassTypeTests "this->b")."""
+        if self.lang != "cpp" or node.ref_target is not None \
+                or not self.cpp_members:
+            return node
+        cls_full, env = self.cpp_members[-1]
+        ty = env.get(node.name)
+        if ty is None:
+            return node
+        this_decl = self.lookup("this")
+        if this_decl is None:
+            return node  # static member function — no implicit this
+        base = N(M.IDENTIFIER, code="this", name="this", line=node.line,
+                 type_full_name=this_decl.type_full_name)
+        base.ref_target = this_decl
+        base.arg_index = 1
+        fld = N(M.FIELD_IDENTIFIER, code=node.name, name=node.name,
+                canonical_name=node.name, line=node.line, arg_index=2)
+        fa = N(M.CALL, code=f"this->{node.name}",
+               name=M.OP_INDIRECT_FIELD_ACCESS,
+               method_full_name=M.OP_INDIRECT_FIELD_ACCESS,
+               dispatch_type=M.STATIC_DISPATCH, line=node.line,
+               type_full_name=ty)
+        fa.add(base, fld)
+        return fa
 
     def make_literal(self, t: "Tok") -> "N | None":
         """Language hook: literal token -> LITERAL node (or None for
@@ -1821,10 +2174,32 @@ class CParser:
                 self.next()
         close = self.expect(")")
         recv_ty = receiver.type_full_name.rstrip("*")
-        mfn = f"{recv_ty}.{fld_tok.v}" if recv_ty and recv_ty != M.ANY else M.UNKNOWN_FULL_NAME
+        sig = ""
+        ret = ""
+        # resolve through the receiver type's class (and bases) — the
+        # fullname prefix stays the receiver's static type
+        # (ClassTypeTests example 3: b.foo2() -> "B.foo2:void()")
+        seen: set[str] = set()
+        stack = [self.declared_types.get(recv_ty, recv_ty)]
+        while stack:
+            c = stack.pop(0)
+            if not c or c in seen:
+                continue
+            seen.add(c)
+            info = self.cpp_class_methods.get(c, {}).get(fld_tok.v)
+            if info is not None:
+                sig, ret = info[1], info[2]
+                break
+            stack.extend(self.cpp_supers.get(c, []))
+        if recv_ty and recv_ty != M.ANY:
+            mfn = f"{recv_ty}.{fld_tok.v}:{sig}" if sig \
+                else f"{recv_ty}.{fld_tok.v}"
+        else:
+            mfn = M.UNKNOWN_FULL_NAME
         call = N(M.CALL, code=self.slice(start, close), name=fld_tok.v,
                  method_full_name=mfn, dispatch_type=M.DYNAMIC_DISPATCH,
-                 line=start.line, signature="")
+                 line=start.line, signature=sig,
+                 type_full_name=ret or M.ANY)
         receiver.role = M.ROLE_RECEIVER
         receiver.arg_index = 0
         call.add(receiver)

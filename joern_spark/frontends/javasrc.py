@@ -324,6 +324,10 @@ class JavaParser(CParser):
         # first (AnonymousClassTests: `b.bar()` on an anonymous-class value
         # names `foo.Foo.foo.Bar$0.bar:void()`)
         self.dyn_ty: dict[int, str] = {}
+        # LOCALs for instanceof binding patterns, hoisted by the enclosing
+        # parse_statement (JavaParser pattern locals)
+        self.pending_pattern_locals: list[N] = []
+        self.pending_pattern_shadow: list[tuple] = []
 
     # ---------------- naming ----------------
     def resolve_type(self, name: str) -> str:
@@ -1524,7 +1528,17 @@ class JavaParser(CParser):
         if t.v in ("class", "interface", "enum", "record") \
                 and self.peek(1) is not None and self.peek(1).t == "id":
             return [self._parse_local_class(t.v)]
-        return super().parse_statement()
+        out = super().parse_statement()
+        if self.pending_pattern_locals:
+            out = self.pending_pattern_locals + list(out)
+            self.pending_pattern_locals = []
+            for scope, name, prev, existed in self.pending_pattern_shadow:
+                if existed:
+                    scope[name] = prev
+                else:
+                    scope.pop(name, None)
+            self.pending_pattern_shadow = []
+        return out
 
     def _parse_local_class(self, kw: str) -> N:
         """Class declared inside a method body (LocalClassTests.scala):
@@ -1541,6 +1555,8 @@ class JavaParser(CParser):
             return decl
         encl_cls = self.anon_ctx[-1][1] if self.anon_ctx else ""
         is_static = self.anon_ctx[-1][2] if self.anon_ctx else True
+        if kw in ("record", "enum", "interface"):
+            is_static = True  # local records/enums/interfaces are static
         # captured = identifiers referencing LOCAL/PARAM declarations
         # OUTSIDE the local class subtree (members capture via outerClass)
         inside: set[int] = set()
@@ -2160,7 +2176,21 @@ class JavaParser(CParser):
             raw_ty = self.parse_java_type()
             ty = self.resolve_type(raw_ty)
             if self.peek() is not None and self.peek().t == "id":
-                self.next()  # pattern variable
+                # binding pattern `o instanceof T t`: a LOCAL t typed T,
+                # hoisted into the enclosing statement list
+                # (TypeFallbackTests "unresolved pattern variables";
+                # PatternExprTests binding patterns)
+                pv = self.next()
+                loc = N(M.LOCAL, code=f"{raw_ty} {pv.v}", name=pv.v,
+                        type_full_name=ty, line=pv.line)
+                # visible for the rest of the enclosing statement only —
+                # the drain in parse_statement restores the shadowed
+                # binding (CapturingTests "shadowing a field capture")
+                self.pending_pattern_shadow.append(
+                    (self.scopes[-1], pv.v, self.scopes[-1].get(pv.v),
+                     pv.v in self.scopes[-1]))
+                self.declare(pv.v, loc)
+                self.pending_pattern_locals.append(loc)
             # code keeps the raw source spelling; the TYPE_REF carries the
             # resolved fullname (SpecialOperatorTests instanceOf shape)
             tref = N(M.TYPE_REF, code=raw_ty, type_full_name=ty, line=op.line, arg_index=2)

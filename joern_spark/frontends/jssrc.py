@@ -214,11 +214,27 @@ class JsParser(CParser):
     def _rename_const_closures(self, program: N) -> None:
         """ConstClosurePass (x2cpg/.../frontendspecific/jssrc2cpg/
         ConstClosurePass.scala): closures assigned to a `const`, to an
-        object-literal field (`_tmp_X.name = <ref>`), or to a `var`/`let`
-        assigned exactly once, take the target's name: METHOD name/fullName
-        become `<enclosing>:<name>`, the METHOD_REF follows."""
+        object-literal field (`_tmp_X.name = <ref>`), to an export
+        (`exports.name = ...`), or to a `var`/`let` assigned exactly once,
+        take the target's name: METHOD name/fullName become
+        `<enclosing>:<name>`, the METHOD_REF and every call site linked to
+        the old fullname follow."""
         assign_counts: dict[str, int] = {}
-        candidates: list[tuple[str, str, N, str]] = []  # (name, kind, asg, enclosing)
+        # (name, kind, methodref, enclosing)
+        candidates: list[tuple[str, str, N, str]] = []
+
+        def outer_refs(n: N) -> list[N]:
+            # METHOD_REFs in the source subtree NOT nested inside another
+            # METHOD (the reference's `source.ast.isMethodRef` never sees
+            # refs inside a referenced method's body — here methods hang
+            # under their METHOD_REF, so stop descending at METHODs)
+            out: list[N] = []
+            if n.kind == M.METHOD_REF:
+                out.append(n)
+            for c in n.children:
+                if c.kind != M.METHOD:
+                    out.extend(outer_refs(c))
+            return out
 
         def walk(node: N, enclosing: str) -> None:
             enc = node.full_name if node.kind == M.METHOD else enclosing
@@ -227,36 +243,51 @@ class JsParser(CParser):
                 src = next((c for c in node.children if c.arg_index == 2), None)
                 if tgt is not None and tgt.kind == M.IDENTIFIER:
                     assign_counts[tgt.name] = assign_counts.get(tgt.name, 0) + 1
-                if src is not None and src.kind == M.METHOD_REF:
-                    if tgt is not None and tgt.kind == M.IDENTIFIER \
-                            and node.code.startswith("const "):
-                        candidates.append((tgt.name, "const", node, enc))
-                    elif tgt is not None and tgt.kind == M.IDENTIFIER \
-                            and node.code.startswith(("var ", "let ")):
-                        candidates.append((tgt.name, "mutable", node, enc))
-                    elif tgt is not None and tgt.kind == M.CALL \
-                            and node.code.startswith("_tmp_"):
+                if tgt is not None and src is not None:
+                    direct = src if src.kind == M.METHOD_REF else None
+                    if tgt.kind == M.IDENTIFIER \
+                            and node.code.startswith("const ") \
+                            and direct is not None:
+                        candidates.append((tgt.name, "const", direct, enc))
+                    elif tgt.kind == M.IDENTIFIER \
+                            and node.code.startswith(("var ", "let ")) \
+                            and direct is not None:
+                        candidates.append((tgt.name, "mutable", direct, enc))
+                    elif tgt.kind == M.CALL and (
+                            node.code.startswith("_tmp_")
+                            or node.code.startswith("export")):
                         fi = next((c for c in tgt.children
                                    if c.kind == M.FIELD_IDENTIFIER), None)
-                        if fi is not None:
+                        refs = outer_refs(src)
+                        if fi is not None and refs:
                             candidates.append((fi.canonical_name, "const",
-                                               node, enc))
+                                               refs[0], enc))
             for c in node.children:
                 walk(c, enc)
 
         walk(program, program.full_name)
-        for name, kind, asg, enc in candidates:
+        renames: dict[str, str] = {}
+        for name, kind, ref, enc in candidates:
             if kind == "mutable" and assign_counts.get(name, 0) != 1:
                 continue
-            ref = next((c for c in asg.children if c.kind == M.METHOD_REF), None)
-            meth = next((c for c in (ref.children if ref else ())
-                         if c.kind == M.METHOD), None)
-            if ref is None or meth is None:
+            meth = next((c for c in ref.children if c.kind == M.METHOD), None)
+            if meth is None:
                 continue
             full = f"{enc}:{name}"
+            renames[meth.full_name] = full
             meth.name = name
             meth.full_name = full
             ref.method_full_name = full
+        if not renames:
+            return
+
+        def rewrite(n: N) -> None:  # call sites linked before the rename
+            if n.kind in (M.CALL, M.METHOD_REF, M.LOCAL) \
+                    and n.method_full_name in renames:
+                n.method_full_name = renames[n.method_full_name]
+            for c in n.children:
+                rewrite(c)
+        rewrite(program)
 
     # ---------------- statements ----------------
     def wrap_condition(self, cond: N) -> N:

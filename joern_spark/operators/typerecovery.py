@@ -41,7 +41,8 @@ RETURN_VALUE = "<returnValue>"
 
 def _js_children(nodes: DataFrame) -> DataFrame:
     return nodes.filter(F.col("lang") == "javascript").select(
-        "id", "parent_id", "arg_index", "kind", "name", "code", "path")
+        "id", "parent_id", "arg_index", "kind", "name", "code", "path",
+        "canonical_name", "method_full_name")
 
 
 def js_symbol_table(nodes: DataFrame, iterations: int = 2) -> DataFrame:
@@ -127,6 +128,27 @@ def _recover(nodes: DataFrame, iterations: int = 2
                  .join(new_calls, "rhs_id").join(new_recv, "new_id")
                  .select("path", "var", "tname"))
 
+    # object-literal methods: `v = { f: function(){}, ... }` — the lowered
+    # block holds `_tmp.f = <methodRef>`; seed `v.f` with the closure's
+    # (ConstClosure-renamed) fullname so `v.f()` links to it
+    # (ConstClosurePassTests.scala object properties + TypeHintCallLinker)
+    fa_lhs = ch.filter((F.col("arg_index") == 1) & (F.col("kind") == M.CALL)
+                       & (F.col("name") == M.OP_FIELD_ACCESS)).select(
+        F.col("parent_id").alias("ba_id"), F.col("id").alias("fa_id"))
+    fld = ch.filter(F.col("kind") == M.FIELD_IDENTIFIER).select(
+        F.col("parent_id").alias("fa_id"),
+        F.col("canonical_name").alias("fld"))
+    mref = ch.filter((F.col("arg_index") == 2)
+                     & (F.col("kind") == M.METHOD_REF)
+                     & (F.col("method_full_name") != "")).select(
+        F.col("parent_id").alias("ba_id"),
+        F.col("method_full_name").alias("type"))
+    seed_obj = (askel.filter(F.col("rhs_kind") == M.BLOCK)
+                .join(blk_assign, "rhs_id")
+                .join(fa_lhs, "ba_id").join(fld, "fa_id").join(mref, "ba_id")
+                .select("path", F.concat_ws(".", "var", "fld").alias("var"),
+                        "type"))
+
     # destructured-require members: `v = <fieldAccess>(b, f)` — propagate a
     # single bare-module base type to v
     fa_assign = (askel.filter((F.col("rhs_kind") == M.CALL)
@@ -144,7 +166,8 @@ def _recover(nodes: DataFrame, iterations: int = 2
     # iterations). Eager localCheckpoint per iteration keeps the plan flat,
     # same pattern as the CC loop in plans/pipeline.py.
     st = (seed_req.unionByName(seed_imp).unionByName(seed_lit)
-          .unionByName(seed_arr).distinct().localCheckpoint(eager=True))
+          .unionByName(seed_arr).unionByName(seed_obj)
+          .distinct().localCheckpoint(eager=True))
 
     # member-call receivers: call -> base ARGUMENT(0) identifier name
     base_ident = ch.filter((F.col("arg_index") == 0)
@@ -182,11 +205,25 @@ def _recover(nodes: DataFrame, iterations: int = 2
                   .select("path", "var", F.element_at("tys", 1).alias("type")))
         remaining = member_calls if rewrites is None else \
             member_calls.join(rewrites.select("id"), "id", "left_anti")
+        # direct `v.f` symbol entries (object-literal methods) win over the
+        # composed `type:name` rewrite
+        direct_single = (st.filter(F.col("var").contains(".")
+                                   & F.col("type").contains(":"))
+                         .groupBy("path", F.col("var").alias("dvar"))
+                         .agg(F.collect_set("type").alias("tys"))
+                         .filter(F.size("tys") == 1)
+                         .select("path", "dvar",
+                                 F.element_at("tys", 1).alias("rec_mfn")))
+        rw_direct = (remaining
+                     .withColumn("dvar", F.concat_ws(".", "var", "name"))
+                     .join(direct_single, ["path", "dvar"])
+                     .select("id", "rec_mfn", "path"))
+        remaining = remaining.join(rw_direct.select("id"), "id", "left_anti")
         rw = (remaining.join(single, ["path", "var"])
               .select("id",
                       F.concat_ws(":", F.col("type"), F.col("name")).alias("rec_mfn"),
                       "path"))
-        rw = rw.localCheckpoint(eager=True)
+        rw = rw.unionByName(rw_direct).localCheckpoint(eager=True)
         rewrites = rw if rewrites is None else rewrites.unionByName(rw)
         # assigned results take `mfn:<returnValue>`
         ret = (ret_lhs.join(rw.select(F.col("id").alias("rhs_id"), "rec_mfn"),

@@ -238,6 +238,18 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
                     if inner is not None and inner["kind"] == M.CALL and \
                             inner["name"] == "__ecma.Array.factory":
                         add(var, "__ecma.Array")
+                    # object-literal method: `_tmp.f = <methodRef>` seeds
+                    # `var.f` with the closure's fullname
+                    flhs = child(c["node_idx"], 1, (M.CALL,))
+                    if inner is not None and inner["kind"] == M.METHOD_REF \
+                            and inner.get("method_full_name") \
+                            and flhs is not None \
+                            and flhs["name"] == M.OP_FIELD_ACCESS:
+                        fi = child(flhs["node_idx"], 2,
+                                   (M.FIELD_IDENTIFIER,))
+                        if fi is not None:
+                            add(f'{var}.{fi["canonical_name"]}',
+                                inner["method_full_name"])
                 if c["kind"] == M.CALL and c["name"] == M.OP + "new":
                     recv = None
                     for cc in kids.get(c["node_idx"], []):
@@ -269,6 +281,11 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
                         and not tys[0].startswith("__ecma."):
                     add(var, tys[0])
         for r, var in member:
+            # direct `v.f` entries (object-literal methods) win
+            dtys = [t for t in st.get(f"{var}.{r['name']}", []) if ":" in t]
+            if len(dtys) == 1 and r["node_idx"] not in rec:
+                rec[r["node_idx"]] = dtys[0]
+                continue
             tys = st.get(var, [])
             if len(tys) == 1 and r["node_idx"] not in rec:
                 rec[r["node_idx"]] = f"{tys[0]}:{r['name']}"

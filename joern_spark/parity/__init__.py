@@ -97,8 +97,9 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
             for o in objs:
                 out.append((rel, subj, o))
     for rel in ("calls", "inherits", "declares", "methods", "captures",
-                "cs", "cscond", "params", "locals", "members", "bindings",
-                "callmfn", "typerec", "imports", "annot", "annotkids"):
+                "cs", "cscond", "params", "locals", "members", "membercode",
+                "bindings", "callmfn", "typerec", "imports", "annot",
+                "annotkids", "tdalias", "nsblock"):
         for s, o in (case.get(rel) or []):
             out.append((rel, s, o))
     # node typeFullName assertions keyed like cfg subjects (code@idx[#KIND])
@@ -358,6 +359,20 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
             if not var.startswith("_tmp_"):
                 out.add(("typerec", f"id:{var}", ",".join(sorted(tys))))
 
+    if case.get("nsblock") is not None:
+        # NAMESPACE_BLOCK (name, fullName) pairs (NamespaceTypeTests:
+        # `{file}:{dotted}` naming)
+        for r in rows:
+            if r["kind"] == M.NAMESPACE_BLOCK:
+                out.add(("nsblock", r["name"], r["full_name"]))
+
+    if case.get("tdalias") is not None:
+        # TYPE_DECL aliasTypeFullName pairs (typedef cross-links,
+        # EnumTypeTests "simple enum typedef")
+        for r in rows:
+            if r["kind"] == M.TYPE_DECL and r.get("alias_type_full_name"):
+                out.add(("tdalias", r["name"], r["alias_type_full_name"]))
+
     if case.get("mcount") is not None:
         cnt: dict[str, int] = defaultdict(int)
         for r in rows:
@@ -451,7 +466,7 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
                     out.add(("locals", f'{m["name"]}.{r["name"]}',
                              f'{r["code"]}|{r["type_full_name"]}'))
 
-    if case.get("members") is not None:
+    if case.get("members") is not None or case.get("membercode") is not None:
         tds = {r["node_idx"]: r for r in rows if r["kind"] == M.TYPE_DECL}
         for r in rows:
             if r["kind"] == M.MEMBER:
@@ -459,6 +474,10 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
                 if td is not None:
                     out.add(("members", f'{td["name"]}.{r["name"]}',
                              r["type_full_name"]))
+                    # member CODE keeps the raw declarator spelling
+                    # (StructTypeTests "*foo" / "a[SIZE - 1]")
+                    out.add(("membercode", f'{td["name"]}.{r["name"]}',
+                             r["code"]))
 
     if case.get("bindings") is not None:
         # sequential mirror of operators.bindings.binding_relation

@@ -640,3 +640,315 @@ public:
          members=[["P.x", "int"]],
          cite=f"{CA}:1447-1476 (ctor fullname scheme)"),
 ]
+
+
+CASES += [
+    # types/StructTypeTests.scala:9-21 — anonymous typedef struct takes
+    # the typedef name.
+    dict(
+        name="c-struct-typedef-anon", lang="c",
+        code="""
+typedef struct {
+  uint32_t bar;
+} Foo;
+""",
+        members=[("Foo.bar", "uint32_t")],
+        cite="c2cpg/.../passes/types/StructTypeTests.scala:9-21",
+    ),
+    # :23-38 — member codes keep the raw declarator spelling incl. array
+    # size expressions. (The reference additionally lowers array sizes
+    # into a <clinit> arrayInitializer — not modeled here.)
+    dict(
+        name="c-struct-array-members", lang="c",
+        code="""
+#define SIZE 5
+struct Foo {
+  char a[SIZE];
+  char b[SIZE - 1];
+  char c[10];
+};
+""",
+        members=[("Foo.a", "char"), ("Foo.b", "char"), ("Foo.c", "char")],
+        membercode=[("Foo.a", "a[SIZE]"), ("Foo.b", "b[SIZE - 1]"),
+                    ("Foo.c", "c[10]")],
+        cite="c2cpg/.../passes/types/StructTypeTests.scala:23-60",
+    ),
+    # :62-89 — multiple declarators and pointer members: codes are the
+    # declarators ("x", "y", "*foo").
+    dict(
+        name="c-struct-members", lang="c",
+        code="""
+struct Foo {
+    int x, y;
+    char *foo;
+};
+""",
+        members=[("Foo.x", "int"), ("Foo.y", "int"), ("Foo.foo", "char*")],
+        membercode=[("Foo.x", "x"), ("Foo.y", "y"), ("Foo.foo", "*foo")],
+        cite="c2cpg/.../passes/types/StructTypeTests.scala:62-89",
+    ),
+]
+
+
+CASES += [
+    # types/EnumTypeTests.scala:16-45 — enumerators become MEMBERs; the
+    # initializers live in a `<clinit>` returning the enum type.
+    dict(
+        name="cpp-enum-simple", lang="cpp",
+        code="""
+enum color
+{
+    red,
+    yellow,
+    green = 20,
+    blue
+};""",
+        membercode=[("color.red", "red"), ("color.yellow", "yellow"),
+                    ("color.green", "green"), ("color.blue", "blue")],
+        mcount=[("color.<clinit>:color()", 1)],
+        ast={("green = 20", 0): ["green", "20"]},
+        cite="c2cpg/.../passes/types/EnumTypeTests.scala:16-45",
+    ),
+    # :47-79 — typedef enum: two TYPE_DECLs cross-linked via
+    # aliasTypeFullName.
+    dict(
+        name="cpp-enum-typedef", lang="cpp",
+        code="""
+typedef enum color
+{
+    red,
+    yellow,
+    green = 20,
+    blue
+} C;""",
+        tdalias=[("color", "C"), ("C", "color")],
+        membercode=[("color.red", "red"), ("color.yellow", "yellow"),
+                    ("color.green", "green"), ("color.blue", "blue")],
+        mcount=[("color.<clinit>:color()", 1)],
+        cite="c2cpg/.../passes/types/EnumTypeTests.scala:47-79",
+    ),
+    # :81-106 — enum class with underlying type: members carry it.
+    dict(
+        name="cpp-enum-class", lang="cpp",
+        code="""
+enum class altitude: char
+{ 
+     high='h',
+     low='l', // C++11 allows the extra comma
+}; """,
+        members=[("altitude.high", "char"), ("altitude.low", "char")],
+        mcount=[("altitude.<clinit>:altitude()", 1)],
+        ast={("high='h'", 0): ["high", "'h'"],
+             ("low='l'", 0): ["low", "'l'"]},
+        cite="c2cpg/.../passes/types/EnumTypeTests.scala:81-106",
+    ),
+]
+
+
+CASES += [
+    # types/ClassTypeTests.scala:66-133 (example 2) — typeDecl fields,
+    # inheritance, typedef alias, members and methods.
+    dict(
+        name="cpp-class-fields", lang="cpp",
+        code="""
+class Foo : Bar {
+  char x;
+  int y;
+  int method() {}
+};
+typedef int mytype;""",
+        inherits=[("Foo", "Bar")],
+        tdalias=[("mytype", "int")],
+        members=[("Foo.x", "char"), ("Foo.y", "int")],
+        mcount=[("Foo.method:int()", 1)],
+        cite="c2cpg/.../passes/types/ClassTypeTests.scala:66-133",
+    ),
+    # :135-165 (example 3) — member calls resolve through the member's
+    # class with the receiver-typed fullname; bare member reads lower to
+    # `this->member` indirectFieldAccess.
+    dict(
+        name="cpp-class-member-calls", lang="cpp",
+        code="""
+class B {
+public:
+  void foo2() {}
+};
+
+class A {
+private:
+  B b;
+
+public:
+  void foo1() {
+    b.foo2();
+    B x = b;
+   }
+};
+
+int main() {
+  A a;
+  a.foo1();
+  return 0;
+}""",
+        callmfn=[("foo2", "B.foo2:void()"),
+                 ("foo1", "A.foo1:void()")],
+        ast={("this->b", 0): ["this", "b"],
+             ("this->b", 1): ["this", "b"]},
+        cite="c2cpg/.../passes/types/ClassTypeTests.scala:135-165",
+    ),
+]
+
+
+_NSQ = """
+namespace Q {
+  namespace V {
+    class C { int m(); };
+    int f();
+  }
+
+  int V::f()
+  {
+    extern void h();
+    return 0;
+  }
+
+  int V::C::m()
+  { return 0 ; }
+}
+"""
+
+_NSQ17 = """
+namespace Q::V {
+  class C { int m(); };
+  int f();
+}
+
+int Q::V::f()
+{
+  extern void h();
+  return 0;
+}
+
+int Q::V::C::m()
+{ return 0; }
+"""
+
+CASES += [
+    # types/NamespaceTypeTests.scala:16-64 — nested namespaces: method
+    # fullnames carry the dotted namespace path; each namespace gets a
+    # NAMESPACE_BLOCK named `{file}:{dotted}`.
+    dict(
+        name="cpp-namespace-nested", lang="cpp", code=_NSQ,
+        mcount=[("Q.V.f:int()", 1), ("Q.V.C.m:int()", 1)],
+        nsblock=[("Q", "cpp-namespace-nested.cpp:Q"),
+                 ("V", "cpp-namespace-nested.cpp:Q.V")],
+        cite="c2cpg/.../passes/types/NamespaceTypeTests.scala:16-64",
+    ),
+    # :66-112 — C++17 `namespace Q::V` syntax produces the same shape.
+    dict(
+        name="cpp-namespace-cpp17", lang="cpp", code=_NSQ17,
+        mcount=[("Q.V.f:int()", 1), ("Q.V.C.m:int()", 1)],
+        nsblock=[("Q", "cpp-namespace-cpp17.cpp:Q"),
+                 ("V", "cpp-namespace-cpp17.cpp:Q.V")],
+        cite="c2cpg/.../passes/types/NamespaceTypeTests.scala:66-112",
+    ),
+]
+
+
+CASES += [
+    # types/TemplateTypeTests.scala:12-35 — class templates erase to their
+    # bare names; using-aliases point at the template names.
+    dict(
+        name="cpp-template-classes", lang="cpp",
+        code="""
+template<class T> class X {};
+template<typename A, typename B> class Y;
+using A = X<int>;
+using B = Y<int, char>;
+""",
+        tdalias=[("A", "X"), ("B", "Y")],
+        cite="c2cpg/.../passes/types/TemplateTypeTests.scala:12-35",
+    ),
+    # :37-51 — template inheritance erases the type arguments.
+    dict(
+        name="cpp-template-inherit", lang="cpp",
+        code="""
+template<typename T> class X;
+template<typename A, typename B> class Y : public X<A> {};
+""",
+        inherits=[("Y", "X")],
+        cite="c2cpg/.../passes/types/TemplateTypeTests.scala:37-51",
+    ),
+    # :64-79 — function templates keep the UNERASED parameter types in the
+    # signature ("x:void(T,U)").
+    dict(
+        name="cpp-template-functions", lang="cpp",
+        code="""
+template<class T, class U>
+void x(T a, U b) {};
+
+template<class T, class U>
+void y(T a, U b);
+""",
+        mcount=[("x:void(T,U)", 1), ("y:void(T,U)", 1)],
+        cite="c2cpg/.../passes/types/TemplateTypeTests.scala:64-79",
+    ),
+]
+
+
+def _foreach_case(name, code, item_ty, coll_decl_code, cs_code, cite):
+    return dict(
+        name=name, lang="cpp", code=code,
+        locals=[("foo.<iterator>0", "<iterator>0|std.iterator"),
+                ("foo.item", f"item|{item_ty}")],
+        cs=[("foo:WHILE", cs_code)],
+        callmfn=[("iterator", "<unresolvedNamespace>.iterator:std.iterator()"),
+                 ("hasNext", "std.iterator.hasNext:bool()"),
+                 ("next", "std.iterator.next:ANY()")],
+        ast={("<iterator>0 = items.iterator()", 0):
+                 ["<iterator>0", "items.iterator()"],
+             ("item = <iterator>0.next()", 0):
+                 ["item", "<iterator>0.next()"]},
+        cite=cite,
+    )
+
+
+CASES += [
+    # ast/ForEachLoopTests.scala:12-33 — C++11 range-for over a native
+    # array de-sugars to iterator locals + a WHILE control structure.
+    _foreach_case(
+        "cpp-foreach-array",
+        """
+class Foo {
+  public:
+    static void sink(const char* s) {}
+
+    static void foo() {
+        const char* items[] = {"a", "b", "c"};
+        for (const char* item : items) {
+            sink(item);
+        }
+    }
+}""",
+        "char*", "char*[]", "for (const char* item:items)",
+        "c2cpg/.../passes/ast/ForEachLoopTests.scala:12-33",
+    ),
+    # :57-77 — range-for over a std::vector& collection.
+    _foreach_case(
+        "cpp-foreach-vector",
+        """
+class Foo {
+  public:
+    static void sink(const std::string& s) {}
+
+    static void foo(const std::vector<std::string>& items) {
+      for (const std::string& item : items) {
+        sink(item);
+      }
+    }
+}""",
+        "std.string&", "std.vector&",
+        "for (const std::string& item:items)",
+        "c2cpg/.../passes/ast/ForEachLoopTests.scala:57-77",
+    ),
+]

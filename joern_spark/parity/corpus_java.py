@@ -2585,3 +2585,212 @@ class Foo {
         cite="querying/LocalClassTests.scala:310-375",
     ),
 ]
+
+
+CASES += [
+    # LocalRecordTests.scala:18-100 — records declared in method bodies:
+    # method-scoped naming, java.lang.Record supertype, component member +
+    # accessor + canonical constructor, implicit-static (no outerClass).
+    dict(
+        name="java-local-record", lang="java", wrap=False,
+        code="""
+package foo;
+
+class Foo {
+    void enclosingMethod() {
+        record LocalRecord(String value) {}
+    }
+}
+""",
+        inherits=[("LocalRecord", "java.lang.Record")],
+        members=[("LocalRecord.value", "java.lang.String")],
+        mcount=[("foo.Foo.enclosingMethod:void().LocalRecord.value:"
+                 "java.lang.String()", 1),
+                ("foo.Foo.enclosingMethod:void().LocalRecord.<init>:"
+                 "void(java.lang.String)", 1)],
+        bindings=[("LocalRecord:<init>",
+                   "void(java.lang.String)->foo.Foo.enclosingMethod:void()."
+                   "LocalRecord.<init>:void(java.lang.String)")],
+        params=[("<init>.this",
+                 "0:foo.Foo.enclosingMethod:void().LocalRecord:BY_SHARING"),
+                ("<init>.this", "0:foo.Foo:BY_SHARING"),
+                ("<init>.value", "1:java.lang.String:BY_SHARING")],
+        ast={("this.value = value", 0, "CALL"): ["this.value", "value"],
+             ("return this.value", 0, "RETURN"): ["this.value"]},
+        cite="querying/LocalRecordTests.scala:18-100",
+    ),
+]
+
+
+CASES += [
+    # CapturingTests.scala:328-440 — instanceof binding-pattern variables
+    # are declared WHERE they match: a lambda capturing `obj` does not
+    # capture the pattern variable `s`; a pattern variable shadows a
+    # same-named field inside its statement only (the later read wraps
+    # back to `this.s`).
+    dict(
+        name="java-pattern-captures", lang="java", wrap=False,
+        code="""
+public class Foo {
+  public void test(Object obj) {
+    Runnable r = () -> {
+      while (obj instanceof String s) {
+        System.out.println(s);
+        break;
+      }
+    };
+  }
+}
+""",
+        captures=[("<lambda>0", "obj")],
+        cite="querying/CapturingTests.scala:328-350 (pattern matching in "
+             "while loop condition)",
+    ),
+    dict(
+        name="java-pattern-shadowing", lang="java", wrap=False,
+        code="""
+public class Foo {
+  String s;
+  public void test(Object obj) {
+    Runnable r = () -> {
+      while (obj instanceof String s) {
+        System.out.println(s);
+        break;
+      }
+      System.out.println(s);
+    };
+  }
+}
+""",
+        # the lambda captures obj AND the enclosing `this` (the post-loop
+        # field read goes through it: closureBindingId "...:<lambda>0:this")
+        captures=[("<lambda>0", "obj"), ("<lambda>0", "this")],
+        # the in-loop read refs the pattern LOCAL; the post-loop read is
+        # the FIELD via implicit this (the reference asserts an identifier
+        # then a fieldAccess, in order)
+        ast={("System.out.println(s)", 1, "CALL"):
+                 ["System.out", "this.s"]},
+        cite="querying/CapturingTests.scala:352-395 (pattern shadowing a "
+             "field capture)",
+    ),
+    dict(
+        name="java-pattern-foreach", lang="java", wrap=False,
+        code="""
+import java.util.*;
+
+public class Foo {
+  public void test(List<Object> items) {
+    Runnable r = () -> {
+      for (Object item : items) {
+        if (item instanceof String s) {
+          System.out.println(s);
+        }
+      }
+    };
+  }
+}
+""",
+        captures=[("<lambda>0", "items")],
+        cite="querying/CapturingTests.scala:397-422 (pattern in for loop)",
+    ),
+]
+
+
+CASES += [
+    # LocalRecordTests.scala:97-140 — multi-component local record.
+    dict(
+        name="java-local-record-multi", lang="java", wrap=False,
+        code="""
+package foo;
+
+class Foo {
+    void enclosingMethod() {
+        record Point(int x, int y) {}
+    }
+}
+""",
+        members=[("Point.x", "int"), ("Point.y", "int")],
+        mcount=[("foo.Foo.enclosingMethod:void().Point.x:int()", 1),
+                ("foo.Foo.enclosingMethod:void().Point.y:int()", 1),
+                ("foo.Foo.enclosingMethod:void().Point.<init>:void(int,int)", 1)],
+        cite="querying/LocalRecordTests.scala:97-140",
+    ),
+    # :141-170 — explicit methods alongside accessors, with bindings.
+    dict(
+        name="java-local-record-method", lang="java", wrap=False,
+        code="""
+package foo;
+
+class Foo {
+    void enclosingMethod() {
+        record LocalRecord(String value) {
+            String upper() {
+                return value.toUpperCase();
+            }
+        }
+    }
+}
+""",
+        bindings=[("LocalRecord:upper",
+                   "java.lang.String()->foo.Foo.enclosingMethod:void()."
+                   "LocalRecord.upper:java.lang.String()")],
+        mcount=[("foo.Foo.enclosingMethod:void().LocalRecord.upper:"
+                 "java.lang.String()", 1),
+                ("foo.Foo.enclosingMethod:void().LocalRecord.value:"
+                 "java.lang.String()", 1)],
+        cite="querying/LocalRecordTests.scala:141-170",
+    ),
+    # :172-260 — captures become members + ctor params (records stay
+    # implicitly static: no outerClass; outer members/statics excluded).
+    dict(
+        name="java-local-record-captures", lang="java", wrap=False,
+        code="""
+package foo;
+
+class Foo {
+    int capturedMember;
+
+    void enclosingMethod(int capturedParam) {
+        int capturedLocal = 1;
+        record LocalRecord(String value) {
+            void usesCaptures() {
+                sink(capturedParam, capturedLocal, capturedMember);
+            }
+        }
+    }
+}
+""",
+        members=[("LocalRecord.value", "java.lang.String"),
+                 ("LocalRecord.capturedParam", "int"),
+                 ("LocalRecord.capturedLocal", "int")],
+        mcount=[("foo.Foo.enclosingMethod:void(int).LocalRecord.<init>:"
+                 "void(java.lang.String)", 1)],
+        params=[("<init>.value", "1:java.lang.String:BY_SHARING"),
+                ("<init>.capturedLocal", "2:int:BY_VALUE"),
+                ("<init>.capturedParam", "3:int:BY_VALUE")],
+        cite="querying/LocalRecordTests.scala:172-260",
+    ),
+    # :261-299 — compact constructor: component assignment precedes the
+    # compact body.
+    dict(
+        name="java-local-record-compact", lang="java", wrap=False,
+        code="""
+package foo;
+
+class Foo {
+    void enclosingMethod() {
+        record LocalRecord(String value) {
+            public LocalRecord {
+                System.out.println(value);
+            }
+        }
+    }
+}
+""",
+        mcount=[("foo.Foo.enclosingMethod:void().LocalRecord.<init>:"
+                 "void(java.lang.String)", 1)],
+        params=[("<init>.value", "1:java.lang.String:BY_SHARING")],
+        ast={("this.value = value", 0, "CALL"): ["this.value", "value"]},
+        cite="querying/LocalRecordTests.scala:261-299",
+    ),
+]

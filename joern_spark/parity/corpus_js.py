@@ -1076,3 +1076,98 @@ con.query("SELECT 1");
          cite=TRCITE + " (require binding + XTypeRecovery.scala:259 "
               "DummyReturnType hop)"),
 ]
+
+
+CASES += [
+    # ConstClosurePassTests.scala:9-51 — function expressions assigned to
+    # object-literal properties take the property name, and the member
+    # call sites link to the renamed closures via type recovery
+    # (XTypeRecovery object-property entries + TypeHintCallLinker).
+    dict(
+        name="js-constclosure-objprops", lang="javascript",
+        code="""
+var myObject = {
+  prop1: "a",
+  prop2: "b",
+
+  // Function 1
+  sayHello: function () {
+    console.log("sayHello");
+  },
+
+  // Function 2
+  sayWorld: function () {
+    console.log("sayWorld");
+  },
+
+  // Function 3
+  sayHelloWorld: function () {
+    console.log("sayHelloWorld");
+  }
+};
+myObject.sayHello()
+myObject.sayWorld()
+myObject.sayHelloWorld()
+""",
+        methods=[("sayHello",
+                  "js-constclosure-objprops.js::program:sayHello"),
+                 ("sayWorld",
+                  "js-constclosure-objprops.js::program:sayWorld"),
+                 ("sayHelloWorld",
+                  "js-constclosure-objprops.js::program:sayHelloWorld")],
+        typerec=[("myObject.sayHello()",
+                  "js-constclosure-objprops.js::program:sayHello"),
+                 ("myObject.sayWorld()",
+                  "js-constclosure-objprops.js::program:sayWorld"),
+                 ("myObject.sayHelloWorld()",
+                  "js-constclosure-objprops.js::program:sayHelloWorld")],
+        cite="jssrc2cpg/.../passes/ConstClosurePassTests.scala:9-51",
+    ),
+    # :53-66 — const arrows take the constant's name.
+    dict(
+        name="js-constclosure-const", lang="javascript",
+        code="""
+const foo = (x,y) => { return x + y; }
+const bar = (x,y) => { return x - y; }
+""",
+        methods=[("foo", "js-constclosure-const.js::program:foo"),
+                 ("bar", "js-constclosure-const.js::program:bar")],
+        cite="jssrc2cpg/.../passes/ConstClosurePassTests.scala:53-66",
+    ),
+    # :68-84 — `exports.foo = (IIFE)` renames the outermost closure in the
+    # assigned expression.
+    dict(
+        name="js-constclosure-exports", lang="javascript",
+        code="""
+exports.foo = (function() {
+\tvar count = 0;
+\treturn function() {
+\t\tcount++;
+\t\treturn count;
+\t};
+})();
+
+this.foo();
+""",
+        methods=[("foo", "js-constclosure-exports.js::program:foo")],
+        cite="jssrc2cpg/.../passes/ConstClosurePassTests.scala:68-84",
+    ),
+    # :86-112 — `var` closures rename only when assigned exactly once;
+    # call sites follow the (un)renamed fullname either way.
+    dict(
+        name="js-constclosure-mutable", lang="javascript",
+        code="""
+var foo = function() {};
+foo();
+
+var bar = function() {};
+bar();
+bar = 2;
+""",
+        methods=[("foo", "js-constclosure-mutable.js::program:foo"),
+                 ("<lambda>1", "js-constclosure-mutable.js::program:<lambda>1")],
+        callmfn=[("foo", "js-constclosure-mutable.js::program:foo"),
+                 ("bar", "js-constclosure-mutable.js::program:<lambda>1")],
+        cite="jssrc2cpg/.../passes/ConstClosurePassTests.scala:86-112",
+    ),
+]

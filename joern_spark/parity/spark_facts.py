@@ -328,12 +328,30 @@ def spark_facts(spark: SparkSession) -> DataFrame:
                             F.col("type_full_name")).alias("obj")))
     td_dim = base.filter(F.col("kind") == M.TYPE_DECL).select(
         F.col("id").alias("td_id"), F.col("name").alias("td_name"))
+    member_base = (base.filter(F.col("kind") == M.MEMBER)
+                   .join(td_dim, F.col("parent_id") == F.col("td_id")))
     out.append(
-        base.filter(F.col("kind") == M.MEMBER)
-        .join(td_dim, F.col("parent_id") == F.col("td_id"))
+        member_base
         .select("lang", "kase", F.lit("members").alias("relation"),
                 F.concat_ws(".", F.col("td_name"), F.col("name")).alias("subj"),
                 F.col("type_full_name").alias("obj")))
+    out.append(
+        base.filter(F.col("kind") == M.NAMESPACE_BLOCK)
+        .select("lang", "kase", F.lit("nsblock").alias("relation"),
+                F.col("name").alias("subj"),
+                F.col("full_name").alias("obj")))
+    out.append(
+        base.filter((F.col("kind") == M.TYPE_DECL)
+                    & (F.col("alias_type_full_name") != ""))
+        .select("lang", "kase", F.lit("tdalias").alias("relation"),
+                F.col("name").alias("subj"),
+                F.col("alias_type_full_name").alias("obj")))
+    # member CODE keeps the raw declarator spelling (StructTypeTests)
+    out.append(
+        member_base
+        .select("lang", "kase", F.lit("membercode").alias("relation"),
+                F.concat_ws(".", F.col("td_name"), F.col("name")).alias("subj"),
+                F.col("code").alias("obj")))
 
     out.append(_binding_facts(base))
 
