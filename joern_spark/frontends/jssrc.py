@@ -122,6 +122,56 @@ def tokenize_js(src: str) -> list[Tok]:
     return toks
 
 
+_JS_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+               "v": "\v", "0": "\0", "\n": ""}
+
+
+def _js_cooked(raw: str) -> str:
+    """Interpret JS escape sequences, mirroring Babel's cooked `value`
+    (jssrc2cpg AstForPrimitivesCreator.scala:35-38 renders CODE as the
+    double-quoted cooked value, not the raw source)."""
+    if "\\" not in raw:
+        return raw
+    out: list[str] = []
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c != "\\" or i + 1 >= n:
+            out.append(c)
+            i += 1
+            continue
+        e = raw[i + 1]
+        if e in _JS_ESCAPES:
+            out.append(_JS_ESCAPES[e])
+            i += 2
+        elif e == "x" and i + 3 < n:
+            try:
+                out.append(chr(int(raw[i + 2:i + 4], 16)))
+                i += 4
+            except ValueError:
+                out.append(e)
+                i += 2
+        elif e == "u":
+            if i + 2 < n and raw[i + 2] == "{":
+                end = raw.find("}", i + 3)
+                try:
+                    out.append(chr(int(raw[i + 3:end], 16)))
+                    i = end + 1
+                    continue
+                except (ValueError, OverflowError):
+                    pass
+            try:
+                out.append(chr(int(raw[i + 2:i + 6], 16)))
+                i += 6
+            except ValueError:
+                out.append(e)
+                i += 2
+        else:
+            out.append(e)
+            i += 2
+    return "".join(out)
+
+
 class JsParser(CParser):
     MAX_TOKENS = 400_000
     # computed member access `a[b]` -> <operator>.indexAccess (jssrc
@@ -402,6 +452,8 @@ class JsParser(CParser):
             if self.at(";"):
                 self.next()
             return []
+        if v == "with":
+            return [self._parse_with()]
         if v == "for":
             # for-in / for-of
             save = self.pos
@@ -455,6 +507,31 @@ class JsParser(CParser):
                 return [self.lower_destructure_stmt(
                     elems, rhs_raw, code_str, pat_start.line, True)]
         return super().parse_statement()
+
+    def _parse_with(self) -> N:
+        """`with (obj) body` lowers to a BLOCK (code = the whole statement
+        source) holding the object expression followed by the body
+        statements — no CONTROL_STRUCTURE node (jssrc2cpg
+        AstForStatementsCreator.astForWithStatement:43-58;
+        SimpleAstCreationPassTests.scala:23-46)."""
+        kw = self.next()
+        self.expect("(")
+        obj = self.parse_expression()
+        self.expect(")")
+        blk = N(M.BLOCK, code="", line=kw.line, type_full_name=M.ANY)
+        self.push_scope()
+        blk.add(obj)
+        if self.at("{"):
+            self.next()
+            while self.peek() is not None and not self.at("}"):
+                blk.add(*self.parse_statement())
+            if self.at("}"):
+                self.next()
+        else:
+            blk.add(*self.parse_statement())
+        self.pop_scope()
+        blk.code = self.slice(kw, self.toks[self.pos - 1])
+        return blk
 
     def parse_label(self) -> list[N]:
         """JS labels: JUMP_TARGET code is the bare `label:` (jssrc2cpg
@@ -1374,13 +1451,54 @@ class JsParser(CParser):
         t = self.peek()
         if t is not None and t.t == "kw" and t.v in ("null", "undefined"):
             self.next()
-            node = N(M.LITERAL, code=t.v, line=t.line, type_full_name=M.ANY)
+            # astForNullLiteral types `null` as __ecma.Null
+            # (AstForPrimitivesCreator.scala:32-33)
+            ty = "__ecma.Null" if t.v == "null" else M.ANY
+            node = N(M.LITERAL, code=t.v, line=t.line, type_full_name=ty)
             return self.parse_postfix_ops(node, t)
         if t is not None and t.t == "str" and t.v.startswith("`"):
             self.next()
             node = self._template_literal(t)
             return self.parse_postfix_ops(node, t)
         return super().parse_postfix()
+
+    def make_literal(self, t: Tok) -> N | None:
+        """JS literal typing — Defines.Number/String/Boolean
+        (AstForPrimitivesCreator.scala:55-60, astForBooleanLiteral). String
+        literal CODE is re-rendered double-quoted around the *cooked*
+        (unescaped) value, exactly like astForStringLiteral:36-39
+        (`s"\\"${json value}\\""`; SimpleAstCreationPassTests
+        "inner text for string literals" / "different string literals")."""
+        if t.t == "num":
+            return N(M.LITERAL, code=t.v, line=t.line,
+                     type_full_name="__ecma.Number")
+        if t.t == "str":
+            return N(M.LITERAL, code=f'"{_js_cooked(t.v[1:-1])}"',
+                     line=t.line, type_full_name="__ecma.String")
+        if t.v in ("true", "false"):
+            return N(M.LITERAL, code=t.v, line=t.line,
+                     type_full_name="__ecma.Boolean")
+        return None
+
+    def parse_postfix_ops(self, node: N, start: Tok) -> N:
+        while True:
+            node = super().parse_postfix_ops(node, start)
+            t = self.peek()
+            # TS non-null assertion `expr!` -> <operator>.notNullAssert
+            # (AstForExpressionsCreator.astForTSNonNullExpression:220-225).
+            # A lone `!` after a complete expression is unambiguous: infix
+            # `!=`/`!==` are single tokens.
+            if t is not None and t.v == "!":
+                bang = self.next()
+                node.arg_index = 1
+                call = N(M.CALL, code=self.slice(start, bang),
+                         name=M.OP_NOT_NULL_ASSERT,
+                         method_full_name=M.OP_NOT_NULL_ASSERT,
+                         dispatch_type=M.STATIC_DISPATCH, line=start.line)
+                call.add(node)
+                node = call
+                continue
+            return node
 
     def try_tagged_template(self, node: N, start: Tok) -> N | None:
         """`String.raw\`../${42}\\..\`` -> a DYNAMIC call (code = the whole

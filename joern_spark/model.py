@@ -209,6 +209,7 @@ OP_INDIRECTION = OP + "indirection"
 OP_INSTANCE_OF = OP + "instanceOf"
 OP_FORMAT_STRING = OP + "formatString"
 OP_DELETE = OP + "delete"
+OP_NOT_NULL_ASSERT = OP + "notNullAssert"
 
 BINARY_OPERATOR_MAP = {
     # c2cpg AstForExpressionsCreator.scala:33-68 (OperatorMap)

@@ -1171,3 +1171,73 @@ bar = 2;
         cite="jssrc2cpg/.../passes/ConstClosurePassTests.scala:86-112",
     ),
 ]
+
+
+# SimpleAstCreationPassTests AST-shape cases — with statements (lowered to
+# a BLOCK holding object expr + body stmts, astForWithStatement
+# AstForStatementsCreator.scala:43-57), TS non-null assertion
+# (<operator>.notNullAssert, astForTSNonNullExpression), literal typing
+# (__ecma.Number/String/Boolean/Null, AstForPrimitivesCreator.scala:26-60)
+# and cooked double-quoted string CODE (astForStringLiteral:35-38).
+_AST_CITE = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/ast/"
+             "SimpleAstCreationPassTests.scala")
+CASES += [
+    dict(name="js-with-block", lang="javascript", wrap=False,
+         code="with(foo()) {\n  bar();\n}\n",
+         ast={
+             ("<empty>", 0): ["with(foo()) {\n  bar();\n}"],
+             ("with(foo()) {\n  bar();\n}", 0): ["foo()", "bar()"],
+         },
+         cite=_AST_CITE + ":23-33"),
+    dict(name="js-with-noblock", lang="javascript", wrap=False,
+         code="with(foo())\n  bar();\nbaz();\n",
+         ast={
+             ("<empty>", 0): ["with(foo())\n  bar();", "baz()"],
+             ("with(foo())\n  bar();", 0): ["foo()", "bar()"],
+         },
+         cite=_AST_CITE + ":35-46"),
+    dict(name="js-nonnull-assert", lang="javascript", wrap=False,
+         code="const foo = bar!\n",
+         ast={
+             ("const foo = bar!", 0): ["foo", "bar!"],
+             ("bar!", 0): ["bar"],
+         },
+         cite=_AST_CITE + ":54-60"),
+    dict(name="js-literal-types", lang="javascript", wrap=False,
+         code="let x = 1; let y = 'y'; let z = false; let n = null;\n",
+         nodetype={
+             ("1", 0): "__ecma.Number",
+             ('"y"', 0): "__ecma.String",
+             ("false", 0): "__ecma.Boolean",
+             ("null", 0): "__ecma.Null",
+         },
+         cite=_AST_CITE + ":86-93"),
+    dict(name="js-literal-longnum", lang="javascript", wrap=False,
+         code="console.log(1e20)\n",
+         nodetype={("1e20", 0): "__ecma.Number"},
+         cite=_AST_CITE + ":48-52"),
+    # strippedCode assertions :95-121 — literal CODE is the double-quoted
+    # *cooked* value regardless of source quoting/escapes
+    dict(name="js-string-inner-text", lang="javascript", wrap=False,
+         code='let a = "abc";\n'
+              'let b = "\\"abc";\n'
+              'let c = "abc\\"";\n'
+              "let d = 'abc';\n"
+              "let e = '\\'abc';\n"
+              "let f = 'abc\\'';\n"
+              'let g = "\'abc\'";\n'
+              "let h = '\"abc\"';\n"
+              "let i = '\\'abc\\'';\n",
+         ast={
+             ('let a = "abc"', 0): ["a", '"abc"'],
+             ('let b = "\\"abc"', 0): ["b", '""abc"'],
+             ('let c = "abc\\""', 0): ["c", '"abc""'],
+             ("let d = 'abc'", 0): ["d", '"abc"'],
+             ("let e = '\\'abc'", 0): ["e", '"\'abc"'],
+             ("let f = 'abc\\''", 0): ["f", '"abc\'"'],
+             ('let g = "\'abc\'"', 0): ["g", '"\'abc\'"'],
+             ("let h = '\"abc\"'", 0): ["h", '""abc""'],
+             ("let i = '\\'abc\\''", 0): ["i", '"\'abc\'"'],
+         },
+         cite=_AST_CITE + ":95-121"),
+]
