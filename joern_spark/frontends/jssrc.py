@@ -399,9 +399,13 @@ class JsParser(CParser):
             self.pop_scope()
             node.add(catch)
         if self.at("finally"):
-            self.next()
-            fin = self.parse_compound()
-            fin.role = M.ROLE_FINALLY_BODY
+            f = self.next()
+            # FINALLY CONTROL_STRUCTURE wrapper around the block, order 3
+            # (astForTryStatement AstForStatementsCreator.scala:103-109)
+            fin = N(M.CONTROL_STRUCTURE, code="finally",
+                    control_structure_type=M.CS_FINALLY,
+                    role=M.ROLE_FINALLY_BODY, line=f.line)
+            fin.add(self.parse_compound())
             node.add(fin)
         return node
 
@@ -791,10 +795,31 @@ class JsParser(CParser):
         method.add(tp)
         self.declare("this", tp)
         self.expect("(")
+        defaults, destructured = self._parse_param_list(method)
+        body = self.parse_compound()
+        self._lower_default_params(body, defaults, kw.line)
+        self._lower_destructured_params(body, destructured)
+        method.add(body)
+        method.line_end = body.line_end
+        method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
+                     evaluation_strategy=M.BY_VALUE, line=kw.line))
+        self.scope_path.pop()
+        self.pop_scope()
+        if statement:
+            return method
+        ref = N(M.METHOD_REF, code=f"function {name}", method_full_name=full,
+                line=kw.line)
+        ref.add(method)
+        return ref
+
+    def _parse_param_list(self, method: N) -> tuple[list, list]:
+        """Parameter list after '(' (shared by function declarations,
+        function expressions, and arrows). Returns (defaults,
+        destructured) for body-front lowering."""
         i = 0
         defaults: list[tuple[str, str]] = []
-        destructured: list[tuple[str, list[dict], bool, int]] = []
-        while not self.at(")"):
+        destructured: list[tuple] = []
+        while not self.at(")") and self.peek() is not None:
             if self.at("..."):
                 self.next()
             if self.peek() is not None and self.peek().t in ("id", "kw"):
@@ -805,6 +830,9 @@ class JsParser(CParser):
                       evaluation_strategy=M.BY_SHARING)
                 method.add(p)
                 self.declare(pn.v, p)
+                if self.at(":"):  # TS parameter type annotation — skip
+                    self.next()
+                    self._skip_ts_annotation_tokens()
                 if self.at("="):  # default value
                     self.next()
                     defaults.append((pn.v, self.parse_assignment_expr().code))
@@ -849,8 +877,24 @@ class JsParser(CParser):
             if self.at(","):
                 self.next()
         self.next()
-        body = self.parse_compound()
-        self._lower_default_params(body, defaults, kw.line)
+        return defaults, destructured
+
+    def _skip_ts_annotation_tokens(self) -> None:
+        """Skip a TS type annotation up to `,` / `=` / the closing paren."""
+        depth = 0
+        while self.peek() is not None:
+            v = self.peek().v
+            if v in ("<", "(", "["):
+                depth += 1
+            elif v in (">", ")", "]"):
+                if depth == 0:
+                    return
+                depth -= 1
+            elif depth == 0 and v in (",", "="):
+                return
+            self.next()
+
+    def _lower_destructured_params(self, body: N, destructured: list) -> None:
         front: list[N] = []
         for pname, elems, _is_array, pline, locmap, dflt, pat_src in \
                 destructured:
@@ -860,7 +904,7 @@ class JsParser(CParser):
                      if "rest" not in e else e for e in elems]
             if dflt is None:
                 self._destructure_stmts(keyed, pname, pline, front, False,
-                                        locmap)
+                                        locmap, param_mode=True)
                 continue
             # guard FIRST so the default's own temporaries (`{}` object
             # literals) number before the destructure tmp, per the
@@ -885,7 +929,8 @@ class JsParser(CParser):
             asg.add(ident, guard)
             blk.add(asg)
             stmts: list[N] = []
-            self._destructure_stmts(keyed, tmpd, pline, stmts, False, locmap)
+            self._destructure_stmts(keyed, tmpd, pline, stmts, False,
+                                    locmap, param_mode=True)
             blk.add(*stmts)
             val = N(M.IDENTIFIER, code=tmpd, name=tmpd, line=pline,
                     type_full_name=M.ANY)
@@ -893,18 +938,6 @@ class JsParser(CParser):
             blk.add(val)
             front.append(blk)
         body.children[:0] = front
-        method.add(body)
-        method.line_end = body.line_end
-        method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
-                     evaluation_strategy=M.BY_VALUE, line=kw.line))
-        self.scope_path.pop()
-        self.pop_scope()
-        if statement:
-            return method
-        ref = N(M.METHOD_REF, code=f"function {name}", method_full_name=full,
-                line=kw.line)
-        ref.add(method)
-        return ref
 
     def parse_arrow(self, start_tok: Tok) -> N:
         """At the start of an arrow function (params already ahead)."""
@@ -919,46 +952,11 @@ class JsParser(CParser):
         tp = self._this_param(start_tok.line)
         method.add(tp)
         self.declare("this", tp)
-        i = 0
         defaults: list[tuple[str, str]] = []
+        destructured: list = []
         if self.at("("):
             self.next()
-            while not self.at(")"):
-                if self.at("..."):
-                    self.next()
-                if self.peek() is not None and self.peek().t in ("id", "kw"):
-                    i += 1
-                    pn = self.next()
-                    p = N(M.METHOD_PARAMETER_IN, code=pn.v, name=pn.v, param_index=i,
-                          type_full_name=M.ANY, line=pn.line,
-                          evaluation_strategy=M.BY_SHARING)
-                    method.add(p)
-                    self.declare(pn.v, p)
-                    if self.at(":"):  # TS parameter type annotation — skip
-                        self.next()
-                        depth = 0
-                        while self.peek() is not None:
-                            v = self.peek().v
-                            if v in ("<", "(", "["):
-                                depth += 1
-                            elif v in (">", ")", "]"):
-                                if depth == 0:
-                                    break
-                                depth -= 1
-                            elif depth == 0 and v in (",", "="):
-                                break
-                            self.next()
-                    if self.at("="):
-                        self.next()
-                        defaults.append(
-                            (pn.v, self.parse_assignment_expr().code))
-                elif self.at("{") or self.at("["):
-                    self.skip_balanced(self.peek().v, "}" if self.at("{") else "]")
-                elif not self.at(")") and not self.at(","):
-                    self.next()  # unknown token — always make progress
-                if self.at(","):
-                    self.next()
-            self.next()
+            defaults, destructured = self._parse_param_list(method)
         else:
             pn = self.next()
             p = N(M.METHOD_PARAMETER_IN, code=pn.v, name=pn.v, param_index=1,
@@ -970,6 +968,7 @@ class JsParser(CParser):
         if self.at("{"):
             abody = self.parse_compound()
             self._lower_default_params(abody, defaults, start_tok.line)
+            self._lower_destructured_params(abody, destructured)
             method.add(abody)
             method.line_end = abody.line_end
         else:
@@ -980,6 +979,7 @@ class JsParser(CParser):
             ret.add(body)
             blk.add(ret)
             self._lower_default_params(blk, defaults, start_tok.line)
+            self._lower_destructured_params(blk, destructured)
             method.add(blk)
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                      evaluation_strategy=M.BY_VALUE, line=start_tok.line))
@@ -1141,6 +1141,33 @@ class JsParser(CParser):
                     line=cls.line)
             ref.add(cls)
             return ref
+        # async arrow / async function expression: `async` is not a
+        # reserved word — only treat it as a modifier when an arrow or
+        # function actually follows
+        if v == "async" and t.t in ("id", "kw"):
+            nxt = self.peek(1)
+            if nxt is not None and nxt.v == "function":
+                self.next()
+                return self.parse_function(statement=False)
+            if nxt is not None and nxt.t == "id" \
+                    and self.peek(2) is not None and self.peek(2).v == "=>":
+                self.next()
+                return self.parse_arrow(t)
+            if nxt is not None and nxt.v == "(":
+                depth = 0
+                k = self.pos + 1
+                while k < len(self.toks):
+                    vv = self.toks[k].v
+                    if vv == "(":
+                        depth += 1
+                    elif vv == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k += 1
+                if k + 1 < len(self.toks) and self.toks[k + 1].v == "=>":
+                    self.next()
+                    return self.parse_arrow(t)
         # arrow detection: ( ... ) =>   |   ident =>
         if v == "(":
             depth = 0
@@ -1590,8 +1617,11 @@ class JsParser(CParser):
         interpolations it stays a single string LITERAL (:78-80)."""
         quasis, exprs, tail = self._split_template(t.v[1:-1])
         if not exprs:
-            return N(M.LITERAL, code=t.v, line=t.line,
-                     type_full_name="__ecma.String")
+            # plain template -> string LITERAL; CODE is the double-quoted
+            # cooked value like every other string literal
+            # (SimpleAstCreationPassTests "different string literals")
+            return N(M.LITERAL, code=f'"{_js_cooked(t.v[1:-1])}"',
+                     line=t.line, type_full_name="__ecma.String")
         try:
             arg_nodes: list[N] = []
             codes: list[str] = []
@@ -1704,11 +1734,20 @@ class JsParser(CParser):
 
     def _destructure_stmts(self, elems: list[dict], src_name: str,
                            line: int, out: list[N], is_array: bool,
-                           locmap: dict[str, "N"] | None = None) -> None:
+                           locmap: dict[str, "N"] | None = None,
+                           param_mode: bool = False) -> None:
         """Append per-element lowered assignments reading from `src_name`.
         ``locmap`` supplies pre-declared LOCAL nodes (parameter patterns
-        declare them before the body parses so body identifiers resolve)."""
+        declare them before the body parses so body identifiers resolve).
+        ``param_mode``: parameter-pattern rest elements lower to a plain
+        `rest = param1_0.rest` assignment, not <operator>.spread
+        (handleRestInParameters, AstForFunctionsCreator.scala:19-39)."""
         locmap = locmap or {}
+        if param_mode:
+            elems = [dict(e, target=e["rest"], key=e["rest"])
+                     if "rest" in e else e for e in elems]
+            for e in elems:
+                e.pop("rest", None)
 
         def target_local(name: str, eline: int) -> N:
             if name in locmap:

@@ -1241,3 +1241,129 @@ CASES += [
          },
          cite=_AST_CITE + ":95-121"),
 ]
+
+CASES += [
+    # :123-135 — one assignment call per declarator, code `let x = 1` etc.
+    dict(name="js-multi-declarators", lang="javascript", wrap=False,
+         code="let x = 1, y = 2, z = 3;\n",
+         ast={
+             ("let x = 1", 0): ["x", "1"],
+             ("let y = 2", 0): ["y", "2"],
+             ("let z = 3", 0): ["z", "3"],
+         },
+         cite=_AST_CITE + ":126-136"),
+    # :138-147 — require(...).bar chains: fieldAccess over the require call
+    dict(name="js-require-member", lang="javascript", wrap=False,
+         code='var x = require("foo").bar;\n',
+         ast={
+             ('var x = require("foo").bar', 0): ["x", 'require("foo").bar'],
+             ('require("foo").bar', 0): ['require("foo")', "bar"],
+             ('require("foo")', 0): ["require", "this", '"foo"'],
+         },
+         cite=_AST_CITE + ":138-147"),
+    # :149-173 — (class Foo {}, bar()) sequence: BLOCK with TYPE_REF
+    # `class Foo` + bar(); class lifts to TYPE_DECL with <init> ctor
+    dict(name="js-block-expression", lang="javascript", wrap=False,
+         code="let x = (class Foo {}, bar())\n",
+         ast={
+             ("let x = (class Foo {}, bar())", 0):
+                 ["x", "class Foo {}, bar()"],
+             ("class Foo {}, bar()", 0): ["class Foo", "bar()"],
+         },
+         methods=[("<init>", "js-block-expression.js::program:Foo:<init>")],
+         cite=_AST_CITE + ":149-173"),
+    # :175-185 — index access argument order (base idx 1, index idx 2)
+    dict(name="js-index-access", lang="javascript", wrap=False,
+         code="if(d = decorators[i]) foo();\n",
+         ast={
+             ("d = decorators[i]", 0): ["d", "decorators[i]"],
+             ("decorators[i]", 0): ["decorators", "i"],
+         },
+         cite=_AST_CITE + ":175-185"),
+]
+
+CASES += [
+    # :383-410 — TRY control structure: block (order 1), CATCH wrapper
+    # (order 2), FINALLY wrapper (order 3)
+    dict(name="js-try-ast", lang="javascript", wrap=False,
+         code="try {\n open()\n} catch(err) {\n handle()\n}"
+              " finally {\n close()\n}\n",
+         ast={
+             ("try", 0): ["<empty>", "catch", "finally"],
+             ("catch", 0): ["err", "<empty>"],
+             ("finally", 0): ["<empty>"],
+         },
+         cs=[(":program:TRY", "try"), (":program:CATCH", "catch"),
+             (":program:FINALLY", "finally")],
+         cite=_AST_CITE + ":383-410"),
+    # :356-381 — every quoting form renders literal CODE as the
+    # double-quoted cooked value; assignment CODE keeps the raw source
+    dict(name="js-string-literal-forms", lang="javascript", wrap=False,
+         code='var keyA = "AAA";\n'
+              "var keyB = 'BBB';\n"
+              "var keyC = `CCC`;\n"
+              'var keyD = `DDD"`;\n'
+              'var keyE = "EE EE E";\n',
+         ast={
+             ('var keyA = "AAA"', 0): ["keyA", '"AAA"'],
+             ("var keyB = 'BBB'", 0): ["keyB", '"BBB"'],
+             ("var keyC = `CCC`", 0): ["keyC", '"CCC"'],
+             ('var keyD = `DDD"`', 0): ["keyD", '"DDD""'],
+             ('var keyE = "EE EE E"', 0): ["keyE", '"EE EE E"'],
+         },
+         cite=_AST_CITE + ":356-381"),
+    # :435-466 — object literal with spread: _tmp lowering plus
+    # <operator>.spread(_tmp_0, rest)
+    dict(name="js-object-spread", lang="javascript", wrap=False,
+         code='var x = {\n key1: "value",\n key2: 2,\n ...rest\n}\n',
+         ast={
+             ("...rest", 0): ["_tmp_0", "rest"],
+             ('_tmp_0.key1 = "value"', 0): ["_tmp_0.key1", '"value"'],
+             ("_tmp_0.key2 = 2", 0): ["_tmp_0.key2", "2"],
+         },
+         cite=_AST_CITE + ":435-466"),
+]
+
+CASES += [
+    # :604-620 — quoted property names strip quotes in the fieldIdentifier
+    dict(name="js-object-quoted-keys", lang="javascript", wrap=False,
+         code="var x = {\n \"a\": 1,\n 'b': 2\n}\n",
+         ast={
+             ("_tmp_0.a = 1", 0): ["_tmp_0.a", "1"],
+             ("_tmp_0.a", 0): ["_tmp_0", "a"],
+             ("_tmp_0.b = 2", 0): ["_tmp_0.b", "2"],
+             ("_tmp_0.b", 0): ["_tmp_0", "b"],
+         },
+         cite=_AST_CITE + ":604-620"),
+    # :622-635 — conditional expression is one <operator>.conditional call
+    dict(name="js-conditional-expr", lang="javascript", wrap=False,
+         code="x ? y : z;\n",
+         ast={("x ? y : z", 0): ["x", "y", "z"]},
+         cite=_AST_CITE + ":622-635"),
+    # :762-772 — nested lambdas chain fullnames <lambda>0:<lambda>1
+    dict(name="js-nested-lambdas", lang="javascript", wrap=False,
+         code="() => async () => { }\n",
+         methods=[("<lambda>0", "js-nested-lambdas.js::program:<lambda>0"),
+                  ("<lambda>1",
+                   "js-nested-lambdas.js::program:<lambda>0:<lambda>1")],
+         cite=_AST_CITE + ":762-772"),
+    # :672-689 — array pattern with hole: param named param1_0, code is the
+    # pattern source, body gets `param = param1_0.param`
+    dict(name="js-lambda-hole-param", lang="javascript", wrap=False,
+         code="var x = ([, param]) => param\n",
+         ast={("param = param1_0.param", 0): ["param", "param1_0.param"],
+              ("param1_0.param", 0): ["param1_0", "param"]},
+         params=[("x.param1_0", "1:ANY:BY_SHARING")],
+         cite=_AST_CITE + ":672-689"),
+    # :691-733 — object/array rest params lower to `rest = param1_0.rest`
+    dict(name="js-lambda-rest-param", lang="javascript", wrap=False,
+         code="var x = ({x, ...rest}) => x + rest\n",
+         ast={("rest = param1_0.rest", 0): ["rest", "param1_0.rest"],
+              ("x = param1_0.x", 0): ["x", "param1_0.x"]},
+         cite=_AST_CITE + ":691-733"),
+    dict(name="js-lambda-rest-param-arr", lang="javascript", wrap=False,
+         code="var x = ([x, ...rest]) => x + rest\n",
+         ast={("rest = param1_0.rest", 0): ["rest", "param1_0.rest"],
+              ("x = param1_0.x", 0): ["x", "param1_0.x"]},
+         cite=_AST_CITE + ":713-733"),
+]
