@@ -787,8 +787,14 @@ class JsParser(CParser):
                    signature="", line=kw.line, ast_parent_type=M.METHOD,
                    ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD}")
         if statement and name and not name.startswith(M.LAMBDA_PREFIX):
-            fn_marker = N(M.METHOD_REF, code=name, method_full_name=full, line=kw.line)
-            self.declare(name, fn_marker)
+            # the function name is a LOCAL in the enclosing block, typed
+            # with the function's fullname (SimpleAstCreationPassTests
+            # "have local variable for function with correct type full
+            # name"); _function_declaration_stmt places it into the AST
+            fn_local = N(M.LOCAL, code=name, name=name,
+                         type_full_name=full, line=kw.line)
+            self.declare(name, fn_local)
+            self._last_fn_local = fn_local
         self.push_scope()
         self.scope_path.append(name)
         tp = self._this_param(kw.line)
@@ -805,12 +811,30 @@ class JsParser(CParser):
                      evaluation_strategy=M.BY_VALUE, line=kw.line))
         self.scope_path.pop()
         self.pop_scope()
+        method.add(self._function_type_decl(name, full, kw.line))
         if statement:
             return method
         ref = N(M.METHOD_REF, code=f"function {name}", method_full_name=full,
                 line=kw.line)
         ref.add(method)
         return ref
+
+    def _function_type_decl(self, name: str, full: str, line: int) -> N:
+        """Every function gets a mirror TYPE_DECL (fullName == the method
+        fullname) carrying one BINDING with empty name/signature that
+        references the method — jssrc2cpg
+        createFunctionTypeAndTypeDeclAst (x2cpg AstCreatorBase) as
+        asserted by SimpleAstCreationPassTests "have corresponding type
+        decl with correct bindings for function"."""
+        td = N(M.TYPE_DECL, code=name, name=name, full_name=full,
+               ast_parent_type=M.METHOD,
+               ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD}",
+               line=line)
+        b = N(M.BINDING, code=f"{name}:", name="", signature="",
+              method_full_name=full, ast_parent_type=M.TYPE_DECL,
+              ast_parent_full_name=full, line=line)
+        td.add(b)
+        return td
 
     def _parse_param_list(self, method: N) -> tuple[list, list]:
         """Parameter list after '(' (shared by function declarations,
@@ -820,13 +844,21 @@ class JsParser(CParser):
         defaults: list[tuple[str, str]] = []
         destructured: list[tuple] = []
         while not self.at(")") and self.peek() is not None:
+            rest = False
             if self.at("..."):
+                # rest parameter: code keeps the `...`, isVariadic, typed
+                # __ecma.Array (SimpleAstCreationPassTests "empty method
+                # with rest parameter"; AstForFunctionsCreator.scala:60-72)
+                rest = True
                 self.next()
             if self.peek() is not None and self.peek().t in ("id", "kw"):
                 i += 1
                 pn = self.next()
-                p = N(M.METHOD_PARAMETER_IN, code=pn.v, name=pn.v, param_index=i,
-                      type_full_name=M.ANY, line=pn.line,
+                p = N(M.METHOD_PARAMETER_IN,
+                      code=f"...{pn.v}" if rest else pn.v,
+                      name=pn.v, param_index=i,
+                      type_full_name="__ecma.Array" if rest else M.ANY,
+                      line=pn.line, is_variadic=rest,
                       evaluation_strategy=M.BY_SHARING)
                 method.add(p)
                 self.declare(pn.v, p)
@@ -985,6 +1017,7 @@ class JsParser(CParser):
                      evaluation_strategy=M.BY_VALUE, line=start_tok.line))
         self.scope_path.pop()
         self.pop_scope()
+        method.add(self._function_type_decl(name, full, start_tok.line))
         ref = N(M.METHOD_REF, code="=>", method_full_name=full, line=start_tok.line)
         ref.add(method)
         return ref
@@ -1812,6 +1845,10 @@ class JsParser(CParser):
                 name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
                 dispatch_type=M.STATIC_DISPATCH, line=m.line)
         asg.add(ident, ref)
+        loc = getattr(self, "_last_fn_local", None)
+        if loc is not None and loc.name == m.name:
+            self._last_fn_local = None
+            return [loc, m, asg]
         return [m, asg]
 
     def parse_comma_sequence(self, first: N, start: Tok) -> N:

@@ -1367,3 +1367,44 @@ CASES += [
               ("x = param1_0.x", 0): ["x", "param1_0.x"]},
          cite=_AST_CITE + ":713-733"),
 ]
+
+CASES += [
+    # :815-855 — chained calls _tmp receiver lowering:
+    # x.foo(y).bar(z) => bar's receiver is (_tmp_0 = x.foo(y)).bar
+    dict(name="js-chained-calls", lang="javascript", wrap=False,
+         code="x.foo(y).bar(z)\n",
+         ast={
+             ("x.foo(y).bar(z)", 0):
+                 ["(_tmp_0 = x.foo(y)).bar", "_tmp_0", "z"],
+             ("(_tmp_0 = x.foo(y)).bar", 0): ["(_tmp_0 = x.foo(y))", "bar"],
+             ("(_tmp_0 = x.foo(y))", 0): ["_tmp_0", "x.foo(y)"],
+             ("x.foo(y)", 0): ["x.foo", "x", "y"],
+             ("x.foo", 0): ["x", "foo"],
+         },
+         cite=_AST_CITE + ":815-855"),
+    # :913-920/:940-955 — while with brackets gets a body BLOCK;
+    # without brackets the statement hangs directly off the loop
+    dict(name="js-while-block", lang="javascript", wrap=False,
+         code="while (x < 0) {}\n",
+         ast={("while (x < 0)", 0): ["x < 0", "<empty>"]},
+         cite=_AST_CITE + ":913-920"),
+    # :957-977 — function-name LOCAL typed with the function fullname and
+    # the mirror TYPE_DECL carrying an empty-name/empty-signature BINDING
+    dict(name="js-function-binding", lang="javascript", wrap=False,
+         code="function method(x) {}\n",
+         locals=[(":program.method",
+                  "method|js-function-binding.js::program:method")],
+         bindings=[("method:", "->js-function-binding.js::program:method")],
+         params=[("method.this", "0:ANY:BY_VALUE"),
+                 ("method.x", "1:ANY:BY_SHARING"),
+                 (":program.this", "0:ANY:BY_VALUE")],
+         cite=_AST_CITE + ":957-985"),
+    # :987-1003 — rest parameter: code `...args`, typed __ecma.Array
+    dict(name="js-rest-param", lang="javascript", wrap=False,
+         code="function method(x, ...args) {}\n",
+         params=[("method.this", "0:ANY:BY_VALUE"),
+                 ("method.x", "1:ANY:BY_SHARING"),
+                 ("method.args", "2:__ecma.Array:BY_SHARING"),
+                 (":program.this", "0:ANY:BY_VALUE")],
+         cite=_AST_CITE + ":987-1003"),
+]
