@@ -201,6 +201,24 @@ class JsParser(CParser):
         self.tmp_counter = 0  # `_tmp_N` temporaries (per file, like the
         # reference's usedVariableNames in jssrc2cpg AstCreator)
 
+    # ---------------- bodies ----------------
+    def as_block(self, stmts: list, role: str, line: int):
+        """Babel keeps unbraced single-statement bodies as direct children
+        of the control structure — no synthetic BLOCK wrapper
+        (SimpleAstCreationPassTests "have no block for while body for
+        while statement without brackets", "be correct for if"). Braced
+        bodies arrive here already as a BLOCK and keep it."""
+        if len(stmts) == 1 and stmts[0].kind != M.BLOCK:
+            stmts[0].role = role
+            return stmts[0]
+        return super().as_block(stmts, role, line)
+
+    def make_else(self, e, stmts: list):
+        """jssrc has no ELSE control-structure wrapper: the else branch
+        (block, statement, or else-if) hangs directly off the IF at order 3
+        (SimpleAstCreationPassTests "be correct for if-else")."""
+        return self.as_block(stmts, role=M.ROLE_WHEN_FALSE, line=e.line)
+
     # ---------------- naming ----------------
     def fullname(self, name: str) -> str:
         scope = ":".join([M.PROGRAM_METHOD] + self.scope_path)
@@ -1367,6 +1385,22 @@ class JsParser(CParser):
             asg.add(fa, val)
             return asg
 
+        def index_assign(key_code: str, kexpr: N, val: N, line: int) -> N:
+            # computed key: `_tmp_k[<key>] = <value>` over indexAccess
+            # (checkObjectInitializationIndex, SimpleAstCreationPassTests
+            # .scala:1799-1820)
+            kexpr.arg_index = 2
+            ia = N(M.CALL, code=f"{tmp}[{key_code}]", name=M.OP_INDEX_ACCESS,
+                   method_full_name=M.OP_INDEX_ACCESS,
+                   dispatch_type=M.STATIC_DISPATCH, line=line, arg_index=1)
+            ia.add(tmp_ident(line, 1), kexpr)
+            val.arg_index = 2
+            asg = N(M.CALL, code=f"{tmp}[{key_code}] = {val.code}",
+                    name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
+                    dispatch_type=M.STATIC_DISPATCH, line=line)
+            asg.add(ia, val)
+            return asg
+
         while self.peek() is not None and not self.at("}"):
             if self.at(","):
                 self.next()
@@ -1381,39 +1415,29 @@ class JsParser(CParser):
                 sp.add(tmp_ident(sp_tok.line, 1), rest)
                 block.add(sp)
                 continue
+            if self.at("["):
+                # computed property name `[expr]: value` / computed object
+                # method `["name"](){}` -> `_computed_object_method_<n>`
+                # (SimpleAstCreationPassTests.scala:540-585)
+                lb = self.next()
+                kexpr = self.parse_expression()
+                rb = self.expect("]")
+                key_code = self.src[lb.b:rb.a].strip()
+                if self.at("("):
+                    n = getattr(self, "_computed_method_counter", 0)
+                    self._computed_method_counter = n + 1
+                    mname = f"_computed_object_method_{n}"
+                    ref = self._object_method(mname, lb.line)
+                    block.add(index_assign(key_code, kexpr, ref, lb.line))
+                elif self.at(":"):
+                    self.next()
+                    val = self.parse_assignment_expr()
+                    block.add(index_assign(key_code, kexpr, val, lb.line))
+                continue
             key = self.next()
             if self.at("("):  # method shorthand
-                # reuse class-method-ish parse: treat as lambda
-                self.lambda_counter += 1
                 name = key.v.strip("'\"")
-                full = self.fullname(name)
-                method = N(M.METHOD, code=name, name=name, full_name=full,
-                           signature="", line=key.line, ast_parent_type=M.METHOD,
-                           ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD}")
-                self.push_scope()
-                self.scope_path.append(name)
-                tp = self._this_param(key.line)
-                method.add(tp)
-                self.declare("this", tp)
-                self.next()
-                i = 0
-                while self.peek() is not None and not self.at(")"):
-                    pn = self.next()  # always advance — garbage tokens skip
-                    if pn.t in ("id", "kw"):
-                        i += 1
-                        p = N(M.METHOD_PARAMETER_IN, code=pn.v, name=pn.v,
-                              param_index=i, type_full_name=M.ANY, line=pn.line,
-                              evaluation_strategy=M.BY_SHARING)
-                        method.add(p)
-                        self.declare(pn.v, p)
-                self.expect(")")
-                method.add(self.parse_compound())
-                method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
-                             evaluation_strategy=M.BY_VALUE, line=key.line))
-                self.scope_path.pop()
-                self.pop_scope()
-                ref = N(M.METHOD_REF, code=name, method_full_name=full, line=key.line)
-                ref.add(method)
+                ref = self._object_method(name, key.line)
                 block.add(key_assign(name, ref, key.line))
                 continue
             if self.at(":"):
@@ -1436,6 +1460,44 @@ class JsParser(CParser):
         block.code = self.slice(open_tok, close)
         block.add(tmp_ident(open_tok.line))
         return block
+
+    def _object_method(self, name: str, line: int) -> N:
+        """Object-literal method shorthand: a METHOD under :program scope
+        (like a lambda) returned as a METHOD_REF whose code is the method
+        name — reference inits the property with a ref to it."""
+        self.lambda_counter += 1
+        full = self.fullname(name)
+        method = N(M.METHOD, code=name, name=name, full_name=full,
+                   signature="", line=line, ast_parent_type=M.METHOD,
+                   ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD}")
+        self.push_scope()
+        self.scope_path.append(name)
+        tp = self._this_param(line)
+        method.add(tp)
+        self.declare("this", tp)
+        self.next()  # '('
+        i = 0
+        while self.peek() is not None and not self.at(")"):
+            pn = self.next()  # always advance — garbage tokens skip
+            if pn.t in ("id", "kw"):
+                i += 1
+                p = N(M.METHOD_PARAMETER_IN, code=pn.v, name=pn.v,
+                      param_index=i, type_full_name=M.ANY, line=pn.line,
+                      evaluation_strategy=M.BY_SHARING)
+                method.add(p)
+                self.declare(pn.v, p)
+                if self.at(":"):  # TS param type annotation
+                    self.next()
+                    self._skip_ts_annotation_tokens()
+        self.expect(")")
+        method.add(self.parse_compound())
+        method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
+                     evaluation_strategy=M.BY_VALUE, line=line))
+        self.scope_path.pop()
+        self.pop_scope()
+        ref = N(M.METHOD_REF, code=name, method_full_name=full, line=line)
+        ref.add(method)
+        return ref
 
     def parse_array_literal(self) -> N:
         """jssrc2cpg array-literal lowering (AstForExpressionsCreator

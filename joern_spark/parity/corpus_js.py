@@ -1408,3 +1408,196 @@ CASES += [
                  (":program.this", "0:ANY:BY_VALUE")],
          cite=_AST_CITE + ":987-1003"),
 ]
+
+CASES += [
+    # :759-771 — nested lambda fullnames chain through the enclosing lambda
+    dict(name="js-lambdas-of-lambdas", lang="javascript", wrap=False,
+         code="() => async () => { }\n",
+         methods=[
+             [":program", "js-lambdas-of-lambdas.js::program"],
+             ["<lambda>0", "js-lambdas-of-lambdas.js::program:<lambda>0"],
+             ["<lambda>1",
+              "js-lambdas-of-lambdas.js::program:<lambda>0:<lambda>1"],
+         ],
+         cite=_AST_CITE + ":759-771"),
+    # :772-788 — this is a fieldAccess base identifier and a 0th parameter
+    dict(name="js-this-expression", lang="javascript", wrap=False,
+         code="function foo() { this.bar = 1 }\n",
+         ast={("this.bar = 1", 0): ["this.bar", "1"],
+              ("this.bar", 0): ["this", "bar"]},
+         params=[("foo.this", "0:ANY:BY_VALUE")],
+         cite=_AST_CITE + ":772-788"),
+    # :789-813 — simple call: receiver identifier plus this(0)/x(1) args
+    dict(name="js-call-expression", lang="javascript", wrap=False,
+         code="function method(x) {\n  foo(x);\n}\n",
+         ast={("foo(x)", 0): ["foo", "this", "x"]},
+         cite=_AST_CITE + ":789-813"),
+    # :857-881 — x.foo(): fieldAccess receiver, base passed as 0th arg
+    dict(name="js-call-on-object", lang="javascript", wrap=False,
+         code="function method(x) {\n  x.foo();\n}\n",
+         ast={("x.foo()", 0): ["x.foo", "x"],
+              ("x.foo", 0): ["x", "foo"]},
+         cite=_AST_CITE + ":857-881"),
+    # :882-911 — a.b(x): base a as 0th arg, x as 1st
+    dict(name="js-call-obj-arg", lang="javascript", wrap=False,
+         code="function method(x) {\n  a.b(x);\n}\n",
+         ast={("a.b(x)", 0): ["a.b", "a", "x"],
+              ("a.b", 0): ["a", "b"]},
+         cite=_AST_CITE + ":882-911"),
+    # :922-933 — while body WITHOUT brackets hangs directly off the loop
+    dict(name="js-while-no-block", lang="javascript", wrap=False,
+         code="while (x < 0)\n  x += 1\n",
+         ast={("while (x < 0)", 0): ["x < 0", "x += 1"]},
+         cite=_AST_CITE + ":922-933"),
+    # :1111-1141 — unbraced if-then statement is a direct IF child
+    dict(name="js-if-direct", lang="javascript", wrap=False,
+         code="function method(x) {\n  var y;\n  if (x > 0)\n    y = 0;\n}\n",
+         ast={("if (x > 0)", 0): ["x > 0", "y = 0"],
+              ("y = 0", 0): ["y", "0"]},
+         locals=[("method.y", "y|ANY")],
+         cite=_AST_CITE + ":1111-1141"),
+    # :1142-1176 — if-else: both branch BLOCKs direct children (no ELSE
+    # control structure in jssrc)
+    dict(name="js-if-else-blocks", lang="javascript", wrap=False,
+         code="function method(x) {\n  var y;\n  if (x > 0) {\n    y = 0;\n"
+              "  } else {\n    y = 1;\n  }\n}\n",
+         ast={("if (x > 0)", 0): ["x > 0", "<empty>", "<empty>"],
+              ("<empty>", 2): ["y = 0"],
+              ("<empty>", 3): ["y = 1"]},
+         cite=_AST_CITE + ":1142-1176"),
+    # :983-1003 — var decl: LOCAL hoisted as block child, assignment call
+    # keeps the `var ... = ...` code
+    dict(name="js-decl-assignment", lang="javascript", wrap=False,
+         code="function foo(x) { var local = 1; }\n",
+         ast={("var local = 1", 0): ["local", "1"]},
+         params=[("foo.this", "0:ANY:BY_VALUE"),
+                 ("foo.x", "1:ANY:BY_SHARING")],
+         cite=_AST_CITE + ":983-1003"),
+    # :1005-1027 — decl assignment with identifier RHS
+    dict(name="js-decl-assignment-id-rhs", lang="javascript", wrap=False,
+         code="function foo(x) { var local = x; }\n",
+         ast={("var local = x", 0): ["local", "x"]},
+         cite=_AST_CITE + ":1005-1027"),
+    # :1028-1061 — multiple locals: hoisted locals + ordered assignments
+    dict(name="js-decl-multiple-locals", lang="javascript", wrap=False,
+         code="function foo(x,y) { var local1 = x; var local2 = y; }\n",
+         ast={("var local1 = x", 0): ["local1", "x"],
+              ("var local2 = y", 0): ["local2", "y"]},
+         cite=_AST_CITE + ":1028-1061"),
+    # :1062-1075 — nested expression x = y + z
+    dict(name="js-nested-expression", lang="javascript", wrap=False,
+         code="function method() { var x; var y; var z; x = y + z; }\n",
+         ast={("x = y + z", 0): ["x", "y + z"],
+              ("y + z", 0): ["y", "z"]},
+         cite=_AST_CITE + ":1062-1075"),
+]
+
+CASES += [
+    # :185-198 — empty array literal assigns __ecma.Array.factory() directly
+    dict(name="js-array-empty-ast", lang="javascript", wrap=False,
+         code="var x = []\n",
+         ast={("var x = []", 0): ["x", "__ecma.Array.factory()"]},
+         cite=_AST_CITE + ":185-198"),
+    # :199-225 — array with values: _tmp block with factory + push per value
+    dict(name="js-array-values-ast", lang="javascript", wrap=False,
+         code="var x = [1, 2]\n",
+         ast={("[1, 2]", 0): ["_tmp_0", "_tmp_0 = __ecma.Array.factory()",
+                              "_tmp_0.push(1)", "_tmp_0.push(2)"],
+              ("_tmp_0 = __ecma.Array.factory()", 0):
+                  ["_tmp_0", "__ecma.Array.factory()"],
+              ("_tmp_0.push(1)", 0): ["_tmp_0.push", "_tmp_0", "1"],
+              ("_tmp_0.push(2)", 0): ["_tmp_0.push", "_tmp_0", "2"]},
+         cite=_AST_CITE + ":199-225"),
+    # :258-283 — template literal inside a call argument
+    dict(name="js-template-in-call-ast", lang="javascript", wrap=False,
+         code="foo(`Hello ${world}!`)\n",
+         ast={("foo(`Hello ${world}!`)", 0):
+                  ["foo", "this",
+                   '<operator>.formatString("Hello ", world, "!")'],
+              ('<operator>.formatString("Hello ", world, "!")', 0):
+                  ['"Hello "', "world", '"!"']},
+         cite=_AST_CITE + ":258-283"),
+    # :284-305 — bare template literal statement
+    dict(name="js-template-stmt-ast", lang="javascript", wrap=False,
+         code="`${x + 1}`\n",
+         ast={('<operator>.formatString("", x + 1, "")', 0):
+                  ['""', "x + 1", '""'],
+              ("x + 1", 0): ["x", "1"]},
+         cite=_AST_CITE + ":284-305"),
+    # :306-330 — tagged template: raw-parts array block arg1, expression arg2
+    dict(name="js-tagged-template-ast", lang="javascript", wrap=False,
+         code="x`a ${1+1} b`\n",
+         ast={("x`a ${1+1} b`", 0): ["x", "this", "`a ${1+1} b`", "1+1"],
+              ("`a ${1+1} b`", 0):
+                  ["_tmp_0", "_tmp_0 = __ecma.Array.factory()",
+                   '_tmp_0.push("a ")', '_tmp_0.push(" b")']},
+         cite=_AST_CITE + ":306-330"),
+]
+
+CASES += [
+    # :436-465 — object literal: tmp-block with `_tmp_0.key = value`
+    # member inits and <operator>.spread(_tmp_0, rest) for `...rest`
+    dict(name="js-object-simple-spread", lang="javascript", wrap=False,
+         code='var x = {\n key1: "value",\n key2: 2,\n ...rest\n}\n',
+         ast={('_tmp_0.key1 = "value"', 0): ["_tmp_0.key1", '"value"'],
+              ("_tmp_0.key2 = 2", 0): ["_tmp_0.key2", "2"],
+              ("_tmp_0.key1", 0): ["_tmp_0", "key1"],
+              ("...rest", 0): ["_tmp_0", "rest"]},
+         cite=_AST_CITE + ":436-465"),
+    # :467-497 — spread of a call result
+    dict(name="js-object-complex-rest", lang="javascript", wrap=False,
+         code='var x = {\n key1: "value",\n key2: 2,\n ...x.foo()\n}\n',
+         ast={("...x.foo()", 0): ["_tmp_0", "x.foo()"]},
+         cite=_AST_CITE + ":467-497"),
+    # :498-518 — computed values
+    dict(name="js-object-computed-values", lang="javascript", wrap=False,
+         code="var x = {\n key1: value(),\n key2: foo.compute()\n}\n",
+         ast={("_tmp_0.key1 = value()", 0): ["_tmp_0.key1", "value()"],
+              ("_tmp_0.key2 = foo.compute()", 0):
+                  ["_tmp_0.key2", "foo.compute()"]},
+         cite=_AST_CITE + ":498-518"),
+    # :518-539 — object function shorthand inits property with a method
+    # ref; bracketed string key becomes an indexAccess init
+    dict(name="js-object-function", lang="javascript", wrap=False,
+         code='var x = {\n key1: value(),\n ["foo()"]: 1,\n foo() {}\n}\n',
+         ast={('_tmp_0["foo()"] = 1', 0): ['_tmp_0["foo()"]', "1"],
+              ('_tmp_0["foo()"]', 0): ["_tmp_0", '"foo()"'],
+              ("_tmp_0.foo = foo", 0): ["_tmp_0.foo", "foo"]},
+         methods=[["foo", "js-object-function.js::program:foo"]],
+         cite=_AST_CITE + ":518-539"),
+    # :540-556 — computed property name lowers to indexAccess assignment
+    dict(name="js-object-computed-key", lang="javascript", wrap=False,
+         code="var x = {\n [ 1 + 1 ]: value()\n}\n",
+         ast={("_tmp_0[1 + 1] = value()", 0):
+                  ["_tmp_0[1 + 1]", "value()"],
+              ("_tmp_0[1 + 1]", 0): ["_tmp_0", "1 + 1"]},
+         cite=_AST_CITE + ":540-556"),
+    # :557-585 — computed object method names become
+    # _computed_object_method_<n> methods referenced by the index init
+    dict(name="js-object-computed-methods", lang="javascript", wrap=False,
+         code=('const obj = {\n  ["someNameComputation()"](node: Node) {\n'
+               '    foo(node);\n  },\n  ["someOtherNameComputation()"]'
+               '(node: Node) {\n    bar(node);\n  }\n};\n'),
+         ast={('_tmp_0["someNameComputation()"] = _computed_object_method_0',
+               0): ['_tmp_0["someNameComputation()"]',
+                    "_computed_object_method_0"],
+              ('_tmp_0["someOtherNameComputation()"] = '
+               '_computed_object_method_1', 0):
+                  ['_tmp_0["someOtherNameComputation()"]',
+                   "_computed_object_method_1"]},
+         methods=[
+             ["_computed_object_method_0",
+              "js-object-computed-methods.js::program:"
+              "_computed_object_method_0"],
+             ["_computed_object_method_1",
+              "js-object-computed-methods.js::program:"
+              "_computed_object_method_1"],
+         ],
+         cite=_AST_CITE + ":557-585"),
+    # :586-603 — quoted property names strip their quotes
+    dict(name="js-object-quoted-keys", lang="javascript", wrap=False,
+         code="var x = {\n \"a\": 1,\n 'b': 2\n}\n",
+         ast={("_tmp_0.a = 1", 0): ["_tmp_0.a", "1"],
+              ("_tmp_0.b = 2", 0): ["_tmp_0.b", "2"]},
+         cite=_AST_CITE + ":586-603"),
+]
