@@ -1520,7 +1520,12 @@ class CParser:
         self.expect("(")
         cond = self.parse_expression()
         close = self.expect(")")
-        code = f"switch ({self.src[kw.b:close.a].strip().lstrip('(').strip()})"
+        # strip exactly ONE wrapping paren — lstrip('(') would also eat the
+        # opening paren of a parenthesized condition like `switch ((x) => "")`
+        inner = self.src[kw.b:close.a].strip()
+        if inner.startswith("("):
+            inner = inner[1:].strip()
+        code = f"switch ({inner})"
         node = N(M.CONTROL_STRUCTURE, code=code, control_structure_type=M.CS_SWITCH, line=kw.line)
         cond.role = M.ROLE_CONDITION  # switch condition is NOT wrapped
         node.add(cond)

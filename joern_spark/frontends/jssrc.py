@@ -709,8 +709,26 @@ class JsParser(CParser):
         self.push_scope()
         if self.at_any(("var", "let", "const")):
             self.next()
-        name_tok = self.next()
-        var = name_tok.v
+        # loop variable: plain identifier, or an object/array destructuring
+        # pattern (astForInOfStatementWithObject/WithArray — the pattern
+        # names each become a LOCAL + bare IDENTIFIER, and the while body
+        # assigns `a = _result_N.value.a` (object) / `a = _result_N.value[k]`
+        # (array) per name, SimpleAstCreationPassTests.scala:1825-2001)
+        pat_kind = None  # None | "obj" | "arr"
+        pat_names: list[str] = []
+        if self.at("{") or self.at("["):
+            close = "}" if self.at("{") else "]"
+            pat_kind = "obj" if close == "}" else "arr"
+            self.next()
+            while self.peek() is not None and not self.at(close):
+                t = self.next()
+                if t.t in ("id", "kw"):
+                    pat_names.append(t.v)
+            self.expect(close)
+            var = pat_names[0] if pat_names else "_"
+        else:
+            name_tok = self.next()
+            var = name_tok.v
         self.next()  # in / of
         coll_start = self.pos
         self._skip_assignment_expr_tokens()
@@ -722,7 +740,7 @@ class JsParser(CParser):
         self.iter_counter += 1
         outer = N(M.BLOCK, code="", line=line, type_full_name=M.ANY)
         locs: dict[str, N] = {}
-        for nm in (it, res, var):
+        for nm in (it, res, *(pat_names if pat_kind else (var,))):
             locn = N(M.LOCAL, code=nm, name=nm, type_full_name=M.ANY,
                      line=line)
             self.declare(nm, locn)
@@ -750,7 +768,9 @@ class JsParser(CParser):
         assign.add(ident(it, 1), iter_call)
         outer.add(assign)
         # bare declared-variable identifier nodes (blockChildren at :353)
-        outer.add(ident(res), ident(var))
+        outer.add(ident(res))
+        for nm in (pat_names if pat_kind else [var]):
+            outer.add(ident(nm))
         # while (!(_result_N = _iterator_N.next()).done) { i = ...; body }
         cond = self._parse_sub_expression(f"!({res} = {it}.next()).done",
                                           line)
@@ -771,7 +791,17 @@ class JsParser(CParser):
         ws.add(cond)
         wbody = N(M.BLOCK, code="", line=line, type_full_name=M.ANY,
                   role=M.ROLE_WHEN_TRUE)
-        wbody.add(self._parse_sub_expression(f"{var} = {res}.value", line))
+        if pat_kind == "obj":
+            for nm in pat_names:
+                wbody.add(self._parse_sub_expression(
+                    f"{nm} = {res}.value.{nm}", line))
+        elif pat_kind == "arr":
+            for k, nm in enumerate(pat_names):
+                wbody.add(self._parse_sub_expression(
+                    f"{nm} = {res}.value[{k}]", line))
+        else:
+            wbody.add(self._parse_sub_expression(f"{var} = {res}.value",
+                                                 line))
         body_start_tok = self.peek()
         body_stmts = self.parse_statement()
         body_end_tok = self.toks[self.pos - 1]
@@ -832,7 +862,9 @@ class JsParser(CParser):
         method.add(self._function_type_decl(name, full, kw.line))
         if statement:
             return method
-        ref = N(M.METHOD_REF, code=f"function {name}", method_full_name=full,
+        # methodRefNode(func, methodName, ...) — code is the bare name
+        # ("be correct for function used as return": ref.code shouldBe "foo")
+        ref = N(M.METHOD_REF, code=name, method_full_name=full,
                 line=kw.line)
         ref.add(method)
         return ref
@@ -1036,7 +1068,11 @@ class JsParser(CParser):
         self.scope_path.pop()
         self.pop_scope()
         method.add(self._function_type_decl(name, full, start_tok.line))
-        ref = N(M.METHOD_REF, code="=>", method_full_name=full, line=start_tok.line)
+        # METHOD_REF code is the lambda name (methodRefNode(func, methodName,
+        # ...), AstForFunctionsCreator.scala:404-405; asserted by
+        # SimpleAstCreationPassTests.scala:1573 switchExpr.code "<lambda>0")
+        ref = N(M.METHOD_REF, code=name, method_full_name=full,
+                line=start_tok.line)
         ref.add(method)
         return ref
 

@@ -1594,10 +1594,239 @@ CASES += [
               "_computed_object_method_1"],
          ],
          cite=_AST_CITE + ":557-585"),
-    # :586-603 — quoted property names strip their quotes
-    dict(name="js-object-quoted-keys", lang="javascript", wrap=False,
-         code="var x = {\n \"a\": 1,\n 'b': 2\n}\n",
-         ast={("_tmp_0.a = 1", 0): ["_tmp_0.a", "1"],
-              ("_tmp_0.b = 2", 0): ["_tmp_0.b", "2"]},
-         cite=_AST_CITE + ":586-603"),
+]
+
+
+# --------------------------------------------------------------------------- #
+# SimpleAstCreationPassTests.scala:1177-1770 — for-in/for-of lowerings
+# (incl. object/array destructuring), labeled statements, the switch
+# suite, member-access chains, and misc expression shapes.
+# --------------------------------------------------------------------------- #
+
+_ITER_ASSIGN = "_iterator_0 = <operator>.iterator({c})"
+_WHILE_CODE = "while (!(_result_0 = _iterator_0.next()).done)"
+_NOT_DONE = "!(_result_0 = _iterator_0.next()).done"
+_MA_DONE = "(_result_0 = _iterator_0.next()).done"
+_RES_ASSIGN = "(_result_0 = _iterator_0.next())"
+
+
+def _forinof_core(stmt: str, coll: str, names: list[str],
+                  body_assigns: list[str], body_block: str) -> dict:
+    """Shared facts of checkForInOrOf/...Object/...Array
+    (SimpleAstCreationPassTests.scala:1825-2001): loop block locals +
+    bare identifiers + iterator assignment + WHILE; while body assigns
+    `<name> = _result_0.value[...]` then the user block."""
+    ia = _ITER_ASSIGN.format(c=coll)
+    ast = {
+        (stmt, 0): ["_iterator_0", "_result_0", *names, ia, _WHILE_CODE],
+        (ia, 0): ["_iterator_0", f"<operator>.iterator({coll})"],
+        (f"<operator>.iterator({coll})", 0): [coll],
+        (_WHILE_CODE, 0): [_NOT_DONE, stmt],
+        (_NOT_DONE, 0): [_MA_DONE],
+        (_MA_DONE, 0): [_RES_ASSIGN, "done"],
+        (_RES_ASSIGN, 0): ["_result_0", "_iterator_0.next()"],
+        (stmt, 1): [*body_assigns, body_block],
+    }
+    locals_ = [(":program._iterator_0", "_iterator_0|ANY"),
+               (":program._result_0", "_result_0|ANY")] + \
+              [(f":program.{n}", f"{n}|ANY") for n in names]
+    return dict(ast=ast, locals=locals_)
+
+
+def _forinof_obj_case(name: str, decl: bool, cite: str) -> dict:
+    pat = "var {a, b, c}" if decl else "{a, b, c}"
+    stmt = "for(%s of obj) {\n   foo(a, b, c)\n}" % pat
+    core = _forinof_core(
+        stmt, "obj", ["a", "b", "c"],
+        ["a = _result_0.value.a", "b = _result_0.value.b",
+         "c = _result_0.value.c"],
+        "{\n   foo(a, b, c)\n}")
+    core["ast"][("a = _result_0.value.a", 0)] = ["a", "_result_0.value.a"]
+    core["ast"][("{\n   foo(a, b, c)\n}", 0)] = ["foo(a, b, c)"]
+    return dict(name=name, lang="javascript", wrap=False,
+                code=stmt + "\n", cite=_AST_CITE + cite, **core)
+
+
+def _forinof_arr_case(name: str, decl: bool, cite: str) -> dict:
+    pat = "var [a, b, c]" if decl else "[a, b, c]"
+    stmt = "for(%s of arr) {\n   foo(a, b, c)\n}" % pat
+    core = _forinof_core(
+        stmt, "arr", ["a", "b", "c"],
+        ["a = _result_0.value[0]", "b = _result_0.value[1]",
+         "c = _result_0.value[2]"],
+        "{\n   foo(a, b, c)\n}")
+    core["ast"][("a = _result_0.value[0]", 0)] = ["a", "_result_0.value[0]"]
+    core["ast"][("{\n   foo(a, b, c)\n}", 0)] = ["foo(a, b, c)"]
+    return dict(name=name, lang="javascript", wrap=False,
+                code=stmt + "\n", cite=_AST_CITE + cite, **core)
+
+
+def _forinof_plain_case(name: str, kw: str, decl: bool, cite: str) -> dict:
+    pat = ("var i" if decl else "i")
+    stmt = "for (%s %s arr) {\n   foo(i)\n}" % (pat, kw)
+    core = _forinof_core(stmt, "arr", ["i"], ["i = _result_0.value"],
+                         "{\n   foo(i)\n}")
+    core["ast"][("i = _result_0.value", 0)] = ["i", "_result_0.value"]
+    core["ast"][("{\n   foo(i)\n}", 0)] = ["foo(i)"]
+    return dict(name=name, lang="javascript", wrap=False,
+                code=stmt + "\n", cite=_AST_CITE + cite, **core)
+
+
+CASES += [
+    _forinof_obj_case("js-for-of-obj-destruct", True, ":1177-1187"),
+    _forinof_obj_case("js-for-of-obj-destruct-nodecl", False, ":1189-1199"),
+    _forinof_arr_case("js-for-of-arr-destruct", True, ":1201-1211"),
+    _forinof_arr_case("js-for-of-arr-destruct-nodecl", False, ":1213-1223"),
+    _forinof_plain_case("js-for-in", "in", True, ":1225-1235"),
+    _forinof_plain_case("js-for-in-nodecl", "in", False, ":1237-1247"),
+    _forinof_plain_case("js-for-of", "of", True, ":1249-1259"),
+    _forinof_plain_case("js-for-of-nodecl", "of", False, ":1261-1271"),
+    # :1273-1283 — for(;;){}: condition literal `true`, empty body block
+    dict(name="js-for-empty-test", lang="javascript", wrap=False,
+         code="for(;;){}",
+         ast={("for", 0): ["true", "<empty>"]},
+         cite=_AST_CITE + ":1273-1283"),
+    # :1285-1322 — classic 3-clause for: init/cond/update calls + block
+    dict(name="js-for-loop", lang="javascript", wrap=False,
+         code="function method(x,y) {\n  for (x = 0; x < 1; x += 1) {\n"
+              "    z = 0;\n  }\n}\n",
+         ast={("for", 0): ["x = 0", "x < 1", "x += 1", "<empty>"],
+              ("x = 0", 0): ["x", "0"],
+              ("x < 1", 0): ["x", "1"],
+              ("x += 1", 0): ["x", "1"],
+              ("<empty>", 2): ["z = 0"]},
+         params=[("method.this", "0:ANY:BY_VALUE"),
+                 ("method.x", "1:ANY:BY_SHARING"),
+                 ("method.y", "2:ANY:BY_SHARING")],
+         cite=_AST_CITE + ":1285-1322"),
+    # :1326-1347 — labeled loops: JUMP_TARGET nodes `loop1:`/`loop2:`,
+    # CONTINUE control structure with code `continue loop1;`
+    dict(name="js-labeled-continue", lang="javascript", wrap=False,
+         code='var i, j;\nloop1: for (i = 0; i < 3; i++) {\n'
+              '   loop2: for (j = 0; j < 3; j++) {\n'
+              '      if (i === 1 && j === 1) {\n         continue loop1;\n'
+              '      }\n      console.log("i = " + i + ", j = " + j);\n'
+              '   }\n}\n',
+         ast={("<empty>", 0): ["i", "j", "loop1:", "for"],
+              ("<empty>", 1): ["loop2:", "for"]},
+         cs=[(":program:FOR", "for"),
+             (":program:IF", "if (i === 1 && j === 1)"),
+             (":program:CONTINUE", "continue loop1;")],
+         cite=_AST_CITE + ":1326-1347"),
+]
+
+# switch suite (:1350-1574) — JUMP_TARGET labels + case exprs + case-body
+# statements are FLAT children of the one switch BLOCK
+CASES += [
+    dict(name="js-switch-one-case", lang="javascript", wrap=False,
+         code="switch (x) { case 1: y; }",
+         ast={("switch (x)", 0): ["x", "<empty>"],
+              ("<empty>", 1): ["case 1:", "1", "y"]},
+         cs=[(":program:SWITCH", "switch (x)")],
+         cite=_AST_CITE + ":1351-1370"),
+    dict(name="js-switch-multi-cases", lang="javascript", wrap=False,
+         code="switch (x) { case 1: y; case 2: z; }",
+         ast={("switch (x)", 0): ["x", "<empty>"],
+              ("<empty>", 1): ["case 1:", "1", "y", "case 2:", "2", "z"]},
+         cite=_AST_CITE + ":1372-1401"),
+    dict(name="js-switch-same-spot", lang="javascript", wrap=False,
+         code="switch (x) { case 1: case 2: y; }",
+         ast={("switch (x)", 0): ["x", "<empty>"],
+              ("<empty>", 1): ["case 1:", "1", "case 2:", "2", "y"]},
+         cite=_AST_CITE + ":1403-1430"),
+    dict(name="js-switch-multi-same-spot", lang="javascript", wrap=False,
+         code="switch (x) { case 1: case 2: y; case 3: z; }",
+         ast={("switch (x)", 0): ["x", "<empty>"],
+              ("<empty>", 1): ["case 1:", "1", "case 2:", "2", "y",
+                               "case 3:", "3", "z"]},
+         cite=_AST_CITE + ":1432-1472"),
+    dict(name="js-switch-default", lang="javascript", wrap=False,
+         code="switch (x) { default: y; }",
+         ast={("switch (x)", 0): ["x", "<empty>"],
+              ("<empty>", 1): ["default:", "y"]},
+         cite=_AST_CITE + ":1474-1494"),
+    dict(name="js-switch-case-default", lang="javascript", wrap=False,
+         code="switch (x) { case 1: y; break; default: z; }",
+         ast={("switch (x)", 0): ["x", "<empty>"],
+              ("<empty>", 1): ["case 1:", "1", "y", "break;",
+                               "default:", "z"]},
+         cs=[(":program:SWITCH", "switch (x)"),
+             (":program:BREAK", "break;")],
+         cite=_AST_CITE + ":1496-1527"),
+    dict(name="js-switch-nested", lang="javascript", wrap=False,
+         code="switch (x) { default: switch(y) { default: z; } }",
+         ast={("switch (x)", 0): ["x", "<empty>"],
+              ("<empty>", 1): ["default:", "switch (y)"],
+              ("switch (y)", 0): ["y", "<empty>"],
+              ("<empty>", 2): ["default:", "z"]},
+         cite=_AST_CITE + ":1529-1559"),
+    # :1561-1574 — lambda as switch scrutinee: METHOD_REF code = lambda name
+    dict(name="js-switch-lambda", lang="javascript", wrap=False,
+         code='switch ((x) => "") { }\n',
+         ast={('switch ((x) => "")', 0): ["<lambda>0", "<empty>"]},
+         methods=[[":program", "js-switch-lambda.js::program"],
+                  ["<lambda>0", "js-switch-lambda.js::program:<lambda>0"]],
+         cite=_AST_CITE + ":1561-1574"),
+]
+
+CASES += [
+    # :1577-1591 — logicalAnd over two literals
+    dict(name="js-logical-and", lang="javascript", wrap=False,
+         code="function method(x) {\n  true && false;\n}\n",
+         ast={("true && false", 0): ["true", "false"]},
+         cite=_AST_CITE + ":1577-1591"),
+    # :1593-1605 — prefix increment keeps its operand identifier
+    dict(name="js-unary-inc", lang="javascript", wrap=False,
+         code="function method(x) {\n  ++x;\n}\n",
+         ast={("++x", 0): ["x"]},
+         cite=_AST_CITE + ":1593-1605"),
+    # :1607-1631 — z = x.a: assignment of a fieldAccess
+    dict(name="js-member-assign-direct", lang="javascript", wrap=False,
+         code="function method(x) {\n  z = x.a;\n}\n",
+         ast={("z = x.a", 0): ["z", "x.a"],
+              ("x.a", 0): ["x", "a"]},
+         cite=_AST_CITE + ":1607-1631"),
+    # :1633-1667 — chained member access nests fieldAccess calls
+    dict(name="js-member-assign-chained", lang="javascript", wrap=False,
+         code="function method(x) {\n  z = x.a.b.c;\n}\n",
+         ast={("z = x.a.b.c", 0): ["z", "x.a.b.c"],
+              ("x.a.b.c", 0): ["x.a.b", "c"],
+              ("x.a.b", 0): ["x.a", "b"],
+              ("x.a", 0): ["x", "a"]},
+         cite=_AST_CITE + ":1633-1667"),
+    # :1669-1712 — chained member call: receiver snapshot through _tmp_0
+    dict(name="js-member-assign-chained-call", lang="javascript",
+         wrap=False,
+         code="function method(x) {\n  z = x.a.b.c();\n}\n",
+         ast={("z = x.a.b.c()", 0): ["z", "x.a.b.c()"],
+              ("x.a.b.c()", 0): ["(_tmp_0 = x.a.b).c", "_tmp_0"],
+              ("(_tmp_0 = x.a.b).c", 0): ["(_tmp_0 = x.a.b)", "c"],
+              ("(_tmp_0 = x.a.b)", 0): ["_tmp_0", "x.a.b"],
+              ("x.a.b", 0): ["x.a", "b"],
+              ("x.a", 0): ["x", "a"]},
+         cite=_AST_CITE + ":1669-1712"),
+    # :1714-1732 — member access under RETURN
+    dict(name="js-member-as-return", lang="javascript", wrap=False,
+         code="function method(x) {\n  return x.a;\n}",
+         ast={("return x.a", 0): ["x.a"],
+              ("x.a", 0): ["x", "a"]},
+         cite=_AST_CITE + ":1714-1732"),
+    # :1734-1743 — function expression under RETURN: METHOD_REF code = name
+    dict(name="js-function-as-return", lang="javascript", wrap=False,
+         code="function method(x) {\n  return function foo() {};\n}\n",
+         ast={("return function foo() {}", 0): ["foo"]},
+         methods=[["method", "js-function-as-return.js::program:method"],
+                  ["foo", "js-function-as-return.js::program:method:foo"],
+                  [":program", "js-function-as-return.js::program"]],
+         cite=_AST_CITE + ":1734-1743"),
+    # :1745-1761 — bare member access statement
+    dict(name="js-member-useless-stmt", lang="javascript", wrap=False,
+         code="function method(x) {\n  x.a;\n}\n",
+         ast={("x.a", 0): ["x", "a"]},
+         cite=_AST_CITE + ":1745-1761"),
+    # :1763-1769 — empty method still has BLOCK + METHOD_RETURN "RET"
+    dict(name="js-empty-method", lang="javascript", wrap=False,
+         code="function method() {}",
+         ast={("method", 0, "METHOD"): ["this", "<empty>", "RET", "method"]},
+         cite=_AST_CITE + ":1763-1769"),
 ]
