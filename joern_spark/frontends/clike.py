@@ -333,6 +333,10 @@ class CParser:
                 return s[name]
         return None
 
+    def on_unresolved_identifier(self, node: N) -> None:
+        """Hook: an identifier failed scope resolution (JS overrides this
+        to queue it for var-hoisted / synthesized-local linking)."""
+
     def qual(self, name: str) -> str:
         return ".".join(self.ns + [name]) if self.ns else name
 
@@ -1930,6 +1934,8 @@ class CParser:
                                      else self.unresolved_ident_type(name)))
             if decl is not None:
                 node.ref_target = decl
+            else:
+                self.on_unresolved_identifier(node)
             node = self.identifier_expr(node)
         else:
             raise ParseError(f"unexpected token {t.v!r} in expression at line {t.line}")

@@ -197,6 +197,14 @@ class JsParser(CParser):
         self.lambda_counter = 0
         self.anon_class_counter = 0
         self.iter_counter = 0  # `_iterator_N`/`_result_N` for-in/of temps
+        # function-scope frames for `var` hoisting + unresolved-reference
+        # locals (x2cpg VariableScopeManager.createVariableReferenceLinks:
+        # var declarations are MethodScope-visible anywhere in the function;
+        # references that resolve nowhere get a synthesized LOCAL in their
+        # innermost enclosing method's block). Index 0 is the :program frame.
+        self.fn_frames: list[dict] = [
+            {"vars": {}, "pending": [], "block": None, "synth": {},
+             "parent": None}]
         self.name_counts: dict[str, int] = {}  # same-scope uniquing
         self.tmp_counter = 0  # `_tmp_N` temporaries (per file, like the
         # reference's usedVariableNames in jssrc2cpg AstCreator)
@@ -256,6 +264,59 @@ class JsParser(CParser):
                  param_index=0, type_full_name=M.ANY, line=line,
                  evaluation_strategy=M.BY_VALUE)
 
+    # ------------- function frames (var hoisting, unresolved refs) -------- #
+    def push_fn_frame(self) -> None:
+        self.fn_frames.append(
+            {"vars": {}, "pending": [], "block": None, "synth": {},
+             "parent": self.fn_frames[-1]})
+
+    def pop_fn_frame(self, body_block: N) -> None:
+        """Stamp the function's body block and bubble pending identifiers
+        (with their origin frame) outward; resolution happens in document
+        order at file end so a later `var` — or a local synthesized for an
+        EARLIER unresolved use in an enclosing function — can claim them."""
+        fr = self.fn_frames.pop()
+        fr["block"] = body_block
+        self.fn_frames[-1]["pending"].extend(fr["pending"])
+        fr["pending"] = []
+
+    def declare_var(self, name: str, node: N) -> None:
+        """A `var`/destructure-target declaration: block-scoped for parse-
+        time lookup AND registered function-wide for hoisted resolution."""
+        self.declare(name, node)
+        self.fn_frames[-1]["vars"].setdefault(name, node)
+
+    def on_unresolved_identifier(self, node: N) -> None:
+        fr = self.fn_frames[-1]
+        fr["pending"].append((node, fr))
+
+    def _resolve_program_pendings(self, program_block: N) -> None:
+        """File end, document order: each pending walks its origin frame
+        chain outward over hoisted `var`s AND locals already synthesized
+        for earlier pendings (so a nested function's use of a name first
+        used undeclared in an enclosing function CAPTURES that synthesized
+        local); still unresolved -> a new LOCAL in the ORIGIN frame's
+        method block (VariableScopeManager.resolve →
+        createLocalForUnresolvedReference, asserted by
+        MixedAstCreationPassTests :72-112 and :242-311)."""
+        fr = self.fn_frames[-1]
+        fr["block"] = program_block
+        for ident, origin in fr["pending"]:
+            nm = ident.name
+            tgt, f = None, origin
+            while f is not None:
+                tgt = f["vars"].get(nm) or f["synth"].get(nm)
+                if tgt is not None:
+                    break
+                f = f["parent"]
+            if tgt is None:
+                tgt = N(M.LOCAL, code=nm, name=nm, type_full_name=M.ANY,
+                        line=ident.line)
+                origin["synth"][nm] = tgt
+                (origin["block"] or program_block).children.insert(0, tgt)
+            ident.ref_target = tgt
+        fr["pending"] = []
+
     def parse(self) -> list[N]:
         self._hoist_top_level_functions()
         program = N(M.METHOD, code="<program>", name=M.PROGRAM_METHOD,
@@ -276,6 +337,7 @@ class JsParser(CParser):
         program.line_end = self.toks[-1].line if self.toks else 1
         program.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                       evaluation_strategy=M.BY_VALUE, line=1))
+        self._resolve_program_pendings(block)
         self._rename_const_closures(program)
         return [program]
 
@@ -435,6 +497,24 @@ class JsParser(CParser):
         if t is None:
             return []
         v = t.v
+        if v == "(" and self._paren_destructure_ahead():
+            # `({a, b} = x);` / `([a, b] = x);` — parenthesized destructuring
+            # assignment, lowered exactly like the declaration form
+            # (MixedAstCreationPassTests "object destruction assignment
+            # without declaration":637-666)
+            lp = self.next()
+            is_array = self.at("[")
+            elems = self.parse_destructure_elements(is_array)
+            self.expect("=")
+            rhs_start = self.pos
+            self._skip_assignment_expr_tokens()
+            rhs_raw = self.slice(self.toks[rhs_start], self.toks[self.pos - 1])
+            rp = self.expect(")")
+            code_str = self.slice(lp, rp)
+            if self.at(";"):
+                self.next()
+            return [self.lower_destructure_stmt(
+                elems, rhs_raw, code_str, lp.line, is_array)]
         if v in ("var", "let", "const"):
             return self.parse_var_decl()
         if v == "function":
@@ -661,7 +741,10 @@ class JsParser(CParser):
             loc = N(M.LOCAL, code=name, name=name, type_full_name=M.ANY,
                     line=name_tok.line)
             out.append(loc)
-            self.declare(name, loc)
+            if kw.v == "var":  # function-scoped: hoists across blocks
+                self.declare_var(name, loc)
+            else:
+                self.declare(name, loc)
             if self.at("="):
                 self.next()
                 rhs_start = self.pos
@@ -844,6 +927,7 @@ class JsParser(CParser):
             self.declare(name, fn_local)
             self._last_fn_local = fn_local
         self.push_scope()
+        self.push_fn_frame()
         self.scope_path.append(name)
         tp = self._this_param(kw.line)
         method.add(tp)
@@ -858,6 +942,7 @@ class JsParser(CParser):
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                      evaluation_strategy=M.BY_VALUE, line=kw.line))
         self.scope_path.pop()
+        self.pop_fn_frame(body)
         self.pop_scope()
         method.add(self._function_type_decl(name, full, kw.line))
         if statement:
@@ -1030,6 +1115,7 @@ class JsParser(CParser):
                    line=start_tok.line, ast_parent_type=M.METHOD,
                    ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD}")
         self.push_scope()
+        self.push_fn_frame()
         self.scope_path.append(name)
         tp = self._this_param(start_tok.line)
         method.add(tp)
@@ -1055,17 +1141,19 @@ class JsParser(CParser):
             method.line_end = abody.line_end
         else:
             body = self.parse_assignment_expr()
-            blk = N(M.BLOCK, code="", line=start_tok.line, type_full_name=M.ANY)
+            abody = N(M.BLOCK, code="", line=start_tok.line,
+                      type_full_name=M.ANY)
             ret = N(M.RETURN, code=f"return {body.code}", line=body.line)
             body.arg_index = 1
             ret.add(body)
-            blk.add(ret)
-            self._lower_default_params(blk, defaults, start_tok.line)
-            self._lower_destructured_params(blk, destructured)
-            method.add(blk)
+            abody.add(ret)
+            self._lower_default_params(abody, defaults, start_tok.line)
+            self._lower_destructured_params(abody, destructured)
+            method.add(abody)
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                      evaluation_strategy=M.BY_VALUE, line=start_tok.line))
         self.scope_path.pop()
+        self.pop_fn_frame(abody)
         self.pop_scope()
         method.add(self._function_type_decl(name, full, start_tok.line))
         # METHOD_REF code is the lambda name (methodRefNode(func, methodName,
@@ -1126,6 +1214,7 @@ class JsParser(CParser):
                                ast_parent_type=M.TYPE_DECL,
                                ast_parent_full_name=full)
                     self.push_scope()
+                    self.push_fn_frame()
                     self.scope_path.append(mname)
                     tp = self._this_param(mt.line)
                     method.add(tp)
@@ -1149,10 +1238,12 @@ class JsParser(CParser):
                         if self.at(","):
                             self.next()
                     self.next()
-                    method.add(self.parse_compound())
+                    mbody = self.parse_compound()
+                    method.add(mbody)
                     method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                                  evaluation_strategy=M.BY_VALUE, line=mt.line))
                     self.scope_path.pop()
+                    self.pop_fn_frame(mbody)
                     self.pop_scope()
                     decl.add(method)
                     continue
@@ -1364,11 +1455,44 @@ class JsParser(CParser):
                      line=op_tok.line)
             call.add(operand)
             return call
+        if v in ("{", "[") and self._pattern_assign_ahead():
+            # destructuring assignment in EXPRESSION position (call
+            # argument `foo({a, b} = x)`): same block lowering, value is
+            # the tmp identifier (MixedAstCreationPassTests "object
+            # destruction assignment in call argument":835-865)
+            pat_start = self.peek()
+            is_array = v == "["
+            elems = self.parse_destructure_elements(is_array)
+            self.expect("=")
+            rhs_start = self.pos
+            self._skip_assignment_expr_tokens()
+            rhs_raw = self.slice(self.toks[rhs_start], self.toks[self.pos - 1])
+            code_str = self.slice(pat_start, self.toks[self.pos - 1])
+            return self.lower_destructure_stmt(
+                elems, rhs_raw, code_str, pat_start.line, is_array)
         if v == "{":
             return self.parse_postfix_ops(self.parse_object_literal(), t)
         if v == "[":
             return self.parse_postfix_ops(self.parse_array_literal(), t)
         return super().parse_unary()
+
+    def _pattern_assign_ahead(self) -> bool:
+        """Cursor on `{`/`[` in expression position — true iff the bracketed
+        group is immediately followed by `=` (destructuring assignment)."""
+        opener = self.peek().v
+        closer = "}" if opener == "{" else "]"
+        k, depth = self.pos, 0
+        while k < len(self.toks):
+            tv = self.toks[k].v
+            if tv == opener:
+                depth += 1
+            elif tv == closer:
+                depth -= 1
+                if depth == 0:
+                    return (k + 1 < len(self.toks)
+                            and self.toks[k + 1].v == "=")
+            k += 1
+        return False
 
     def parse_postfix_callee(self) -> N:
         """Parse a new-expression callee without consuming the ( args )."""
@@ -1507,6 +1631,7 @@ class JsParser(CParser):
                    signature="", line=line, ast_parent_type=M.METHOD,
                    ast_parent_full_name=f"{self.path}:{M.PROGRAM_METHOD}")
         self.push_scope()
+        self.push_fn_frame()
         self.scope_path.append(name)
         tp = self._this_param(line)
         method.add(tp)
@@ -1526,10 +1651,12 @@ class JsParser(CParser):
                     self.next()
                     self._skip_ts_annotation_tokens()
         self.expect(")")
-        method.add(self.parse_compound())
+        obody = self.parse_compound()
+        method.add(obody)
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                      evaluation_strategy=M.BY_VALUE, line=line))
         self.scope_path.pop()
+        self.pop_fn_frame(obody)
         self.pop_scope()
         ref = N(M.METHOD_REF, code=name, method_full_name=full, line=line)
         ref.add(method)
@@ -1814,6 +1941,27 @@ class JsParser(CParser):
     # rests, and the tmp identifier as the block value; destructured
     # PARAMETERS bind `param<i>_0` and prepend plain assignments).
 
+    def _paren_destructure_ahead(self) -> bool:
+        """Cursor on `(` — true iff the parenthesized expression is a
+        destructuring pattern assignment `({...} = rhs)` / `([...] = rhs)`."""
+        k = self.pos + 1
+        if k >= len(self.toks) or self.toks[k].v not in ("{", "["):
+            return False
+        opener = self.toks[k].v
+        closer = "}" if opener == "{" else "]"
+        depth = 0
+        while k < len(self.toks):
+            tv = self.toks[k].v
+            if tv == opener:
+                depth += 1
+            elif tv == closer:
+                depth -= 1
+                if depth == 0:
+                    return (k + 1 < len(self.toks)
+                            and self.toks[k + 1].v == "=")
+            k += 1
+        return False
+
     def parse_destructure_elements(self, is_array: bool) -> list[dict]:
         """Cursor on `{`/`[`; consumes through the closer. Array holes
         advance the element index without emitting an element."""
@@ -1885,7 +2033,10 @@ class JsParser(CParser):
                 return locmap[name]
             loc = N(M.LOCAL, code=name, name=name, type_full_name=M.ANY,
                     line=eline)
-            self.declare(name, loc)
+            # destructure elements are MethodScope in the reference
+            # (convertDestructingObjectElement, AstForDeclarations
+            # Creator.scala:638) — hoist like `var`
+            self.declare_var(name, loc)
             return loc
 
         for e in elems:
@@ -2000,6 +2151,7 @@ class JsParser(CParser):
         declarations) and temp counters."""
         sub = JsParser(src, self.path)
         sub.scopes = self.scopes
+        sub.fn_frames = self.fn_frames  # pendings land in the real frame
         sub.declared_types = self.declared_types
         sub.tmp_counter = self.tmp_counter
         sub.lambda_counter = self.lambda_counter

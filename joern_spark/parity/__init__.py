@@ -89,7 +89,7 @@ def _norm_key(key) -> str:
 def want_facts(case: dict) -> list[tuple[str, str, str]]:
     """Transcribed expectations -> (relation, subj, obj) rows."""
     out: list[tuple[str, str, str]] = []
-    for rel in ("cfg", "cdg", "domby", "dom", "ast"):
+    for rel in ("cfg", "cdg", "domby", "dom", "ast", "refs"):
         for key, objs in (case.get(rel) or {}).items():
             subj = _norm_key(key)
             if not objs:
@@ -138,7 +138,10 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
         else:
             for pairs in f["want"]:
                 out.append(("flows", f["name"], serialize(pairs)))
-    return out
+    # dedupe, order-preserving: a transcription may legitimately list the
+    # same (rel, subj, obj) twice (e.g. both if-branches display <empty>);
+    # duplicated want rows would double-count TP in the Spark join scorer
+    return list(dict.fromkeys(out))
 
 
 # --------------------------------------------------------------------------- #
@@ -340,6 +343,21 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
             if p is not None:
                 for k in keys.get(p["node_idx"], []):
                     out.add(("ast", k, display_code(r)))
+
+    if case.get("refs") is not None:
+        # identifier.refOut golden positions (MixedAstCreationPassTests
+        # "AST variable scoping and linking":44-196): obj spells the REF
+        # target's display code AND its parent's plain subject key, so the
+        # assertion distinguishes a local in the method block from one in
+        # a nested block (var hoisting / let shadowing)
+        for r in rows:
+            if r.get("ref_idx", -1) is not None and r.get("ref_idx", -1) >= 0:
+                tgt = by_idx.get(r["ref_idx"])
+                if tgt is None:
+                    continue
+                p = by_idx.get(tgt["parent_idx"])
+                pk = keys.get(p["node_idx"], [""])[0] if p is not None else ""
+                emit("refs", r["node_idx"], f"{display_code(tgt)}&{pk}")
 
     if case.get("methods") is not None:
         for r in rows:

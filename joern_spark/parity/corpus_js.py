@@ -1185,14 +1185,17 @@ CASES += [
     dict(name="js-with-block", lang="javascript", wrap=False,
          code="with(foo()) {\n  bar();\n}\n",
          ast={
-             ("<empty>", 0): ["with(foo()) {\n  bar();\n}"],
+             # `foo`/`bar` are undeclared: VariableScopeManager synthesizes
+             # program-block LOCALs for them (resolve/unresolvedHandler)
+             ("<empty>", 0): ["with(foo()) {\n  bar();\n}", "foo", "bar"],
              ("with(foo()) {\n  bar();\n}", 0): ["foo()", "bar()"],
          },
          cite=_AST_CITE + ":23-33"),
     dict(name="js-with-noblock", lang="javascript", wrap=False,
          code="with(foo())\n  bar();\nbaz();\n",
          ast={
-             ("<empty>", 0): ["with(foo())\n  bar();", "baz()"],
+             ("<empty>", 0): ["with(foo())\n  bar();", "baz()",
+                              "foo", "bar", "baz"],
              ("with(foo())\n  bar();", 0): ["foo()", "bar()"],
          },
          cite=_AST_CITE + ":35-46"),
@@ -1263,14 +1266,14 @@ CASES += [
          cite=_AST_CITE + ":138-147"),
     # :149-173 — (class Foo {}, bar()) sequence: BLOCK with TYPE_REF
     # `class Foo` + bar(); class lifts to TYPE_DECL with <init> ctor
-    dict(name="js-block-expression", lang="javascript", wrap=False,
+    dict(name="js-block-expression-ast", lang="javascript", wrap=False,
          code="let x = (class Foo {}, bar())\n",
          ast={
              ("let x = (class Foo {}, bar())", 0):
                  ["x", "class Foo {}, bar()"],
              ("class Foo {}, bar()", 0): ["class Foo", "bar()"],
          },
-         methods=[("<init>", "js-block-expression.js::program:Foo:<init>")],
+         methods=[("<init>", "js-block-expression-ast.js::program:Foo:<init>")],
          cite=_AST_CITE + ":149-173"),
     # :175-185 — index access argument order (base idx 1, index idx 2)
     dict(name="js-index-access", lang="javascript", wrap=False,
@@ -1371,7 +1374,7 @@ CASES += [
 CASES += [
     # :815-855 — chained calls _tmp receiver lowering:
     # x.foo(y).bar(z) => bar's receiver is (_tmp_0 = x.foo(y)).bar
-    dict(name="js-chained-calls", lang="javascript", wrap=False,
+    dict(name="js-chained-calls-ast", lang="javascript", wrap=False,
          code="x.foo(y).bar(z)\n",
          ast={
              ("x.foo(y).bar(z)", 0):
@@ -1485,7 +1488,7 @@ CASES += [
               ("var local2 = y", 0): ["local2", "y"]},
          cite=_AST_CITE + ":1028-1061"),
     # :1062-1075 — nested expression x = y + z
-    dict(name="js-nested-expression", lang="javascript", wrap=False,
+    dict(name="js-nested-expression-ast", lang="javascript", wrap=False,
          code="function method() { var x; var y; var z; x = y + z; }\n",
          ast={("x = y + z", 0): ["x", "y + z"],
               ("y + z", 0): ["y", "z"]},
@@ -1677,9 +1680,9 @@ CASES += [
     _forinof_obj_case("js-for-of-obj-destruct-nodecl", False, ":1189-1199"),
     _forinof_arr_case("js-for-of-arr-destruct", True, ":1201-1211"),
     _forinof_arr_case("js-for-of-arr-destruct-nodecl", False, ":1213-1223"),
-    _forinof_plain_case("js-for-in", "in", True, ":1225-1235"),
+    _forinof_plain_case("js-for-in-iterlower", "in", True, ":1225-1235"),
     _forinof_plain_case("js-for-in-nodecl", "in", False, ":1237-1247"),
-    _forinof_plain_case("js-for-of", "of", True, ":1249-1259"),
+    _forinof_plain_case("js-for-of-iterlower", "of", True, ":1249-1259"),
     _forinof_plain_case("js-for-of-nodecl", "of", False, ":1261-1271"),
     # :1273-1283 — for(;;){}: condition literal `true`, empty body block
     dict(name="js-for-empty-test", lang="javascript", wrap=False,
@@ -1701,13 +1704,13 @@ CASES += [
          cite=_AST_CITE + ":1285-1322"),
     # :1326-1347 — labeled loops: JUMP_TARGET nodes `loop1:`/`loop2:`,
     # CONTINUE control structure with code `continue loop1;`
-    dict(name="js-labeled-continue", lang="javascript", wrap=False,
+    dict(name="js-labeled-continue-ast", lang="javascript", wrap=False,
          code='var i, j;\nloop1: for (i = 0; i < 3; i++) {\n'
               '   loop2: for (j = 0; j < 3; j++) {\n'
               '      if (i === 1 && j === 1) {\n         continue loop1;\n'
               '      }\n      console.log("i = " + i + ", j = " + j);\n'
               '   }\n}\n',
-         ast={("<empty>", 0): ["i", "j", "loop1:", "for"],
+         ast={("<empty>", 0): ["i", "j", "loop1:", "for", "console"],
               ("<empty>", 1): ["loop2:", "for"]},
          cs=[(":program:FOR", "for"),
              (":program:IF", "if (i === 1 && j === 1)"),
@@ -1718,7 +1721,7 @@ CASES += [
 # switch suite (:1350-1574) — JUMP_TARGET labels + case exprs + case-body
 # statements are FLAT children of the one switch BLOCK
 CASES += [
-    dict(name="js-switch-one-case", lang="javascript", wrap=False,
+    dict(name="js-switch-one-case-ast", lang="javascript", wrap=False,
          code="switch (x) { case 1: y; }",
          ast={("switch (x)", 0): ["x", "<empty>"],
               ("<empty>", 1): ["case 1:", "1", "y"]},
@@ -1740,7 +1743,7 @@ CASES += [
               ("<empty>", 1): ["case 1:", "1", "case 2:", "2", "y",
                                "case 3:", "3", "z"]},
          cite=_AST_CITE + ":1432-1472"),
-    dict(name="js-switch-default", lang="javascript", wrap=False,
+    dict(name="js-switch-default-ast", lang="javascript", wrap=False,
          code="switch (x) { default: y; }",
          ast={("switch (x)", 0): ["x", "<empty>"],
               ("<empty>", 1): ["default:", "y"]},
@@ -1787,7 +1790,7 @@ CASES += [
               ("x.a", 0): ["x", "a"]},
          cite=_AST_CITE + ":1607-1631"),
     # :1633-1667 — chained member access nests fieldAccess calls
-    dict(name="js-member-assign-chained", lang="javascript", wrap=False,
+    dict(name="js-member-assign-chained-ast", lang="javascript", wrap=False,
          code="function method(x) {\n  z = x.a.b.c;\n}\n",
          ast={("z = x.a.b.c", 0): ["z", "x.a.b.c"],
               ("x.a.b.c", 0): ["x.a.b", "c"],
@@ -1829,4 +1832,253 @@ CASES += [
          code="function method() {}",
          ast={("method", 0, "METHOD"): ["this", "<empty>", "RET", "method"]},
          cite=_AST_CITE + ":1763-1769"),
+]
+
+
+# --------------------------------------------------------------------------- #
+# MixedAstCreationPassTests.scala — "AST variable scoping and linking"
+# (:44-196): identifier.refOut positions. The `refs` obj spells
+# `<local code>&<parent's plain subject key>` so `<empty>@0` is the method
+# block and `<empty>@1` the nested block. "closure binding (single
+# variable)" (:242-267) is covered through `captures` + the foo-block
+# local placement; the reference's per-level shadow-local chain is
+# intentionally collapsed to direct capture edges in this engine.
+# --------------------------------------------------------------------------- #
+_MIX_CITE = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/ast/"
+             "MixedAstCreationPassTests.scala")
+
+CASES += [
+    dict(name="js-scope-local-var", lang="javascript", wrap=False,
+         code="var x;\nx = 1;\n",
+         refs={("x", 0): ["x&<empty>@0"]},
+         cite=_MIX_CITE + ":44-56"),
+    dict(name="js-scope-local-let", lang="javascript", wrap=False,
+         code="let x;\nx = 1;\n",
+         refs={("x", 0): ["x&<empty>@0"]},
+         cite=_MIX_CITE + ":58-70"),
+    dict(name="js-scope-undeclared", lang="javascript", wrap=False,
+         code="x = 1;\n",
+         refs={("x", 0): ["x&<empty>@0"]},
+         locals=[(":program.x", "x|ANY")],
+         cite=_MIX_CITE + ":72-81"),
+    dict(name="js-scope-undeclared-2refs", lang="javascript", wrap=False,
+         code="x = 1;\nx = 2;\n",
+         refs={("x", 0): ["x&<empty>@0"], ("x", 1): ["x&<empty>@0"]},
+         locals=[(":program.x", "x|ANY")],
+         cite=_MIX_CITE + ":83-100"),
+    # undeclared in nested block -> local in METHOD block
+    dict(name="js-scope-undeclared-in-block", lang="javascript", wrap=False,
+         code="{ x = 1; }\n",
+         refs={("x", 0): ["x&<empty>@0"]},
+         cite=_MIX_CITE + ":102-112"),
+    # `var` in nested block is function-visible; the LOCAL stays nested
+    dict(name="js-scope-var-in-block", lang="javascript", wrap=False,
+         code="{ var x; }\nx = 1;\n",
+         refs={("x", 0): ["x&<empty>@1"]},
+         cite=_MIX_CITE + ":114-127"),
+    dict(name="js-scope-post-declared-var", lang="javascript", wrap=False,
+         code="x = 1;\nvar x;\n",
+         refs={("x", 0): ["x&<empty>@0"]},
+         cite=_MIX_CITE + ":129-141"),
+    dict(name="js-scope-post-var-in-block", lang="javascript", wrap=False,
+         code="x = 1;\n{ var x; }\n",
+         refs={("x", 0): ["x&<empty>@1"]},
+         cite=_MIX_CITE + ":143-156"),
+    dict(name="js-scope-nested-let-access", lang="javascript", wrap=False,
+         code="let x;\n{ x = 1; }\n",
+         refs={("x", 0): ["x&<empty>@0"]},
+         cite=_MIX_CITE + ":158-171"),
+    dict(name="js-scope-shadowing-let", lang="javascript", wrap=False,
+         code="let x;\n{\n  let x;\n  x = 1;\n}\nx = 1;\n",
+         refs={("x", 0): ["x&<empty>@1"], ("x", 1): ["x&<empty>@0"]},
+         cite=_MIX_CITE + ":173-196"),
+    # :242-267 — undeclared assignment in foo synthesizes foo-block local;
+    # inner bar's use captures it
+    dict(name="js-closure-single-var", lang="javascript", wrap=False,
+         code="function foo() {\n  x = 1;\n  function bar() {\n"
+              "    x = 2;\n  }\n}\n",
+         refs={("x", 0): ["x&<empty>@1"], ("x", 1): ["x&<empty>@1"]},
+         captures=[("bar", "x")],
+         locals=[("foo.x", "x|ANY"), ("foo.bar", f"bar|js-closure-single-var"
+                 ".js::program:foo:bar")],
+         cite=_MIX_CITE + ":242-267"),
+    # :269-311 — two captured variables
+    dict(name="js-closure-two-vars", lang="javascript", wrap=False,
+         code="function foo() {\n  x = 1;\n  y = 1;\n  function bar() {\n"
+              "    x = 2;\n    y = 2;\n  }\n}\n",
+         captures=[("bar", "x"), ("bar", "y")],
+         cite=_MIX_CITE + ":269-311"),
+]
+
+
+# --------------------------------------------------------------------------- #
+# MixedAstCreationPassTests.scala — destructuring-assignment TREE structure
+# (:569-1208; the succ-chains are covered by the js-destr-* CFG cases
+# above) plus spread arguments, await, instanceof, delete.
+# --------------------------------------------------------------------------- #
+
+def _destr_ast(blk: str, pairs: list[tuple[str, str]], rhs: str = "x"):
+    """ast facts of a destruction block: tmp local + `_tmp_0 = <rhs>` +
+    per-element `tgt = acc` assignments + tmp value identifier."""
+    ast = {(blk, 0): ["_tmp_0", f"_tmp_0 = {rhs}"]
+           + [t for p in pairs for t in (p[0], f"{p[0]} = {p[1]}")],
+           (f"_tmp_0 = {rhs}", 0): ["_tmp_0", rhs]}
+    for tgt, acc in pairs:
+        ast[(f"{tgt} = {acc}", 0)] = [tgt, acc]
+    return ast
+
+
+CASES += [
+    # :569-604 — declaration form
+    dict(name="js-destr-obj-decl-ast", lang="javascript", wrap=False,
+         code="var {a, b} = x;",
+         ast={**_destr_ast("var {a, b} = x",
+                           [("a", "_tmp_0.a"), ("b", "_tmp_0.b")]),
+              ("_tmp_0.a", 0): ["_tmp_0", "a"],
+              ("_tmp_0.b", 0): ["_tmp_0", "b"]},
+         locals=[(":program._tmp_0", "_tmp_0|ANY"),
+                 (":program.a", "a|ANY"), (":program.b", "b|ANY"),
+                 (":program.x", "x|ANY")],
+         cite=_MIX_CITE + ":569-604"),
+    # :606-635 — ternary init keeps the full conditional as assign RHS
+    dict(name="js-destr-obj-ternary-ast", lang="javascript", wrap=False,
+         code="const { a, b } = test() ? foo() : bar();",
+         ast=_destr_ast("const { a, b } = test() ? foo() : bar()",
+                        [("a", "_tmp_0.a"), ("b", "_tmp_0.b")],
+                        rhs="test() ? foo() : bar()"),
+         cite=_MIX_CITE + ":606-635"),
+    # :637-666 — parenthesized non-declaration form, same lowering
+    dict(name="js-destr-obj-nodecl", lang="javascript", wrap=False,
+         code="({a, b} = x);",
+         ast={**_destr_ast("({a, b} = x)",
+                           [("a", "_tmp_0.a"), ("b", "_tmp_0.b")]),
+              ("_tmp_0.a", 0): ["_tmp_0", "a"]},
+         cite=_MIX_CITE + ":637-666"),
+    # :668-719 — defaults become `=== void 0 ?:` conditionals
+    dict(name="js-destr-obj-defaults-ast", lang="javascript", wrap=False,
+         code="var {a = 1, b = 2} = x;",
+         ast={("var {a = 1, b = 2} = x", 0):
+                  ["_tmp_0", "_tmp_0 = x",
+                   "a", "a = _tmp_0.a === void 0 ? 1 : _tmp_0.a",
+                   "b", "b = _tmp_0.b === void 0 ? 2 : _tmp_0.b"],
+              ("a = _tmp_0.a === void 0 ? 1 : _tmp_0.a", 0):
+                  ["a", "_tmp_0.a === void 0 ? 1 : _tmp_0.a"],
+              ("_tmp_0.a === void 0 ? 1 : _tmp_0.a", 0):
+                  ["_tmp_0.a === void 0", "1", "_tmp_0.a"],
+              ("_tmp_0.a === void 0", 0): ["_tmp_0.a", "void 0"]},
+         cite=_MIX_CITE + ":668-719"),
+    # :721-750 — key renames read the key, assign the target
+    dict(name="js-destr-obj-reassign-ast", lang="javascript", wrap=False,
+         code="var {a: n, b: m} = x;",
+         ast={**_destr_ast("var {a: n, b: m} = x",
+                           [("n", "_tmp_0.a"), ("m", "_tmp_0.b")]),
+              ("_tmp_0.a", 0): ["_tmp_0", "a"]},
+         cite=_MIX_CITE + ":721-750"),
+    # :867-897 — object rest: <operator>.spread(_tmp_0, rest)
+    dict(name="js-destr-obj-rest-ast", lang="javascript", wrap=False,
+         code="var {a, ...rest} = x;",
+         ast={("var {a, ...rest} = x", 0):
+                  ["_tmp_0", "_tmp_0 = x", "a", "a = _tmp_0.a",
+                   "rest", "...rest"],
+              ("...rest", 0): ["_tmp_0", "rest"]},
+         cite=_MIX_CITE + ":867-897"),
+    # :899-919 — computed property name reads `_tmp_0.<keyExpr>`
+    dict(name="js-destr-obj-computed-ast", lang="javascript", wrap=False,
+         code="var {[propName]: n} = x;",
+         ast={**_destr_ast("var {[propName]: n} = x",
+                           [("n", "_tmp_0.propName")]),
+              ("_tmp_0.propName", 0): ["_tmp_0", "propName"]},
+         cite=_MIX_CITE + ":899-919"),
+    # :835-865 — destructuring assignment as a call argument: the
+    # destruction BLOCK hangs under the call
+    dict(name="js-destr-call-arg", lang="javascript", wrap=False,
+         code="foo({a, b} = x);",
+         ast={("foo({a, b} = x)", 0): ["foo", "this", "{a, b} = x"],
+              **_destr_ast("{a, b} = x",
+                           [("a", "_tmp_0.a"), ("b", "_tmp_0.b")])},
+         cite=_MIX_CITE + ":835-865"),
+    # :973-1003 / :1005-1034 — array declaration + paren-free forms
+    dict(name="js-destr-arr-decl-ast", lang="javascript", wrap=False,
+         code="var [a, b] = x;",
+         ast={**_destr_ast("var [a, b] = x",
+                           [("a", "_tmp_0[0]"), ("b", "_tmp_0[1]")]),
+              ("_tmp_0[0]", 0): ["_tmp_0", "0"],
+              ("_tmp_0[1]", 0): ["_tmp_0", "1"]},
+         cite=_MIX_CITE + ":973-1003"),
+    dict(name="js-destr-arr-nodecl", lang="javascript", wrap=False,
+         code="([a, b] = x);",
+         ast=_destr_ast("([a, b] = x)",
+                        [("a", "_tmp_0[0]"), ("b", "_tmp_0[1]")]),
+         cite=_MIX_CITE + ":1005-1034"),
+    # :1036-1088 — array defaults
+    dict(name="js-destr-arr-defaults-ast", lang="javascript", wrap=False,
+         code="var [a = 1, b = 2] = x;",
+         ast={("a = _tmp_0[0] === void 0 ? 1 : _tmp_0[0]", 0):
+                  ["a", "_tmp_0[0] === void 0 ? 1 : _tmp_0[0]"],
+              ("_tmp_0[0] === void 0 ? 1 : _tmp_0[0]", 0):
+                  ["_tmp_0[0] === void 0", "1", "_tmp_0[0]"],
+              ("_tmp_0[0] === void 0", 0): ["_tmp_0[0]", "void 0"]},
+         cite=_MIX_CITE + ":1036-1088"),
+    # :1090-1119 — holes advance the element index
+    dict(name="js-destr-arr-ignores-ast", lang="javascript", wrap=False,
+         code="var [a, , b] = x;",
+         ast=_destr_ast("var [a, , b] = x",
+                        [("a", "_tmp_0[0]"), ("b", "_tmp_0[2]")]),
+         cite=_MIX_CITE + ":1090-1119"),
+    # :1121-1154 — array rest spreads the index access at rest position
+    dict(name="js-destr-arr-rest-ast", lang="javascript", wrap=False,
+         code="var [a, ...rest] = x;",
+         ast={("...rest", 0): ["_tmp_0[1]", "rest"],
+              ("_tmp_0[1]", 0): ["_tmp_0", "1"]},
+         cite=_MIX_CITE + ":1121-1154"),
+    # :1156-1167 — array pattern parameter: `param1_0` + field read by name
+    dict(name="js-destr-arr-param-ast", lang="javascript", wrap=False,
+         code="function userId([id]) {\n  return id;\n}\n",
+         params=[("userId.this", "0:ANY:BY_VALUE"),
+                 ("userId.param1_0", "1:ANY:BY_SHARING")],
+         ast={("id = param1_0.id", 0): ["id", "param1_0.id"],
+              ("param1_0.id", 0): ["param1_0", "id"]},
+         locals=[("userId.id", "id|ANY")],
+         cite=_MIX_CITE + ":1156-1167"),
+    # :955-971 — object pattern parameter lowering
+    dict(name="js-destr-obj-param-ast", lang="javascript", wrap=False,
+         code="function userId({id}) {\n  return id;\n}\n",
+         ast={("id = param1_0.id", 0): ["id", "param1_0.id"],
+              ("param1_0.id", 0): ["param1_0", "id"]},
+         locals=[("userId.id", "id|ANY")],
+         cite=_MIX_CITE + ":955-971"),
+    # :823-833 — mixed pattern + plain parameters keep their indices
+    dict(name="js-destr-obj-param-mixed", lang="javascript", wrap=False,
+         code="function foo({ a }, b) {};",
+         params=[("foo.this", "0:ANY:BY_VALUE"),
+                 ("foo.param1_0", "1:ANY:BY_SHARING"),
+                 ("foo.b", "2:ANY:BY_SHARING")],
+         cite=_MIX_CITE + ":823-833"),
+    # :1169-1186 — spread call argument
+    dict(name="js-spread-arg-ast", lang="javascript", wrap=False,
+         code="foo(...args)",
+         ast={("foo(...args)", 0): ["foo", "this", "...args"],
+              ("...args", 0): ["args"]},
+         cite=_MIX_CITE + ":1169-1186"),
+    # :1188-1208 — spread of a call result
+    dict(name="js-spread-arg-complex", lang="javascript", wrap=False,
+         code="foo(...x.bar());",
+         ast={("foo(...x.bar())", 0): ["foo", "this", "...x.bar()"],
+              ("...x.bar()", 0): ["x.bar()"]},
+         cite=_MIX_CITE + ":1188-1208"),
+    # :1211-1219 — await lowers to <operator>.await around the call
+    dict(name="js-await-async", lang="javascript", wrap=False,
+         code="async function x(foo) { await foo() }",
+         ast={("await foo()", 0): ["foo()"]},
+         cite=_MIX_CITE + ":1211-1219"),
+    # :1222-1238 / :1240-1250 — instanceOf and delete operators
+    dict(name="js-instanceof-ast", lang="javascript", wrap=False,
+         code="x instanceof Foo;",
+         ast={("x instanceof Foo", 0): ["x", "Foo"]},
+         cite=_MIX_CITE + ":1222-1238"),
+    dict(name="js-delete-ast", lang="javascript", wrap=False,
+         code="delete foo.x;",
+         ast={("delete foo.x", 0): ["foo.x"],
+              ("foo.x", 0): ["foo", "x"]},
+         cite=_MIX_CITE + ":1240-1250"),
 ]

@@ -198,6 +198,26 @@ def spark_facts(spark: SparkSession) -> DataFrame:
         .select("lang", "kase", F.lit("methods").alias("relation"),
                 F.col("name").alias("subj"), F.col("full_name").alias("obj")))
 
+    # identifier REF targets, positioned by the target's parent's plain key
+    # (mirror of the sequential "refs" relation)
+    plain_keys = keyed.select(
+        F.col("id").alias("pk_id"),
+        F.concat_ws("", F.col("dc"), F.lit("@"),
+                    F.col("i_plain")).alias("pkey"))
+    tgt = base.select(F.col("id").alias("tgt_id"),
+                      F.col("parent_id").alias("tgt_parent"),
+                      F.col("dc").alias("tgt_dc"))
+    out.append(
+        base.filter(F.col("ref_id").isNotNull())
+        .select(F.col("id").alias("ref_src"), "ref_id")
+        .join(subj_keys, subj_keys.id == F.col("ref_src"))
+        .join(tgt, F.col("ref_id") == F.col("tgt_id"))
+        .join(plain_keys, F.col("tgt_parent") == F.col("pk_id"), "left")
+        .select("lang", "kase", F.lit("refs").alias("relation"), "subj",
+                F.concat(F.col("tgt_dc"), F.lit("&"),
+                         F.coalesce(F.col("pkey"), F.lit("")))
+                .alias("obj")))
+
     # exact METHOD count per fullname (forward-decl dedup assertions)
     out.append(
         base.filter(F.col("kind") == M.METHOD)

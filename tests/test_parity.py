@@ -33,6 +33,12 @@ def test_parity_corpus_breadth():
     assert len(cases) >= 90, len(cases)
     # every case cites its reference source
     assert all(c.get("cite") for c in cases)
+    # names must be unique: the Spark extractor keys facts by the
+    # name-derived file path, so a duplicate merges two parses into one
+    # case and silently corrupts occurrence-indexed subjects
+    from collections import Counter
+    dups = [k for k, v in Counter(c["name"] for c in cases).items() if v > 1]
+    assert not dups, f"duplicate case names: {dups}"
 
 
 @pytest.mark.parametrize("case", corpus(), ids=lambda c: c["name"])
