@@ -2082,3 +2082,62 @@ CASES += [
               ("foo.x", 0): ["foo", "x"]},
          cite=_MIX_CITE + ":1240-1250"),
 ]
+
+CASES += [
+    # :29-40 — constructor fullnames use <init> under the class scope;
+    # anonymous classes get <anon-class>N
+    dict(name="js-ctor-fullname", lang="javascript", wrap=False,
+         code="class X { constructor(){} }",
+         methods=[[":program", "js-ctor-fullname.js::program"],
+                  ["<init>", "js-ctor-fullname.js::program:X:<init>"]],
+         cite=_MIX_CITE + ":29-34"),
+    dict(name="js-anon-class-ctor-fullname", lang="javascript", wrap=False,
+         code="var x = class { constructor(y) {} };",
+         methods=[[":program", "js-anon-class-ctor-fullname.js::program"],
+                  ["<init>", "js-anon-class-ctor-fullname.js::program:"
+                             "<anon-class>0:<init>"]],
+         cite=_MIX_CITE + ":35-41"),
+    # :524-550 — function-name local typed with the function fullname;
+    # `var l = source(3)` keeps declaration code on the assignment
+    dict(name="js-fragment-call", lang="javascript", wrap=False,
+         code="function source(a) { return a; }\nvar l = source(3);\n",
+         ast={("var l = source(3)", 0): ["l", "source(3)"],
+              ("source(3)", 0): ["source", "this", "3"],
+              ("return a", 0): ["a"]},
+         params=[("source.this", "0:ANY:BY_VALUE"),
+                 ("source.a", "1:ANY:BY_SHARING")],
+         locals=[(":program.source",
+                  "source|js-fragment-call.js::program:source"),
+                 (":program.l", "l|ANY")],
+         cite=_MIX_CITE + ":524-550"),
+    # :552-566 — rows[0].solution nests indexAccess under fieldAccess
+    dict(name="js-fragment-array-access", lang="javascript", wrap=False,
+         code="result = rows[0].solution;",
+         ast={("result = rows[0].solution", 0):
+                  ["result", "rows[0].solution"],
+              ("rows[0].solution", 0): ["rows[0]", "solution"],
+              ("rows[0]", 0): ["rows", "0"]},
+         cite=_MIX_CITE + ":552-566"),
+]
+
+CASES += [
+    # :921-953 — whole-pattern default + nested element defaults chain
+    # through `param1_0 === void 0 ? {} : param1_0` into `_tmp_1`
+    dict(name="js-destr-param-nested-defaults-ast", lang="javascript",
+         wrap=False,
+         code="function userId({id = {}, b} = {}) {\n  return id;\n}\n",
+         params=[("userId.this", "0:ANY:BY_VALUE"),
+                 ("userId.param1_0", "1:ANY:BY_SHARING")],
+         ast={("{id = {}, b} = {}", 0):
+                  ["_tmp_1", "_tmp_1 = param1_0 === void 0 ? {} : param1_0",
+                   "id", "id = _tmp_1.id === void 0 ? {} : _tmp_1.id",
+                   "b", "b = _tmp_1.b"],
+              ("_tmp_1 = param1_0 === void 0 ? {} : param1_0", 0):
+                  ["_tmp_1", "param1_0 === void 0 ? {} : param1_0"],
+              ("param1_0 === void 0 ? {} : param1_0", 0):
+                  ["param1_0 === void 0", "{}", "param1_0"],
+              ("id = _tmp_1.id === void 0 ? {} : _tmp_1.id", 0):
+                  ["id", "_tmp_1.id === void 0 ? {} : _tmp_1.id"],
+              ("b = _tmp_1.b", 0): ["b", "_tmp_1.b"]},
+         cite=_MIX_CITE + ":921-953"),
+]
