@@ -337,6 +337,12 @@ class CParser:
         """Hook: an identifier failed scope resolution (JS overrides this
         to queue it for var-hoisted / synthesized-local linking)."""
 
+    def parse_for_init_decls(self) -> list[N] | None:
+        """Hook: language-specific for-init declarations (JS `var`/`let`/
+        `const`). Return the LOCAL + init-assignment nodes, or None to use
+        the default C-style init parsing."""
+        return None
+
     def qual(self, name: str) -> str:
         return ".".join(self.ns + [name]) if self.ns else name
 
@@ -1479,7 +1485,18 @@ class CParser:
         self.push_scope()
         # init
         if not self.at(";"):
-            if self.looks_like_type() or (self.peek() and self.peek().t == "kw" and self.peek().v in TYPE_KEYWORDS):
+            hook_decls = self.parse_for_init_decls()
+            if hook_decls is not None:
+                locals_ = [d for d in hook_decls if d.kind == M.LOCAL]
+                inits = [d for d in hook_decls if d.kind != M.LOCAL]
+                node.add(*locals_)
+                if inits:
+                    init = (self.as_block(inits, role=M.ROLE_FOR_INIT,
+                                          line=kw.line)
+                            if len(inits) > 1 else inits[0])
+                    init.role = M.ROLE_FOR_INIT
+                    node.add(init)
+            elif self.looks_like_type() or (self.peek() and self.peek().t == "kw" and self.peek().v in TYPE_KEYWORDS):
                 decls = self.try_parse_declaration(consume_semi=False)
                 if decls:
                     locals_ = [d for d in decls if d.kind == M.LOCAL]

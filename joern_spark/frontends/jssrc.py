@@ -709,7 +709,18 @@ class JsParser(CParser):
                          line=t.line))
         return out
 
-    def parse_var_decl(self) -> list[N]:
+    def parse_for_init_decls(self) -> list[N] | None:
+        """`for (var i = 0; ...)`: the declarators lower like a var
+        statement — hoisted LOCAL + assignment with `var i = 0` code —
+        and the assignment carries the FOR_INIT role (astForForStatement
+        init via astForNodeWithFunctionReference,
+        AstForStatementsCreator.scala:140-146; asserted by
+        ControlStructureTests \"for-loop ... dedicated edges\":85-101)."""
+        if self.at_any(("var", "let", "const")):
+            return self.parse_var_decl(consume_semi=False)
+        return None
+
+    def parse_var_decl(self, consume_semi: bool = True) -> list[N]:
         kw = self.next()  # var/let/const
         out: list[N] = []
         while True:
@@ -771,7 +782,7 @@ class JsParser(CParser):
                 self.next()
                 continue
             break
-        if self.at(";"):
+        if consume_semi and self.at(";"):
             self.next()
         return out
 

@@ -89,7 +89,7 @@ def _norm_key(key) -> str:
 def want_facts(case: dict) -> list[tuple[str, str, str]]:
     """Transcribed expectations -> (relation, subj, obj) rows."""
     out: list[tuple[str, str, str]] = []
-    for rel in ("cfg", "cdg", "domby", "dom", "ast", "refs"):
+    for rel in ("cfg", "cdg", "domby", "dom", "ast", "refs", "roledge"):
         for key, objs in (case.get(rel) or {}).items():
             subj = _norm_key(key)
             if not objs:
@@ -358,6 +358,16 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
                 p = by_idx.get(tgt["parent_idx"])
                 pk = keys.get(p["node_idx"], [""])[0] if p is not None else ""
                 emit("refs", r["node_idx"], f"{display_code(tgt)}&{pk}")
+
+    if case.get("roledge") is not None:
+        # control-structure body edges (TRUE_BODY/FALSE_BODY/FOR_INIT/...)
+        # keyed by the parent structure (jssrc ControlStructureTests)
+        for r in rows:
+            role = r.get("role") or ""
+            if role and r["parent_idx"] is not None:
+                lbl = M.ROLE_EDGE_LABELS.get(role, role)
+                for k in keys.get(r["parent_idx"], []):
+                    out.add(("roledge", k, f"{lbl}:{display_code(r)}"))
 
     if case.get("methods") is not None:
         for r in rows:

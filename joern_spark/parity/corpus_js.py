@@ -2141,3 +2141,79 @@ CASES += [
               ("b = _tmp_1.b", 0): ["b", "_tmp_1.b"]},
          cite=_MIX_CITE + ":921-953"),
 ]
+
+
+# --------------------------------------------------------------------------- #
+# jssrc ControlStructureTests.scala — body-edge wiring (TRUE_BODY /
+# FALSE_BODY / DO_BODY / FOR_INIT / FOR_UPDATE / FOR_BODY / TRY_BODY /
+# CATCH_BODY / FINALLY_BODY) via the `roledge` relation.
+# --------------------------------------------------------------------------- #
+_CST_CITE = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/ast/"
+             "ControlStructureTests.scala")
+
+CASES += [
+    dict(name="js-cst-if-else", lang="javascript", wrap=False,
+         code="function method(x) {\n  if (x > 0) {\n    y = 0;\n"
+              "  } else {\n    y = 1;\n  }\n}\n",
+         roledge={("if (x > 0)", 0):
+                  ["CONDITION:x > 0", "TRUE_BODY:<empty>",
+                   "FALSE_BODY:<empty>"]},
+         cite=_CST_CITE + ":10-27"),
+    # else-if hangs the second IF directly off the first's FALSE_BODY
+    dict(name="js-cst-if-elseif-else", lang="javascript", wrap=False,
+         code="function method(c) {\n  if (c > 10) {\n    c -= 10;\n"
+              "  } else if (c < 10) {\n    c += 10;\n  } else {\n"
+              "    c = 10;\n  }\n}\n",
+         roledge={("if (c > 10)", 0):
+                  ["CONDITION:c > 10", "TRUE_BODY:<empty>",
+                   "FALSE_BODY:if (c < 10)"],
+                  ("if (c < 10)", 0):
+                  ["CONDITION:c < 10", "TRUE_BODY:<empty>",
+                   "FALSE_BODY:<empty>"]},
+         ast={("if (c > 10)", 0): ["c > 10", "<empty>", "if (c < 10)"]},
+         cite=_CST_CITE + ":29-53"),
+    dict(name="js-cst-if-no-else", lang="javascript", wrap=False,
+         code="function method(x) {\n  if (x > 0) {\n    y = 0;\n  }\n}\n",
+         roledge={("if (x > 0)", 0):
+                  ["CONDITION:x > 0", "TRUE_BODY:<empty>"]},
+         cite=_CST_CITE + ":54-68"),
+    dict(name="js-cst-do-while", lang="javascript", wrap=False,
+         code="function method(c) {\n  do {\n    c += 1;\n"
+              "  } while (c < 10);\n}\n",
+         roledge={("do", 0): ["CONDITION:c < 10", "DO_BODY:<empty>"]},
+         ast={("do", 0): ["c < 10", "<empty>"],
+              ("<empty>", 2): ["c += 1"]},
+         cite=_CST_CITE + ":70-83"),
+    dict(name="js-cst-for-edges", lang="javascript", wrap=False,
+         code="function method(c) {\n  for (var i = 0; i < c; i++) {\n"
+              "    sink(i);\n  }\n}\n",
+         roledge={("for", 0): ["FOR_INIT:var i = 0", "CONDITION:i < c",
+                               "FOR_UPDATE:i++", "FOR_BODY:<empty>"]},
+         ast={("var i = 0", 0): ["i", "0"],
+              ("<empty>", 2): ["sink(i)"]},
+         cite=_CST_CITE + ":85-101"),
+    # for(;;): no init/update edges; condition synthesized literal `true`
+    dict(name="js-cst-for-empty-clauses", lang="javascript", wrap=False,
+         code="for(;;){ sink(); }",
+         roledge={("for", 0): ["CONDITION:true", "FOR_BODY:<empty>"]},
+         ast={("<empty>", 1): ["sink()"]},
+         cite=_CST_CITE + ":103-113"),
+    dict(name="js-cst-try-catch-finally", lang="javascript", wrap=False,
+         code="function method(c) {\n  try {\n    sink(c);\n"
+              "  } catch (e) {\n    sinkCatch(e);\n  } finally {\n"
+              "    sinkFinally();\n  }\n}\n",
+         roledge={("try", 0): ["TRY_BODY:<empty>", "CATCH_BODY:catch",
+                               "FINALLY_BODY:finally"]},
+         cite=_CST_CITE + ":115-139"),
+    dict(name="js-cst-try-finally", lang="javascript", wrap=False,
+         code="function method() {\n  try {\n    sink();\n  } finally {\n"
+              "    sinkFinally();\n  }\n}\n",
+         roledge={("try", 0): ["TRY_BODY:<empty>",
+                               "FINALLY_BODY:finally"]},
+         cite=_CST_CITE + ":141-157"),
+    dict(name="js-cst-while-no-body", lang="javascript", wrap=False,
+         code="function method() {\n  while (true);\n  foo();\n}\n",
+         roledge={("while (true)", 0):
+                  ["CONDITION:true", "TRUE_BODY:<empty>"]},
+         cite=_CST_CITE + ":159-170"),
+]

@@ -198,6 +198,18 @@ def spark_facts(spark: SparkSession) -> DataFrame:
         .select("lang", "kase", F.lit("methods").alias("relation"),
                 F.col("name").alias("subj"), F.col("full_name").alias("obj")))
 
+    # control-structure body edges keyed by parent (mirror of "roledge")
+    role_lut = F.create_map(
+        *[F.lit(x) for kv in M.ROLE_EDGE_LABELS.items() for x in kv])
+    out.append(
+        base.filter((F.col("role").isNotNull()) & (F.col("role") != ""))
+        .select(F.col("parent_id").alias("rpid"),
+                F.concat(F.coalesce(role_lut[F.col("role")], F.col("role")),
+                         F.lit(":"), F.col("dc")).alias("obj"))
+        .join(subj_keys, subj_keys.id == F.col("rpid"))
+        .select("lang", "kase", F.lit("roledge").alias("relation"),
+                "subj", "obj"))
+
     # identifier REF targets, positioned by the target's parent's plain key
     # (mirror of the sequential "refs" relation)
     plain_keys = keyed.select(
