@@ -1200,17 +1200,66 @@ class JsParser(CParser):
         self.ns.append(name)
         self.scope_path.append(name)
         saw_ctor = False
+        ctor_node: N | None = None
+        field_inits: list[N] = []        # instance field inits -> ctor body
+        static_inits: list[N] = []       # static field inits + static {} ->
+        clinit_this: N | None = None     # <clinit> (StaticInitMethodName)
         while self.peek() is not None and not self.at("}"):
             if self.at(";"):
                 self.next()
                 continue
+            is_static = False
             while self.at_any(("static", "async", "get", "set")) and not self.at("(", 1):
+                if self.at("static"):
+                    is_static = True
                 self.next()
             if self.peek() is None:
                 break
+            if is_static and self.at("{"):
+                # static initializer block: its statements run in <clinit>
+                # (JsClassesAstCreationPassTests.scala:101-157 — `static
+                # { this.d = false }` asserted via clInitMethod.block)
+                self.push_scope()
+                if clinit_this is None:
+                    clinit_this = self._this_param(self.peek().line)
+                self.declare("this", clinit_this)
+                sblk = self.parse_compound()
+                self.pop_scope()
+                static_inits.extend(sblk.children)
+                continue
             mt = self.peek()
-            if mt.t in ("id", "kw", "str"):
-                mname = self.next().v.strip("'\"")
+            if mt.v == "[":
+                # computed method/member name `[Symbol.iterator]() {}` —
+                # named by the bracketed source (it.fullName
+                # "…ClassA:Symbol.iterator", code "[Symbol.iterator]() {}",
+                # JsClassesAstCreationPassTests.scala:82-99)
+                lb = self.next()
+                k, depth = self.pos - 1, 0
+                while k < len(self.toks):
+                    tv = self.toks[k].v
+                    if tv == "[":
+                        depth += 1
+                    elif tv == "]":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k += 1
+                while self.pos < k:
+                    self.next()
+                rb = self.expect("]")
+                mname = self.src[lb.b:rb.a].strip()
+                if not self.at("("):
+                    decl.add(N(M.MEMBER, code=mname, name=mname,
+                               type_full_name=M.ANY, line=lb.line,
+                               ast_parent_type=M.TYPE_DECL,
+                               ast_parent_full_name=full))
+                    if self.at(";"):
+                        self.next()
+                    continue
+                mt = lb
+            if mt.t in ("id", "kw", "str") or mt.v == "[":
+                if mt.v != "[":
+                    mname = self.next().v.strip("'\"")
                 if self.at("("):
                     if mname == "constructor":
                         # explicit constructors are named <init>
@@ -1257,18 +1306,38 @@ class JsParser(CParser):
                     self.pop_fn_frame(mbody)
                     self.pop_scope()
                     decl.add(method)
+                    if mname == M.CONSTRUCTOR:
+                        ctor_node = method
                     continue
-                if self.at("="):  # class field
+                if self.at("="):  # class field with initializer
                     self.next()
-                    self.parse_assignment_expr()
+                    val = self.parse_assignment_expr()
+                    stmt_code = self.slice(mt, self.toks[self.pos - 1])
                     if self.at(";"):
                         self.next()
-                    decl.add(N(M.MEMBER, code=mname, name=mname,
+                    # MEMBER keeps the full declaration source; the init
+                    # assignment moves into the constructor (instance) or
+                    # <clinit> (static) — a.code "a = 1", "static c = true",
+                    # cInitCall in clInitMethod (JsClassesAstCreationPass
+                    # Tests.scala:101-157)
+                    mem_code = f"static {stmt_code}" if is_static else stmt_code
+                    decl.add(N(M.MEMBER, code=mem_code, name=mname,
                                type_full_name=M.ANY, line=mt.line,
                                ast_parent_type=M.TYPE_DECL,
                                ast_parent_full_name=full))
+                    tgt = N(M.IDENTIFIER, code=mname, name=mname,
+                            line=mt.line, type_full_name=M.ANY, arg_index=1)
+                    val.arg_index = 2
+                    asg = N(M.CALL, code=mem_code if is_static else stmt_code,
+                            name=M.OP_ASSIGNMENT,
+                            method_full_name=M.OP_ASSIGNMENT,
+                            dispatch_type=M.STATIC_DISPATCH, line=mt.line)
+                    asg.add(tgt, val)
+                    (static_inits if is_static else field_inits).append(asg)
                     continue
-                decl.add(N(M.MEMBER, code=mname, name=mname, type_full_name=M.ANY,
+                decl.add(N(M.MEMBER,
+                           code=f"static {mname}" if is_static else mname,
+                           name=mname, type_full_name=M.ANY,
                            line=mt.line, ast_parent_type=M.TYPE_DECL,
                            ast_parent_full_name=full))
                 if self.at(";"):
@@ -1291,6 +1360,59 @@ class JsParser(CParser):
             ctor.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                        evaluation_strategy=M.BY_VALUE, line=kw.line))
             decl.children.insert(0, ctor)
+            ctor_node = ctor
+        if field_inits and ctor_node is not None:
+            body = next((c for c in ctor_node.children if c.kind == M.BLOCK),
+                        None)
+            if body is not None:
+                body.children[:0] = field_inits
+        if static_inits:
+            # StaticInitMethodName <clinit> collects static-field inits and
+            # static {} blocks (astsForClass staticInitMethod,
+            # AstForTypesCreator.scala; JsClassesAstCreationPassTests
+            # :144-147 clInitMethod.block.assignment)
+            clf = f"{full}:<clinit>"
+            cl = N(M.METHOD, code="<clinit>", name="<clinit>",
+                   full_name=clf, signature="", line=kw.line,
+                   ast_parent_type=M.TYPE_DECL, ast_parent_full_name=full)
+            if clinit_this is not None:
+                cl.add(clinit_this)
+            blk = N(M.BLOCK, code="", line=kw.line, type_full_name=M.ANY)
+            blk.add(*static_inits)
+            cl.add(blk)
+            cl.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
+                     evaluation_strategy=M.BY_VALUE, line=kw.line))
+            decl.add(cl)
+        if ctor_node is not None:
+            # dynamically declared members: single-level `this.X = ...` in
+            # the constructor registers MEMBER X (astForAssignment member
+            # registration; e/f asserted at :119-136, chained this.f.g
+            # excluded)
+            have = {c.name for c in decl.children if c.kind == M.MEMBER}
+
+            def scan(n: N) -> None:
+                if n.kind == M.CALL and n.name == M.OP_ASSIGNMENT:
+                    t = next((c for c in n.children if c.arg_index == 1),
+                             None)
+                    if t is not None and t.kind == M.CALL \
+                            and t.name == M.OP_FIELD_ACCESS \
+                            and len(t.children) == 2 \
+                            and t.children[0].kind == M.IDENTIFIER \
+                            and t.children[0].name == "this" \
+                            and t.children[1].kind == M.FIELD_IDENTIFIER:
+                        fname = t.children[1].canonical_name
+                        if fname and fname not in have:
+                            have.add(fname)
+                            decl.add(N(
+                                M.MEMBER, code=n.code, name=fname,
+                                type_full_name=M.ANY, line=n.line,
+                                ast_parent_type=M.TYPE_DECL,
+                                ast_parent_full_name=full))
+                for c in n.children:
+                    if c.kind != M.METHOD:
+                        scan(c)
+
+            scan(ctor_node)
         self.scope_path.pop()
         self.ns.pop()
         return decl
@@ -1509,6 +1631,11 @@ class JsParser(CParser):
         """Parse a new-expression callee without consuming the ( args )."""
         t = self.next()
         node = N(M.IDENTIFIER, code=t.v, name=t.v, line=t.line, type_full_name=M.ANY)
+        decl = self.lookup(t.v)
+        if decl is not None:
+            node.ref_target = decl  # `new A()` refs/captures the class local
+        else:
+            self.on_unresolved_identifier(node)
         while self.at("."):
             self.next()
             fld = self.next()

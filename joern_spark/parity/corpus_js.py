@@ -2217,3 +2217,96 @@ CASES += [
                   ["CONDITION:true", "TRUE_BODY:<empty>"]},
          cite=_CST_CITE + ":159-170"),
 ]
+
+
+# --------------------------------------------------------------------------- #
+# JsClassesAstCreationPassTests.scala — class member/ctor/new structure.
+# --------------------------------------------------------------------------- #
+_JSC_CITE = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/ast/"
+             "JsClassesAstCreationPassTests.scala")
+
+CASES += [
+    # :36-39 — TYPE_DECL for a named class expression
+    dict(name="js-class-typedecl", lang="javascript", wrap=False,
+         code="var x = class ClassA {}",
+         ast={("var x = class ClassA {}", 0): ["x", "class ClassA"]},
+         methods=[[":program", "js-class-typedecl.js::program"],
+                  ["<init>", "js-class-typedecl.js::program:ClassA:<init>"]],
+         cite=_JSC_CITE + ":36-39"),
+    # :41-52 — class statement emits `ClassA = <constructor ref>`
+    dict(name="js-class-synthetic-assign", lang="javascript", wrap=False,
+         code="class ClassA {}",
+         ast={("ClassA = class ClassA", 0): ["ClassA", "constructor() {}"]},
+         cite=_JSC_CITE + ":41-52"),
+    # :53-66 — `new A()` inside a function captures the class local
+    dict(name="js-class-implicit-capture", lang="javascript", wrap=False,
+         code="class A {}\nfunction b() {\n  new A();\n}",
+         captures=[("b", "A")],
+         cite=_JSC_CITE + ":53-66"),
+    # :67-81 — static method fullname under the class
+    dict(name="js-class-static-method", lang="javascript", wrap=False,
+         code="var x = class ClassA {\n  static staticFoo() {}\n}",
+         methods=[
+             [":program", "js-class-static-method.js::program"],
+             ["<init>", "js-class-static-method.js::program:ClassA:<init>"],
+             ["staticFoo",
+              "js-class-static-method.js::program:ClassA:staticFoo"]],
+         cite=_JSC_CITE + ":67-81"),
+    # :82-99 — computed method name becomes `Symbol.iterator`
+    dict(name="js-class-computed-method", lang="javascript", wrap=False,
+         code="class ClassA {\n  foo() {}\n  [Symbol.iterator]() {}\n}",
+         methods=[
+             [":program", "js-class-computed-method.js::program"],
+             ["<init>", "js-class-computed-method.js::program:ClassA:<init>"],
+             ["foo", "js-class-computed-method.js::program:ClassA:foo"],
+             ["Symbol.iterator", "js-class-computed-method.js::program:"
+                                 "ClassA:Symbol.iterator"]],
+         cite=_JSC_CITE + ":82-99"),
+    # :101-157 — field inits move to ctor / <clinit>; dynamic this.X
+    # members register; chained this.f.g does NOT
+    dict(name="js-class-member-init", lang="javascript", wrap=False,
+         code='class ClassA {\n  a = 1\n  b = "foo"\n  static c = true\n'
+              '  static d\n  static {\n    this.d = false\n  }\n'
+              '  constructor(param1, param2) {\n    this.e = param1;\n'
+              '    this.f = param2;\n    this.f.g = param2;\n  }\n}',
+         members=[("ClassA.a", "ANY"), ("ClassA.b", "ANY"),
+                  ("ClassA.c", "ANY"), ("ClassA.d", "ANY"),
+                  ("ClassA.e", "ANY"), ("ClassA.f", "ANY")],
+         membercode=[("ClassA.a", "a = 1"), ("ClassA.b", 'b = "foo"'),
+                     ("ClassA.c", "static c = true"),
+                     ("ClassA.d", "static d"),
+                     ("ClassA.e", "this.e = param1"),
+                     ("ClassA.f", "this.f = param2")],
+         methods=[
+             [":program", "js-class-member-init.js::program"],
+             ["<init>", "js-class-member-init.js::program:ClassA:<init>"],
+             ["<clinit>",
+              "js-class-member-init.js::program:ClassA:<clinit>"]],
+         ast={("<empty>", 1): ["a = 1", 'b = "foo"', "this.e = param1",
+                               "this.f = param2", "this.f.g = param2"],
+              ("<empty>", 2): ["static c = true", "this.d = false"]},
+         cite=_JSC_CITE + ":101-157"),
+    # :187-222 / :224-271 / :273-312 — new-expression lowering
+    dict(name="js-new-simple-ast", lang="javascript", wrap=False,
+         code="new MyClass();",
+         ast={("new MyClass()", 0, "BLOCK"):
+                  ["_tmp_0", "_tmp_0 = .alloc", "new MyClass()"],
+              ("_tmp_0 = .alloc", 0): ["_tmp_0", ".alloc"],
+              ("new MyClass()", 0, "CALL"): ["MyClass", "_tmp_0"]},
+         cite=_JSC_CITE + ":187-222"),
+    dict(name="js-new-args", lang="javascript", wrap=False,
+         code="new MyClass(arg1, arg2);",
+         ast={("new MyClass(arg1, arg2)", 0, "BLOCK"):
+                  ["_tmp_0", "_tmp_0 = .alloc", "new MyClass(arg1, arg2)"],
+              ("new MyClass(arg1, arg2)", 0, "CALL"):
+                  ["MyClass", "_tmp_0", "arg1", "arg2"]},
+         cite=_JSC_CITE + ":224-271"),
+    dict(name="js-new-access-path-ast", lang="javascript", wrap=False,
+         code="new foo.bar.MyClass();",
+         ast={("new foo.bar.MyClass()", 0, "BLOCK"):
+                  ["_tmp_0", "_tmp_0 = .alloc", "new foo.bar.MyClass()"],
+              ("new foo.bar.MyClass()", 0, "CALL"):
+                  ["foo.bar.MyClass", "_tmp_0"],
+              ("foo.bar.MyClass", 0): ["foo.bar", "MyClass"]},
+         cite=_JSC_CITE + ":273-312"),
+]
