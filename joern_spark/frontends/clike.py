@@ -197,6 +197,12 @@ class CParser:
     KEYWORD_SET = KEYWORDS
     STMT_TYPE_KEYWORDS = TYPE_KEYWORDS
     SUBSCRIPT_OP = M.OP_INDIRECT_INDEX_ACCESS
+    # Java overrides: track JLS 6.3 pattern-variable flow-scope sets
+    # through &&/|| (instanceof patterns); cheap class-attr guard so the
+    # C/JS hot path pays one attribute test, no call
+    TRACK_PATTERN_SETS = False
+    # comparison/logical binary result type: C spells int, Java boolean
+    BOOL_OP_TY = "int"
 
     def lower_field_access(self, call: "N") -> "N":
         """Per-language rewrite hook for a just-built fieldAccess chain
@@ -1728,6 +1734,12 @@ class CParser:
     def parse_binary(self, min_prec: int) -> N:
         start = self.peek()
         lhs = self.parse_unary()
+        return self._binary_climb(lhs, start, min_prec)
+
+    def _binary_climb(self, lhs: N, start, min_prec: int) -> N:
+        """Precedence-climb from an already-parsed lhs; the Java frontend
+        resumes this after consuming an `instanceof` (whose following
+        operators — ==, &&, || — all bind looser)."""
         while True:
             t = self.peek()
             if t is None or t.v not in self.PRECEDENCE or self.PRECEDENCE[t.v] < min_prec:
@@ -1740,8 +1752,10 @@ class CParser:
             lhs.arg_index, rhs.arg_index = 1, 2
             call = N(M.CALL, code=self.slice(start, end), name=opname,
                      method_full_name=opname, dispatch_type=M.STATIC_DISPATCH,
-                     line=op_tok.line, type_full_name="int" if op_tok.v in ("<", ">", "<=", ">=", "==", "!=", "&&", "||") else M.ANY)
+                     line=op_tok.line, type_full_name=self.BOOL_OP_TY if op_tok.v in ("<", ">", "<=", ">=", "==", "!=", "&&", "||") else M.ANY)
             call.add(lhs, rhs)
+            if self.TRACK_PATTERN_SETS and op_tok.v in ("&&", "||"):
+                self._propagate_pattern_sets(call, op_tok.v, lhs, rhs)
             lhs = call
 
     def parse_unary(self) -> N:

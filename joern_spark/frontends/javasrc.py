@@ -90,6 +90,8 @@ JDK_METHODS: dict[tuple[str, str], list[tuple[str, bool, list[str]]]] = {
         ("java.lang.String.charAt:char(int)", False, ["int"])],
     ("java.lang.String", "toString"): [
         ("java.lang.String.toString:java.lang.String()", False, [])],
+    ("java.lang.String", "isEmpty"): [
+        ("java.lang.String.isEmpty:boolean()", False, [])],
 }
 
 # java.lang implicit imports — resolved like javasrc2cpg's TypeInfoCalculator
@@ -123,6 +125,8 @@ class JavaParser(CParser):
     # Java subscripts are <operator>.indexAccess, not the C
     # indirectIndexAccess (ArrayTests.scala:115-116)
     SUBSCRIPT_OP = M.OP_INDEX_ACCESS
+    TRACK_PATTERN_SETS = True
+    BOOL_OP_TY = "boolean"  # ==/</&&/... produce boolean in Java
 
     def lower_field_access(self, call: "N") -> "N":
         """`xs.length` on an array-typed base -> <operator>.sizeOf with the
@@ -216,6 +220,13 @@ class JavaParser(CParser):
         REF-ing the enclosing this parameter; static members -> a TYPE_REF
         base named after the enclosing class."""
         d = node.ref_target
+        if d is not None and d.kind == M.LOCAL and d.name != node.name \
+                and d.name.startswith(f"{node.name}$"):
+            # the binding resolved to a pattern-mangled local (`value$0`);
+            # identifiers carry the mangled name (PatternExprTests
+            # "locals with mangled names")
+            node.name = node.code = d.name
+            return node
         if d is None or d.kind != M.MEMBER:
             return node
         fname = node.name
@@ -324,10 +335,28 @@ class JavaParser(CParser):
         # first (AnonymousClassTests: `b.bar()` on an anonymous-class value
         # names `foo.Foo.foo.Bar$0.bar:void()`)
         self.dyn_ty: dict[int, str] = {}
-        # LOCALs for instanceof binding patterns, hoisted by the enclosing
-        # parse_statement (JavaParser pattern locals)
+        # LOCALs for instanceof binding patterns outside any method frame
+        # (field initializers), hoisted by the enclosing parse_statement
         self.pending_pattern_locals: list[N] = []
-        self.pending_pattern_shadow: list[tuple] = []
+        # -------- Java 16+ pattern matching (PatternExprTests.scala;
+        # AstForPatternExpressionsCreator.scala) --------
+        # one frame per method body being parsed: hoisted pattern locals
+        # land at the START of the method body (testStandardPatternLocal-
+        # Lowering); `by_key` reuses a local for a repeated (name, type)
+        # pattern; `names` drives `$K` mangling of clashing vardecls
+        # (Scope.scala:334-341, JavaScopeElement.scala:171)
+        self.pattern_frames: list[dict] = []
+        # per-file $objN temp counter (AstCreator.scala:86 tempNameProvider)
+        self.temp_obj_n = 0
+        # id(expr N) -> (introduced-when-true, introduced-when-false) maps
+        # of source-name -> LOCAL, the JLS 6.3 flow-scope sets; propagated
+        # through !/&&/|| so control structures can decide which pattern
+        # bindings outlive the statement (AstForStatementsCreator.scala:
+        # 86-121 partitionPatternAstsByScope)
+        self.expr_patterns: dict[int, tuple[dict, dict]] = {}
+        # live eager scope declarations for pattern variables:
+        # (scope dict, name, previous binding, existed, LOCAL)
+        self.pattern_binds: list[tuple] = []
 
     # ---------------- naming ----------------
     def resolve_type(self, name: str) -> str:
@@ -1335,7 +1364,12 @@ class JavaParser(CParser):
             ctor.add(p)
             params.append(p)
             self.declare(nm, p)
-        body = self.parse_compound()
+        frame = self._push_pattern_frame()
+        body = None
+        try:
+            body = self.parse_compound()
+        finally:
+            self._pop_pattern_frame(frame, body)
         for (rty, ty, nm, _ln), p in reversed(list(zip(comps, params))):
             body.children.insert(0, self._record_component_assign(
                 class_full, ty, nm, start.line, this, p))
@@ -1451,10 +1485,13 @@ class JavaParser(CParser):
         if body:
             self.anon_ctx.append((f"{class_full}.{name}", class_full,
                                   is_static, full_name))
+            frame = self._push_pattern_frame()
+            blk = None
             try:
                 blk = self.parse_compound()
             finally:
                 self.anon_ctx.pop()
+                self._pop_pattern_frame(frame, blk)
             method.add(blk)
             method.line_end = blk.line_end
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=ret_ty,
@@ -1528,16 +1565,20 @@ class JavaParser(CParser):
         if t.v in ("class", "interface", "enum", "record") \
                 and self.peek(1) is not None and self.peek(1).t == "id":
             return [self._parse_local_class(t.v)]
+        mark = self._pattern_mark()
         out = super().parse_statement()
         if self.pending_pattern_locals:
+            # no enclosing method frame (field initializer): place the
+            # pattern locals before the statement
             out = self.pending_pattern_locals + list(out)
             self.pending_pattern_locals = []
-            for scope, name, prev, existed in self.pending_pattern_shadow:
-                if existed:
-                    scope[name] = prev
-                else:
-                    scope.pop(name, None)
-            self.pending_pattern_shadow = []
+        if len(self.pattern_binds) > mark and out:
+            # pattern variables introduced by a non-control statement
+            # (vardecl / expression statement) do not outlive it — restore,
+            # unless an overridden control parser already decided keeps
+            # (those re-push ABOVE their own mark and we only see leftovers)
+            if not (len(out) == 1 and out[0].kind == M.CONTROL_STRUCTURE):
+                self._pattern_restore(mark)
         return out
 
     def _parse_local_class(self, kw: str) -> N:
@@ -1642,6 +1683,13 @@ class JavaParser(CParser):
         return decl
 
     def parse_for(self) -> N:
+        mark = self._pattern_mark()
+        node = self._parse_for_java()
+        if node is not None and node.kind == M.CONTROL_STRUCTURE:
+            self._pattern_flow_restore(node, mark)
+        return node
+
+    def _parse_for_java(self) -> N:
         # foreach: for (T x : coll) body
         save = self.pos
         kw = self.peek()
@@ -2070,8 +2118,12 @@ class JavaParser(CParser):
                 self.next(); self.next()
                 ty += "[]"
                 code_ty += "[]"
-            loc = N(M.LOCAL, code=f"{code_ty} {name}", name=name, type_full_name=ty,
-                    line=name_tok.line)
+            # a vardecl clashing with a hoisted pattern local mangles to
+            # `name$K` (PatternExprTests "locals with mangled names";
+            # AstForVarDeclAndAssignsCreator.scala:144)
+            mangled = self._mangled_pattern_name(name)
+            loc = N(M.LOCAL, code=f"{code_ty} {name}", name=mangled,
+                    type_full_name=ty, line=name_tok.line)
             out.append(loc)
             self.declare(name, loc)
             if self.at("="):
@@ -2083,7 +2135,8 @@ class JavaParser(CParser):
                 else:
                     init = self.parse_assignment_expr()
                 self.note_init_dynamic_type(loc, init)
-                ident = N(M.IDENTIFIER, code=name, name=name, type_full_name=ty,
+                ident = N(M.IDENTIFIER, code=mangled, name=mangled,
+                          type_full_name=ty,
                           line=name_tok.line, arg_index=1)
                 ident.ref_target = loc
                 init.arg_index = 2
@@ -2108,7 +2161,29 @@ class JavaParser(CParser):
         return out
 
     # ---------------- expressions: Java deltas ----------------
+    def _propagate_pattern_sets(self, call: N, op: str, lhs: N, rhs: N) -> None:
+        """JLS 6.3: `a && b` introduces-when-true the union of both sides;
+        `a || b` introduces-when-false the union (the eager scope declare
+        already made LHS bindings visible while RHS parsed)."""
+        lt, lf = self._expr_pattern_sets(lhs)
+        rt, rf = self._expr_pattern_sets(rhs)
+        if not (lt or lf or rt or rf):
+            return
+        if op == "&&":
+            self.expr_patterns[id(call)] = ({**lt, **rt}, {})
+        else:
+            self.expr_patterns[id(call)] = ({}, {**lf, **rf})
+
     def parse_unary(self) -> N:
+        node = self._parse_unary_java()
+        if node is not None and node.kind == M.CALL \
+                and node.name == M.OP_LOGICAL_NOT and node.children:
+            t, f = self._expr_pattern_sets(node.children[0])
+            if t or f:  # `!` swaps the flow-scope sets (JLS 6.3.2.3)
+                self.expr_patterns[id(node)] = (f, t)
+        return node
+
+    def _parse_unary_java(self) -> N:
         t = self.peek()
         if t is None:
             raise ParseError("EOF in expression")
@@ -2170,37 +2245,473 @@ class JavaParser(CParser):
         return base in self.declared_types or base in self.imports or base in JAVA_LANG
 
     def parse_binary(self, min_prec: int) -> N:
+        start_tok = self.peek()
         lhs = super().parse_binary(min_prec)
         while self.at("instanceof"):
             op = self.next()
+            while self.at("final"):
+                self.next()
             raw_ty = self.parse_java_type()
             ty = self.resolve_type(raw_ty)
-            if self.peek() is not None and self.peek().t == "id":
-                # binding pattern `o instanceof T t`: a LOCAL t typed T,
-                # hoisted into the enclosing statement list
-                # (TypeFallbackTests "unresolved pattern variables";
-                # PatternExprTests binding patterns)
-                pv = self.next()
-                loc = N(M.LOCAL, code=f"{raw_ty} {pv.v}", name=pv.v,
-                        type_full_name=ty, line=pv.line)
-                # visible for the rest of the enclosing statement only —
-                # the drain in parse_statement restores the shadowed
-                # binding (CapturingTests "shadowing a field capture")
-                self.pending_pattern_shadow.append(
-                    (self.scopes[-1], pv.v, self.scopes[-1].get(pv.v),
-                     pv.v in self.scopes[-1]))
-                self.declare(pv.v, loc)
-                self.pending_pattern_locals.append(loc)
-            # code keeps the raw source spelling; the TYPE_REF carries the
-            # resolved fullname (SpecialOperatorTests instanceOf shape)
-            tref = N(M.TYPE_REF, code=raw_ty, type_full_name=ty, line=op.line, arg_index=2)
-            lhs.arg_index = 1
-            call = N(M.CALL, code=f"{lhs.code} instanceof {raw_ty}", name=M.OP_INSTANCE_OF,
-                     method_full_name=M.OP_INSTANCE_OF, dispatch_type=M.STATIC_DISPATCH,
-                     line=op.line, type_full_name="boolean")
-            call.add(lhs, tref)
-            lhs = call
+            nxt = self.peek()
+            if (nxt is not None and nxt.t == "id") or self.at("("):
+                # Java 16+ pattern: `o instanceof T t` / record pattern
+                # `o instanceof R(...)` lowers to
+                # `(o instanceof T) && { t = (T) o; true; }`
+                # (AstForPatternExpressionsCreator.scala:199-216,
+                # PatternExprTests.scala throughout)
+                pattern = self._parse_pattern(raw_ty, ty, op.line)
+                lhs = self._instanceof_pattern(lhs, pattern)
+            else:
+                # code keeps the raw source spelling; the TYPE_REF carries
+                # the resolved fullname (SpecialOperatorTests instanceOf)
+                tref = N(M.TYPE_REF, code=raw_ty, type_full_name=ty,
+                         line=op.line, arg_index=2)
+                lhs.arg_index = 1
+                call = N(M.CALL, code=f"{lhs.code} instanceof {raw_ty}",
+                         name=M.OP_INSTANCE_OF,
+                         method_full_name=M.OP_INSTANCE_OF,
+                         dispatch_type=M.STATIC_DISPATCH,
+                         line=op.line, type_full_name="boolean")
+                call.add(lhs, tref)
+                lhs = call
+            # resume climbing: everything binding looser than instanceof
+            # (==, &, ^, |, &&, ||) still belongs to this expression —
+            # `foo() instanceof String s && s.isEmpty()` (PatternExprTests
+            # "a pattern matching instanceof with a call lhs")
+            lhs = self._binary_climb(lhs, start_tok, min_prec)
         return lhs
+
+    # ---------------- Java 16+ pattern-expression lowering ----------------
+    # Semantics source: javasrc2cpg AstForPatternExpressionsCreator.scala
+    # (init/ref dedup :61-105, castAstIfNecessary :107-128, type-pattern
+    # assignments :129-183, assignment block :185-197, instanceof-and
+    # :199-216, type-check fold :218-268, record field accessors :270-310,
+    # buildInstanceOfAst :312-340) asserted by PatternExprTests.scala.
+
+    def _push_pattern_frame(self) -> dict:
+        frame = {"sink": [], "by_key": {}, "names": set(), "mangle": 0}
+        self.pattern_frames.append(frame)
+        return frame
+
+    def _pop_pattern_frame(self, frame: dict, body: N | None) -> None:
+        self.pattern_frames.pop()
+        if body is not None and frame["sink"]:
+            body.children[:0] = frame["sink"]
+
+    def _hoist_pattern_local(self, loc: N) -> None:
+        if self.pattern_frames:
+            self.pattern_frames[-1]["sink"].append(loc)
+        else:  # field-initializer context: drained by parse_statement
+            self.pending_pattern_locals.append(loc)
+
+    def _mangled_pattern_name(self, name: str) -> str:
+        """`name$K` when a hoisted pattern local already took `name`
+        (Scope.getMangledName / JavaScopeElement.mangleLocalName)."""
+        if not self.pattern_frames:
+            return name
+        frame = self.pattern_frames[-1]
+        if name not in frame["names"]:
+            return name
+        mangled = f"{name}${frame['mangle']}"
+        frame["mangle"] += 1
+        return mangled
+
+    def _is_resolved_ty(self, ty: str) -> bool:
+        return (bool(ty) and ty != M.ANY
+                and not ty.startswith(M.UNRESOLVED_NAMESPACE))
+
+    def _pattern_ty(self, raw: str) -> str:
+        """Pattern types fall back to ANY when unresolvable
+        (PatternExprTests "type pattern without an import fallback")."""
+        ty = self.resolve_type(raw)
+        if ty != raw or "." in ty or ty in JAVA_PRIMITIVES:
+            return ty
+        base = raw.split("<", 1)[0].rstrip("[]")
+        if base in self.declared_types or base in self.imports \
+                or base in JAVA_LANG:
+            return ty
+        return M.ANY
+
+    def _copy_tree(self, n: N) -> N:
+        c = N(n.kind, code=n.code, name=n.name, line=n.line)
+        for attr in ("full_name", "signature", "arg_index", "role",
+                     "dispatch_type", "type_full_name", "method_full_name",
+                     "control_structure_type", "jump_label", "canonical_name",
+                     "evaluation_strategy", "param_index", "line_end",
+                     "ref_target"):
+            setattr(c, attr, getattr(n, attr))
+        c.children = [self._copy_tree(ch) for ch in n.children]
+        return c
+
+    def _parse_pattern(self, raw_ty: str, ty: str, line: int) -> dict:
+        if self.at("("):  # record pattern R(...)
+            self.next()
+            comps: list[dict] = []
+            while self.peek() is not None and not self.at(")"):
+                comps.append(self._parse_component_pattern(line))
+                if self.at(","):
+                    self.next()
+            self.expect(")")
+            return {"kind": "record", "raw": raw_ty,
+                    "ty": self._pattern_ty(raw_ty),
+                    "comps": comps, "line": line}
+        tok = self.next()
+        return {"kind": "type", "raw": raw_ty, "ty": self._pattern_ty(raw_ty),
+                "name": tok.v, "line": tok.line}
+
+    def _parse_component_pattern(self, line: int) -> dict:
+        t = self.peek()
+        if t is not None and t.v == "_":  # match-all
+            self.next()
+            return {"kind": "any"}
+        raw = self.parse_java_type()
+        nxt = self.peek()
+        if self.at("("):
+            return self._parse_pattern(raw, self._pattern_ty(raw), line)
+        if nxt is not None and nxt.t == "id":
+            if nxt.v == "_":  # typed match-all `Foo _`
+                self.next()
+                return {"kind": "any"}
+            tok = self.next()
+            ty = "" if raw == "var" else self._pattern_ty(raw)
+            return {"kind": "type", "raw": raw, "ty": ty, "name": tok.v,
+                    "line": tok.line}
+        return {"kind": "any"}
+
+    def _init_ref_source(self, node: N):
+        """PatternInitAndRefAsts: dedupe a possibly-effectful value so it
+        is initialized exactly once. Identifier/fieldAccess roots copy;
+        anything else routes through a hoisted `$objN` temp
+        (AstForPatternExpressionsCreator.scala:61-105)."""
+        if node.kind == M.IDENTIFIER or (node.kind == M.CALL
+                                         and node.name == M.OP_FIELD_ACCESS):
+            state = {"used": False}
+
+            def get() -> N:
+                if not state["used"]:
+                    state["used"] = True
+                    return node
+                return self._copy_tree(node)
+            return {"get": get, "static_ty": node.type_full_name}
+        ty = node.type_full_name
+        if (not ty or ty == M.ANY) and node.kind == M.CALL \
+                and node.method_full_name and ":" in node.method_full_name:
+            # static expression type from the resolved callee's return type
+            # ("$obj0" local typed java.lang.String, PatternExprTests
+            # "a pattern matching instanceof with a call lhs")
+            sig = node.method_full_name.rsplit(":", 1)[1]
+            ret = sig.split("(", 1)[0]
+            if self._is_resolved_ty(ret) and ret != M.UNRESOLVED_SIGNATURE:
+                ty = ret
+                node.type_full_name = ret  # fooCall.typeFullName asserted
+        if not ty or ty == M.ANY:
+            ty = "java.lang.Object"
+        name = f"$obj{self.temp_obj_n}"
+        self.temp_obj_n += 1
+        loc = N(M.LOCAL, code=name, name=name, type_full_name=ty,
+                line=node.line)
+        self._hoist_pattern_local(loc)
+
+        def mk_ident() -> N:
+            ident = N(M.IDENTIFIER, code=name, name=name,
+                      type_full_name=ty, line=node.line)
+            ident.ref_target = loc
+            return ident
+
+        state = {"used": False}
+
+        def get() -> N:
+            if not state["used"]:
+                state["used"] = True
+                ident = mk_ident()
+                ident.arg_index = 1
+                node.arg_index = 2
+                assign = N(M.CALL, code=f"{name} = {node.code}",
+                           name=M.OP_ASSIGNMENT,
+                           method_full_name=M.OP_ASSIGNMENT,
+                           dispatch_type=M.STATIC_DISPATCH,
+                           line=node.line, type_full_name=ty)
+                assign.add(ident, node)
+                return assign
+            return mk_ident()
+        return {"get": get, "static_ty": ty}
+
+    def _cast_if_needed(self, value: N, target_ty: str, raw: str,
+                        line: int) -> N:
+        if self._is_resolved_ty(target_ty) \
+                and value.type_full_name == target_ty:
+            return value
+        raw_base = raw.split("<", 1)[0]
+        tref = N(M.TYPE_REF, code=raw_base, type_full_name=target_ty,
+                 line=line, arg_index=1)
+        value.arg_index = 2
+        cast = N(M.CALL, code=f"({raw_base}) {value.code}", name=M.OP_CAST,
+                 method_full_name=M.OP_CAST, dispatch_type=M.STATIC_DISPATCH,
+                 line=line, type_full_name=target_ty)
+        cast.add(tref, value)
+        return cast
+
+    def _field_init_source(self, parent_src: dict, parent_raw: str,
+                           parent_ty: str, field_name: str, field_ty: str,
+                           needs_tmp: bool, line: int):
+        """Lazy accessor-call source for one record component: first `get`
+        materializes `((R) parent).field()` (through a `$objN` temp when
+        the value is re-checked or re-typed), later gets return the ref
+        (AstForPatternExpressionsCreator PatternInitNode)."""
+        state: dict = {}
+
+        def get() -> N:
+            if "getter" not in state:
+                parent_ast = parent_src["get"]()
+                lhs = self._cast_if_needed(parent_ast, parent_ty,
+                                           parent_raw, line)
+                owner = (parent_ty if self._is_resolved_ty(parent_ty)
+                         else f"{M.UNRESOLVED_NAMESPACE}.{parent_raw}")
+                ret_ty = field_ty if field_ty else M.ANY
+                prefix = (f"({lhs.code})"
+                          if lhs.kind == M.CALL and lhs.name.startswith("<operator")
+                          else lhs.code)
+                call = N(M.CALL, code=f"{prefix}.{field_name}()",
+                         name=field_name,
+                         method_full_name=f"{owner}.{field_name}:{ret_ty}()",
+                         dispatch_type=M.DYNAMIC_DISPATCH,
+                         signature=f"{ret_ty}()",
+                         line=line, type_full_name=ret_ty)
+                lhs.role = M.ROLE_RECEIVER
+                lhs.arg_index = 0
+                call.add(lhs)
+                if needs_tmp:
+                    state["getter"] = self._init_ref_source(call)["get"]
+                else:
+                    inner = {"used": False}
+
+                    def g() -> N:
+                        if not inner["used"]:
+                            inner["used"] = True
+                            return call
+                        return self._copy_tree(call)
+                    state["getter"] = g
+            return state["getter"]()
+        return {"get": get, "static_ty": field_ty or M.ANY}
+
+    def _pattern_check(self, pat: dict, src: dict, is_root: bool,
+                       buffer: list) -> N | None:
+        pat_ty = pat["ty"]
+        need_iof = (is_root or not self._is_resolved_ty(pat_ty)
+                    or src["static_ty"] != pat_ty)
+        iof = None
+        if need_iof:
+            value = src["get"]()
+            lhs_code = (value.code
+                        if value.kind == M.IDENTIFIER
+                        or (value.kind == M.CALL
+                            and value.name == M.OP_FIELD_ACCESS)
+                        else f"({value.code})")
+            raw_base = pat["raw"].split("<", 1)[0]
+            tref = N(M.TYPE_REF, code=raw_base, type_full_name=pat_ty,
+                     line=pat["line"], arg_index=2)
+            value.arg_index = 1
+            iof = N(M.CALL, code=f"{lhs_code} instanceof {raw_base}",
+                    name=M.OP_INSTANCE_OF,
+                    method_full_name=M.OP_INSTANCE_OF,
+                    dispatch_type=M.STATIC_DISPATCH,
+                    line=pat["line"], type_full_name="boolean")
+            iof.add(value, tref)
+        if pat["kind"] == "type":
+            return iof
+        # record pattern: accessor sources per component, nested checks
+        comps_decl = self.record_components.get(pat_ty, [])
+        checks: list[N] = [iof] if iof is not None else []
+        for i, comp in enumerate(pat["comps"]):
+            if comp["kind"] == "any":
+                continue
+            if i < len(comps_decl):
+                _, field_ty, field_name, _ = comps_decl[i]
+            else:
+                field_ty, field_name = M.ANY, M.UNKNOWN_FIELD
+            if comp["kind"] == "type" and comp["raw"] == "var":
+                comp["ty"] = field_ty  # `var` adopts the component type
+            comp_ty = comp["ty"]
+            branching = (comp["kind"] == "record"
+                         and len(comp["comps"]) > 1)
+            needs_tmp = (branching or not self._is_resolved_ty(comp_ty)
+                         or comp_ty != field_ty)
+            child_src = self._field_init_source(
+                src, pat["raw"].split("<", 1)[0], pat_ty, field_name,
+                field_ty, needs_tmp, comp.get("line", pat["line"]))
+            if comp["kind"] == "type":
+                buffer.append((comp, child_src))
+            c = self._pattern_check(comp, child_src, False, buffer)
+            if c is not None:
+                checks.append(c)
+        if not checks:
+            return None
+        checks.reverse()
+        acc = checks[0]
+        for nxt in checks[1:]:
+            nxt.arg_index, acc.arg_index = 1, 2
+            node = N(M.CALL, code=f"({nxt.code}) && ({acc.code})",
+                     name=M.OP_LOGICAL_AND,
+                     method_full_name=M.OP_LOGICAL_AND,
+                     dispatch_type=M.STATIC_DISPATCH,
+                     line=pat["line"], type_full_name="boolean")
+            node.add(nxt, acc)
+            acc = node
+        return acc
+
+    def _pattern_assign(self, pat: dict, src: dict) -> tuple[N, N]:
+        """One `{ name = (T) value }` assignment; creates (or reuses) the
+        hoisted LOCAL first so hoist order matches the reference
+        (createAssignmentForTypePattern)."""
+        name = pat["name"]
+        var_ty = pat["ty"] if pat["ty"] else M.ANY
+        frame = self.pattern_frames[-1] if self.pattern_frames else None
+        key = (name, var_ty)
+        loc = frame["by_key"].get(key) if frame is not None else None
+        if loc is None:
+            mangled = self._mangled_pattern_name(name)
+            loc = N(M.LOCAL, code=f"{pat['raw']} {name}", name=mangled,
+                    type_full_name=var_ty, line=pat["line"])
+            self._hoist_pattern_local(loc)
+            if frame is not None:
+                frame["by_key"][key] = loc
+                frame["names"].add(name)
+        ident = N(M.IDENTIFIER, code=loc.name, name=loc.name,
+                  type_full_name=var_ty, line=pat["line"], arg_index=1)
+        ident.ref_target = loc
+        rhs = self._cast_if_needed(src["get"](), var_ty, pat["raw"],
+                                   pat["line"])
+        rhs.arg_index = 2
+        assign = N(M.CALL, code=f"{name} = {rhs.code}",
+                   name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
+                   dispatch_type=M.STATIC_DISPATCH,
+                   line=pat["line"], type_full_name=var_ty)
+        assign.add(ident, rhs)
+        return assign, loc
+
+    def _declare_pattern_var(self, name: str, loc: N) -> None:
+        scope = self.scopes[-1]
+        self.pattern_binds.append(
+            (scope, name, scope.get(name), name in scope, loc))
+        scope[name] = loc
+
+    def _pattern_mark(self) -> int:
+        return len(self.pattern_binds)
+
+    def _pattern_restore(self, mark: int, keep_locs: set | frozenset = frozenset()) -> None:
+        """Undo eager pattern-variable declarations made since `mark`,
+        except bindings whose LOCAL is flow-scope-kept ("introduced by the
+        statement", JLS 6.3 / partitionPatternAstsByScope). Kept bindings
+        stay on the stack so an ENCLOSING statement can still restore them."""
+        binds = self.pattern_binds[mark:]
+        del self.pattern_binds[mark:]
+        for rec in binds:
+            scope, name, prev, existed, loc = rec
+            if id(loc) in keep_locs:
+                self.pattern_binds.append(rec)
+                continue
+            if scope.get(name) is not loc:
+                continue  # re-shadowed later; leave as-is
+            if existed:
+                scope[name] = prev
+            else:
+                scope.pop(name, None)
+
+    def _expr_pattern_sets(self, node: N | None) -> tuple[dict, dict]:
+        if node is None:
+            return {}, {}
+        return self.expr_patterns.get(id(node), ({}, {}))
+
+    def _cant_complete_normally(self, node: N | None) -> bool:
+        """Approximate JLS 14.22: the branch ends in return/throw/
+        break/continue on every path we bother to check (the last child)."""
+        if node is None:
+            return False
+        if node.kind == M.RETURN:
+            return True
+        if node.kind == M.CONTROL_STRUCTURE and node.control_structure_type \
+                in (M.CS_THROW, M.CS_BREAK, M.CS_CONTINUE):
+            return True
+        if node.kind == M.BLOCK and node.children:
+            return self._cant_complete_normally(node.children[-1])
+        return False
+
+    def _pattern_flow_restore(self, node: N, mark: int) -> None:
+        """After an if/while/do/for parses, decide which pattern bindings
+        outlive the statement (JLS 6.3; partitionPatternAstsByScope):
+        loop-condition false-sets always; an if's false-set when the lone
+        then-branch can't complete normally (and the true-set mirror)."""
+        if len(self.pattern_binds) <= mark:
+            return
+        cond = next((c for c in node.children
+                     if c.role == M.ROLE_CONDITION), None)
+        tset, fset = self._expr_pattern_sets(cond)
+        keep: set[int] = set()
+        cst = node.control_structure_type
+        if cst == M.CS_IF:
+            then = next((c for c in node.children
+                         if c.role == M.ROLE_WHEN_TRUE), None)
+            els = next((c for c in node.children
+                        if c.role == M.ROLE_WHEN_FALSE), None)
+            if fset and els is None and self._cant_complete_normally(then):
+                keep |= {id(l) for l in fset.values()}
+            if tset and els is not None \
+                    and self._cant_complete_normally(els):
+                keep |= {id(l) for l in tset.values()}
+        elif cst in (M.CS_WHILE, M.CS_DO, M.CS_FOR):
+            keep |= {id(l) for l in fset.values()}
+        self._pattern_restore(mark, keep)
+
+    def parse_if(self) -> N:
+        mark = self._pattern_mark()
+        node = super().parse_if()
+        self._pattern_flow_restore(node, mark)
+        return node
+
+    def parse_while(self) -> N:
+        mark = self._pattern_mark()
+        node = super().parse_while()
+        self._pattern_flow_restore(node, mark)
+        return node
+
+    def parse_do(self) -> N:
+        mark = self._pattern_mark()
+        node = super().parse_do()
+        self._pattern_flow_restore(node, mark)
+        return node
+
+    def _instanceof_pattern(self, lhs: N, pattern: dict) -> N:
+        root_src = self._init_ref_source(lhs)
+        buffer: list[tuple[dict, dict]] = []
+        if pattern["kind"] == "type":
+            buffer.append((pattern, root_src))
+        check = self._pattern_check(pattern, root_src, True, buffer)
+        assigns: list[N] = []
+        tset: dict[str, N] = {}
+        for pat, src in buffer:
+            assign, loc = self._pattern_assign(pat, src)
+            assigns.append(assign)
+            tset[pat["name"]] = loc
+            self._declare_pattern_var(pat["name"], loc)
+        line = pattern["line"]
+        true_lit = N(M.LITERAL, code="true", type_full_name="boolean",
+                     line=line)
+        blk_children = assigns + [true_lit]
+        blk = N(M.BLOCK,
+                code="{ " + "; ".join(c.code for c in blk_children) + "; }",
+                line=line, type_full_name="boolean")
+        blk.add(*blk_children)
+        check.arg_index, blk.arg_index = 1, 2
+        and_call = N(M.CALL, code=f"({check.code}) && {blk.code}",
+                     name=M.OP_LOGICAL_AND,
+                     method_full_name=M.OP_LOGICAL_AND,
+                     dispatch_type=M.STATIC_DISPATCH,
+                     line=line, type_full_name="boolean")
+        and_call.add(check, blk)
+        if tset:
+            self.expr_patterns[id(and_call)] = (tset, {})
+        return and_call
 
     def parse_array_initializer(self, ty: str) -> N:
         """`{ 1, 2, 3 }` -> <operator>.arrayInitializer CALL whose code is the
@@ -2431,9 +2942,12 @@ class JavaParser(CParser):
         encl_cls = self.anon_ctx[-1][1] if self.anon_ctx else owner
         is_static = self.anon_ctx[-1][2] if self.anon_ctx else False
         self.anon_ctx.append((full, encl_cls, is_static, full))
+        frame = self._push_pattern_frame()
+        blk = None
         try:
             if self.at("{"):
-                method.add(self.parse_compound())
+                blk = self.parse_compound()
+                method.add(blk)
             else:
                 body = self.parse_assignment_expr()
                 blk = N(M.BLOCK, code="", line=start.line, type_full_name="void")
@@ -2444,6 +2958,7 @@ class JavaParser(CParser):
                 method.add(blk)
         finally:
             self.anon_ctx.pop()
+            self._pop_pattern_frame(frame, blk)
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                      evaluation_strategy=M.BY_VALUE, line=start.line))
         self.pop_scope()

@@ -177,6 +177,8 @@ GLOBAL = "<global>"
 UNKNOWN_FULL_NAME = "<unknownFullName>"
 UNRESOLVED_NAMESPACE = "<unresolvedNamespace>"
 UNRESOLVED_SIGNATURE = "<unresolvedSignature>"
+# x2cpg Defines.scala:43 — unresolvable record/field component name
+UNKNOWN_FIELD = "<unknownField>"
 CONSTRUCTOR = "<init>"
 CONST_SUFFIX = "<const>"  # const member-function signature tag (c2cpg Defines.ConstSuffix)
 STATIC_INIT = "<clinit>"
