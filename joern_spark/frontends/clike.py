@@ -1724,9 +1724,15 @@ class CParser:
             els = self.parse_ternary()
             els.arg_index = 3
             end = self.toks[self.pos - 1]
+            # result type from the first resolved branch (javasrc asserts
+            # conditionalExpr.typeFullName, PatternExprTests field-init)
+            ty = then.type_full_name if then is not None \
+                and then.type_full_name not in (None, "", M.ANY) \
+                else els.type_full_name
             call = N(M.CALL, code=self.slice(start, end), name=M.OP_CONDITIONAL,
                      method_full_name=M.OP_CONDITIONAL,
-                     dispatch_type=M.STATIC_DISPATCH, line=q.line)
+                     dispatch_type=M.STATIC_DISPATCH, line=q.line,
+                     type_full_name=ty or M.ANY)
             call.add(cond, then, els)
             return call
         return cond

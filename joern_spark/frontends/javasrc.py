@@ -106,16 +106,20 @@ JAVA_LANG = {
 }
 
 
-def _clone_ast(n: N) -> N:
+def _clone_ast(n: N, remap: dict | None = None) -> N:
     """Deep-copy an expression tree (member initializers are replicated into
     every constructor; node identity must be unique per METHOD). ref_target
-    stays shared — it points at declaration nodes, resolved at flatten."""
+    stays shared — it points at declaration nodes, resolved at flatten —
+    unless `remap` (id(old) -> new) redirects it (pattern locals hoisted
+    per-constructor must not be shared across METHODs)."""
     c = N(n.kind, code=n.code, name=n.name, line=n.line)
     for slot in N.__slots__:
         if slot in ("children", "idx", "kind", "code", "name", "line"):
             continue
         setattr(c, slot, getattr(n, slot))
-    c.children = [_clone_ast(ch) for ch in n.children]
+    if remap and c.ref_target is not None:
+        c.ref_target = remap.get(id(c.ref_target), c.ref_target)
+    c.children = [_clone_ast(ch, remap) for ch in n.children]
     return c
 
 
@@ -301,12 +305,12 @@ class JavaParser(CParser):
         self.class_supers: dict[str, list[str]] = {}
         # non-static field initializers per class fullname:
         # (field name, type, init expr, line) — folded into constructors
-        self.member_inits: dict[str, list[tuple[str, str, N, int]]] = {}
+        self.member_inits: dict[str, list[tuple[str, str, N, int, list[N]]]] = {}
         # static field initializers per class fullname: (field name, raw
         # declared type spelling, init expr, line) — synthesized into one
         # `<clinit>` method per class (AstForMethodsCreator.scala:218-226
         # clinitAstFromStaticInits; NewObjectTests.scala flow sources)
-        self.static_inits: dict[str, list[tuple[str, str, N, int]]] = {}
+        self.static_inits: dict[str, list[tuple[str, str, N, int, list[N]]]] = {}
         # foreach lowering temporaries (`$iterLocalN` / `$idxN`,
         # ControlStructureTests.scala:169-640)
         self.iterlocal_counter = 0
@@ -1012,7 +1016,8 @@ class JavaParser(CParser):
               signature="void()", line=line, ast_parent_type=M.TYPE_DECL,
               ast_parent_full_name=class_full)
         body = N(M.BLOCK, line=line)
-        for fname, raw_ty, init, iline in inits:
+        for fname, raw_ty, init, iline, plocs in inits:
+            body.children.extend(plocs)  # pattern locals before the assign
             ty = self.resolve_type(raw_ty)
             base = N(M.TYPE_REF, code=simple, type_full_name=class_full,
                      arg_index=1, line=iline)
@@ -1049,7 +1054,8 @@ class JavaParser(CParser):
                  evaluation_strategy=M.BY_SHARING)
         ctor.add(this)
         body = N(M.BLOCK, line=line)
-        for fname, ty, init, iline in inits:
+        for fname, ty, init, iline, plocs in inits:
+            body.children.extend(plocs)
             body.add(self._member_init_assign(class_full, fname, ty, init,
                                               iline, this))
         ctor.add(body)
@@ -1066,10 +1072,17 @@ class JavaParser(CParser):
         this_param = next((c for c in ctor.children
                            if c.kind == M.METHOD_PARAMETER_IN
                            and c.name == "this"), None)
-        assigns = [self._member_init_assign(class_full, fname, ty, init,
-                                            iline, this_param)
-                   for fname, ty, init, iline in inits]
-        body.children[0:0] = assigns
+        # pattern locals are cloned per constructor (node identity must be
+        # unique per METHOD) with identifier refs remapped to the clones
+        stmts: list[N] = []
+        for fname, ty, init, iline, plocs in inits:
+            remap = {id(l): _clone_ast(l) for l in plocs}
+            stmts.extend(remap.values())
+            stmts.append(self._member_init_assign(
+                class_full, fname, ty,
+                _clone_ast(init, remap) if remap else init,
+                iline, this_param))
+        body.children[0:0] = stmts
 
     def _prescan_members(self, class_full: str):
         """Scan ahead (token-level) to register method name→fullname before
@@ -1401,22 +1414,33 @@ class JavaParser(CParser):
         self.next()
         self.anon_ctx.append((f"{class_full}.{name}", class_full, is_static,
                               None))
+        pmark = len(self.pending_pattern_locals)
+        bmark = self._pattern_mark()
         try:
             init = self.parse_assignment_expr()
         except Exception:
             self.pos = save
+            del self.pending_pattern_locals[pmark:]
+            self._pattern_restore(bmark)
             return
         finally:
             self.anon_ctx.pop()
+        # instanceof-pattern locals hoisted by the initializer land at the
+        # start of the <init>/<clinit> body (PatternExprTests "a pattern
+        # matching instanceof in a (static) field initializer"); the eager
+        # scope binding must not leak past the initializer (JLS 6.3)
+        plocs = self.pending_pattern_locals[pmark:]
+        del self.pending_pattern_locals[pmark:]
+        self._pattern_restore(bmark)
         member = self.lookup(name)
         if member is not None and member.kind == M.MEMBER:
             self.note_init_dynamic_type(member, init)
         if is_static:
             self.static_inits.setdefault(class_full, []).append(
-                (name, raw_ty or ty, init, line))
+                (name, raw_ty or ty, init, line, plocs))
         else:
             self.member_inits.setdefault(class_full, []).append(
-                (name, ty, init, line))
+                (name, ty, init, line, plocs))
 
     def parse_java_method(self, ret_ty: str, name: str, start: Tok,
                           class_full: str, is_static: bool):
@@ -2888,7 +2912,8 @@ class JavaParser(CParser):
                     line=line)
             asg.add(fa, outer_id)
             body.add(asg)
-        for fname, fty, init, iline in inits:
+        for fname, fty, init, iline, plocs in inits:
+            body.children.extend(plocs)
             body.add(self._member_init_assign(full, fname, fty, init,
                                               iline, this))
         ctor.add(body)
@@ -3113,7 +3138,13 @@ class JavaParser(CParser):
             # unresolvable calls default to dynamic dispatch
             # (AstForCallExpressionsCreator.dispatchTypeForCall:378-390)
             dispatch = M.DYNAMIC_DISPATCH
-        call = N(M.CALL, code=self.slice(start, close), name=name,
+        # resolved instance calls spell the implicit receiver:
+        # `this.add(argc, 3)` (codePrefixForMethodCall:431-443, CallTests
+        # :753,833); unresolved calls keep the bare source spelling
+        code = self.slice(start, close)
+        if resolved is not None and not is_static:
+            code = f"this.{code}"
+        call = N(M.CALL, code=code, name=name,
                  method_full_name=mfn, dispatch_type=dispatch,
                  signature=resolved.rsplit(":", 1)[1] if resolved and ":" in resolved else "",
                  line=start.line)
