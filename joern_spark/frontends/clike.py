@@ -1402,14 +1402,31 @@ class CParser:
         cond = self.wrap_condition(cond)
         cond.role = M.ROLE_CONDITION
         node.add(cond)
-        then = self.parse_statement()
+        tok = self.body_scope_enter(cond, True)
+        try:
+            then = self.parse_statement()
+        finally:
+            self.body_scope_exit(tok)
         body = self.as_block(then, role=M.ROLE_WHEN_TRUE, line=kw.line)
         node.add(body)
         if self.at("else"):
             e = self.next()
-            els_stmt = self.parse_statement()
+            tok = self.body_scope_enter(cond, False)
+            try:
+                els_stmt = self.parse_statement()
+            finally:
+                self.body_scope_exit(tok)
             node.add(self.make_else(e, els_stmt))
         return node
+
+    def body_scope_enter(self, cond: N | None, when_true: bool):
+        """Hook before a control-structure branch parses: Java hides
+        instanceof-pattern bindings not introduced on this branch
+        (JLS 6.3 flow scoping). No-op for C/C++/JS."""
+        return None
+
+    def body_scope_exit(self, token) -> None:
+        pass
 
     def make_else(self, e: Tok, stmts: list[N]) -> N:
         """C/C++/JS: an ELSE control structure wrapping the else branch
@@ -1448,7 +1465,12 @@ class CParser:
         cond = self.wrap_condition(cond)
         cond.role = M.ROLE_CONDITION
         node.add(cond)
-        body = self.as_block(self.parse_statement(), role=M.ROLE_WHEN_TRUE, line=kw.line)
+        tok = self.body_scope_enter(cond, True)
+        try:
+            body = self.as_block(self.parse_statement(),
+                                 role=M.ROLE_WHEN_TRUE, line=kw.line)
+        finally:
+            self.body_scope_exit(tok)
         node.add(body)
         return node
 
@@ -1530,14 +1552,20 @@ class CParser:
                 cond.role = M.ROLE_CONDITION
                 node.add(cond)
         self.expect(";")
-        # update
-        if not self.at(")"):
-            upd = self.parse_expression()
-            if upd is not None:
-                upd.role = M.ROLE_FOR_UPDATE
-                node.add(upd)
-        self.expect(")")
-        body = self.as_block(self.parse_statement(), role=M.ROLE_FOR_BODY, line=kw.line)
+        # update + body run only when the condition held (JLS 6.3: pattern
+        # variables from the condition are in scope in both)
+        tok = self.body_scope_enter(cond, True)
+        try:
+            # update
+            if not self.at(")"):
+                upd = self.parse_expression()
+                if upd is not None:
+                    upd.role = M.ROLE_FOR_UPDATE
+                    node.add(upd)
+            self.expect(")")
+            body = self.as_block(self.parse_statement(), role=M.ROLE_FOR_BODY, line=kw.line)
+        finally:
+            self.body_scope_exit(tok)
         node.add(body)
         self.pop_scope()
         return node

@@ -361,6 +361,9 @@ class JavaParser(CParser):
         # live eager scope declarations for pattern variables:
         # (scope dict, name, previous binding, existed, LOCAL)
         self.pattern_binds: list[tuple] = []
+        # pattern_binds marks of the control statements currently parsing —
+        # body_scope_enter hides only the CURRENT statement's bindings
+        self._cs_marks: list[int] = []
 
     # ---------------- naming ----------------
     def resolve_type(self, name: str) -> str:
@@ -1708,9 +1711,24 @@ class JavaParser(CParser):
 
     def parse_for(self) -> N:
         mark = self._pattern_mark()
-        node = self._parse_for_java()
+        self._cs_marks.append(mark)
+        try:
+            node = self._parse_for_java()
+        finally:
+            self._cs_marks.pop()
         if node is not None and node.kind == M.CONTROL_STRUCTURE:
             self._pattern_flow_restore(node, mark)
+            # a kept binding was declared inside the for's own (now popped)
+            # scope — re-home it in the live scope so it survives the
+            # statement (JLS 6.3.1.5; PatternExprTests "a variable is
+            # introduced by the for")
+            for k in range(mark, len(self.pattern_binds)):
+                scope_, name, _prev, _existed, loc = self.pattern_binds[k]
+                ns = self.scopes[-1]
+                if scope_ is not ns:
+                    self.pattern_binds[k] = (ns, name, ns.get(name),
+                                             name in ns, loc)
+                    ns[name] = loc
         return node
 
     def _parse_for_java(self) -> N:
@@ -2678,7 +2696,12 @@ class JavaParser(CParser):
                          if c.role == M.ROLE_WHEN_TRUE), None)
             els = next((c for c in node.children
                         if c.role == M.ROLE_WHEN_FALSE), None)
-            if fset and els is None and self._cant_complete_normally(then):
+            # JLS 6.3.2.2: after `if (e) S [else T]`, a variable introduced
+            # when FALSE survives iff S can't complete normally (with or
+            # without an else — PatternExprTests "introduced to the else
+            # block and surrounding scope"), and one introduced when TRUE
+            # survives iff T exists and can't complete normally
+            if fset and self._cant_complete_normally(then):
                 keep |= {id(l) for l in fset.values()}
             if tset and els is not None \
                     and self._cant_complete_normally(els):
@@ -2687,21 +2710,59 @@ class JavaParser(CParser):
             keep |= {id(l) for l in fset.values()}
         self._pattern_restore(mark, keep)
 
+    def body_scope_enter(self, cond: N | None, when_true: bool):
+        """JLS 6.3: inside a branch only the condition's pattern variables
+        introduced on THAT branch are in scope — `while (!(o instanceof
+        String s)) { sink1(s); }` must resolve `s` to the field, not the
+        pattern local (PatternExprTests "a variable is introduced by the
+        while")."""
+        if not self.pattern_binds or not self._cs_marks:
+            return None
+        t, f = self._expr_pattern_sets(cond)
+        active = t if when_true else f
+        hidden = []
+        for rec in self.pattern_binds[self._cs_marks[-1]:]:
+            scope, name, prev, existed, loc = rec
+            if active.get(name) is loc or scope.get(name) is not loc:
+                continue
+            hidden.append(rec)
+            if existed:
+                scope[name] = prev
+            else:
+                scope.pop(name, None)
+        return hidden
+
+    def body_scope_exit(self, hidden) -> None:
+        for scope, name, _prev, _existed, loc in hidden or ():
+            scope[name] = loc
+
     def parse_if(self) -> N:
         mark = self._pattern_mark()
-        node = super().parse_if()
+        self._cs_marks.append(mark)
+        try:
+            node = super().parse_if()
+        finally:
+            self._cs_marks.pop()
         self._pattern_flow_restore(node, mark)
         return node
 
     def parse_while(self) -> N:
         mark = self._pattern_mark()
-        node = super().parse_while()
+        self._cs_marks.append(mark)
+        try:
+            node = super().parse_while()
+        finally:
+            self._cs_marks.pop()
         self._pattern_flow_restore(node, mark)
         return node
 
     def parse_do(self) -> N:
         mark = self._pattern_mark()
-        node = super().parse_do()
+        self._cs_marks.append(mark)
+        try:
+            node = super().parse_do()
+        finally:
+            self._cs_marks.pop()
         self._pattern_flow_restore(node, mark)
         return node
 

@@ -536,3 +536,260 @@ class Test {
         cite="javasrc2cpg/.../querying/PatternExprTests.scala:973-1122",
     ),
 ]
+
+
+# --------------------------------------------------------------------- #
+# patterns in if/while/do/for statements (PatternExprTests :1124-1599).
+# The reference factors the shared assertions into
+# testStandardPatternLocalLowering / testStandardTypePatternAssignmentLowering
+# (:1054-1122); _std_* below are their transcriptions, merged per case.
+# --------------------------------------------------------------------- #
+
+def _std_ast():
+    """testStandardTypePatternAssignmentLowering: andCall args, instanceOf
+    args, assign-block children, cast args (PatternExprTests:1066-1100)."""
+    return {
+        "(o instanceof String) && { s = (String) o; true; }": [
+            "o instanceof String", "{ s = (String) o; true; }"],
+        "o instanceof String": ["o", "String"],
+        "{ s = (String) o; true; }": ["s = (String) o", "true"],
+        "s = (String) o": ["s", "(String) o"],
+        ("(String) o", 0): ["String", "o"],
+    }
+
+
+def _std_nodetype(extra=None):
+    d = {
+        ("o", 0): "java.lang.Object",
+        ("o", 1): "java.lang.Object",
+        ("String", 0): "java.lang.String",
+        ("String", 1): "java.lang.String",
+        ("s = (String) o", 0): "java.lang.String",
+        ("s", 0): "java.lang.String",
+    }
+    d.update(extra or {})
+    return d
+
+
+def _flow_case(name, code, cite, sink_field, sink_local, cs_type,
+               cond_code, assign_s=0):
+    """One if/while/do/for flow-scope case: the standard lowering plus
+    which sink sees the `this.s` field (Integer) vs the pattern local.
+    `sink_local` maps sink name -> occurrence index of its `s` identifier
+    (FIELD_IDENTIFIERs under `this.s` accesses also spell `s` and consume
+    occurrence slots, so indices are given explicitly); `assign_s` is the
+    occurrence of the lowering's own `s` (non-zero in do-while, where the
+    body parses first)."""
+    ast = _std_ast()
+    nt = _std_nodetype()
+    if assign_s:
+        del nt[("s", 0)]
+        nt[("s", assign_s)] = "java.lang.String"
+    refs = {}
+    for sk, occ in sink_local.items():
+        ast[f"{sk}(s)"] = ["s"]
+        nt[("s", occ)] = "java.lang.String"
+        refs[("s", occ)] = ["String s&<empty>@0"]
+    for i, sk in enumerate(sink_field):
+        ast[f"{sk}(s)"] = ["this.s"]
+        nt[("this.s", i)] = "java.lang.Integer"
+    case = dict(name=name, lang="java", wrap=False, code=code,
+                locals=[["foo.s", "String s|java.lang.String"]],
+                ast=ast, nodetype=nt,
+                cscond=[[f"foo:{cs_type}", cond_code]],
+                cite=cite)
+    if refs:
+        case["refs"] = refs
+    return case
+
+
+CASES += [
+    _flow_case(
+        "java-pat-if-then",
+        """
+class Foo {
+  Integer s;
+  void foo(Object o) {
+    if (o instanceof String s) {
+      sink(s);
+    }
+  }
+  static void sink(Object o) {}
+}
+""",
+        "javasrc2cpg/.../querying/PatternExprTests.scala:1125-1161",
+        sink_field=[], sink_local={"sink": 1}, cs_type="IF",
+        cond_code="(o instanceof String) && { s = (String) o; true; }"),
+    _flow_case(
+        "java-pat-if-else",
+        """
+class Foo {
+  Integer s;
+  void foo(Object o) {
+    if (!(o instanceof String s)) {
+    } else {
+      sink(s);
+    }
+  }
+  static void sink(Object o) {}
+}
+""",
+        "javasrc2cpg/.../querying/PatternExprTests.scala:1163-1200",
+        sink_field=[], sink_local={"sink": 1}, cs_type="IF",
+        cond_code="!(o instanceof String s)"),
+    _flow_case(
+        "java-pat-if-surrounding",
+        """
+class Foo {
+  Integer s;
+  void foo(Object o) {
+    if (!(o instanceof String s)) {
+      return;
+    }
+    sink(s);
+  }
+  static void sink(Object o) {}
+}
+""",
+        "javasrc2cpg/.../querying/PatternExprTests.scala:1202-1239",
+        sink_field=[], sink_local={"sink": 1}, cs_type="IF",
+        cond_code="!(o instanceof String s)"),
+    _flow_case(
+        "java-pat-if-else-surrounding",
+        """
+class Foo {
+  Integer s;
+  void foo(Object o) {
+    if (!(o instanceof String s)) {
+      sink1(s);
+      return;
+    } else {
+      sink2(s);
+    }
+    sink3(s);
+  }
+  static void sink1(Object o) {}
+  static void sink2(Object o) {}
+  static void sink3(Object o) {}
+}
+""",
+        "javasrc2cpg/.../querying/PatternExprTests.scala:1241-1299",
+        sink_field=["sink1"], sink_local={"sink2": 2, "sink3": 3},
+        cs_type="IF", cond_code="!(o instanceof String s)"),
+    _flow_case(
+        "java-pat-while-body",
+        """
+class Foo {
+  Integer s;
+  void foo(Object o) {
+    while (o instanceof String s) {
+      sink1(s);
+    }
+    sink2(s);
+  }
+  static void sink1(Object o) {}
+  static void sink2(Object o) {}
+}
+""",
+        "javasrc2cpg/.../querying/PatternExprTests.scala:1302-1348",
+        sink_field=["sink2"], sink_local={"sink1": 1}, cs_type="WHILE",
+        cond_code="(o instanceof String) && { s = (String) o; true; }"),
+    _flow_case(
+        "java-pat-while-intro",
+        """
+class Foo {
+  Integer s;
+  void foo(Object o) {
+    while (!(o instanceof String s)) {
+      sink1(s);
+    }
+    sink2(s);
+  }
+  static void sink1(Object o) {}
+  static void sink2(Object o) {}
+}
+""",
+        "javasrc2cpg/.../querying/PatternExprTests.scala:1350-1397",
+        sink_field=["sink1"], sink_local={"sink2": 2}, cs_type="WHILE",
+        cond_code="!(o instanceof String s)"),
+    _flow_case(
+        "java-pat-do-intro",
+        """
+class Foo {
+  Integer s;
+  void foo(Object o) {
+    do { sink1(s); } while (!(o instanceof String s));
+    sink2(s);
+  }
+  static void sink1(Object o) {}
+  static void sink2(Object o) {}
+}
+""",
+        "javasrc2cpg/.../querying/PatternExprTests.scala:1400-1446",
+        sink_field=["sink1"], sink_local={"sink2": 2}, cs_type="DO",
+        cond_code="!(o instanceof String s)", assign_s=1),
+    _flow_case(
+        "java-pat-for-body",
+        """
+class Foo {
+  Integer s;
+  void foo(Object o) {
+    for (; o instanceof String s;) {
+      sink1(s);
+    }
+    sink2(s);
+  }
+  static void sink1(Object o) {}
+  static void sink2(Object o) {}
+}
+""",
+        "javasrc2cpg/.../querying/PatternExprTests.scala:1505-1551",
+        sink_field=["sink2"], sink_local={"sink1": 1}, cs_type="FOR",
+        cond_code="(o instanceof String) && { s = (String) o; true; }"),
+    _flow_case(
+        "java-pat-for-intro",
+        """
+class Foo {
+  Integer s;
+  void foo(Object o) {
+    for (; !(o instanceof String s);) {
+      sink1(s);
+    }
+    sink2(s);
+  }
+  static void sink1(Object o) {}
+  static void sink2(Object o) {}
+}
+""",
+        "javasrc2cpg/.../querying/PatternExprTests.scala:1553-1599",
+        sink_field=["sink1"], sink_local={"sink2": 2}, cs_type="FOR",
+        cond_code="!(o instanceof String s)"),
+]
+
+CASES.append(dict(
+    # for-update: s from the condition is in scope in update AND body init
+    # lowering (:1472-1500); update refs the pattern local
+    name="java-pat-for-update", lang="java", wrap=False,
+    code="""
+class Foo {
+  void foo(Object o) {
+    for(int i = 0; o instanceof String s; i += s.length()) {
+      System.out.println(i);
+    }
+  }
+}
+""",
+    locals=[["foo.s", "String s|java.lang.String"],
+            ["foo.i", "int i|int"]],
+    ast=dict(_std_ast(), **{
+        "i += s.length()": ["i", "s.length()"],
+        "s.length()": ["s"],
+        "System.out.println(i)": ["System.out", "i"],
+    }),
+    nodetype=_std_nodetype({("s", 1): "java.lang.String"}),
+    callmfn=[["length", "java.lang.String.length:int()"],
+             ["<operator>.assignmentPlus", "<operator>.assignmentPlus"]],
+    cscond=[["foo:FOR",
+             "(o instanceof String) && { s = (String) o; true; }"]],
+    cite="javasrc2cpg/.../querying/PatternExprTests.scala:1449-1503",
+))
