@@ -364,6 +364,9 @@ class JavaParser(CParser):
         # pattern_binds marks of the control statements currently parsing —
         # body_scope_enter hides only the CURRENT statement's bindings
         self._cs_marks: list[int] = []
+        # hoisted pattern-variable names per OPEN block (BlockScope
+        # .hoistedPatternLocals); drives `$K` vardecl mangling
+        self.block_pattern_names: list[set] = []
 
     # ---------------- naming ----------------
     def resolve_type(self, name: str) -> str:
@@ -2160,13 +2163,24 @@ class JavaParser(CParser):
                 self.next(); self.next()
                 ty += "[]"
                 code_ty += "[]"
-            # a vardecl clashing with a hoisted pattern local mangles to
-            # `name$K` (PatternExprTests "locals with mangled names";
-            # AstForVarDeclAndAssignsCreator.scala:144)
-            mangled = self._mangled_pattern_name(name)
-            loc = N(M.LOCAL, code=f"{code_ty} {name}", name=mangled,
-                    type_full_name=ty, line=name_tok.line)
-            out.append(loc)
+            # a vardecl clashing with a LIVE hoisted pattern local of the
+            # same (name, type) SHARES that local (PatternExprTests "a
+            # pattern and local variable share a name and a type"); a
+            # clashing different-type vardecl mangles to `name$K`
+            # (AstForVarDeclAndAssignsCreator.scala:144)
+            frame = self.pattern_frames[-1] if self.pattern_frames else None
+            shared = (frame["by_key"].get((name, ty))
+                      if frame is not None
+                      and any(name in s for s in self.block_pattern_names)
+                      else None)
+            if shared is not None:
+                mangled = shared.name
+                loc = shared
+            else:
+                mangled = self._mangled_pattern_name(name)
+                loc = N(M.LOCAL, code=f"{code_ty} {name}", name=mangled,
+                        type_full_name=ty, line=name_tok.line)
+                out.append(loc)
             self.declare(name, loc)
             if self.at("="):
                 self.next()
@@ -2347,14 +2361,26 @@ class JavaParser(CParser):
         else:  # field-initializer context: drained by parse_statement
             self.pending_pattern_locals.append(loc)
 
+    def parse_compound(self) -> N:
+        # per-block hoisted-pattern-name set: mangling only consults LIVE
+        # blocks (Scope.getHoistedPatternLocals collects from the scope
+        # stack's BlockScopes), so a pattern in a closed sibling block does
+        # not mangle later vardecls (PatternExprTests "a local is defined
+        # in a sibling block")
+        self.block_pattern_names.append(set())
+        try:
+            return super().parse_compound()
+        finally:
+            self.block_pattern_names.pop()
+
     def _mangled_pattern_name(self, name: str) -> str:
-        """`name$K` when a hoisted pattern local already took `name`
-        (Scope.getMangledName / JavaScopeElement.mangleLocalName)."""
-        if not self.pattern_frames:
+        """`name$K` when a hoisted pattern local with `name` is live in an
+        enclosing block (Scope.getMangledName:334-341); the `$K` pool is
+        per-method (JavaScopeElement.mangleLocalName:171-173)."""
+        if not self.pattern_frames \
+                or not any(name in s for s in self.block_pattern_names):
             return name
         frame = self.pattern_frames[-1]
-        if name not in frame["names"]:
-            return name
         mangled = f"{name}${frame['mangle']}"
         frame["mangle"] += 1
         return mangled
@@ -2447,7 +2473,9 @@ class JavaParser(CParser):
             if self._is_resolved_ty(ret) and ret != M.UNRESOLVED_SIGNATURE:
                 ty = ret
                 node.type_full_name = ret  # fooCall.typeFullName asserted
-        if not ty or ty == M.ANY:
+        if not ty:
+            # rootType.getOrElse(Object) — an unresolved "ANY" stays ANY
+            # (PatternExprTests "the pattern is a nested record pattern")
             ty = "java.lang.Object"
         name = f"$obj{self.temp_obj_n}"
         self.temp_obj_n += 1
@@ -2511,14 +2539,19 @@ class JavaParser(CParser):
                 owner = (parent_ty if self._is_resolved_ty(parent_ty)
                          else f"{M.UNRESOLVED_NAMESPACE}.{parent_raw}")
                 ret_ty = field_ty if field_ty else M.ANY
+                # unresolvable component accessors carry the unresolved
+                # signature: <unresolvedNamespace>.Bar.<unknownField>:
+                # <unresolvedSignature>(0) (PatternExprTests:3254-3257)
+                sig = (f"{ret_ty}()" if field_name != M.UNKNOWN_FIELD
+                       else f"{M.UNRESOLVED_SIGNATURE}(0)")
                 prefix = (f"({lhs.code})"
                           if lhs.kind == M.CALL and lhs.name.startswith("<operator")
                           else lhs.code)
                 call = N(M.CALL, code=f"{prefix}.{field_name}()",
                          name=field_name,
-                         method_full_name=f"{owner}.{field_name}:{ret_ty}()",
+                         method_full_name=f"{owner}.{field_name}:{sig}",
                          dispatch_type=M.DYNAMIC_DISPATCH,
-                         signature=f"{ret_ty}()",
+                         signature=sig,
                          line=line, type_full_name=ret_ty)
                 lhs.role = M.ROLE_RECEIVER
                 lhs.arg_index = 0
@@ -2618,7 +2651,8 @@ class JavaParser(CParser):
             self._hoist_pattern_local(loc)
             if frame is not None:
                 frame["by_key"][key] = loc
-                frame["names"].add(name)
+            if self.block_pattern_names:
+                self.block_pattern_names[-1].add(name)
         ident = N(M.IDENTIFIER, code=loc.name, name=loc.name,
                   type_full_name=var_ty, line=pat["line"], arg_index=1)
         ident.ref_target = loc

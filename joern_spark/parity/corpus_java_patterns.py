@@ -102,7 +102,7 @@ class Foo {
 }
 """,
         locals=[["<lambda>0.s", "String s|java.lang.String"],
-                ["<lambda>0.$obj0", "$obj0|java.lang.Object"]],
+                ["<lambda>0.$obj0", "$obj0|ANY"]],
         cite="javasrc2cpg/.../querying/PatternExprTests.scala:162-176",
     ),
     dict(
@@ -793,3 +793,727 @@ class Foo {
              "(o instanceof String) && { s = (String) o; true; }"]],
     cite="javasrc2cpg/.../querying/PatternExprTests.scala:1449-1503",
 ))
+
+
+# --------------------------------------------------------------------- #
+# resolved / unresolved record patterns + mangled names
+# (PatternExprTests :1601-2364, :3045-3798)
+# --------------------------------------------------------------------- #
+
+CASES += [
+    dict(
+        name="java-pat-resolved-type", lang="java", wrap=False,
+        code="""
+class Foo {
+  void foo(Object o) {
+    if (o instanceof String s) {
+      sink(s);
+    }
+  }
+}
+""",
+        locals=[["foo.s", "String s|java.lang.String"]],
+        ast=_std_ast(),
+        nodetype=_std_nodetype({("s", 1): "java.lang.String"}),
+        cscond=[["foo:IF",
+                 "(o instanceof String) && { s = (String) o; true; }"]],
+        refs={("s", 0): ["String s&<empty>@0"],
+              ("s", 1): ["String s&<empty>@0"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:1602-1630",
+    ),
+    dict(
+        name="java-pat-record-nonnested", lang="java", wrap=False,
+        code="""
+package box;
+
+record Box(String value) {}
+
+class Foo {
+  void foo(Object o) {
+    if (o instanceof Box(String s)) {
+      sink(s);
+    }
+  }
+}
+""",
+        locals=[["foo.s", "String s|java.lang.String"]],
+        ast={
+            "(o instanceof Box) && { s = ((Box) o).value(); true; }": [
+                "o instanceof Box", "{ s = ((Box) o).value(); true; }"],
+            "o instanceof Box": ["o", "Box"],
+            "{ s = ((Box) o).value(); true; }": [
+                "s = ((Box) o).value()", "true"],
+            "s = ((Box) o).value()": ["s", "((Box) o).value()"],
+            "((Box) o).value()": ["(Box) o"],
+            ("(Box) o", 0): ["Box", "o"],
+        },
+        nodetype={
+            ("o instanceof Box", 0): "boolean",
+            ("Box", 0): "box.Box",
+            ("s = ((Box) o).value()", 0): "java.lang.String",
+            ("s", 0): "java.lang.String",
+            ("((Box) o).value()", 0): "java.lang.String",
+            ("(Box) o", 0): "box.Box",
+        },
+        callmfn=[["value", "box.Box.value:java.lang.String()"]],
+        refs={("s", 0): ["String s&<empty>@2"],
+              ("o", 0): ["Object o&foo@0"],
+              ("o", 1): ["Object o&foo@0"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:1631-1716",
+    ),
+    dict(
+        name="java-pat-record-generic", lang="java", wrap=False,
+        code="""
+package box;
+
+record Box<T>(T value) {}
+
+class Foo {
+  void foo(Object o) {
+    if (o instanceof Box(String s)) {
+      sink(s);
+    }
+  }
+}
+""",
+        # andCall :1745; generic component erases to Object so the value()
+        # call needs its own instanceof through a $obj0 temp (:1747-1830)
+        locals=[["foo.s", "String s|java.lang.String"],
+                ["foo.$obj0", "$obj0|java.lang.Object"]],
+        ast={
+            ("((o instanceof Box) && (($obj0 = ((Box) o).value()) "
+             "instanceof String)) && { s = (String) $obj0; true; }"): [
+                "(o instanceof Box) && (($obj0 = ((Box) o).value()) "
+                "instanceof String)",
+                "{ s = (String) $obj0; true; }"],
+            ("(o instanceof Box) && (($obj0 = ((Box) o).value()) "
+             "instanceof String)"): [
+                "o instanceof Box",
+                "($obj0 = ((Box) o).value()) instanceof String"],
+            "o instanceof Box": ["o", "Box"],
+            "($obj0 = ((Box) o).value()) instanceof String": [
+                "$obj0 = ((Box) o).value()", "String"],
+            "$obj0 = ((Box) o).value()": ["$obj0", "((Box) o).value()"],
+            "((Box) o).value()": ["(Box) o"],
+            ("(Box) o", 0): ["Box", "o"],
+            "{ s = (String) $obj0; true; }": ["s = (String) $obj0", "true"],
+            "s = (String) $obj0": ["s", "(String) $obj0"],
+            ("(String) $obj0", 0): ["String", "$obj0"],
+        },
+        nodetype={
+            ("o instanceof Box", 0): "boolean",
+            ("Box", 0): "box.Box",
+            ("$obj0 = ((Box) o).value()", 0): "java.lang.Object",
+            ("$obj0", 0): "java.lang.Object",
+            ("$obj0", 1): "java.lang.Object",
+            ("((Box) o).value()", 0): "java.lang.Object",
+            ("(Box) o", 0): "box.Box",
+            ("String", 0): "java.lang.String",
+            ("String", 1): "java.lang.String",
+            ("s = (String) $obj0", 0): "java.lang.String",
+            ("s", 0): "java.lang.String",
+        },
+        callmfn=[["value", "box.Box.value:java.lang.Object()"]],
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:1717-1838",
+    ),
+    dict(
+        name="java-pat-record-nested", lang="java", wrap=False,
+        code="""
+package box;
+
+record PairBox(Pair value) {}
+record Pair(String first, Integer second) {}
+
+class Foo {
+  void foo(Object o) {
+    if (o instanceof PairBox(Pair(String s, Integer i))) {
+      sink(s);
+      sink(i);
+    }
+  }
+}
+""",
+        # locals [s, $obj0, i] at method start (:1868-1873); full lowering
+        # tree (:1875-1971); sink arguments (:1973-1991)
+        locals=[["foo.s", "String s|java.lang.String"],
+                ["foo.$obj0", "$obj0|box.Pair"],
+                ["foo.i", "Integer i|java.lang.Integer"]],
+        ast={
+            ("(o instanceof PairBox) && { s = ($obj0 = ((PairBox) o)"
+             ".value()).first(); i = $obj0.second(); true; }"): [
+                "o instanceof PairBox",
+                "{ s = ($obj0 = ((PairBox) o).value()).first(); "
+                "i = $obj0.second(); true; }"],
+            "o instanceof PairBox": ["o", "PairBox"],
+            ("{ s = ($obj0 = ((PairBox) o).value()).first(); "
+             "i = $obj0.second(); true; }"): [
+                "s = ($obj0 = ((PairBox) o).value()).first()",
+                "i = $obj0.second()", "true"],
+            "s = ($obj0 = ((PairBox) o).value()).first()": [
+                "s", "($obj0 = ((PairBox) o).value()).first()"],
+            "($obj0 = ((PairBox) o).value()).first()": [
+                "$obj0 = ((PairBox) o).value()"],
+            "$obj0 = ((PairBox) o).value()": [
+                "$obj0", "((PairBox) o).value()"],
+            "((PairBox) o).value()": ["(PairBox) o"],
+            ("(PairBox) o", 0): ["PairBox", "o"],
+            "i = $obj0.second()": ["i", "$obj0.second()"],
+            "$obj0.second()": ["$obj0"],
+            "sink(s)": ["this", "s"],
+            "sink(i)": ["this", "i"],
+        },
+        nodetype={
+            ("o instanceof PairBox", 0): "boolean",
+            ("PairBox", 0): "box.PairBox",
+            ("s = ($obj0 = ((PairBox) o).value()).first()", 0):
+                "java.lang.String",
+            ("s", 0): "java.lang.String",
+            ("s", 1): "java.lang.String",
+            ("($obj0 = ((PairBox) o).value()).first()", 0):
+                "java.lang.String",
+            ("$obj0 = ((PairBox) o).value()", 0): "box.Pair",
+            ("$obj0", 0): "box.Pair",
+            ("$obj0", 1): "box.Pair",
+            ("((PairBox) o).value()", 0): "box.Pair",
+            ("(PairBox) o", 0): "box.PairBox",
+            ("i = $obj0.second()", 0): "java.lang.Integer",
+            ("i", 0): "java.lang.Integer",
+            ("i", 1): "java.lang.Integer",
+            ("$obj0.second()", 0): "java.lang.Integer",
+        },
+        callmfn=[["value", "box.PairBox.value:box.Pair()"],
+                 ["first", "box.Pair.first:java.lang.String()"],
+                 ["second", "box.Pair.second:java.lang.Integer()"]],
+        refs={("s", 0): ["String s&<empty>@5"],
+              ("s", 1): ["String s&<empty>@5"],
+              ("i", 0): ["Integer i&<empty>@5"],
+              ("i", 1): ["Integer i&<empty>@5"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:1839-1992",
+    ),
+    # the four whole-lowering code assertions (:2015-2022, :2044-2052,
+    # :2074-2081, :2107-2114) — each a single byte-exact cscond fact
+    dict(
+        name="java-pat-mixed-complex", lang="java", wrap=False,
+        code="""
+record A(B a0, C a1) {}
+record B(String b0) {}
+record C(D c0, F c1) {}
+record D(String d0, E d1) {}
+record E(String e0) {}
+record F(G f0) {}
+record G<T>(String g0, T g1) {}
+
+class Test {
+  void test(Object o) {
+    if (o instanceof A(B(String b0), C(D(String d0, E(String e0)), F(G(String g0, Integer g1))))) { }
+  }
+}
+""",
+        cscond=[["test:IF",
+                 "((o instanceof A) && (($obj2 = ($obj1 = ($obj0 = ((A) o)"
+                 ".a1()).c1().f0()).g1()) instanceof Integer)) && "
+                 "{ b0 = ((A) o).a0().b0(); d0 = ($obj3 = $obj0.c0()).d0(); "
+                 "e0 = $obj3.d1().e0(); g0 = $obj1.g0(); "
+                 "g1 = (Integer) $obj2; true; }"]],
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:1994-2023",
+    ),
+    dict(
+        name="java-pat-mixed-two-iof", lang="java", wrap=False,
+        code="""
+record Foo<T>(T value) {}
+record Bar<T>(Foo left, T right) {}
+
+class Test {
+  void test(Object o) {
+    if (o instanceof Foo(Bar(Foo(String s), Integer i))) { }
+  }
+}
+""",
+        cscond=[["test:IF",
+                 "((o instanceof Foo) && ((($obj0 = ((Foo) o).value()) "
+                 "instanceof Bar) && ((($obj1 = ((Bar) $obj0).left()"
+                 ".value()) instanceof String) && (($obj2 = ((Bar) $obj0)"
+                 ".right()) instanceof Integer)))) && "
+                 "{ s = (String) $obj1; i = (Integer) $obj2; true; }"]],
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:2024-2053",
+    ),
+    dict(
+        name="java-pat-mixed-second-iof", lang="java", wrap=False,
+        code="""
+record Foo<T>(T value) {}
+record Bar<T>(String left, T right) {}
+
+class Test {
+  void test(Object o) {
+    if (o instanceof Foo(Bar(String s, Integer i))) { }
+  }
+}
+""",
+        cscond=[["test:IF",
+                 "((o instanceof Foo) && ((($obj0 = ((Foo) o).value()) "
+                 "instanceof Bar) && (($obj1 = ((Bar) $obj0).right()) "
+                 "instanceof Integer))) && { s = ((Bar) $obj0).left(); "
+                 "i = (Integer) $obj1; true; }"]],
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:2054-2082",
+    ),
+    dict(
+        name="java-pat-mixed-generic", lang="java", wrap=False,
+        code="""
+record Foo<T>(T foo) {}
+record Bar(Baz bar) {}
+record Baz<T>(T baz) {}
+record Qux(String qux) {}
+
+class Test {
+  void test(Object o) {
+    if (o instanceof Foo(Bar(Baz(Qux(String s))))) {
+      sink(s);
+    }
+  }
+}
+""",
+        cscond=[["test:IF",
+                 "((o instanceof Foo) && ((($obj0 = ((Foo) o).foo()) "
+                 "instanceof Bar) && (($obj1 = ((Bar) $obj0).bar().baz()) "
+                 "instanceof Qux))) && { s = ((Qux) $obj1).qux(); true; }"]],
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:2083-2115",
+    ),
+    dict(
+        name="java-pat-generic-nested", lang="java", wrap=False,
+        code="""
+package box;
+
+record Box<T>(T value) {}
+record Pair<U, V>(U first, V second) {}
+
+class Foo {
+  void foo(Object o) {
+    if (o instanceof Box(Pair(String s, Integer i))) {
+      sink(s);
+      sink(i);
+    }
+  }
+}
+""",
+        cscond=[["foo:IF",
+                 "((o instanceof Box) && ((($obj0 = ((Box) o).value()) "
+                 "instanceof Pair) && ((($obj1 = ((Pair) $obj0).first()) "
+                 "instanceof String) && (($obj2 = ((Pair) $obj0).second()) "
+                 "instanceof Integer)))) && { s = (String) $obj1; "
+                 "i = (Integer) $obj2; true; }"]],
+        ast={
+            "o instanceof Box": ["o", "Box"],
+        },
+        nodetype={
+            ("o instanceof Box", 0): "boolean",
+            ("Box", 0): "box.Box",
+        },
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:2116-2364",
+    ),
+    # ------------------------- unresolved patterns ---------------------- #
+    dict(
+        name="java-pat-unresolved-type", lang="java", wrap=False,
+        code="""
+class Foo {
+  void foo(Object o) {
+    if (o instanceof Bar b) {
+      sink(b);
+    }
+  }
+}
+""",
+        locals=[["foo.b", "Bar b|ANY"]],
+        ast={
+            "(o instanceof Bar) && { b = (Bar) o; true; }": [
+                "o instanceof Bar", "{ b = (Bar) o; true; }"],
+            "o instanceof Bar": ["o", "Bar"],
+            "{ b = (Bar) o; true; }": ["b = (Bar) o", "true"],
+            "b = (Bar) o": ["b", "(Bar) o"],
+            ("(Bar) o", 0): ["Bar", "o"],
+            "sink(b)": ["this", "b"],
+        },
+        nodetype={
+            ("o instanceof Bar", 0): "boolean",
+            ("Bar", 0): "ANY",
+            ("b = (Bar) o", 0): "ANY",
+            ("b", 0): "ANY",
+            ("(Bar) o", 0): "ANY",
+            ("o", 0): "java.lang.Object",
+        },
+        refs={("b", 0): ["Bar b&<empty>@0"],
+              ("b", 1): ["Bar b&<empty>@0"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:3047-3126",
+    ),
+    dict(
+        name="java-pat-unresolved-import", lang="java", wrap=False,
+        code="""
+import bar.Bar;
+
+class Foo {
+  void foo(Object o) {
+    if (o instanceof Bar b) {
+      sink(b);
+    }
+  }
+}
+""",
+        locals=[["foo.b", "Bar b|bar.Bar"]],
+        ast={
+            "(o instanceof Bar) && { b = (Bar) o; true; }": [
+                "o instanceof Bar", "{ b = (Bar) o; true; }"],
+            "b = (Bar) o": ["b", "(Bar) o"],
+            ("(Bar) o", 0): ["Bar", "o"],
+            "sink(b)": ["this", "b"],
+        },
+        nodetype={
+            ("Bar", 0): "bar.Bar",
+            ("Bar", 1): "bar.Bar",
+            ("b = (Bar) o", 0): "bar.Bar",
+            ("b", 0): "bar.Bar",
+            ("(Bar) o", 0): "bar.Bar",
+        },
+        refs={("b", 0): ["Bar b&<empty>@0"],
+              ("b", 1): ["Bar b&<empty>@0"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:3127-3208",
+    ),
+    dict(
+        name="java-pat-unresolved-nested", lang="java", wrap=False,
+        code="""
+class Foo {
+  void foo(Object o) {
+    if (o instanceof Bar(Baz(Qux q))) {
+      sink(q);
+    }
+  }
+}
+""",
+        cscond=[["foo:IF",
+                 "((o instanceof Bar) && ((($obj0 = ((Bar) o)"
+                 ".<unknownField>()) instanceof Baz) && (($obj1 = "
+                 "((Baz) $obj0).<unknownField>()) instanceof Qux))) && "
+                 "{ q = (Qux) $obj1; true; }"]],
+        locals=[["foo.q", "Qux q|ANY"],
+                ["foo.$obj0", "$obj0|ANY"],
+                ["foo.$obj1", "$obj1|ANY"]],
+        ast={
+            "($obj0 = ((Bar) o).<unknownField>()) instanceof Baz": [
+                "$obj0 = ((Bar) o).<unknownField>()", "Baz"],
+            "$obj0 = ((Bar) o).<unknownField>()": [
+                "$obj0", "((Bar) o).<unknownField>()"],
+            "q = (Qux) $obj1": ["q", "(Qux) $obj1"],
+            ("(Qux) $obj1", 0): ["Qux", "$obj1"],
+        },
+        nodetype={
+            ("$obj0", 0): "ANY",
+            ("((Bar) o).<unknownField>()", 0): "ANY",
+            ("Baz", 0): "ANY",
+            ("q = (Qux) $obj1", 0): "ANY",
+            ("q", 0): "ANY",
+            ("$obj1", 1): "ANY",
+        },
+        callmfn=[["<unknownField>",
+                  "<unresolvedNamespace>.Bar.<unknownField>:"
+                  "<unresolvedSignature>(0)"],
+                 ["<unknownField>",
+                  "<unresolvedNamespace>.Baz.<unknownField>:"
+                  "<unresolvedSignature>(0)"],
+                 ["sink", "Foo.sink:<unresolvedSignature>(1)"]],
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:3209-3295",
+    ),
+    # ------------------------- mangled names ---------------------------- #
+    dict(
+        name="java-pat-mangle-vardecl", lang="java", wrap=False,
+        code="""
+class Test {
+  String source() { return "data"; }
+  static boolean sink(String s) { return true; }
+
+  static void foo(Object o) {
+    if (o instanceof String value) {
+      sink(value);
+    }
+    int value = 2;
+    sink(value);
+  }
+}
+""",
+        locals=[["foo.value", "String value|java.lang.String"],
+                ["foo.value$0", "int value|int"]],
+        ast={("sink(value)", 0): ["value"],
+             ("sink(value)", 1): ["value$0"]},
+        refs={("value", 1): ["String value&<empty>@2"],
+              ("value$0", 1): ["int value&<empty>@2"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:3390-3418",
+    ),
+    dict(
+        name="java-pat-mangle-vardecl-while", lang="java", wrap=False,
+        code="""
+class Test {
+  String source() { return "data"; }
+  static boolean sink(String s) { return true; }
+
+  static void foo(Object o) {
+    while (o instanceof String value) {
+      sink(value);
+    }
+    int value = 2;
+    sink(value);
+  }
+}
+""",
+        locals=[["foo.value", "String value|java.lang.String"],
+                ["foo.value$0", "int value|int"]],
+        ast={("sink(value)", 0): ["value"],
+             ("sink(value)", 1): ["value$0"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:3420-3448",
+    ),
+    dict(
+        name="java-pat-mangle-vardecl-for", lang="java", wrap=False,
+        code="""
+class Test {
+  String source() { return "data"; }
+  static boolean sink(String s) { return true; }
+
+  static void foo(Object o) {
+    for (;o instanceof String value;) {
+      sink(value);
+    }
+    int value = 2;
+    sink(value);
+  }
+}
+""",
+        locals=[["foo.value", "String value|java.lang.String"],
+                ["foo.value$0", "int value|int"]],
+        ast={("sink(value)", 0): ["value"],
+             ("sink(value)", 1): ["value$0"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:3450-3478",
+    ),
+    dict(
+        name="java-pat-mangle-vardecl-do", lang="java", wrap=False,
+        code="""
+class Test {
+  String source() { return "data"; }
+  static boolean sink(String s) { return true; }
+
+  static void foo(Object o) {
+    do {} while (o instanceof String value);
+    int value = 2;
+    sink(value);
+  }
+}
+""",
+        locals=[["foo.value", "String value|java.lang.String"],
+                ["foo.value$0", "int value|int"]],
+        ast={("sink(value)", 0): ["value$0"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:3480-3502",
+    ),
+    dict(
+        name="java-pat-mangle-two-patterns", lang="java", wrap=False,
+        code="""
+class Test {
+  String source() { return "data"; }
+  static boolean sink(String s) { return true; }
+
+  static void foo(Object o) {
+    if (o instanceof String value) {
+      sink(value);
+    }
+    if (o instanceof Integer value) {
+      sink(value);
+    }
+  }
+}
+""",
+        locals=[["foo.value", "String value|java.lang.String"],
+                ["foo.value$0", "Integer value|java.lang.Integer"]],
+        ast={("sink(value)", 0): ["value"],
+             ("sink(value)", 1): ["value$0"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:3504-3533",
+    ),
+    dict(
+        name="java-pat-mangle-and-rhs", lang="java", wrap=False,
+        code="""
+class Test {
+  String source() { return "data"; }
+  static boolean sink(String s) { return true; }
+
+  static void foo(Object o) {
+    if (o instanceof Integer value) {
+      sink(value);
+    }
+    if (o instanceof String value && value.isEmpty()) {
+      sink(value);
+    }
+  }
+}
+""",
+        # the second pattern's local mangles; the isEmpty receiver uses
+        # the mangled name (:3656-3679)
+        locals=[["foo.value", "Integer value|java.lang.Integer"],
+                ["foo.value$0", "String value|java.lang.String"]],
+        ast={"value.isEmpty()": ["value$0"]},
+        nodetype={("value$0", 1): "java.lang.String"},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:3656-3679",
+    ),
+    dict(
+        name="java-pat-no-mangle-and-rhs", lang="java", wrap=False,
+        code="""
+class Test {
+  String source() { return "data"; }
+  static boolean sink(String s) { return true; }
+
+  static void foo(Object o) {
+    if (o instanceof String value && value.isEmpty()) {
+      sink(value);
+    }
+    if (o instanceof Integer value) {
+      sink(value);
+    }
+  }
+}
+""",
+        locals=[["foo.value", "String value|java.lang.String"],
+                ["foo.value$0", "Integer value|java.lang.Integer"]],
+        ast={"value.isEmpty()": ["value"]},
+        nodetype={("value", 1): "java.lang.String"},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:3631-3654",
+    ),
+    dict(
+        name="java-pat-mangle-sibling-blocks", lang="java", wrap=False,
+        code="""
+class Test {
+  String source() { return "data"; }
+  static boolean sink(String s) { return true; }
+
+  static void foo(Object o) {
+    {
+      if (o instanceof String value) {
+        sink(value);
+      }
+    }
+    {
+      int value = 2;
+      sink(value);
+    }
+  }
+}
+""",
+        # NO mangling: the pattern's hoisted name dies with its sibling
+        # block (:3681-3714)
+        locals=[["foo.value", "String value|java.lang.String"],
+                ["foo.value", "int value|int"]],
+        ast={("sink(value)", 0): ["value"],
+             ("sink(value)", 1): ["value"]},
+        nodetype={("value", 1): "java.lang.String",
+                  ("value", 3): "int"},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:3681-3714",
+    ),
+    dict(
+        name="java-pat-mangle-nested-block", lang="java", wrap=False,
+        code="""
+class Test {
+  String source() { return "data"; }
+  static boolean sink(String s) { return true; }
+
+  static void foo(Object o) {
+
+    if (o instanceof String value) {
+      sink(value);
+    }
+
+    {
+      int value = 2;
+      sink(value);
+    }
+  }
+}
+""",
+        locals=[["foo.value", "String value|java.lang.String"],
+                ["foo.value$0", "int value|int"]],
+        ast={("sink(value)", 0): ["value"],
+             ("sink(value)", 1): ["value$0"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:3716-3749",
+    ),
+    dict(
+        name="java-pat-shared-local", lang="java", wrap=False,
+        code="""
+class Main {
+    String source () { return "data"; }
+    static boolean sink0 (String s){ return true; }
+    static boolean sink1 (String s){ return true; }
+    static boolean sink2 (String s){ return true; }
+
+    static void foo(Object o) {
+        if (o instanceof String s) {
+            sink0(s);
+        }
+        if (o instanceof String s) {
+            sink1(s);
+        }
+        String s = "safe";
+        sink2(s);
+    }
+}
+""",
+        # exactly ONE local shared by both patterns AND the vardecl
+        # (:3774-3797)
+        locals=[["foo.s", "String s|java.lang.String"]],
+        ast={"sink0(s)": ["s"], "sink1(s)": ["s"], "sink2(s)": ["s"]},
+        nodetype={("s", 1): "java.lang.String",
+                  ("s", 3): "java.lang.String",
+                  ("s", 5): "java.lang.String"},
+        refs={("s", 1): ["String s&<empty>@4"],
+              ("s", 3): ["String s&<empty>@4"],
+              ("s", 5): ["String s&<empty>@4"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:3751-3797",
+    ),
+    dict(
+        name="java-pat-overwritten", lang="java", wrap=False,
+        code="""
+class Test {
+  String source() { return "data"; }
+  static boolean sink(String s) { return true; }
+
+  void test() {
+    foo(source());
+  }
+
+  static void foo(Object o) {
+    if (!(o instanceof String value) || (value = "Foo").isEmpty()) {
+      return;
+    }
+    sink(value);
+  }
+}
+""",
+        locals=[["foo.value", "String value|java.lang.String"]],
+        ast={
+            '!(o instanceof String value) || (value = "Foo").isEmpty()': [
+                "!(o instanceof String value)",
+                '(value = "Foo").isEmpty()'],
+            "!(o instanceof String value)": [
+                "(o instanceof String) && { value = (String) o; true; }"],
+            "(o instanceof String) && { value = (String) o; true; }": [
+                "o instanceof String", "{ value = (String) o; true; }"],
+            "o instanceof String": ["o", "String"],
+            "{ value = (String) o; true; }": [
+                "value = (String) o", "true"],
+            "value = (String) o": ["value", "(String) o"],
+            '(value = "Foo").isEmpty()': ['value = "Foo"'],
+            'value = "Foo"': ["value", '"Foo"'],
+            ("sink(value)", 0): ["value"],
+        },
+        nodetype={
+            ("value", 0): "java.lang.String",
+            ("value", 1): "java.lang.String",
+            ("value", 2): "java.lang.String",
+            ("{ value = (String) o; true; }", 0): "boolean",
+        },
+        callmfn=[["isEmpty", "java.lang.String.isEmpty:boolean()"]],
+        refs={("value", 0): ["String value&<empty>@3"],
+              ("value", 1): ["String value&<empty>@3"],
+              ("value", 2): ["String value&<empty>@3"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:3296-3388",
+    ),
+]
