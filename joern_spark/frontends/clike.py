@@ -203,6 +203,8 @@ class CParser:
     TRACK_PATTERN_SETS = False
     # comparison/logical binary result type: C spells int, Java boolean
     BOOL_OP_TY = "int"
+    # `p->field` member access is C/C++-only; Java's `->` is lambda/switch
+    ARROW_MEMBER = True
 
     def lower_field_access(self, call: "N") -> "N":
         """Per-language rewrite hook for a just-built fieldAccess chain
@@ -2025,7 +2027,7 @@ class CParser:
                          method_full_name=opname, dispatch_type=M.STATIC_DISPATCH, line=start.line)
                 call.add(node, idx)
                 node = call
-            elif self.at(".") or self.at("->"):
+            elif self.at(".") or (self.ARROW_MEMBER and self.at("->")):
                 arrow = self.next().v == "->"
                 self.skip_explicit_type_args()  # Java `x.<T>m()` — no-op here
                 fld_tok = self.next()

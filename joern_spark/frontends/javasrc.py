@@ -131,6 +131,7 @@ class JavaParser(CParser):
     SUBSCRIPT_OP = M.OP_INDEX_ACCESS
     TRACK_PATTERN_SETS = True
     BOOL_OP_TY = "boolean"  # ==/</&&/... produce boolean in Java
+    ARROW_MEMBER = False  # `->` ends a switch label / starts a lambda body
 
     def lower_field_access(self, call: "N") -> "N":
         """`xs.length` on an array-typed base -> <operator>.sizeOf with the
@@ -364,9 +365,15 @@ class JavaParser(CParser):
         # pattern_binds marks of the control statements currently parsing —
         # body_scope_enter hides only the CURRENT statement's bindings
         self._cs_marks: list[int] = []
-        # hoisted pattern-variable names per OPEN block (BlockScope
-        # .hoistedPatternLocals); drives `$K` vardecl mangling
-        self.block_pattern_names: list[set] = []
+        # hoisted pattern locals per OPEN block, (name, type) -> LOCAL
+        # (BlockScope.hoistedPatternLocals); drives `$K` vardecl mangling
+        # and same-(name, type) local sharing
+        self.block_pattern_names: list[dict] = []
+        # parse_statement nesting depth — capture frames (switch entries,
+        # expression-bodied lambdas) only catch locals hoisted at their own
+        # depth; deeper ones drain before their own statement
+        self._stmt_depth = 0
+        self._switch_expr_pos = False
 
     # ---------------- naming ----------------
     def resolve_type(self, name: str) -> str:
@@ -1596,19 +1603,26 @@ class JavaParser(CParser):
                 and self.peek(1) is not None and self.peek(1).t == "id":
             return [self._parse_local_class(t.v)]
         mark = self._pattern_mark()
-        out = super().parse_statement()
-        if self.pending_pattern_locals:
-            # no enclosing method frame (field initializer): place the
-            # pattern locals before the statement
-            out = self.pending_pattern_locals + list(out)
-            self.pending_pattern_locals = []
-        if len(self.pattern_binds) > mark and out:
+        pmark = len(self.pending_pattern_locals)
+        self._stmt_depth += 1
+        try:
+            out = super().parse_statement()
+        finally:
+            self._stmt_depth -= 1
+        is_cs = len(out) == 1 and out[0].kind == M.CONTROL_STRUCTURE
+        if len(self.pending_pattern_locals) > pmark:
+            # pattern locals hoisted by this statement's expressions are
+            # placed immediately BEFORE it (astsForStatement:79-84
+            # patternVariableAsts ++ statementAsts); deeper statements
+            # already drained their own
+            out = self.pending_pattern_locals[pmark:] + list(out)
+            del self.pending_pattern_locals[pmark:]
+        if len(self.pattern_binds) > mark and out and not is_cs:
             # pattern variables introduced by a non-control statement
             # (vardecl / expression statement) do not outlive it — restore,
             # unless an overridden control parser already decided keeps
             # (those re-push ABOVE their own mark and we only see leftovers)
-            if not (len(out) == 1 and out[0].kind == M.CONTROL_STRUCTURE):
-                self._pattern_restore(mark)
+            self._pattern_restore(mark)
         return out
 
     def _parse_local_class(self, kw: str) -> N:
@@ -1969,7 +1983,11 @@ class JavaParser(CParser):
         # (ControlStructureTests.scala:956-967)
         if self.peek(1) is not None and self.peek(1).v == "switch":
             r = self.next()
-            sw = self.parse_switch()
+            self._switch_expr_pos = True
+            try:
+                sw = self.parse_switch()
+            finally:
+                self._switch_expr_pos = False
             if self.at(";"):
                 self.next()
             end = self.toks[self.pos - 1]
@@ -2014,9 +2032,174 @@ class JavaParser(CParser):
                 elif v == ":" and d == 1:
                     break
         if arrow:
-            return self._parse_arrow_switch()
+            # only value-position switches are MATCH (SwitchExpr →
+            # astForSwitchExpr); an arrow-form switch STATEMENT stays a
+            # SWITCH with JumpTarget + entry-body children
+            # (astForSwitchStatement; PatternExprTests switch sections)
+            if getattr(self, "_switch_expr_pos", False):
+                return self._parse_arrow_switch()
+            return self._parse_arrow_switch_stmt()
         node = super().parse_switch()
         node.code = f"switch({node.children[0].code})"
+        return node
+
+    def _record_pattern_ahead(self) -> bool:
+        """`Ident[<...>](` in a case label is always a record pattern —
+        switch labels are constant expressions, never method calls."""
+        t = self.peek()
+        if t is None or t.t != "id":
+            return False
+        k = 1
+        while self.at(".", k) and self.peek(k + 1) is not None \
+                and self.peek(k + 1).t == "id":
+            k += 2
+        if self.at("<", k):
+            depth = 0
+            while self.peek(k) is not None:
+                v = self.peek(k).v
+                if v == "<":
+                    depth += 1
+                elif v == ">":
+                    depth -= 1
+                    if depth == 0:
+                        k += 1
+                        break
+                elif v in (";", "{", "->"):
+                    return False
+                k += 1
+        return self.at("(", k)
+
+    def _parse_arrow_switch_stmt(self) -> N:
+        """Arrow-form switch STATEMENT (AstForSimpleStatementsCreator
+        .astForSwitch:198-202 / astForSwitchEntry:280-333): SWITCH control
+        structure whose body block holds, per entry, the JUMP_TARGETs (plus
+        non-pattern label expressions) and an entry body. A pattern label
+        lowers to `if (<selector instanceof-pattern lowering>) { stmts }`
+        with the pattern locals at the start of the ENTRY block and a
+        `when` guard as a nested if (PatternExprTests:2366-3044)."""
+        kw = self.next()
+        self.expect("(")
+        sel = self.parse_expression()
+        self.expect(")")
+        node = N(M.CONTROL_STRUCTURE, code=f"switch({sel.code})",
+                 control_structure_type=M.CS_SWITCH, line=kw.line)
+        # selector dedup: pattern entries re-reference it via copies
+        # (astForSwitchSelector:204-228 initAndRefAstsForPatternInitializer)
+        src = self._init_ref_source(sel)
+        sel_child = src["get"]()
+        sel_child.role = M.ROLE_CONDITION
+        node.add(sel_child)
+        open_tok = self.expect("{")
+        body = N(M.BLOCK, code="", line=open_tok.line, type_full_name="void")
+        self.push_scope()
+        while self.peek() is not None and not self.at("}"):
+            t = self.peek()
+            if t.v not in ("case", "default"):
+                self.next()
+                continue
+            pattern = None
+            guard = None
+            targets: list[N] = []
+            label_exprs: list[N] = []
+            while self.peek() is not None and self.peek().v in ("case",
+                                                                "default"):
+                c = self.next()
+                if c.v == "default":
+                    targets.append(N(M.JUMP_TARGET, code="default",
+                                     name="default", line=c.line))
+                else:
+                    lstart = self.peek()
+                    save = self.pos
+                    if self.looks_like_java_type() \
+                            or self._record_pattern_ahead():
+                        raw_ty = self.parse_java_type()
+                        nxt = self.peek()
+                        if (nxt is not None and nxt.t == "id"
+                                and nxt.v != "when") or self.at("("):
+                            pattern = self._parse_pattern(
+                                raw_ty, self.resolve_type(raw_ty), c.line)
+                        else:
+                            self.pos = save
+                    if pattern is None:
+                        label_exprs.append(self.parse_assignment_expr())
+                    lend = self.toks[self.pos - 1]
+                    targets.append(N(M.JUMP_TARGET,
+                                     code=self.src[lstart.a:lend.b].strip(),
+                                     name="case", line=c.line))
+                if self.at(","):
+                    self.next()
+            bmark = self._pattern_mark()
+            frame = None
+            iof = None
+            if pattern is not None:
+                # hoisted pattern locals land at the entry-block start
+                # (getAndClearUnaddedPatternLocals, astForSwitchEntry:320)
+                frame = self._push_pattern_frame("entry")
+                self.block_pattern_names.append({})
+                try:
+                    iof = self._instanceof_pattern(src["get"](), pattern)
+                finally:
+                    pass
+            if self.peek() is not None and self.peek().t == "id" \
+                    and self.peek().v == "when":
+                self.next()
+                guard = self.parse_expression()
+            if self.at("->"):
+                self.next()
+            if self.at("{"):
+                inner = self.parse_compound()
+                inner.type_full_name = "void"
+            else:
+                inner = N(M.BLOCK, code="", line=c.line,
+                          type_full_name="void")
+                stmt = self.parse_statement() \
+                    if self.peek() is not None and self.peek().t == "kw" \
+                    and self.peek().v in ("return", "throw", "break",
+                                          "continue", "if", "while", "for",
+                                          "do", "try", "switch") \
+                    else None
+                if stmt is not None:
+                    inner.add(*stmt)
+                else:
+                    expr = self.parse_expression()
+                    if expr is not None:
+                        inner.add(expr)
+                if self.at(";"):
+                    self.next()
+            if guard is not None:
+                guard.role = M.ROLE_CONDITION
+                inner.role = M.ROLE_WHEN_TRUE
+                gif = N(M.CONTROL_STRUCTURE, code=f"if ({guard.code})",
+                        control_structure_type=M.CS_IF, line=guard.line)
+                gif.add(guard, inner)
+                inner = gif
+            if iof is not None:
+                iof.role = M.ROLE_CONDITION
+                if inner.kind == M.BLOCK:
+                    inner.role = M.ROLE_WHEN_TRUE
+                else:
+                    blk = N(M.BLOCK, code="", line=iof.line,
+                            type_full_name="void", role=M.ROLE_WHEN_TRUE)
+                    blk.add(inner)
+                    inner = blk
+                pif = N(M.CONTROL_STRUCTURE, code=f"if ({iof.code})",
+                        control_structure_type=M.CS_IF, line=iof.line)
+                pif.add(iof, inner)
+                inner = pif
+            if frame is not None:
+                self.block_pattern_names.pop()
+                entry = N(M.BLOCK, code="", line=c.line,
+                          type_full_name="void")
+                self._pop_pattern_frame(frame, entry)
+                entry.add(inner)
+                inner = entry
+                self._pattern_restore(bmark)
+            body.add(*targets, *label_exprs, inner)
+        if self.at("}"):
+            self.next()
+        self.pop_scope()
+        body.role = M.ROLE_WHEN_TRUE
+        node.add(body)
         return node
 
     def _parse_arrow_switch(self) -> N:
@@ -2168,11 +2351,7 @@ class JavaParser(CParser):
             # pattern and local variable share a name and a type"); a
             # clashing different-type vardecl mangles to `name$K`
             # (AstForVarDeclAndAssignsCreator.scala:144)
-            frame = self.pattern_frames[-1] if self.pattern_frames else None
-            shared = (frame["by_key"].get((name, ty))
-                      if frame is not None
-                      and any(name in s for s in self.block_pattern_names)
-                      else None)
+            shared = self._live_pattern_local(name, ty)
             if shared is not None:
                 mangled = shared.name
                 loc = shared
@@ -2345,8 +2524,16 @@ class JavaParser(CParser):
     # :199-216, type-check fold :218-268, record field accessors :270-310,
     # buildInstanceOfAst :312-340) asserted by PatternExprTests.scala.
 
-    def _push_pattern_frame(self) -> dict:
-        frame = {"sink": [], "by_key": {}, "names": set(), "mangle": 0}
+    def _push_pattern_frame(self, kind: str = "method") -> dict:
+        """kind: "method"/"lambda" frames own the per-method `$K` pool
+        (MethodScope.mangledNameIdxKeyPool); "entry" (switch case) and
+        "lambda" frames CAPTURE locals hoisted at their own statement depth
+        (entry-block / lambda-body placement); "method" frames never
+        capture — statement-level locals drain via pending_pattern_locals
+        immediately before the introducing statement (astsForStatement:79-84,
+        astsForIf/While/Do patternLocals :+ ast)."""
+        frame = {"sink": [], "mangle": 0, "kind": kind,
+                 "depth": self._stmt_depth}
         self.pattern_frames.append(frame)
         return frame
 
@@ -2356,31 +2543,50 @@ class JavaParser(CParser):
             body.children[:0] = frame["sink"]
 
     def _hoist_pattern_local(self, loc: N) -> None:
-        if self.pattern_frames:
-            self.pattern_frames[-1]["sink"].append(loc)
-        else:  # field-initializer context: drained by parse_statement
+        f = self.pattern_frames[-1] if self.pattern_frames else None
+        if f is not None and f["kind"] in ("entry", "lambda") \
+                and f["depth"] == self._stmt_depth:
+            f["sink"].append(loc)
+        else:
+            # placed immediately before the enclosing statement by the
+            # parse_statement drain (patternVariableAsts ++ statementAsts)
             self.pending_pattern_locals.append(loc)
 
     def parse_compound(self) -> N:
-        # per-block hoisted-pattern-name set: mangling only consults LIVE
-        # blocks (Scope.getHoistedPatternLocals collects from the scope
-        # stack's BlockScopes), so a pattern in a closed sibling block does
-        # not mangle later vardecls (PatternExprTests "a local is defined
-        # in a sibling block")
-        self.block_pattern_names.append(set())
+        # per-block hoisted-pattern-local table (name, type) -> LOCAL:
+        # reuse and mangling only consult LIVE blocks (Scope
+        # .getHoistedPatternLocals collects from the scope stack's
+        # BlockScopes), so a pattern in a closed sibling block does not
+        # mangle later vardecls (PatternExprTests "a local is defined in
+        # a sibling block")
+        self.block_pattern_names.append({})
         try:
             return super().parse_compound()
         finally:
             self.block_pattern_names.pop()
 
+    def _live_pattern_local(self, name: str, ty: str) -> N | None:
+        """Live hoisted pattern local with this (name, type), if any
+        (AstForPatternExpressionsCreator:146-151 reuse lookup)."""
+        for d in reversed(self.block_pattern_names):
+            loc = d.get((name, ty))
+            if loc is not None:
+                return loc
+        return None
+
+    def _pattern_name_live(self, name: str) -> bool:
+        return any(k[0] == name for d in self.block_pattern_names for k in d)
+
     def _mangled_pattern_name(self, name: str) -> str:
         """`name$K` when a hoisted pattern local with `name` is live in an
         enclosing block (Scope.getMangledName:334-341); the `$K` pool is
         per-method (JavaScopeElement.mangleLocalName:171-173)."""
-        if not self.pattern_frames \
-                or not any(name in s for s in self.block_pattern_names):
+        if not self._pattern_name_live(name):
             return name
-        frame = self.pattern_frames[-1]
+        frame = next((f for f in reversed(self.pattern_frames)
+                      if f["kind"] != "entry"), None)
+        if frame is None:
+            return name
         mangled = f"{name}${frame['mangle']}"
         frame["mangle"] += 1
         return mangled
@@ -2641,18 +2847,14 @@ class JavaParser(CParser):
         (createAssignmentForTypePattern)."""
         name = pat["name"]
         var_ty = pat["ty"] if pat["ty"] else M.ANY
-        frame = self.pattern_frames[-1] if self.pattern_frames else None
-        key = (name, var_ty)
-        loc = frame["by_key"].get(key) if frame is not None else None
+        loc = self._live_pattern_local(name, var_ty)
         if loc is None:
             mangled = self._mangled_pattern_name(name)
             loc = N(M.LOCAL, code=f"{pat['raw']} {name}", name=mangled,
                     type_full_name=var_ty, line=pat["line"])
             self._hoist_pattern_local(loc)
-            if frame is not None:
-                frame["by_key"][key] = loc
             if self.block_pattern_names:
-                self.block_pattern_names[-1].add(name)
+                self.block_pattern_names[-1][(name, var_ty)] = loc
         ident = N(M.IDENTIFIER, code=loc.name, name=loc.name,
                   type_full_name=var_ty, line=pat["line"], arg_index=1)
         ident.ref_target = loc
@@ -3062,7 +3264,7 @@ class JavaParser(CParser):
         encl_cls = self.anon_ctx[-1][1] if self.anon_ctx else owner
         is_static = self.anon_ctx[-1][2] if self.anon_ctx else False
         self.anon_ctx.append((full, encl_cls, is_static, full))
-        frame = self._push_pattern_frame()
+        frame = self._push_pattern_frame("lambda")
         blk = None
         try:
             if self.at("{"):

@@ -1517,3 +1517,262 @@ class Test {
         cite="javasrc2cpg/.../querying/PatternExprTests.scala:3296-3388",
     ),
 ]
+
+
+# --------------------------------------------------------------------- #
+# resolved patterns in switch expressions (PatternExprTests :2366-3044)
+# — arrow-form switch STATEMENTS: SWITCH with JumpTarget + entry body;
+# a pattern case lowers to `if (<selector instanceof-pattern>) { ... }`
+# with the pattern locals at the entry-block start, a `when` guard as a
+# nested if (astForSwitchEntry:280-333).
+# --------------------------------------------------------------------- #
+
+CASES += [
+    dict(
+        name="java-pat-switch-type", lang="java", wrap=False,
+        code="""
+package box;
+
+class Foo {
+  void foo(Object o) {
+    switch (o) {
+      case String s -> sink(s);
+    }
+  }
+}
+""",
+        # SWITCH children [o, block]; block [JumpTarget, entry]; entry
+        # [sLocal, if] (:2388-2399); if-cond = standard lowering (:2401-2448)
+        locals=[["foo.s", "String s|java.lang.String"]],
+        ast={**_std_ast(),
+             ("switch(o)", 0, "CONTROL_STRUCTURE"): ["o", "<empty>"],
+             ("<empty>", 2): ["String s",
+                              "if ((o instanceof String) && "
+                              "{ s = (String) o; true; })"]},
+        nodetype=_std_nodetype({("s", 1): "java.lang.String"}),
+        cs=[["foo:SWITCH", "switch(o)"],
+            ["foo:IF", "if ((o instanceof String) && "
+                       "{ s = (String) o; true; })"]],
+        cscond=[["foo:SWITCH", "o"],
+                ["foo:IF",
+                 "(o instanceof String) && { s = (String) o; true; }"]],
+        refs={("s", 0): ["String s&<empty>@2"],
+              ("s", 1): ["String s&<empty>@2"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:2367-2449",
+    ),
+    dict(
+        name="java-pat-switch-guard", lang="java", wrap=False,
+        code="""
+package box;
+
+class Foo {
+  void foo(Object o) {
+    switch (o) {
+      case String s when s.isEmpty() -> sink(s);
+    }
+  }
+}
+""",
+        # two nested IFs: outer cond = pattern check (:2500-2546), inner
+        # cond = the guard (:2485-2497)
+        locals=[["foo.s", "String s|java.lang.String"]],
+        ast=dict(_std_ast(), **{
+            "s.isEmpty()": ["s"],
+        }),
+        nodetype=_std_nodetype({("s", 1): "java.lang.String",
+                                ("s", 2): "java.lang.String"}),
+        cscond=[["foo:SWITCH", "o"],
+                ["foo:IF",
+                 "(o instanceof String) && { s = (String) o; true; }"],
+                ["foo:IF", "s.isEmpty()"]],
+        callmfn=[["isEmpty", "java.lang.String.isEmpty:boolean()"]],
+        refs={("s", 0): ["String s&<empty>@2"],
+              ("s", 1): ["String s&<empty>@2"],
+              ("s", 2): ["String s&<empty>@2"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:2451-2548",
+    ),
+    dict(
+        name="java-pat-switch-record", lang="java", wrap=False,
+        code="""
+package box;
+
+record Box(String value) {}
+
+class Foo {
+  void foo(Object o) {
+    switch (o) {
+      case Box(String s) -> sink(s);
+      default -> {}
+    }
+  }
+}
+""",
+        locals=[["foo.s", "String s|java.lang.String"]],
+        cscond=[["foo:SWITCH", "o"],
+                ["foo:IF", "(o instanceof Box) && "
+                           "{ s = ((Box) o).value(); true; }"]],
+        ast={
+            "o instanceof Box": ["o", "Box"],
+            "{ s = ((Box) o).value(); true; }": [
+                "s = ((Box) o).value()", "true"],
+            "s = ((Box) o).value()": ["s", "((Box) o).value()"],
+            "((Box) o).value()": ["(Box) o"],
+            ("(Box) o", 0): ["Box", "o"],
+        },
+        nodetype={
+            ("o instanceof Box", 0): "boolean",
+            ("Box", 0): "box.Box",
+            ("s = ((Box) o).value()", 0): "java.lang.String",
+            ("s", 0): "java.lang.String",
+            ("((Box) o).value()", 0): "java.lang.String",
+            ("(Box) o", 0): "box.Box",
+        },
+        callmfn=[["value", "box.Box.value:java.lang.String()"]],
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:2550-2646",
+    ),
+    dict(
+        name="java-pat-switch-record-generic", lang="java", wrap=False,
+        code="""
+package box;
+
+record Box<T>(T value) {}
+
+class Foo {
+  void foo(Object o) {
+    switch (o) {
+      case Box(String s) -> sink(s);
+      default -> {}
+    }
+  }
+}
+""",
+        locals=[["foo.s", "String s|java.lang.String"],
+                ["foo.$obj0", "$obj0|java.lang.Object"]],
+        cscond=[["foo:SWITCH", "o"],
+                ["foo:IF", "((o instanceof Box) && (($obj0 = ((Box) o)"
+                           ".value()) instanceof String)) && "
+                           "{ s = (String) $obj0; true; }"]],
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:2648-2787",
+    ),
+    dict(
+        name="java-pat-switch-record-nested", lang="java", wrap=False,
+        code="""
+package box;
+
+record PairBox(Pair value) {}
+record Pair(String first, Integer second) {}
+
+class Foo {
+  void foo(Object o) {
+    switch (o) {
+      case PairBox(Pair(String s, Integer i)) -> { sink(s); sink(i); }
+      default -> {}
+    }
+  }
+}
+""",
+        # entry locals [s, $obj0, i] (:2815-2832); if body holds both sinks
+        # (:2930-2947)
+        locals=[["foo.s", "String s|java.lang.String"],
+                ["foo.$obj0", "$obj0|box.Pair"],
+                ["foo.i", "Integer i|java.lang.Integer"]],
+        cscond=[["foo:SWITCH", "o"],
+                ["foo:IF", "(o instanceof PairBox) && { s = ($obj0 = "
+                           "((PairBox) o).value()).first(); "
+                           "i = $obj0.second(); true; }"]],
+        ast={"sink(s)": ["this", "s"], "sink(i)": ["this", "i"]},
+        nodetype={("s", 1): "java.lang.String",
+                  ("i", 1): "java.lang.Integer"},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:2789-2949",
+    ),
+    dict(
+        name="java-pat-switch-generic-nested", lang="java", wrap=False,
+        code="""
+package box;
+
+record Box<T>(Pair value) {}
+record Pair<U, V>(U first, V second) {}
+
+class Foo {
+  void foo(Object o) {
+    switch (o) {
+      case Box(Pair(String s, Integer i)) -> { sink(s); sink(i); }
+      default -> {}
+    }
+  }
+}
+""",
+        locals=[["foo.s", "String s|java.lang.String"],
+                ["foo.$obj0", "$obj0|box.Pair"],
+                ["foo.$obj1", "$obj1|java.lang.Object"],
+                ["foo.$obj2", "$obj2|java.lang.Object"],
+                ["foo.i", "Integer i|java.lang.Integer"]],
+        cscond=[["foo:SWITCH", "o"],
+                ["foo:IF", "((o instanceof Box) && ((($obj1 = ($obj0 = "
+                           "((Box) o).value()).first()) instanceof String)"
+                           " && (($obj2 = $obj0.second()) instanceof "
+                           "Integer))) && { s = (String) $obj1; "
+                           "i = (Integer) $obj2; true; }"]],
+        ast={"sink(s)": ["this", "s"], "sink(i)": ["this", "i"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:2951-3044",
+    ),
+    dict(
+        name="java-pat-mangle-switch", lang="java", wrap=False,
+        code="""
+class Test {
+  String source() { return "data"; }
+  static boolean sink(String s) { return true; }
+
+  static void foo(Object o) {
+    if (o instanceof String value) {
+      sink(value);
+    }
+    switch (o) {
+      case Integer value -> sink(value);
+    }
+  }
+}
+""",
+        # the switch entry's pattern mangles against the earlier
+        # method-level pattern (:3535-3564)
+        locals=[["foo.value", "String value|java.lang.String"],
+                ["foo.value$0", "Integer value|java.lang.Integer"]],
+        ast={("sink(value)", 0): ["value"],
+             ("sink(value)", 1): ["value$0"]},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:3535-3564",
+    ),
+    dict(
+        name="java-pat-no-mangle-switch", lang="java", wrap=False,
+        code="""
+class Test {
+  String source() { return "data"; }
+  static boolean sink(String s) { return true; }
+
+  static void foo(Object o) {
+    switch (o) {
+      case Integer value -> sink(value);
+      case Boolean value -> sink(value);
+    }
+    if (o instanceof String value) {
+      sink(value);
+    }
+  }
+}
+""",
+        # separate entry blocks: no mangling; three same-name locals with
+        # distinct types, the if's local placed between switch and if
+        # (:3583-3629)
+        locals=[["foo.value", "Integer value|java.lang.Integer"],
+                ["foo.value", "Boolean value|java.lang.Boolean"],
+                ["foo.value", "String value|java.lang.String"]],
+        ast={("sink(value)", 0): ["value"],
+             ("sink(value)", 1): ["value"],
+             ("sink(value)", 2): ["value"],
+             ("<empty>", 2): ["switch(o)", "String value",
+                              "if (o instanceof String value)"]},
+        nodetype={("value", 1): "java.lang.Integer",
+                  ("value", 3): "java.lang.Boolean",
+                  ("value", 5): "java.lang.String"},
+        cite="javasrc2cpg/.../querying/PatternExprTests.scala:3566-3629",
+    ),
+]
