@@ -92,6 +92,13 @@ JDK_METHODS: dict[tuple[str, str], list[tuple[str, bool, list[str]]]] = {
         ("java.lang.String.toString:java.lang.String()", False, [])],
     ("java.lang.String", "isEmpty"): [
         ("java.lang.String.isEmpty:boolean()", False, [])],
+    # java.util signatures asserted by CallTests "calls to imported methods"
+    ("java.util.Base64", "getDecoder"): [
+        ("java.util.Base64.getDecoder:java.util.Base64$Decoder()", True,
+         [])],
+    ("java.util.Base64$Decoder", "decode"): [
+        ("java.util.Base64$Decoder.decode:byte[](java.lang.String)", False,
+         ["java.lang.String"])],
 }
 
 # java.lang implicit imports — resolved like javasrc2cpg's TypeInfoCalculator
@@ -147,6 +154,18 @@ class JavaParser(CParser):
                 base.arg_index = 1
                 size.add(base)
                 return size
+            if fld.kind == M.FIELD_IDENTIFIER \
+                    and (not call.type_full_name
+                         or call.type_full_name == M.ANY) \
+                    and base.kind == M.IDENTIFIER \
+                    and base.name == "this":
+                # `this.x` adopts the member's declared type so chained
+                # member calls resolve (CallTests "call to method in
+                # derived class": this.sessionFactory.getCurrentSession())
+                d = self.lookup(fld.name)
+                if d is not None and d.kind == M.MEMBER \
+                        and d.type_full_name:
+                    call.type_full_name = d.type_full_name
         return call
 
     def make_literal(self, t) -> "N | None":
@@ -224,6 +243,22 @@ class JavaParser(CParser):
         instance members -> `this.<field>` with the `this` identifier
         REF-ing the enclosing this parameter; static members -> a TYPE_REF
         base named after the enclosing class."""
+        if node.name == "super" and self.at("."):
+            # `super.m()` receiver: an Identifier NAMED `this` with code
+            # "super", typed as the direct superclass (java.lang.Object
+            # default), REF-ing the enclosing this parameter (CallTests
+            # "call to super method" :560-569, "explicit super scope"
+            # :25-30)
+            node.name = "this"
+            node.code = "super"
+            this_decl = self.lookup("this")
+            if this_decl is not None:
+                node.ref_target = this_decl
+                sups = self.class_supers.get(this_decl.type_full_name, [])
+                node.type_full_name = sups[0] if sups else "java.lang.Object"
+            else:
+                node.type_full_name = "java.lang.Object"
+            return node
         d = node.ref_target
         if d is not None and d.kind == M.LOCAL and d.name != node.name \
                 and d.name.startswith(f"{node.name}$"):
@@ -391,6 +426,22 @@ class JavaParser(CParser):
             return self.declared_types[base] + suffix
         if base in self.imports:
             return self.imports[base] + suffix
+        if "." in base:
+            # qualified nested-class spelling `Outer.Foo` -> the declared
+            # `foo.Outer$Foo` (CallTests "a static call to a nested
+            # inherited method")
+            head, rest = base.split(".", 1)
+            if head in self.declared_types:
+                cand = (self.declared_types[head] + "$"
+                        + rest.replace(".", "$"))
+                if cand in self.class_methods:
+                    return cand + suffix
+            if head in self.imports:
+                # a dotted name whose head is an imported CLASS is a nested
+                # class — `$`-joined binary naming (CallTests
+                # `Base64.Decoder` -> java.util.Base64$Decoder)
+                return (self.imports[head] + "$" + rest.replace(".", "$")
+                        + suffix)
         if base in JAVA_LANG:
             return JAVA_LANG[base] + suffix
         if self.star_java_util and base in JAVA_UTIL:
@@ -3445,6 +3496,13 @@ class JavaParser(CParser):
                  method_full_name=mfn, dispatch_type=dispatch,
                  signature=resolved.rsplit(":", 1)[1] if resolved and ":" in resolved else "",
                  line=start.line)
+        if resolved is not None and ":" in resolved:
+            # type the call by the resolved return type so chained member
+            # calls resolve (CallTests "call to method in derived class":
+            # getCurrentSession().createQuery() -> Session.createQuery)
+            ret = resolved.rsplit(":", 1)[1].split("(", 1)[0]
+            if ret and ret != M.ANY:
+                call.type_full_name = ret
         if dispatch == M.DYNAMIC_DISPATCH:
             # implicit `this` receiver for unqualified instance calls
             # (astForImplicitCallReceiver, AstForCallExpressionsCreator
@@ -3502,7 +3560,12 @@ class JavaParser(CParser):
             found_fn, is_static, _pt = info
             dispatch = M.STATIC_DISPATCH if is_static else M.DYNAMIC_DISPATCH
             sig = found_fn.rsplit(":", 1)[1] if ":" in found_fn else ""
-            mfn = f"{recv_ty}.{name}:{sig}"
+            # instance calls keep the receiver's STATIC type as the prefix
+            # (CallTests "call to method in different class": Derived
+            # .getCurrentSession); STATIC calls resolved on an ancestor use
+            # the DEFINING class (CallTests "a static call to an inherited
+            # method": Bar.foo() -> foo.Foo.foo)
+            mfn = found_fn if is_static else f"{recv_ty}.{name}:{sig}"
             args = self._pack_varargs(name, sig, args, start.line)
         elif recv_ty and recv_ty != M.ANY:
             mfn = f"{recv_ty}.{name}:{M.UNRESOLVED_SIGNATURE}({len(args)})"

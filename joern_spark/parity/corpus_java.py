@@ -2794,3 +2794,426 @@ class Foo {
         cite="querying/LocalRecordTests.scala:261-299",
     ),
 ]
+
+# ------------------------------------------------------------------- #
+# CallTests.scala transcriptions (multi-file fixtures merged into one
+# unit with the same package/class layout; asserted mfns unchanged).
+# ------------------------------------------------------------------- #
+JC = ("javasrc2cpg/src/test/scala/io/joern/javasrc2cpg/querying/"
+      "CallTests.scala")
+
+CASES += [
+    dict(
+        name="java-call-super-explicit", lang="java", wrap=False,
+        code="""
+class Foo {
+    void foo() {}
+}
+
+class Bar extends Foo {
+    void test() {
+        super.foo();
+    }
+}
+""",
+        # receiver refs test's this param (:25-30); super receiver is an
+        # Identifier named `this` code "super" typed by the superclass
+        refs={("super", 0): ["this&test@0"]},
+        nodetype={("super", 0): "Foo"},
+        cite=f"{JC}:12-30",
+    ),
+    dict(
+        name="java-call-super-implicit", lang="java", wrap=False,
+        code="""
+class Foo {
+    void foo() {}
+}
+
+class Bar extends Foo {
+    void test() {
+        foo();
+    }
+}
+""",
+        refs={("this", 0): ["this&test@0"]},
+        cite=f"{JC}:32-50",
+    ),
+    dict(
+        name="java-call-base64-decode", lang="java", wrap=False,
+        code="""
+import java.util.Base64;
+
+class Test {
+  public void test(Base64.Decoder decoder, String src) {
+    decoder.decode(src);
+  }
+}
+""",
+        callmfn=[["decode",
+                  "java.util.Base64$Decoder.decode:byte[]"
+                  "(java.lang.String)"]],
+        cite=f"{JC}:80-92",
+    ),
+    dict(
+        name="java-call-base64-getdecoder", lang="java", wrap=False,
+        code="""
+import java.util.Base64;
+
+class Foo {
+  void test() {
+    Base64.getDecoder();
+  }
+}
+""",
+        callmfn=[["getDecoder",
+                  "java.util.Base64.getDecoder:java.util.Base64$Decoder()"]],
+        cite=f"{JC}:94-109",
+    ),
+    dict(
+        # adapted: both classes share `package foo` in one unit
+        name="java-call-static-crossfile", lang="java", wrap=False,
+        code="""
+package foo;
+
+class Foo {
+  public static String foo() {
+    return "FOO";
+  }
+}
+
+class Bar {
+  void test() {
+    Foo.foo();
+  }
+}
+""",
+        callmfn=[["foo", "foo.Foo.foo:java.lang.String()"]],
+        cite=f"{JC}:111-135",
+    ),
+    dict(
+        name="java-call-unresolved-receivers", lang="java", wrap=False,
+        code="""
+import a.*;
+
+class Test {
+
+  void test() {
+    foo().bar();
+  }
+}
+""",
+        callmfn=[["foo", "Test.foo:<unresolvedSignature>(0)"],
+                 ["bar", "<unresolvedNamespace>.bar:"
+                         "<unresolvedSignature>(0)"]],
+        nodetype={("foo()", 0): "ANY"},
+        cite=f"{JC}:136-151",
+    ),
+    dict(
+        name="java-call-ctor-init", lang="java", wrap=False,
+        code="""
+class Foo {
+  Foo(long aaa) {
+  }
+  static void method() {
+    Foo foo = new Foo(1);
+  }
+}
+""",
+        # <init> call mfn/signature (:188-192); its receiver identifier
+        # REFs the newly-defined local (:194-197)
+        callmfn=[["<init>", "Foo.<init>:void(long)"]],
+        refs={("foo", 0): ["Foo foo&<empty>@1"]},
+        cite=f"{JC}:177-198",
+    ),
+    dict(
+        # adapted: the two files merge into one unit (no packages)
+        name="java-call-varargs-crossfile", lang="java", wrap=False,
+        code="""
+class Foo {
+  static void foo(String... inputs) {
+    System.out.println(inputs.length);
+  }
+}
+
+class Test {
+
+  void test(String[] inputs) {
+    Foo.foo("a", "b");
+  }
+}
+""",
+        callmfn=[["foo", "Foo.foo:void(java.lang.String[])"]],
+        cite=f"{JC}:215-237",
+    ),
+    dict(
+        name="java-call-overload-crossfile", lang="java", wrap=False,
+        code="""
+public class Foo {
+  public static Foo foo(String arg) {
+    return new Foo();
+  }
+
+  public static Foo foo(int x) {
+    return new Foo();
+  }
+}
+
+class Bar {
+  public static void bar(String barArg) {
+    Foo.foo(barArg);
+  }
+}
+""",
+        callmfn=[["foo", "Foo.foo:Foo(java.lang.String)"]],
+        cite=f"{JC}:238-263",
+    ),
+    dict(
+        name="java-call-unresolved-lambda-get", lang="java", wrap=False,
+        code="""
+class Foo {
+  public void isSuccess(ExecutorService executorService) {
+    var responses = executorService.invokeAll(flagCalls);
+    responses.stream().filter(r -> {
+      return r.get().getStatusCode() == 200;
+    });
+  }
+}
+""",
+        callmfn=[["get", "<unresolvedNamespace>.get:"
+                         "<unresolvedSignature>(0)"]],
+        cite=f"{JC}:265-283",
+    ),
+    dict(
+        name="java-call-super-tostring", lang="java", wrap=False,
+        code="""
+class Foo {
+  @Override
+  public String toString() {
+    return super.toString();
+  }
+}
+""",
+        # super receiver: name `this`, code "super", java.lang.Object
+        # (:560-569)
+        nodetype={("super", 0): "java.lang.Object"},
+        refs={("super", 0): ["this&toString@0"]},
+        ast={"super.toString()": ["super"]},
+        cite=f"{JC}:550-570",
+    ),
+    dict(
+        name="java-call-static-inherited", lang="java", wrap=False,
+        code="""
+package foo;
+
+class Foo {
+  static String foo() { return "hello"; }
+}
+
+class Bar extends Foo {}
+
+public class Test {
+  public static String test() {
+    return Bar.foo();
+  }
+}
+""",
+        # defining class in the fullname, receiver spelling in code
+        # (:589-594)
+        callmfn=[["foo", "foo.Foo.foo:java.lang.String()"]],
+        ast={"return Bar.foo();": ["Bar.foo()"]},
+        cite=f"{JC}:572-595",
+    ),
+    dict(
+        name="java-call-static-nested-inherited", lang="java", wrap=False,
+        code="""
+package foo;
+
+class Outer {
+  static class Foo {
+    static String foo() { return "hello"; }
+  }
+}
+
+class Bar extends Outer.Foo {}
+
+public class Test {
+  public static String test() {
+    return Bar.foo();
+  }
+}
+""",
+        callmfn=[["foo", "foo.Outer$Foo.foo:java.lang.String()"]],
+        cite=f"{JC}:597-622",
+    ),
+    dict(
+        name="java-call-derived-session", lang="java", wrap=False,
+        code="""
+class Session {
+  public Query createQuery() {
+    return new Query();
+  }
+}
+
+class Query { }
+
+class SessionFactory {
+  private Session session;
+
+  public Session getCurrentSession() {
+    return session;
+  }
+}
+
+class Base {
+  SessionFactory sessionFactory;
+
+  Session getCurrentSession() {
+		return this.sessionFactory.getCurrentSession();
+	}
+}
+
+class Derived extends Base{
+ void foo() {
+		Query q = getCurrentSession().createQuery();
+		return;
+	}
+}
+""",
+        # createQuery prefix Session; the unqualified inherited call in
+        # Derived keeps the enclosing class prefix (:655-662)
+        callmfn=[["createQuery", "Session.createQuery:Query()"],
+                 ["getCurrentSession", "Derived.getCurrentSession:Session()"],
+                 ["getCurrentSession",
+                  "SessionFactory.getCurrentSession:Session()"]],
+        cite=f"{JC}:624-664",
+    ),
+    dict(
+        name="java-call-builder-unresolved", lang="java", wrap=False,
+        code="""
+package example;
+import org.Builder;
+import org.Client;
+
+class Main {
+ static void main(String[] args) {
+   Client foo = new Builder().foo().buildClient();
+   new Builder().somethingElse().buildClient();
+ }
+}
+""",
+        callmfn=[["buildClient", "<unresolvedNamespace>.buildClient:"
+                                 "<unresolvedSignature>(0)"]],
+        cite=f"{JC}:666-694",
+    ),
+    dict(
+        name="java-call-main-fixture", lang="java", wrap=False,
+        code="""
+package test;
+ class Foo {
+   int add(int x, int y) {
+     return x + y;
+   }
+
+   int main(int argc, char argv) {
+     return add(argc, 3);
+   }
+
+   int bar(int argc) {
+     foo(argc);
+   }
+ }
+
+class MyObject {
+    public static String staticCall(String s) {
+        return s;
+    }
+
+    public String myMethod(String s) {
+        return s;
+    }
+}
+
+public class Bar {
+    MyObject obj = new MyObject();
+
+    public static void staticMethod() {}
+
+    public String foo(MyObject myObj) {
+        return myObj.myMethod("Hello, world!");
+    }
+
+    public void bar() {
+        foo(obj);
+    }
+
+    public void baz() {
+        this.foo(obj);
+    }
+
+    public void qux() {
+        staticMethod();
+    }
+
+    public void quux() {
+      bar();
+    }
+}
+""",
+        # the canonical call-fields fixture (:696-860): codes, fullnames,
+        # signatures, implicit/explicit this, static spelling, field args
+        callmfn=[["add", "test.Foo.add:int(int,int)"],
+                 ["foo", "test.Foo.foo:<unresolvedSignature>(1)"],
+                 ["foo", "test.Bar.foo:java.lang.String(test.MyObject)"],
+                 ["myMethod",
+                  "test.MyObject.myMethod:java.lang.String"
+                  "(java.lang.String)"],
+                 ["staticMethod", "test.Bar.staticMethod:void()"],
+                 ["bar", "test.Bar.bar:void()"],
+                 ["<init>", "test.MyObject.<init>:void()"],
+                 ["<operator>.addition", "<operator>.addition"],
+                 ["<operator>.assignment", "<operator>.assignment"],
+                 ["<operator>.fieldAccess", "<operator>.fieldAccess"]],
+        ast={
+            # add: [this, argc, 3] (:758-782); code "this.add(argc, 3)"
+            "this.add(argc, 3)": ["this", "argc", "3"],
+            # implicit-this foo(obj): [this, this.obj fieldAccess]
+            # (:832-850) — twice (bar and baz spell the same)
+            ("this.foo(obj)", 0): ["this", "this.obj"],
+            ("this.foo(obj)", 1): ["this", "this.obj"],
+            ("this.obj", 0): ["this", "obj"],
+            ("this.obj", 1): ["this", "obj"],
+            # explicit receiver: [myObj, literal] (:818-830)
+            'myObj.myMethod("Hello, world!")': [
+                "myObj", '"Hello, world!"'],
+            # static: bare spelling (:852-857)
+            "staticMethod()": [],
+            "this.bar()": ["this"],
+        },
+        nodetype={
+            ("this.obj", 0): "test.MyObject",
+            ("this.obj", 1): "test.MyObject",
+            ("foo(argc)", 0): "ANY",
+        },
+        cite=f"{JC}:696-860",
+    ),
+    dict(
+        name="java-call-generic-ident", lang="java", wrap=False,
+        code="""
+class Foo {
+    public static class Ops {
+        public <T> T ident(T x) {
+            return x;
+        }
+    }
+    public Integer method(Integer aaa) {
+        Ops ops = new Ops();
+        Integer ret = ops.ident(aaa);
+        return ret;
+    }
+}
+""",
+        callmfn=[["ident",
+                  "Foo$Ops.ident:java.lang.Object(java.lang.Object)"]],
+        cite=f"{JC}:862-880 (CallTests2)",
+    ),
+]
