@@ -99,6 +99,21 @@ JDK_METHODS: dict[tuple[str, str], list[tuple[str, bool, list[str]]]] = {
     ("java.util.Base64$Decoder", "decode"): [
         ("java.util.Base64$Decoder.decode:byte[](java.lang.String)", False,
          ["java.lang.String"])],
+    ("java.util.function.Function", "apply"): [
+        ("java.util.function.Function.apply:java.lang.Object"
+         "(java.lang.Object)", False, ["java.lang.Object"])],
+    ("java.util.function.Supplier", "get"): [
+        ("java.util.function.Supplier.get:java.lang.Object()", False, [])],
+}
+
+# generic JDK functional types: class type-parameters plus each method's
+# (return-var, param-vars) — the call-site expression type substitutes the
+# receiver's DECLARED type arguments while the methodFullName stays erased
+# (CallTests "call to method with generic return type": supplier.apply
+# evalType java.lang.Integer, mfn ...apply:java.lang.Object(...))
+JDK_GENERIC: dict[tuple[str, str], tuple[list[str], str]] = {
+    ("java.util.function.Function", "apply"): (["T", "R"], "R"),
+    ("java.util.function.Supplier", "get"): (["T"], "T"),
 }
 
 # java.lang implicit imports — resolved like javasrc2cpg's TypeInfoCalculator
@@ -139,6 +154,40 @@ class JavaParser(CParser):
     TRACK_PATTERN_SETS = True
     BOOL_OP_TY = "boolean"  # ==/</&&/... produce boolean in Java
     ARROW_MEMBER = False  # `->` ends a switch label / starts a lambda body
+
+    _NO_SPACE_BEFORE = frozenset((".", ",", ";", ")", "]", "++", "--",
+                                  "...", "::"))
+    _NO_SPACE_AFTER = frozenset((".", "(", "[", "!", "~", "::", "@"))
+
+    def slice(self, a, b) -> str:
+        """Expression code spelling. Multi-line or comment-bearing spans are
+        re-rendered from tokens the way JavaParser's printer would —
+        comments dropped, single-spaced — so `new Foo()\\n // c\\n
+        .getValue()` spells "new Foo().getValue()" (CallTests "code
+        fields" :402-496). Single-line spans keep the raw source."""
+        s = self.src[a.a:b.b].strip()
+        if "\n" not in s and "//" not in s and "/*" not in s:
+            return s
+        from bisect import bisect_left
+        starts = getattr(self, "_tok_starts", None)
+        if starts is None:
+            starts = self._tok_starts = [t.a for t in self.toks]
+        i0 = bisect_left(starts, a.a)
+        i1 = bisect_left(starts, b.a)
+        out: list[str] = []
+        prev = None
+        for t in self.toks[i0:i1 + 1]:
+            v = t.v
+            if out and v not in self._NO_SPACE_BEFORE \
+                    and prev not in self._NO_SPACE_AFTER \
+                    and not (v in ("(", "[")
+                             and prev is not None
+                             and (prev[-1].isalnum()
+                                  or prev[-1] in "_\"')]")):
+                out.append(" ")
+            out.append(v)
+            prev = v
+        return "".join(out)
 
     def lower_field_access(self, call: "N") -> "N":
         """`xs.length` on an array-typed base -> <operator>.sizeOf with the
@@ -388,6 +437,10 @@ class JavaParser(CParser):
         self.pattern_frames: list[dict] = []
         # per-file $objN temp counter (AstCreator.scala:86 tempNameProvider)
         self.temp_obj_n = 0
+        # declaration-site generic type arguments, id(decl) -> raw texts
+        # (JDK_GENERIC call-site substitution)
+        self.decl_targs: dict[int, list[str]] = {}
+        self.last_type_args: list[str] | None = None
         # id(expr N) -> (introduced-when-true, introduced-when-false) maps
         # of source-name -> LOCAL, the JLS 6.3 flow-scope sets; propagated
         # through !/&&/|| so control structures can decide which pattern
@@ -548,8 +601,19 @@ class JavaParser(CParser):
         while self.at(".") and self.peek(1) is not None and self.peek(1).t == "id":
             self.next()
             name += "." + self.next().v
+        self.last_type_args = None
         if self.at("<"):
-            self.skip_balanced("<", ">")  # strip generics like template tags
+            # record the raw type-argument texts before erasing — the
+            # declaration site stashes them for call-site substitution
+            # (JDK_GENERIC; CallTests "generic return type")
+            a0 = self.peek(1)
+            self.skip_balanced("<", ">")
+            a1 = self.toks[self.pos - 1]
+            if a0 is not None and a1.a > a0.a:
+                inner = self.src[a0.a:a1.a].strip()
+                if inner and "<" not in inner:
+                    self.last_type_args = [x.strip()
+                                           for x in inner.split(",")]
         dims = ""
         while self.at("[") and self.at("]", 1):
             self.next(); self.next()
@@ -1247,6 +1311,7 @@ class JavaParser(CParser):
                     ptypes: list[str] = []
                     is_varargs = False
                     d2 = 0
+                    ang = 0  # generic-args depth: `Map<String, int[]>`
                     m2 = i
                     expect_type = True
                     while m2 < n:
@@ -1257,14 +1322,26 @@ class JavaParser(CParser):
                             d2 -= 1
                             if d2 == 0:
                                 break
-                        elif d2 == 1 and expect_type and (toks[m2].t == "id" or (toks[m2].t == "kw" and toks[m2].v in JAVA_TYPE_KEYWORDS)):
+                        elif d2 == 1 and vv == "<":
+                            ang += 1
+                        elif d2 == 1 and vv == ">":
+                            ang -= 1
+                        elif d2 == 1 and ang == 0 and expect_type and (toks[m2].t == "id" or (toks[m2].t == "kw" and toks[m2].v in JAVA_TYPE_KEYWORDS)):
                             pv = toks[m2].v
                             ptypes.append(genv.get(pv) or self.resolve_type(pv))
                             expect_type = False
-                        elif d2 == 1 and toks[m2].v == "..." and ptypes:
+                        elif d2 == 1 and ang == 0 and vv == "..." and ptypes:
                             ptypes[-1] += "[]"  # varargs erase to arrays
                             is_varargs = True
-                        elif d2 == 1 and vv == ",":
+                        elif d2 == 1 and ang == 0 and vv == "[" \
+                                and m2 + 1 < n and toks[m2 + 1].v == "]" \
+                                and ptypes and not expect_type:
+                            # array dims keep their suffix under erasure:
+                            # `T[] aaa` -> java.lang.Object[] (CallTests
+                            # "call to method with generic array parameter")
+                            ptypes[-1] += "[]"
+                            m2 += 1
+                        elif d2 == 1 and ang == 0 and vv == ",":
                             expect_type = True
                         m2 += 1
                     if mname == class_full.split(".")[-1]:
@@ -1512,11 +1589,13 @@ class JavaParser(CParser):
         # (resolved type, raw source type, name, variadic) — code keeps the
         # raw spelling ("String s", SynchronizedTests.scala:46)
         params: list[tuple[str, str, str, bool]] = []
+        targs_by_name: dict[str, list[str]] = {}
         while not self.at(")"):
             self.skip_annotations()
             while self.at("final"):
                 self.next()
             raw_pty = self.parse_java_type()
+            p_targs = self.last_type_args  # `Function<String, Integer>`
             pty = self.resolve_type(raw_pty)
             variadic = False
             if self.at("..."):
@@ -1530,6 +1609,8 @@ class JavaParser(CParser):
                 pty += "[]"
                 raw_pty += "[]"
             params.append((pty, raw_pty, pname, variadic))
+            if p_targs and pname:
+                targs_by_name[pname] = p_targs
             if self.at(","):
                 self.next()
         self.expect(")")
@@ -1568,6 +1649,8 @@ class JavaParser(CParser):
                   evaluation_strategy=(M.BY_VALUE if pty in JAVA_PRIMITIVES
                                        else M.BY_SHARING))
             method.add(p)
+            if pname in targs_by_name:
+                self.decl_targs[id(p)] = targs_by_name[pname]
             if pname:
                 self.declare(pname, p)
         if body:
@@ -3586,6 +3669,20 @@ class JavaParser(CParser):
             ret = sig.split("(", 1)[0]
             if ret:
                 call.type_full_name = ret
+        gen = JDK_GENERIC.get((recv_ty, name))
+        if gen is not None:
+            # expression type substitutes the receiver's DECLARED type
+            # arguments (CallTests "call to method with generic return
+            # type": Function<String, Integer> -> apply typed Integer)
+            tparams, ret_var = gen
+            d_raw = getattr(receiver, "ref_target", None)
+            targs = self.decl_targs.get(id(d_raw)) if d_raw is not None \
+                else None
+            if targs and ret_var in tparams:
+                if len(targs) == len(tparams):
+                    sub = self.resolve_type(targs[tparams.index(ret_var)])
+                    if sub and sub != M.ANY:
+                        call.type_full_name = sub
         receiver.role = M.ROLE_RECEIVER
         receiver.arg_index = 0
         call.add(receiver)

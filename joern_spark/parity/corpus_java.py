@@ -3217,3 +3217,143 @@ class Foo {
         cite=f"{JC}:862-880 (CallTests2)",
     ),
 ]
+
+CASES += [
+    dict(
+        name="java-call-code-chained-ctor", lang="java", wrap=False,
+        code="""
+class Foo {
+  private String value;
+
+  public String getValue() {
+    return value;
+  }
+
+  public static void test() {
+    String s = new Foo().getValue();
+  }
+}
+""",
+        ast={"new Foo().getValue()": ["new Foo()"]},
+        callmfn=[["getValue", "Foo.getValue:java.lang.String()"]],
+        cite=f"{JC}:403-421",
+    ),
+    dict(
+        # the line comment inside the chain is dropped from the code
+        # spelling (JavaParser pretty-print)
+        name="java-call-code-comment-chain", lang="java", wrap=False,
+        code="""
+class Foo {
+ private String value;
+
+ public String getValue() {
+   return value;
+ }
+
+ public static void test() {
+   String s = new Foo()
+     // some comment
+     .getValue();
+ }
+}
+""",
+        ast={"new Foo().getValue()": ["new Foo()"]},
+        callmfn=[["getValue", "Foo.getValue:java.lang.String()"]],
+        cite=f"{JC}:423-443",
+    ),
+    dict(
+        name="java-call-code-ctor", lang="java", wrap=False,
+        code="""
+class Foo {
+
+  public static void test() {
+    Foo f = new Foo();
+  }
+}
+""",
+        ast={"Foo f = new Foo()": ["f", "new Foo()"]},
+        nodetype={("new Foo()", 0): "Foo"},
+        cite=f"{JC}:445-457",
+    ),
+    dict(
+        name="java-call-code-comment-args", lang="java", wrap=False,
+        code="""
+import foo.*;
+public class Main {
+  public static void main(String[] args) {
+    Foo foo = Foo.create(
+                    "username", // hehe silly comment
+                    "password");
+    }
+}
+""",
+        ast={'Foo.create("username", "password")': [
+            "Foo", '"username"', '"password"']},
+        cite=f"{JC}:459-476",
+    ),
+    dict(
+        name="java-call-code-multiline-comment-args", lang="java",
+        wrap=False,
+        code="""
+import foo.*;
+public class Main {
+  public static void main(String[] args) {
+    Foo foo = Foo.create(
+                    // another comment
+                    "username", /* hehe silly comment */
+                    "password");
+    }
+}
+""",
+        ast={'Foo.create("username", "password")': [
+            "Foo", '"username"', '"password"']},
+        cite=f"{JC}:477-495",
+    ),
+    dict(
+        name="java-call-generic-return", lang="java", wrap=False,
+        code="""
+class Foo {
+  void method(java.util.function.Function<String, Integer> supplier) {
+     supplier.apply("abc");
+  }
+}
+""",
+        # evalType substitutes the declared type args; the fullname keeps
+        # the erased signature (:506-513)
+        callmfn=[["apply", "java.util.function.Function.apply:"
+                           "java.lang.Object(java.lang.Object)"]],
+        nodetype={('supplier.apply("abc")', 0): "java.lang.Integer"},
+        cite=f"{JC}:497-513",
+    ),
+    dict(
+        name="java-call-generic-bounded", lang="java", wrap=False,
+        code="""
+class Foo <T extends Number> {
+  <S extends T> void foo(S i) {}
+
+  static void method() {
+    Foo<Integer> obj = new Foo();
+    obj.foo(1);
+  }
+}
+""",
+        callmfn=[["foo", "Foo.foo:void(java.lang.Number)"]],
+        cite=f"{JC}:515-530",
+    ),
+    dict(
+        name="java-call-generic-array-param", lang="java", wrap=False,
+        code="""
+class Foo <T> {
+  void foo(T[] aaa) {}
+
+  static void method() {
+    Foo<Integer> obj = new Foo();
+    Integer[] array = new Integer[3];
+    obj.foo(array);
+  }
+}
+""",
+        callmfn=[["foo", "Foo.foo:void(java.lang.Object[])"]],
+        cite=f"{JC}:532-548",
+    ),
+]
