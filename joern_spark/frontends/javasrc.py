@@ -116,6 +116,26 @@ JDK_GENERIC: dict[tuple[str, str], tuple[list[str], str]] = {
     ("java.util.function.Supplier", "get"): (["T"], "T"),
 }
 
+# JDK functional interfaces: type-params, abstract method, return
+# type-var (or concrete type), parameter type-vars. A lambda adopts its
+# target interface's substituted method signature
+# (AstForLambdasCreator.scala; LambdaTests "<lambda>0:java.lang.String
+# (java.lang.String)")
+FUNCTIONAL_IFACES: dict[str, tuple[list[str], str, str, list[str]]] = {
+    "java.util.function.Function": (["T", "R"], "apply", "R", ["T"]),
+    "java.util.function.Supplier": (["T"], "get", "T", []),
+    "java.util.function.Consumer": (["T"], "accept", "void", ["T"]),
+    "java.util.function.BiConsumer": (["T", "U"], "accept", "void",
+                                      ["T", "U"]),
+    "java.util.function.BiFunction": (["T", "U", "R"], "apply", "R",
+                                      ["T", "U"]),
+    "java.util.function.Predicate": (["T"], "test", "boolean", ["T"]),
+    "java.util.function.UnaryOperator": (["T"], "apply", "T", ["T"]),
+    "java.util.function.BinaryOperator": (["T"], "apply", "T", ["T", "T"]),
+    "java.lang.Runnable": ([], "run", "void", []),
+    "java.util.concurrent.Callable": (["V"], "call", "V", []),
+}
+
 # java.lang implicit imports — resolved like javasrc2cpg's TypeInfoCalculator
 JAVA_LANG = {
     n: f"java.lang.{n}"
@@ -441,6 +461,12 @@ class JavaParser(CParser):
         # (JDK_GENERIC call-site substitution)
         self.decl_targs: dict[int, list[str]] = {}
         self.last_type_args: list[str] | None = None
+        # method fullname -> per-parameter declared type args (prescan);
+        # drives lambda target-typing at call sites
+        self.method_param_targs: dict[str, list] = {}
+        # (return type, return type args) of the method being parsed —
+        # `return <lambda>` target-typing
+        self.method_ret_ctx: list[tuple[str, list | None]] = []
         # id(expr N) -> (introduced-when-true, introduced-when-false) maps
         # of source-name -> LOCAL, the JLS 6.3 flow-scope sets; propagated
         # through !/&&/|| so control structures can decide which pattern
@@ -1309,9 +1335,11 @@ class JavaParser(CParser):
                         k -= 1
                     # param types: scan inside parens at same depth
                     ptypes: list[str] = []
+                    ptargs: list[list[str] | None] = []
                     is_varargs = False
                     d2 = 0
                     ang = 0  # generic-args depth: `Map<String, int[]>`
+                    ang_start = None
                     m2 = i
                     expect_type = True
                     while m2 < n:
@@ -1323,12 +1351,25 @@ class JavaParser(CParser):
                             if d2 == 0:
                                 break
                         elif d2 == 1 and vv == "<":
+                            if ang == 0 and ptypes and not expect_type:
+                                ang_start = m2 + 1
                             ang += 1
                         elif d2 == 1 and vv == ">":
                             ang -= 1
+                            if ang == 0 and ang_start is not None and ptargs:
+                                # declared type args per param, e.g.
+                                # Function<String, String> — drives lambda
+                                # target-typing at the call site
+                                inner = self.src[toks[ang_start].a:
+                                                 toks[m2].a].strip()
+                                if inner and "<" not in inner:
+                                    ptargs[-1] = [x.strip()
+                                                  for x in inner.split(",")]
+                                ang_start = None
                         elif d2 == 1 and ang == 0 and expect_type and (toks[m2].t == "id" or (toks[m2].t == "kw" and toks[m2].v in JAVA_TYPE_KEYWORDS)):
                             pv = toks[m2].v
                             ptypes.append(genv.get(pv) or self.resolve_type(pv))
+                            ptargs.append(None)
                             expect_type = False
                         elif d2 == 1 and ang == 0 and vv == "..." and ptypes:
                             ptypes[-1] += "[]"  # varargs erase to arrays
@@ -1360,6 +1401,8 @@ class JavaParser(CParser):
                         self.class_methods[class_full].setdefault(
                             mname, []).append(
                             (fullname, is_static, list(ptypes)))
+                        if any(ptargs):
+                            self.method_param_targs[fullname] = list(ptargs)
                         if is_varargs:
                             # keyed name:sig — call sites re-prefix the
                             # fullname with the receiver's static type
@@ -1588,6 +1631,10 @@ class JavaParser(CParser):
         self.expect("(")
         # (resolved type, raw source type, name, variadic) — code keeps the
         # raw spelling ("String s", SynchronizedTests.scala:46)
+        # the return type was the last type parsed before the param list —
+        # its type args target-type `return <lambda>` (LambdaTests
+        # "returned from a function")
+        ret_targs = self.last_type_args
         params: list[tuple[str, str, str, bool]] = []
         targs_by_name: dict[str, list[str]] = {}
         while not self.at(")"):
@@ -1657,11 +1704,13 @@ class JavaParser(CParser):
             self.anon_ctx.append((f"{class_full}.{name}", class_full,
                                   is_static, full_name))
             frame = self._push_pattern_frame()
+            self.method_ret_ctx.append((ret_ty, ret_targs))
             blk = None
             try:
                 blk = self.parse_compound()
             finally:
                 self.anon_ctx.pop()
+                self.method_ret_ctx.pop()
                 self._pop_pattern_frame(frame, blk)
             method.add(blk)
             method.line_end = blk.line_end
@@ -2129,7 +2178,16 @@ class JavaParser(CParser):
             sw.arg_index = 1
             node.add(sw)
             return node
-        return super().parse_return()
+        node = super().parse_return()
+        if node is not None and node.children \
+                and node.children[0].kind == M.METHOD_REF \
+                and self.method_ret_ctx:
+            # `return x -> ...` target-types the lambda from the enclosing
+            # method's return type (LambdaTests "returned from a function")
+            rty, rtargs = self.method_ret_ctx[-1]
+            if rty and rty not in (M.ANY, "void"):
+                self._target_type_lambda(node.children[0], rty, rtargs)
+        return node
 
     def parse_switch(self) -> N:
         # arrow-form (switch EXPRESSION) detection: '->' before any ':' at
@@ -2463,6 +2521,7 @@ class JavaParser(CParser):
         while self.at("final"):
             self.next()
         raw_ty = self.parse_java_type()
+        decl_targs = self.last_type_args  # `Function<String, String> f`
         base_ty = self.resolve_type(raw_ty)
         if self.peek() is None or self.peek().t != "id":
             return None
@@ -2504,6 +2563,12 @@ class JavaParser(CParser):
                 else:
                     init = self.parse_assignment_expr()
                 self.note_init_dynamic_type(loc, init)
+                if init.kind == M.METHOD_REF:
+                    # `Function<String, String> f = x -> ...` target-types
+                    # the lambda (LambdaTests "assigned to a variable")
+                    self._target_type_lambda(init, ty, decl_targs)
+                if decl_targs:
+                    self.decl_targs[id(loc)] = decl_targs
                 ident = N(M.IDENTIFIER, code=mangled, name=mangled,
                           type_full_name=ty,
                           line=name_tok.line, arg_index=1)
@@ -2612,6 +2677,21 @@ class JavaParser(CParser):
         # (Ident) expr — only treat as cast for known/imported/declared types
         base = t.v
         return base in self.declared_types or base in self.imports or base in JAVA_LANG
+
+    def parse_assignment_expr(self) -> N:
+        node = super().parse_assignment_expr()
+        if node is not None and node.kind == M.CALL \
+                and node.name == M.OP_ASSIGNMENT and len(node.children) == 2:
+            lhs, rhs = node.children
+            if rhs.kind == M.METHOD_REF \
+                    and lhs.type_full_name not in ("", M.ANY, None):
+                # `mapper = x -> ...` target-types the lambda from the
+                # assignee's declared type (LambdaTests "reassigned")
+                d = getattr(lhs, "ref_target", None)
+                self._target_type_lambda(
+                    rhs, lhs.type_full_name,
+                    self.decl_targs.get(id(d)) if d is not None else None)
+        return node
 
     def parse_binary(self, min_prec: int) -> N:
         start_tok = self.peek()
@@ -3367,6 +3447,7 @@ class JavaParser(CParser):
 
     def parse_lambda(self) -> N:
         start = self.peek()
+        outer_this = self.lookup("this")
         self.lambda_counter += 1
         lam_name = f"{M.LAMBDA_PREFIX}{self.lambda_counter - 1}"
         owner = ".".join(([self.package] if self.package else []) + self.ns)
@@ -3418,10 +3499,106 @@ class JavaParser(CParser):
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                      evaluation_strategy=M.BY_VALUE, line=start.line))
         self.pop_scope()
+        if outer_this is not None:
+            # a lambda using instance state gets its own 0th `this`
+            # parameter typed by the enclosing class (LambdaTests
+            # "capturing instance vars" / "calling instance methods"
+            # :278-322); the body's `this` uses keep their REF to the
+            # ENCLOSING this param — that crossing edge IS the closure
+            # capture (LambdaTests:351 closure binding refers to the
+            # captured this param)
+            def _uses_this(n: N) -> bool:
+                if getattr(n, "ref_target", None) is outer_this:
+                    return True
+                return any(_uses_this(ch) for ch in n.children)
+            if _uses_this(method):
+                this_p = N(M.METHOD_PARAMETER_IN, code="this", name="this",
+                           type_full_name=outer_this.type_full_name,
+                           param_index=0, line=start.line,
+                           evaluation_strategy=M.BY_SHARING)
+                method.children.insert(0, this_p)
         ref = N(M.METHOD_REF, code="<lambda>", method_full_name=full, line=start.line)
         # lambda METHOD hangs off the same parent; METHOD_REF is the expression
         ref.add(method)
         return ref
+
+    def _target_type_lambda(self, ref: N, iface: str,
+                            targs: list[str] | None) -> None:
+        """Adopt the target functional interface's substituted method
+        signature onto an untyped lambda: `Function<String, String>` ->
+        `Foo.<lambda>0:java.lang.String(java.lang.String)` with typed
+        parameters and return (AstForLambdasCreator; LambdaTests:53-207)."""
+        if ref.kind != M.METHOD_REF or not ref.children:
+            return
+        method = ref.children[0]
+        if method.kind != M.METHOD or ":" in (method.full_name or "") \
+                or M.LAMBDA_PREFIX not in method.name:
+            return
+        iface = (iface or "").rstrip("[]")
+        info = FUNCTIONAL_IFACES.get(iface)
+        if info is not None:
+            tparams, _mname, ret_var, param_vars = info
+            sub = {v: "java.lang.Object" for v in tparams}
+            if targs and len(targs) == len(tparams):
+                sub = {v: self.resolve_type(a)
+                       for v, a in zip(tparams, targs)}
+            sub_ret = sub.get(ret_var, ret_var)
+            sub_params = [sub.get(v, v) for v in param_vars]
+        else:
+            # user-defined functional interface: its single declared method
+            ms = self.class_methods.get(iface, {})
+            cands = [e for nm, es in ms.items() if nm != M.CONSTRUCTOR
+                     for e in es]
+            if len(cands) != 1:
+                return
+            fn, _st, ptys = cands[0]
+            sub_ret = fn.rsplit(":", 1)[1].split("(", 1)[0]
+            sub_params = list(ptys)
+        sig = f"{sub_ret}({','.join(sub_params)})"
+        method.full_name = f"{method.full_name}:{sig}"
+        method.signature = sig
+        ps = [c for c in method.children
+              if c.kind == M.METHOD_PARAMETER_IN and c.name != "this"]
+        for p, ty in zip(ps, sub_params):
+            if not p.type_full_name or p.type_full_name == M.ANY:
+                p.type_full_name = ty
+        mr = next((c for c in method.children
+                   if c.kind == M.METHOD_RETURN), None)
+        if mr is not None and (not mr.type_full_name
+                               or mr.type_full_name == M.ANY):
+            mr.type_full_name = sub_ret
+        if sub_ret == "void":
+            # a void-interface expression body is a plain statement, not a
+            # wrapped return (LambdaTests "single-statement lambdas with no
+            # return values" :586-609)
+            blk = next((c for c in method.children
+                        if c.kind == M.BLOCK), None)
+            if blk is not None and len(blk.children) == 1 \
+                    and blk.children[0].kind == M.RETURN \
+                    and blk.children[0].children:
+                expr = blk.children[0].children[0]
+                expr.arg_index = -1
+                blk.children[0] = expr
+        ref.method_full_name = method.full_name
+        ref.type_full_name = method.full_name
+
+    def _target_type_lambda_args(self, resolved: str | None,
+                                 args: list[N]) -> None:
+        """Target-type lambda arguments from the resolved callee's declared
+        parameter types (+ generic args captured by the prescan)."""
+        if not resolved or ":" not in resolved:
+            return
+        if not any(a.kind == M.METHOD_REF for a in args):
+            return
+        sig = resolved.rsplit(":", 1)[1]
+        ptys = sig[sig.index("(") + 1:-1].split(",") if "(" in sig else []
+        targs_list = self.method_param_targs.get(resolved)
+        for i, a in enumerate(args):
+            if a.kind == M.METHOD_REF and i < len(ptys) and ptys[i]:
+                self._target_type_lambda(
+                    a, ptys[i],
+                    targs_list[i] if targs_list
+                    and i < len(targs_list) else None)
 
     def _enclosing_class_chain(self) -> list[str]:
         """Innermost-first fullnames of the enclosing type declarations
@@ -3557,6 +3734,7 @@ class JavaParser(CParser):
             mfn = resolved
             dispatch = M.STATIC_DISPATCH if is_static else M.DYNAMIC_DISPATCH
             if ":" in resolved:
+                self._target_type_lambda_args(resolved, args)
                 args = self._pack_varargs(
                     name, resolved.rsplit(":", 1)[1], args, start.line)
         else:
@@ -3649,6 +3827,7 @@ class JavaParser(CParser):
             # the DEFINING class (CallTests "a static call to an inherited
             # method": Bar.foo() -> foo.Foo.foo)
             mfn = found_fn if is_static else f"{recv_ty}.{name}:{sig}"
+            self._target_type_lambda_args(found_fn, args)
             args = self._pack_varargs(name, sig, args, start.line)
         elif recv_ty and recv_ty != M.ANY:
             mfn = f"{recv_ty}.{name}:{M.UNRESOLVED_SIGNATURE}({len(args)})"

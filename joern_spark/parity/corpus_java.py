@@ -3357,3 +3357,236 @@ class Foo <T> {
         cite=f"{JC}:532-548",
     ),
 ]
+
+# ------------------------------------------------------------------- #
+# LambdaTests.scala transcriptions — target-typed lambda signatures from
+# the functional-interface context (call argument / vardecl / assignment /
+# return), the 0th `this` parameter for instance captures, void-body
+# statement (no return wrap), nested naming.
+# ------------------------------------------------------------------- #
+JL = ("javasrc2cpg/src/test/scala/io/joern/javasrc2cpg/querying/"
+      "LambdaTests.scala")
+
+CASES += [
+    dict(
+        name="java-lambda-unresolved-param-any", lang="java", wrap=False,
+        code="""
+public class Test {
+  public void method() {
+    unresolvedCall().foreach(lambdaParam -> {
+       foo(lambdaParam);
+    });
+  }
+}
+""",
+        nodetype={("lambdaParam", 0): "ANY"},
+        cite=f"{JL}:9-21",
+    ),
+    dict(
+        name="java-lambda-nested-names", lang="java", wrap=False,
+        code="""
+import java.util.ArrayList;
+import java.util.List;
+import java.util.stream.Collectors;
+
+public class TestClass {
+  public Integer method(Integer aaa) {
+    List<Integer> list = new ArrayList<>();
+    list.add(1);
+
+    List<Integer> mappedList = list.stream().map(integer -> {
+      List<Integer> nestedList = new ArrayList<>();
+      nestedList.add(1);
+
+      List<Integer> nestedMappedList =
+          nestedList.stream().map(nestedInteger -> nestedInteger + aaa).collect(Collectors.toList());
+      return nestedMappedList.get(0);
+    }).collect(Collectors.toList());
+    Integer ret = mappedList.get(0);
+    return ret;
+  }
+}
+""",
+        methods=[["<lambda>0", "TestClass.<lambda>0"],
+                 ["<lambda>1", "TestClass.<lambda>1"],
+                 ["method",
+                  "TestClass.method:java.lang.Integer(java.lang.Integer)"],
+                 ["<init>", "TestClass.<init>:void()"]],
+        # the inner lambda captures the enclosing method's parameter
+        captures=[["<lambda>1", "aaa"]],
+        cite=f"{JL}:23-51",
+    ),
+    dict(
+        name="java-lambda-function-arg", lang="java", wrap=False,
+        code="""
+import java.util.function.Function;
+
+public class Foo {
+  public static String getFromSupplier(String input, Function<String, String> mapper) {
+    return mapper.apply(input);
+  }
+
+  public void test1(String input, String fallback) {
+    getFromSupplier(
+      input,
+      lambdaInput -> lambdaInput.length() > 5 ? "Long" : fallback
+    );
+  }
+}
+""",
+        # methodref + lambda method signature-typed from the Function
+        # target (:71-94); capture of `fallback` (:141-155)
+        methods=[["<lambda>0",
+                  "Foo.<lambda>0:java.lang.String(java.lang.String)"],
+                 ["getFromSupplier",
+                  "Foo.getFromSupplier:java.lang.String(java.lang.String,"
+                  "java.util.function.Function)"],
+                 ["test1",
+                  "Foo.test1:void(java.lang.String,java.lang.String)"],
+                 ["<init>", "Foo.<init>:void()"]],
+        nodemfn={("<lambda>", 0):
+                 "Foo.<lambda>0:java.lang.String(java.lang.String)"},
+        params=[["<lambda>0.lambdaInput", "1:java.lang.String:BY_SHARING"]],
+        captures=[["<lambda>0", "fallback"]],
+        cite=f"{JL}:53-177",
+    ),
+    dict(
+        name="java-lambda-vardecl", lang="java", wrap=False,
+        code="""
+import java.util.function.Function;
+
+public class Foo {
+  public void test(String input, String fallback) {
+    Function<String, String> mapper = lambdaInput -> lambdaInput.length() > 5 ? "Long" : fallback;
+  }
+}
+""",
+        methods=[["<lambda>0",
+                  "Foo.<lambda>0:java.lang.String(java.lang.String)"],
+                 ["test",
+                  "Foo.test:void(java.lang.String,java.lang.String)"],
+                 ["<init>", "Foo.<init>:void()"]],
+        params=[["<lambda>0.lambdaInput", "1:java.lang.String:BY_SHARING"]],
+        cite=f"{JL}:179-205",
+    ),
+    dict(
+        name="java-lambda-reassigned", lang="java", wrap=False,
+        code="""
+import java.util.function.Function;
+
+public class Foo {
+  public void test(String input, String fallback, Function<String, String> mapper) {
+    mapper = lambdaInput -> lambdaInput.length() > 5 ? "Long" : fallback;
+  }
+}
+""",
+        methods=[["<lambda>0",
+                  "Foo.<lambda>0:java.lang.String(java.lang.String)"],
+                 ["test", "Foo.test:void(java.lang.String,java.lang.String,"
+                          "java.util.function.Function)"],
+                 ["<init>", "Foo.<init>:void()"]],
+        params=[["<lambda>0.lambdaInput", "1:java.lang.String:BY_SHARING"]],
+        cite=f"{JL}:207-233",
+    ),
+    dict(
+        name="java-lambda-returned", lang="java", wrap=False,
+        code="""
+import java.util.function.Function;
+
+public class Foo {
+  public Function<String, String> test(String input, String fallback) {
+    return lambdaInput -> lambdaInput.length() > 5 ? "Long" : fallback;
+  }
+}
+""",
+        methods=[["<lambda>0",
+                  "Foo.<lambda>0:java.lang.String(java.lang.String)"],
+                 ["test", "Foo.test:java.util.function.Function"
+                          "(java.lang.String,java.lang.String)"],
+                 ["<init>", "Foo.<init>:void()"]],
+        params=[["<lambda>0.lambdaInput", "1:java.lang.String:BY_SHARING"]],
+        cite=f"{JL}:235-262",
+    ),
+    dict(
+        name="java-lambda-instance-this", lang="java", wrap=False,
+        code="""
+import java.util.function.Consumer;
+
+public class Foo {
+    public String s;
+
+    public static void sink(String s) {}
+
+    public Consumer<String> test() {
+        return input -> sink(input + s);
+    }
+}
+""",
+        # a lambda touching instance state gets a 0th `this` param typed
+        # by the enclosing class (:278-290)
+        params=[["<lambda>0.this", "0:Foo:BY_SHARING"],
+                ["<lambda>0.input", "1:java.lang.String:BY_SHARING"]],
+        cite=f"{JL}:263-290",
+    ),
+    dict(
+        name="java-lambda-static-no-this", lang="java", wrap=False,
+        code="""
+import java.util.function.Consumer;
+
+public class Foo {
+    public static String s;
+
+    public static void sink(String s) {}
+
+    public Consumer<String> test() {
+        return input -> sink(input + s);
+    }
+}
+""",
+        # static-only context: NO 0th this param (:519-543)
+        params=[["<lambda>0.input", "1:java.lang.String:BY_SHARING"],
+                ["<lambda>0.this", ""]],
+        cite=f"{JL}:519-543",
+    ),
+    dict(
+        name="java-lambda-void-body", lang="java", wrap=False,
+        code="""
+import java.util.function.Consumer;
+
+public class Foo {
+    public static void sink(String s) {};
+
+    public static Consumer<String> test() {
+        return input -> sink(input);
+    }
+}
+""",
+        # void-interface expression body is a statement, not a return
+        # (:599-608); the body call resolves inside the lambda
+        methods=[["<lambda>0", "Foo.<lambda>0:void(java.lang.String)"],
+                 ["sink", "Foo.sink:void(java.lang.String)"],
+                 ["test", "Foo.test:java.util.function.Consumer()"],
+                 ["<init>", "Foo.<init>:void()"]],
+        ast={("<empty>", 2): ["sink(input)"]},
+        callmfn=[["sink", "Foo.sink:void(java.lang.String)"]],
+        cite=f"{JL}:586-609",
+    ),
+    dict(
+        name="java-lambda-biconsumer", lang="java", wrap=False,
+        code="""
+import java.util.function.BiConsumer;
+class Foo {
+  public static void sink(Float i, String f) {}
+
+  public static BiConsumer<Float, String> foo() {
+    return (input1, input2) -> sink(input1, input2);
+  }
+}
+""",
+        callmfn=[["sink",
+                  "Foo.sink:void(java.lang.Float,java.lang.String)"]],
+        params=[["<lambda>0.input1", "1:java.lang.Float:BY_SHARING"],
+                ["<lambda>0.input2", "2:java.lang.String:BY_SHARING"]],
+        cite=f"{JL}:610-628",
+    ),
+]
