@@ -370,6 +370,13 @@ class JavaParser(CParser):
         if init.kind == M.CALL and init.name == M.CONSTRUCTOR \
                 and init.type_full_name not in ("", M.ANY):
             self.dyn_ty[id(decl)] = init.type_full_name
+        if init.kind == M.CALL \
+                and init.type_full_name in ("", M.ANY, None) \
+                and decl.type_full_name not in ("", M.ANY, None):
+            # an unresolved call adopts the assignment target's declared
+            # type (TypeInferenceTests "methodFullName for unresolved call
+            # in assignment": int x = b.bar() -> call typed int)
+            init.type_full_name = decl.type_full_name
 
     def unresolved_ident_type(self, name: str) -> str:
         """A bare identifier with no local/param/field in scope that names a
@@ -392,6 +399,7 @@ class JavaParser(CParser):
         self.imports: dict[str, str] = {}  # simple name -> fqn
         self.star_java_util = False      # `import java.util.*;` seen
         self.unknown_star_import = False  # non-JDK wildcard import seen
+        self.star_packages: list[str] = []  # non-JDK wildcard packages
         self.lambda_counter = 0
         # methods declared per class fullname: name -> overload list of
         # (fullname, is_static, param_types) — JLS-lite selection by arg
@@ -532,6 +540,13 @@ class JavaParser(CParser):
         if (self.unknown_star_import and "." not in base
                 and base[:1].isupper() and base != M.ANY
                 and base not in JAVA_TYPE_KEYWORDS):
+            # a SINGLE wildcard import is unambiguous: the name resolves
+            # into that package (TypeInferenceTests "typeFullName for
+            # unresolved param from single wildcard import" -> d.Baz);
+            # multiple candidates stay <unresolvedNamespace>
+            # (GenericsTests:77-98 `import a.*; import b.*`)
+            if len(self.star_packages) == 1:
+                return f"{self.star_packages[0]}.{base}{suffix}"
             return f"{M.UNRESOLVED_NAMESPACE}.{base}{suffix}"
         return name.replace("*", "[]")
 
@@ -855,6 +870,7 @@ class JavaParser(CParser):
                         self.star_java_util = True
                     else:
                         self.unknown_star_import = True
+                        self.star_packages.append(entity)
                 # IMPORT node per declaration (ImportTests.scala:26-36):
                 # importedEntity = the dotted path, importedAs = the simple
                 # name ("*" for on-demand imports), code without semicolon

@@ -3590,3 +3590,69 @@ class Foo {
         cite=f"{JL}:610-628",
     ),
 ]
+
+# ------------------------------------------------------------------- #
+# TypeInferenceTests.scala — import-driven type inference for locals,
+# params, unresolved calls; enclosing-class guess for explicit this.
+# ------------------------------------------------------------------- #
+CASES += [
+    dict(
+        name="java-typeinf-imports", lang="java", wrap=False,
+        code="""
+package pakfoo;
+
+import a.b.c.Bar;
+import d.*;
+import e.Unknown;
+
+class Foo extends Unknown {
+
+    public static void foo(int x) {}
+
+    public void test1() {
+        Bar b;
+    }
+
+    public void test3(Bar b) {}
+
+    public void test4(Bar b) {
+        int x = b.bar();
+    }
+
+    public void test6(Baz z) {}
+
+    public void test7(Bar b, Baz z) {
+        b.bar(z, 1);
+    }
+
+    public void test8() {
+        this.missing();
+    }
+
+    public void test9() {
+        super.missing();
+    }
+}
+""",
+        # local/param types from imports (:441-452); single-wildcard
+        # package adoption (:470-475); unresolved call fullnames and
+        # assignment-target typing (:454-468, :477-497); explicit-this
+        # enclosing-class guess (:498-514); super target (:516-530)
+        locals=[["test1.b", "Bar b|a.b.c.Bar"],
+                ["test4.x", "int x|int"]],
+        params=[["test3.b", "1:a.b.c.Bar:BY_SHARING"],
+                ["test6.z", "1:d.Baz:BY_SHARING"],
+                ["test7.b", "1:a.b.c.Bar:BY_SHARING"],
+                ["test7.z", "2:d.Baz:BY_SHARING"]],
+        callmfn=[["bar", "a.b.c.Bar.bar:<unresolvedSignature>(0)"],
+                 ["bar", "a.b.c.Bar.bar:<unresolvedSignature>(2)"],
+                 ["missing", "pakfoo.Foo.missing:<unresolvedSignature>(0)"],
+                 ["missing", "e.Unknown.missing:<unresolvedSignature>(0)"]],
+        nodetype={("b.bar()", 0): "int",
+                  ("1", 0): "int"},
+        inherits=[["Foo", "e.Unknown"]],
+        cite=("javasrc2cpg/.../querying/TypeInferenceTests.scala:386-530 "
+              "(test9 'super' target is pendingUntilFixed upstream; the "
+              "e.Unknown prefix matches its intent)"),
+    ),
+]
