@@ -243,6 +243,8 @@ class CParser:
         # resolution (ClassTypeTests.scala example 3)
         self.cpp_members: list[tuple[str, dict[str, str]]] = []
         self.cpp_class_methods: dict[str, dict[str, tuple[str, str, str]]] = {}
+        # C++ free functions: name -> (fullname, signature) for call mfns
+        self.cpp_free_funcs: dict[str, tuple[str, str]] = {}
         self.cpp_supers: dict[str, list[str]] = {}
 
     # ---------------- token helpers ----------------
@@ -417,9 +419,11 @@ class CParser:
                 continue
             break
         ptr = ""
-        while self.at_any(("*", "&")):
+        while self.at_any(("*", "&", "&&")):
             # both decorators survive into type names — the reference writes
-            # `_json_value&(char*)<const>` (MethodTests operator overloads)
+            # `_json_value&(char*)<const>` (MethodTests operator overloads);
+            # `&&` (rvalue ref) lexes as one token (AstCreationPassTests
+            # "pack expansion with dereferences": Args&&)
             ptr += self.next().v
         core = [p for p in parts if p not in ("const", "volatile", "static", "inline", "extern", "register", "constexpr")]
         # CDT-style size-specifier normalization (MethodTests.scala:
@@ -1112,22 +1116,46 @@ class CParser:
                             this_class: str | None = None):
         """At '(' of a function declarator."""
         self.expect("(")
-        params: list[tuple[str, str, bool]] = []  # (type, name, variadic)
+        # (type, name, variadic, raw code)
+        params: list[tuple[str, str, bool, str]] = []
         while not self.at(")"):
             if self.at("..."):
                 self.next()
-                params.append(("", "...", True))
+                # the ellipsis parameter: named `<param>{i}`, typed like the
+                # preceding parameter, code `<param>{i}...`
+                # (AstCreationPassTests "variadic parameter ... (ellipsis)")
+                idx = len(params) + 1
+                prev_ty = params[-1][0] if params else M.ANY
+                params.append((prev_ty, f"<param>{idx}", True,
+                               f"<param>{idx}..."))
                 continue
             if self.at("void") and self.at(")", 1):
                 self.next()
                 continue
+            p_start = self.peek()
             pty = self.parse_type()
+            # parameter pack `int*... args` / `Args&&... args`: variadic,
+            # the signature keeps the TYPE (no `...`)
+            # (AstCreationPassTests "packed args", "pack expansion")
+            pack = False
+            if self.at("...") and self.peek(1) is not None \
+                    and self.peek(1).t == "id":
+                self.next()
+                pack = True
             pname = ""
             if self.peek() is not None and self.peek().t == "id":
                 pname = self.next().v
+            p_end = self.toks[self.pos - 1]
+            dims = 0
             while self.at("["):
                 self.skip_balanced("[", "]")
-                pty += "*"
+                dims += 1
+                p_end = self.toks[self.pos - 1]
+            if dims:
+                # `T x[]` -> T[]; `T *x[]` -> T[]* (CDT spelling,
+                # AstCreationPassTests "parameter in nodes as array...")
+                stars = len(pty) - len(pty.rstrip("*"))
+                pty = pty.rstrip("*") + "[]" * dims + "*" * stars
             if self.at("="):  # default arg
                 self.next()
                 depth = 0
@@ -1135,10 +1163,43 @@ class CParser:
                     v = self.next().v
                     depth += v in "([<"
                     depth -= v in ")]>"
-            params.append((pty, pname, False))
+            # code keeps the raw declarator spelling ("const char *a")
+            raw = self.src[p_start.a:p_end.b].strip() if p_start is not None \
+                else f"{pty} {pname}".strip()
+            params.append((pty, pname, pack, raw))
             if self.at(","):
                 self.next()
         self.expect(")")
+        if self.lang == "c" and params \
+                and all(not p[1] and p[0] and "*" not in p[0]
+                        and p[0][:1].isalpha() for p in params) \
+                and self.peek() is not None and not self.at_any(
+                    (";", "{", ",", ")", "=")) \
+                and (self.peek().t == "kw" or self.peek().t == "id"):
+            # K&R declaration list: `int handler(x, y) int *x; int *y; {}`
+            # — the name list parsed as bare "types"; the following
+            # declarations supply the real types; param CODE keeps the raw
+            # declaration incl. ';' (AstCreationPassTests "knr function
+            # declarations")
+            knr: dict[str, tuple[str, str]] = {}
+            while self.peek() is not None and not self.at_any(("{", ";")):
+                d_start = self.peek()
+                dty = self.parse_type()
+                while self.peek() is not None and self.peek().t == "id":
+                    dname = self.next().v
+                    if self.at(","):
+                        self.next()
+                        knr[dname] = (dty, "")
+                        continue
+                    break
+                if self.at(";"):
+                    semi = self.next()
+                    knr[dname] = (dty, self.src[d_start.a:semi.b].strip())
+                else:
+                    break
+            params = [(knr.get(nm, (M.ANY, ""))[0], nm, False,
+                       knr.get(nm, ("", f"{nm}"))[1] or nm)
+                      for (nm, _e, _v, _r) in params]
         const_method = False
         while self.at_any(("const", "override", "final", "noexcept")):
             if self.at("const"):
@@ -1181,7 +1242,11 @@ class CParser:
     def _make_method(self, ret_ty: str, name: str, start: Tok,
                      class_full: str | None, params, body,
                      const_method: bool = False, this_type: str | None = None):
-        sig_params = ",".join(p[0] for p in params if not p[2])
+        # ellipsis params spell `...` in the signature (int(char*,...));
+        # named parameter packs keep their type (void(int,int*))
+        sig_params = ",".join(
+            "..." if (p[2] and p[1].startswith("<param>")) else p[0]
+            for p in params)
         # const member functions carry the <const> tag in the signature
         # (FullNameProvider.signature: Defines.ConstSuffix; MethodTests
         # "_json_value.[]:_json_value&(int)<const>")
@@ -1202,6 +1267,8 @@ class CParser:
         method = N(M.METHOD, code=f"{ret_ty} {name} ({sig_params})", name=name,
                    full_name=full_name, signature=signature, line=start.line,
                    ast_parent_type=parent_type, ast_parent_full_name=parent_full)
+        if self.lang == "cpp" and class_full is None and "." not in name:
+            self.cpp_free_funcs.setdefault(name, (full_name, signature))
         if self.lang == "cpp" and class_full:
             self.cpp_class_methods.setdefault(
                 class_full.rstrip("."), {})[name] = (full_name, signature,
@@ -1217,8 +1284,8 @@ class CParser:
                    evaluation_strategy=M.BY_SHARING)
             method.add(p0)
             self.declare("this", p0)
-        for i, (pty, pname, var) in enumerate(params, start=1):
-            p = N(M.METHOD_PARAMETER_IN, code=f"{pty} {pname}".strip() if not var else "...",
+        for i, (pty, pname, var, raw) in enumerate(params, start=1):
+            p = N(M.METHOD_PARAMETER_IN, code=raw,
                   name=pname or f"param{i}", type_full_name=pty or M.ANY,
                   param_index=i, is_variadic=var, line=start.line,
                   evaluation_strategy=M.BY_VALUE)
@@ -2224,11 +2291,19 @@ class CParser:
                 self.next()
         close = self.expect(")")
         if callee.kind == M.IDENTIFIER and callee.ref_target is None:
-            # direct named call — static dispatch, methodFullName = name (C)
+            # direct named call — static dispatch, methodFullName = name (C);
+            # C++ known free functions carry `name:signature`
+            # (AstCreationPassTests "variadic parameter in C++":
+            # foo:int(char*,...))
             name = callee.name
-            full = name if self.lang == "c" else name
+            full, sig = name, ""
+            if self.lang == "cpp":
+                info = self.cpp_free_funcs.get(name)
+                if info is not None:
+                    full, sig = info
             call = N(M.CALL, code=self.slice(start, close), name=name.split(".")[-1],
-                     method_full_name=full, dispatch_type=M.STATIC_DISPATCH, line=start.line)
+                     method_full_name=full, signature=sig,
+                     dispatch_type=M.STATIC_DISPATCH, line=start.line)
         else:
             # call through expression / function pointer
             callee.role = M.ROLE_RECEIVER

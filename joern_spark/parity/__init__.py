@@ -100,7 +100,7 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
     for rel in ("calls", "inherits", "declares", "methods", "captures",
                 "cs", "cscond", "params", "locals", "members", "membercode",
                 "bindings", "callmfn", "typerec", "imports", "annot",
-                "annotkids", "tdalias", "nsblock"):
+                "annotkids", "tdalias", "nsblock", "msig", "paramcode"):
         for s, o in (case.get(rel) or []):
             out.append((rel, s, o))
     # node typeFullName assertions keyed like cfg subjects (code@idx[#KIND])
@@ -475,6 +475,23 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
                     if (c["parent_idx"] == r["node_idx"]
                             and c["role"] == M.ROLE_CONDITION):
                         out.add(("cscond", subj, c["code"]))
+
+    if case.get("msig") is not None:
+        # METHOD signature keyed by name (AstCreationPassTests "Method AST
+        # layout" signature assertions)
+        for r in rows:
+            if r["kind"] == M.METHOD:
+                out.add(("msig", r["name"], r["signature"] or ""))
+
+    if case.get("paramcode") is not None:
+        # parameter CODE spelling ("const char *a") keyed method.param
+        methods = {r["node_idx"]: r for r in rows if r["kind"] == M.METHOD}
+        for r in rows:
+            if r["kind"] == M.METHOD_PARAMETER_IN:
+                m = methods.get(r["method_idx"])
+                if m is not None:
+                    out.add(("paramcode", f'{m["name"]}.{r["name"]}',
+                             r["code"]))
 
     if case.get("params") is not None:
         methods = {r["node_idx"]: r for r in rows if r["kind"] == M.METHOD}

@@ -952,3 +952,157 @@ class Foo {
         "c2cpg/.../passes/ast/ForEachLoopTests.scala:57-77",
     ),
 ]
+
+# ------------------------------------------------------------------- #
+# AstCreationPassTests.scala "Method AST layout" — signatures, variadic
+# ellipsis params, parameter packs, K&R declarations, param shapes.
+# ------------------------------------------------------------------- #
+CAP = "c2cpg/src/test/scala/io/joern/c2cpg/passes/ast/AstCreationPassTests.scala"
+
+CASES += [
+    dict(
+        name="c-astpass-method-signature", lang="c", wrap=False,
+        code="""
+char *foo() {};
+char *hello();
+""",
+        msig=[["foo", "char*()"], ["hello", "char*()"]],
+        cite=f"{CAP}:20-31",
+    ),
+    dict(
+        name="c-astpass-variadic-c", lang="c", wrap=False,
+        code="""
+int foo(const char *a, ...){ return 0; }
+int bar(const char *a...){ return 0; }
+""",
+        # ellipsis param named <param>2, typed like the preceding param,
+        # code `<param>2...`; fullName = bare name in C (:33-67)
+        methods=[["foo", "foo"], ["bar", "bar"]],
+        msig=[["foo", "int(char*,...)"], ["bar", "int(char*,...)"]],
+        paramcode=[["foo.a", "const char *a"],
+                   ["foo.<param>2", "<param>2..."],
+                   ["bar.a", "const char *a"],
+                   ["bar.<param>2", "<param>2..."]],
+        params=[["foo.a", "1:char*:BY_VALUE"],
+                ["foo.<param>2", "2:char*:BY_VALUE"],
+                ["bar.a", "1:char*:BY_VALUE"],
+                ["bar.<param>2", "2:char*:BY_VALUE"]],
+        cite=f"{CAP}:33-67",
+    ),
+    dict(
+        name="cpp-astpass-variadic", lang="cpp", wrap=False,
+        code="""
+int foo(const char *a, ...){ return 0; }
+int bar(const char *a...){ return 0; }
+
+void main() {
+  foo("a", "b", "c");
+}
+""",
+        # C++ fullnames carry the signature; the call site matches (:69-114)
+        methods=[["foo", "foo:int(char*,...)"],
+                 ["bar", "bar:int(char*,...)"],
+                 ["main", "main:void()"]],
+        callmfn=[["foo", "foo:int(char*,...)"]],
+        paramcode=[["foo.a", "const char *a"],
+                   ["foo.<param>2", "<param>2..."]],
+        cite=f"{CAP}:69-114",
+    ),
+    dict(
+        name="cpp-astpass-packed-args", lang="cpp", wrap=False,
+        code="void foo(int x, int*... args) {};",
+        # a NAMED pack keeps its type in the signature, is variadic,
+        # code keeps the raw spelling (:138-156)
+        msig=[["foo", "void(int,int*)"]],
+        paramcode=[["foo.x", "int x"], ["foo.args", "int*... args"]],
+        params=[["foo.x", "1:int:BY_VALUE"],
+                ["foo.args", "2:int*:BY_VALUE"]],
+        cite=f"{CAP}:138-156",
+    ),
+    dict(
+        name="cpp-astpass-varargs", lang="cpp", wrap=False,
+        code="void foo(int x, int args...) {};",
+        methods=[["foo", "foo:void(int,int,...)"]],
+        paramcode=[["foo.x", "int x"], ["foo.args", "int args"],
+                   ["foo.<param>3", "<param>3..."]],
+        params=[["foo.x", "1:int:BY_VALUE"],
+                ["foo.args", "2:int:BY_VALUE"],
+                ["foo.<param>3", "3:int:BY_VALUE"]],
+        cite=f"{CAP}:157-180",
+    ),
+    dict(
+        name="cpp-astpass-pack-template", lang="cpp", wrap=False,
+        code="""
+template<typename... Args>
+void foo(char* a, Args... args) {}
+
+void main() {
+  foo("Hello", "World", "!");
+}
+""",
+        methods=[["foo", "foo:void(char*,Args)"],
+                 ["main", "main:void()"]],
+        callmfn=[["foo", "foo:void(char*,Args)"]],
+        cite=f"{CAP}:181-201",
+    ),
+    dict(
+        name="cpp-astpass-pack-template-rvalue", lang="cpp", wrap=False,
+        code="""
+template<typename... Args>
+void foo(char* a, Args&&... args) {}
+
+void main() {
+  foo("Hello", "World", "!");
+}
+""",
+        methods=[["foo", "foo:void(char*,Args&&)"],
+                 ["main", "main:void()"]],
+        callmfn=[["foo", "foo:void(char*,Args&&)"]],
+        cite=f"{CAP}:202-222",
+    ),
+    dict(
+        name="c-astpass-knr", lang="c", wrap=False,
+        code="""
+int handler(x, y)
+ int *x;
+ int *y;
+ {};
+""",
+        # K&R: the declaration list supplies types; param CODE keeps the
+        # raw declaration incl. ';' (:223-243)
+        paramcode=[["handler.x", "int *x;"], ["handler.y", "int *y;"]],
+        params=[["handler.x", "1:int*:BY_VALUE"],
+                ["handler.y", "2:int*:BY_VALUE"]],
+        cite=f"{CAP}:223-243",
+    ),
+    dict(
+        name="c-astpass-empty-method", lang="c", wrap=False,
+        code="void method(int x) { }",
+        params=[["method.x", "1:int:BY_VALUE"]],
+        msig=[["method", "void(int)"]],
+        cite=f"{CAP}:244-252",
+    ),
+    dict(
+        name="c-astpass-param-shapes", lang="c", wrap=False,
+        code="""
+void method1(a_struct_type *a_struct) {}
+void method2(struct date *date) {}
+void method3(int x[]) {}
+void method4(a_struct_type a_struct[]) {}
+void method5(a_struct_type *a_struct_arr[]) {}
+""",
+        # pointer / struct-keyword / array / array-of-pointer parameter
+        # typeFullNames and raw codes (:254-339)
+        params=[["method1.a_struct", "1:a_struct_type*:BY_VALUE"],
+                ["method2.date", "1:date*:BY_VALUE"],
+                ["method3.x", "1:int[]:BY_VALUE"],
+                ["method4.a_struct", "1:a_struct_type[]:BY_VALUE"],
+                ["method5.a_struct_arr", "1:a_struct_type[]*:BY_VALUE"]],
+        paramcode=[["method1.a_struct", "a_struct_type *a_struct"],
+                   ["method2.date", "struct date *date"],
+                   ["method3.x", "int x[]"],
+                   ["method4.a_struct", "a_struct_type a_struct[]"],
+                   ["method5.a_struct_arr", "a_struct_type *a_struct_arr[]"]],
+        cite=f"{CAP}:254-339",
+    ),
+]

@@ -352,6 +352,17 @@ def spark_facts(spark: SparkSession) -> DataFrame:
                             F.col("type_full_name"),
                             F.col("evaluation_strategy")).alias("obj")))
     out.append(
+        base.filter(F.col("kind") == M.METHOD_PARAMETER_IN)
+        .join(methods, F.col("method_id") == F.col("mid"))
+        .select("lang", "kase", F.lit("paramcode").alias("relation"),
+                F.concat_ws(".", F.col("mname"), F.col("name")).alias("subj"),
+                F.col("code").alias("obj")))
+    out.append(
+        base.filter(F.col("kind") == M.METHOD)
+        .select("lang", "kase", F.lit("msig").alias("relation"),
+                F.col("name").alias("subj"),
+                F.coalesce(F.col("signature"), F.lit("")).alias("obj")))
+    out.append(
         base.filter(F.col("kind") == M.LOCAL)
         .join(methods, F.col("method_id") == F.col("mid"))
         .select("lang", "kase", F.lit("locals").alias("relation"),
