@@ -1789,7 +1789,19 @@ class CParser:
     ASSIGN_OPS = frozenset(("=", "+=", "-=", "*=", "/=", "%=", "<<=", ">>=", "&=", "^=", "|="))
 
     def parse_expression(self) -> N:
-        return self.parse_assignment_expr()
+        node = self.parse_assignment_expr()
+        if self.lang not in ("c", "cpp") or not self.at(","):
+            return node
+        # C comma operator: the expression list lowers to a BLOCK holding
+        # each sub-expression in order (AstCreationPassTests "expression
+        # list" / "not create an expression list for comma operator")
+        items = [node]
+        while self.at(","):
+            self.next()
+            items.append(self.parse_assignment_expr())
+        blk = N(M.BLOCK, code="", line=node.line, type_full_name=M.ANY)
+        blk.add(*items)
+        return blk
 
     def parse_assignment_expr(self) -> N:
         lhs_start = self.peek()
@@ -2305,11 +2317,17 @@ class CParser:
                      method_full_name=full, signature=sig,
                      dispatch_type=M.STATIC_DISPATCH, line=start.line)
         else:
-            # call through expression / function pointer
+            # call through expression / function pointer — C/C++ spell
+            # <operator>.pointerCall (Defines.OperatorPointerCall;
+            # AstCreationPassTests "indirection on call")
             callee.role = M.ROLE_RECEIVER
             callee.arg_index = 0
-            call = N(M.CALL, code=self.slice(start, close), name=callee.code,
-                     method_full_name=M.UNKNOWN_FULL_NAME,
+            if self.lang in ("c", "cpp"):
+                nm = mfn = M.OP_POINTER_CALL
+            else:
+                nm, mfn = callee.code, M.UNKNOWN_FULL_NAME
+            call = N(M.CALL, code=self.slice(start, close), name=nm,
+                     method_full_name=mfn,
                      dispatch_type=M.DYNAMIC_DISPATCH, line=start.line)
             call.add(callee)
         for i, a in enumerate(args, start=1):

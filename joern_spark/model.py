@@ -206,6 +206,8 @@ OP_NEW = OP + "new"
 OP_CAST = OP + "cast"
 OP_ARRAY_INITIALIZER = OP + "arrayInitializer"
 OP_SIZEOF = OP + "sizeOf"
+# call through a function-pointer expression (c2cpg Defines.OperatorPointerCall)
+OP_POINTER_CALL = OP + "pointerCall"
 OP_ADDRESS_OF = OP + "addressOf"
 OP_INDIRECTION = OP + "indirection"
 OP_INSTANCE_OF = OP + "instanceOf"

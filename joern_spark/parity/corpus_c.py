@@ -1106,3 +1106,172 @@ void method5(a_struct_type *a_struct_arr[]) {}
         cite=f"{CAP}:254-339",
     ),
 ]
+
+# AstCreationPassTests "Operator AST layout" / expression shapes.
+CASES += [
+    dict(
+        name="c-astpass-decl-assignment", lang="c", wrap=False,
+        code="""
+void method() {
+  int local = 1;
+}
+""",
+        locals=[["method.local", "int local|int"]],
+        ast={"local = 1": ["local", "1"],
+             ("<empty>", 0): ["int local", "local = 1"]},
+        nodetype={("1", 0): "int", ("local", 0): "int"},
+        cite=f"{CAP}:340-364",
+    ),
+    dict(
+        name="c-astpass-nested-expression", lang="c", wrap=False,
+        code="""
+void method() {
+  int x;
+  int y;
+  int z;
+
+  x = y + z;
+}
+""",
+        locals=[["method.x", "int x|int"], ["method.y", "int y|int"],
+                ["method.z", "int z|int"]],
+        ast={"x = y + z": ["x", "y + z"],
+             "y + z": ["y", "z"]},
+        cite=f"{CAP}:653-681",
+    ),
+    dict(
+        name="c-astpass-while-if-else", lang="c", wrap=False,
+        code="""
+void method(int x) {
+  while (x < 1) {
+    x += 1;
+  }
+}
+void method2(int x) {
+  int y;
+  if (x > 0) { y = 0; }
+}
+void method3(int x) {
+  int y;
+  if (x > 0) { y = 0; } else { y = 1; }
+}
+""",
+        cs=[["method:WHILE", "while (x < 1)"]],
+        cscond=[["method:WHILE", "x < 1"],
+                ["method2:IF", "x > 0"],
+                ["method3:IF", "x > 0"]],
+        ast={"x += 1": ["x", "1"],
+             ("y = 0", 0): ["y", "0"],
+             ("y = 1", 0): ["y", "1"]},
+        cite=f"{CAP}:702-763",
+    ),
+    dict(
+        name="c-astpass-conditional", lang="c", wrap=False,
+        code="""
+ void method() {
+   int x = (true ? vlc_dccp_CreateFD : vlc_datagram_CreateFD)(fd);
+ }
+ void method2() {
+   int y = (foo == 1) ? bar : 0;
+ }
+""",
+        # the conditional code strips the wrapping parens (:765-797)
+        ast={"true ? vlc_dccp_CreateFD : vlc_datagram_CreateFD": [
+                 "true", "vlc_dccp_CreateFD", "vlc_datagram_CreateFD"],
+             "(foo == 1) ? bar : 0": ["foo == 1", "bar", "0"]},
+        cite=f"{CAP}:765-797",
+    ),
+    dict(
+        name="c-astpass-unary-call-field", lang="c", wrap=False,
+        code="""
+void method(int x) {
+  ++x;
+  foo(x);
+}
+void m2(struct someUndefinedStruct x) {
+  x.a;
+}
+void m3(struct someUndefinedStruct *x) {
+  x->a;
+  return (x->a)(1, 2);
+}
+void m4() {
+  int a;
+  sizeof(a);
+  sizeof a ;
+}
+""",
+        # preIncrement / call / fieldAccess / indirectFieldAccess /
+        # pointer-call / sizeOf shapes (:885-1092)
+        ast={"++x": ["x"],
+             "foo(x)": ["x"],
+             ("x.a", 0): ["x", "a"],
+             ("x->a", 0): ["x", "a"],
+             "(x->a)(1, 2)": ["x->a", "1", "2"],
+             "sizeof(a)": ["a"],
+             "sizeof a": ["a"]},
+        callmfn=[["<operator>.preIncrement", "<operator>.preIncrement"],
+                 ["<operator>.fieldAccess", "<operator>.fieldAccess"],
+                 ["<operator>.indirectFieldAccess",
+                  "<operator>.indirectFieldAccess"],
+                 ["<operator>.pointerCall", "<operator>.pointerCall"],
+                 ["<operator>.sizeOf", "<operator>.sizeOf"],
+                 ["foo", "foo"]],
+        cite=f"{CAP}:885-1092",
+    ),
+    dict(
+        name="c-astpass-expression-list", lang="c", wrap=False,
+        code="""
+void method(int x) {
+  return (__sync_synchronize(), foo(x));
+}
+""",
+        # the comma expression lowers to a BLOCK of the sub-expressions
+        ast={("<empty>", 1): ["__sync_synchronize()", "foo(x)"]},
+        cite=f"{CAP}:901-910",
+    ),
+    dict(
+        name="c-astpass-comma-for", lang="c", wrap=False,
+        code="""
+int something(void);
+void a() {
+  int b;
+  int c;
+  for (; b = something(), b > c;) {}
+}
+""",
+        ast={("<empty>", 1): ["b = something()", "b > c"]},
+        cite=f"{CAP}:911-929",
+    ),
+    dict(
+        name="c-astpass-pointer-call", lang="c", wrap=False,
+        code="""
+typedef long unsigned int (*hStrLenFunc)(const char *str);
+int main() {
+  hStrLenFunc strLenFunc = &strlen;
+  return (*strLenFunc)("123");
+}
+""",
+        callmfn=[["<operator>.pointerCall", "<operator>.pointerCall"],
+                 ["<operator>.assignment", "<operator>.assignment"],
+                 ["<operator>.addressOf", "<operator>.addressOf"],
+                 ["<operator>.indirection", "<operator>.indirection"]],
+        ast={'(*strLenFunc)("123")': ["*strLenFunc", '"123"']},
+        cite=f"{CAP}:1019-1032",
+    ),
+    dict(
+        name="c-astpass-nested-block", lang="c", wrap=False,
+        code="""
+void method() {
+  int x;
+  {
+    int y;
+  }
+}
+""",
+        ast={("<empty>", 0): ["int x", "<empty>"],
+             ("<empty>", 1): ["int y"]},
+        locals=[["method.x", "int x|int"], ["method.y", "int y|int"]],
+        cite=f"{CAP}:683-700",
+    ),
+]
