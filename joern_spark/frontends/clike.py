@@ -668,6 +668,10 @@ class CParser:
             out = [decl]
             if alias:
                 self.typedefs.add(alias)
+                # the struct TYPE_DECL itself carries the alias
+                # (AstCreationPassTests "typedef struct":
+                # typeDecl("foo").aliasTypeFullName("abc"))
+                decl.alias_type_full_name = alias
                 out.append(N(M.TYPE_DECL, code=f"typedef {decl.name} {alias}",
                              name=alias, full_name=self.qual(alias),
                              alias_type_full_name=decl.full_name,
@@ -1963,6 +1967,24 @@ class CParser:
                 ty = self.parse_type()
                 if self.at(")"):
                     self.next()
+                    # compound literal `(int){ 1 }` — a cast whose second
+                    # argument is the brace initializer (AstCreationPass-
+                    # Tests "type initializer expression")
+                    if self.at("{"):
+                        b0 = self.peek()
+                        self.skip_balanced("{", "}")
+                        b1 = self.toks[self.pos - 1]
+                        tref = N(M.TYPE_REF, code=ty, type_full_name=ty,
+                                 line=t.line, arg_index=1)
+                        init = N(M.BLOCK, code=self.src[b0.a:b1.b],
+                                 line=b0.line, arg_index=2,
+                                 type_full_name=ty)
+                        call = N(M.CALL, code=self.slice(t, b1),
+                                 name=M.OP_CAST, method_full_name=M.OP_CAST,
+                                 dispatch_type=M.STATIC_DISPATCH,
+                                 line=t.line, type_full_name=ty)
+                        call.add(tref, init)
+                        return call
                     # must be followed by something castable
                     nxt = self.peek()
                     if nxt is not None and (nxt.t in ("id", "num", "str", "char") or nxt.v in ("(", "*", "&", "!", "~", "-", "+")):
@@ -2309,11 +2331,16 @@ class CParser:
             # foo:int(char*,...))
             name = callee.name
             full, sig = name, ""
-            if self.lang == "cpp":
+            if name == "static_assert" and self.lang in ("c", "cpp"):
+                # <operator>.staticAssert (AstCreationPassTests
+                # "static assert")
+                name = full = M.OP + "staticAssert"
+            elif self.lang == "cpp":
                 info = self.cpp_free_funcs.get(name)
                 if info is not None:
                     full, sig = info
-            call = N(M.CALL, code=self.slice(start, close), name=name.split(".")[-1],
+            disp_name = name if name.startswith(M.OP) else name.split(".")[-1]
+            call = N(M.CALL, code=self.slice(start, close), name=disp_name,
                      method_full_name=full, signature=sig,
                      dispatch_type=M.STATIC_DISPATCH, line=start.line)
         else:

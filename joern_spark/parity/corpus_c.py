@@ -1275,3 +1275,124 @@ void method() {
         cite=f"{CAP}:683-700",
     ),
 ]
+
+# AstCreationPassTests "Structural AST layout" — structs, typedefs,
+# inheritance, compound literals, static_assert, try/catch.
+CASES += [
+    dict(
+        name="c-astpass-structs", lang="c", wrap=False,
+        code="""
+struct foo {
+  int x;
+  int y;
+  int z;
+};
+""",
+        members=[["foo.x", "int"], ["foo.y", "int"], ["foo.z", "int"]],
+        membercode=[["foo.x", "x"], ["foo.y", "y"], ["foo.z", "z"]],
+        cite=f"{CAP}:1117-1142",
+    ),
+    dict(
+        name="c-astpass-typedef-struct-enum", lang="c", wrap=False,
+        code="""
+typedef struct foo {
+} abc;
+typedef enum foo3 {
+} abc2;
+""",
+        # the named composite itself carries the alias (:1216-1299)
+        tdalias=[["foo", "abc"], ["abc", "foo"],
+                 ["foo3", "abc2"], ["abc2", "foo3"]],
+        cite=f"{CAP}:1216-1299",
+    ),
+    dict(
+        name="cpp-astpass-inheritance", lang="cpp", wrap=False,
+        code="""
+class Base {public: int i;};
+class Derived : public Base{
+public:
+ char x;
+ int method(){return i;};
+};
+""",
+        inherits=[["Derived", "Base"], ["Base", ""]],
+        members=[["Base.i", "int"], ["Derived.x", "char"]],
+        cite=f"{CAP}:1317-1333",
+    ),
+    dict(
+        name="cpp-astpass-compound-literal", lang="cpp", wrap=False,
+        code="""
+void m() {
+  int x = (int){ 1 };
+}
+""",
+        ast={"(int){ 1 }": ["int", "{ 1 }"]},
+        callmfn=[["<operator>.cast", "<operator>.cast"],
+                 ["<operator>.assignment", "<operator>.assignment"]],
+        cite=f"{CAP}:1334-1348",
+    ),
+    dict(
+        name="cpp-astpass-static-assert", lang="cpp", wrap=False,
+        code="""
+void foo(){
+ int a = 0;
+ static_assert ( a == 0 , "not 0!");
+}
+""",
+        ast={'static_assert ( a == 0 , "not 0!")': [
+            "a == 0", '"not 0!"']},
+        callmfn=[["<operator>.staticAssert", "<operator>.staticAssert"],
+                 ["<operator>.assignment", "<operator>.assignment"]],
+        cite=f"{CAP}:1349-1365",
+    ),
+    dict(
+        name="cpp-astpass-try-catch", lang="cpp", wrap=False,
+        code="""
+void bar();
+int foo(){
+ try { bar(); } 
+ catch(Foo x) { return 0; };
+}
+""",
+        # catch-clause exception declaration becomes a LOCAL (:1366-1387)
+        locals=[["foo.x", "Foo x|Foo"]],
+        cs=[["foo:TRY", "try"], ["foo:CATCH", "catch"]],
+        ast={"return 0;": ["0"]},
+        cite=f"{CAP}:1366-1387",
+    ),
+    dict(
+        name="cpp-astpass-try-multi-catch", lang="cpp", wrap=False,
+        code="""
+int main() {
+  try {
+    a;
+  } catch (short x) {
+    b;
+  } catch (int y) {
+    c;
+  } catch (long z) {
+    d;
+  }
+}
+""",
+        locals=[["main.x", "short x|short"],
+                ["main.y", "int y|int"],
+                ["main.z", "long z|long"]],
+        cite=f"{CAP}:1388-1421",
+    ),
+    dict(
+        name="cpp-astpass-catch-ellipsis", lang="cpp", wrap=False,
+        code="""
+int main() {
+  try {}
+  catch (int a) {}
+  catch (...) {}
+}
+""",
+        # `catch (...)` has NO local (:1422-1443)
+        locals=[["main.a", "int a|int"], ["main....", ""],
+                ["main.<param>1", ""]],
+        cs=[["main:TRY", "try"], ["main:CATCH", "catch"]],
+        cite=f"{CAP}:1422-1443",
+    ),
+]
