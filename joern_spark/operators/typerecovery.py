@@ -38,6 +38,16 @@ from joern_spark import model as M
 
 RETURN_VALUE = "<returnValue>"
 
+# global builtin receivers (jssrc2cpg GlobalBuiltins;
+# TypeRecoveryPassTests "recovering paths for built-in calls")
+JS_GLOBAL_BUILTINS = {
+    "console": "__whatwg.console",
+    "Math": "__ecma.Math",
+    "JSON": "__ecma.JSON",
+    "Number": "__ecma.Number",
+    "Promise": "__ecma.Promise",
+}
+
 
 def _js_children(nodes: DataFrame) -> DataFrame:
     return nodes.filter(F.col("lang") == "javascript").select(
@@ -87,12 +97,38 @@ def _recover(nodes: DataFrame, iterations: int = 2
     seed_req = (askel.join(req, "rhs_id").join(req_arg, "rhs_id")
                 .select("path", "var", "type"))
 
-    # ES import bindings (IMPORT nodes carry the resolved type in full_name)
-    seed_imp = (nodes.filter((F.col("lang") == "javascript")
-                             & (F.col("kind") == M.IMPORT)
-                             & (F.col("canonical_name") != ""))
-                .select("path", F.col("canonical_name").alias("var"),
-                        F.col("full_name").alias("type")))
+    # ES import bindings (IMPORT nodes carry the resolved type in
+    # full_name). A RELATIVE import whose target module exists in the
+    # corpus is a ResolvedMember: instead of a dummy "module:member" seed,
+    # the exporting module's recovered types flow across (rel_links below;
+    # TypeRecoveryPassTests "recovering module members across modules").
+    imports = (nodes.filter((F.col("lang") == "javascript")
+                            & (F.col("kind") == M.IMPORT)
+                            & (F.col("canonical_name") != ""))
+               .select("path", F.col("canonical_name").alias("var"),
+                       F.col("full_name").alias("type"))
+               .withColumn("mod", F.split("type", ":").getItem(0))
+               .withColumn("dir", F.regexp_extract("path",
+                                                   r"^(.*)/[^/]*$", 1))
+               .withColumn("tgt", F.element_at(
+                   F.split(F.col("mod"), "/"), -1)))
+    file_stems = (nodes.filter(F.col("lang") == "javascript")
+                  .select("path").distinct()
+                  .withColumn("dir", F.regexp_extract("path",
+                                                      r"^(.*)/[^/]*$", 1))
+                  .withColumn("tgt", F.regexp_replace(
+                      F.regexp_extract("path", r"([^/]+)$", 1),
+                      r"\.[A-Za-z0-9]+$", ""))
+                  .select(F.col("path").alias("src_path"), "dir", "tgt"))
+    rel_imports = imports.filter(F.col("mod").startswith("."))
+    rel_links = (rel_imports.join(F.broadcast(file_stems), ["dir", "tgt"])
+                 .select(F.col("path").alias("imp_path"), "var", "src_path")
+                 .localCheckpoint(eager=True))
+    seed_imp = (imports.join(rel_links.select(
+                    F.col("imp_path").alias("path"), "var",
+                    F.lit(True).alias("resolved")), ["path", "var"], "left")
+                .filter(F.col("resolved").isNull())
+                .select("path", "var", "type"))
 
     # literal builtins
     lit_type = F.when(F.col("rhs_code").rlike(r"^['\"`]"), "__ecma.String") \
@@ -149,6 +185,12 @@ def _recover(nodes: DataFrame, iterations: int = 2
                 .select("path", F.concat_ws(".", "var", "fld").alias("var"),
                         "type"))
 
+    # identifier aliasing: `let d = db` copies the source's types
+    ident_edges = (askel.filter((F.col("rhs_kind") == M.IDENTIFIER)
+                                & (F.col("rhs_name") != F.col("var")))
+                   .select("path", "var",
+                           F.col("rhs_name").alias("src_var")))
+
     # destructured-require members: `v = <fieldAccess>(b, f)` — propagate a
     # single bare-module base type to v
     fa_assign = (askel.filter((F.col("rhs_kind") == M.CALL)
@@ -165,8 +207,17 @@ def _recover(nodes: DataFrame, iterations: int = 2
     # Catalyst plan geometrically (measured: >170 M-char plan strings at 2
     # iterations). Eager localCheckpoint per iteration keeps the plan flat,
     # same pattern as the CC loop in plans/pipeline.py.
+    # builtin globals, seeded per file (tiny dimension: |files| x |table|)
+    paths = (nodes.filter(F.col("lang") == "javascript")
+             .select("path").distinct())
+    builtins_df = paths.sparkSession.createDataFrame(
+        list(JS_GLOBAL_BUILTINS.items()), "var string, type string")
+    seed_builtin = paths.crossJoin(F.broadcast(builtins_df)).select(
+        "path", "var", "type")
+
     st = (seed_req.unionByName(seed_imp).unionByName(seed_lit)
           .unionByName(seed_arr).unionByName(seed_obj)
+          .unionByName(seed_builtin)
           .distinct().localCheckpoint(eager=True))
 
     # member-call receivers: call -> base ARGUMENT(0) identifier name
@@ -187,6 +238,20 @@ def _recover(nodes: DataFrame, iterations: int = 2
         st = st.unionByName(
             new_edges.join(st.withColumnRenamed("var", "tname"),
                            ["path", "tname"])
+            .select("path", "var", "type")).distinct()
+        # cross-module resolved imports: the exporter's types flow to the
+        # importing file's binding
+        st = st.unionByName(
+            rel_links.join(st.withColumnRenamed("path", "src_path"),
+                           ["src_path", "var"])
+            .select(F.col("imp_path").alias("path"), "var", "type")
+        ).distinct()
+        # identifier aliasing within a file
+        st = st.unionByName(
+            ident_edges.join(
+                st.select(F.col("path").alias("path"),
+                          F.col("var").alias("src_var"),
+                          "type"), ["path", "src_var"])
             .select("path", "var", "type")).distinct()
         # destructured-require propagation (single bare-module base only)
         bare = (st.groupBy("path", F.col("var").alias("bvar"))
@@ -229,8 +294,11 @@ def _recover(nodes: DataFrame, iterations: int = 2
         ret = (ret_lhs.join(rw.select(F.col("id").alias("rhs_id"), "rec_mfn"),
                             "rhs_id")
                .select("path", "var",
-                       F.concat(F.col("rec_mfn"),
-                                F.lit(":" + RETURN_VALUE)).alias("type")))
+                       F.when(F.col("rec_mfn").startswith("__ecma.Math:"),
+                              F.lit("__ecma.Number"))
+                       .otherwise(F.concat(F.col("rec_mfn"),
+                                           F.lit(":" + RETURN_VALUE)))
+                       .alias("type")))
         st = (st.unionByName(ret).distinct()
               .localCheckpoint(eager=True))
     return rewrites.select("id", "rec_mfn"), st

@@ -173,6 +173,15 @@ def expected_dynamic_calls() -> list[tuple[str, str, str, str]]:
     return sorted(out)
 
 
+JS_GLOBAL_BUILTINS = {
+    "console": "__whatwg.console",
+    "Math": "__ecma.Math",
+    "JSON": "__ecma.JSON",
+    "Number": "__ecma.Number",
+    "Promise": "__ecma.Promise",
+}
+
+
 def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]:
     """(node_idx -> recovered methodFullName, var -> ordered type hints) —
     the sequential mirror of operators.typerecovery.js_mfn_rewrites:
@@ -205,10 +214,31 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
         if ty not in lst:
             lst.append(ty)
 
-    # ES import / require IMPORT-node seeds (full_name = resolved type)
+    # ES import / require IMPORT-node seeds (full_name = resolved type).
+    # A RELATIVE import whose target module exists in the corpus is a
+    # ResolvedMember: the exporting module's recovered types flow through
+    # the shared symbol table instead of a dummy "module:member" type
+    # (TypeRecoveryPassTests "recovering module members across modules")
+    stems: dict[str, set[str]] = {}
+    for r in rows:
+        pth = r.get("path") or ""
+        d, _, b = pth.rpartition("/")
+        stems.setdefault(d, set()).add(b.rsplit(".", 1)[0])
     for r in rows:
         if r["kind"] == M.IMPORT and r.get("canonical_name"):
+            mod = r["full_name"].split(":", 1)[0]
+            if mod.startswith("."):
+                d = (r.get("path") or "").rpartition("/")[0]
+                tgt = mod.rstrip("/").split("/")[-1]
+                if tgt in stems.get(d, ()):
+                    continue
             add(r["canonical_name"], r["full_name"])
+
+    # global builtin receivers (jssrc2cpg GlobalBuiltins;
+    # TypeRecoveryPassTests "recovering paths for built-in calls":
+    # console.log -> __whatwg.console:log, Math.abs -> __ecma.Math:abs)
+    for gname, gty in JS_GLOBAL_BUILTINS.items():
+        add(gname, gty)
 
     assigns = []
     for r in rows:
@@ -272,6 +302,13 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
         for var, tname in news:
             for ty in st.get(tname, []):
                 add(var, ty)
+        # identifier aliasing: `let d = db` copies the source's types
+        # (TypeRecoveryPassTests "resolve 'foo.d' field access object
+        # types correctly")
+        for var, rh in assigns:
+            if rh["kind"] == M.IDENTIFIER and rh["name"] != var:
+                for ty in st.get(rh["name"], []):
+                    add(var, ty)
         # destructured-require members: `v = _tmp.g` on a bare-module base
         for var, rh in assigns:
             if rh["kind"] == M.CALL and rh["name"] == M.OP_FIELD_ACCESS:
@@ -291,7 +328,13 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
                 rec[r["node_idx"]] = f"{tys[0]}:{r['name']}"
         for var, rh in assigns:
             if rh["node_idx"] in rec:
-                add(var, rec[rh["node_idx"]] + ":<returnValue>")
+                mfn = rec[rh["node_idx"]]
+                if mfn.startswith("__ecma.Math:"):
+                    # Math methods return Numbers (TypeRecoveryPassTests:
+                    # `let x = Math.abs(-1)` -> x typed __ecma.Number)
+                    add(var, "__ecma.Number")
+                else:
+                    add(var, mfn + ":<returnValue>")
     return rec, st
 
 

@@ -149,11 +149,19 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
 # Pure-Python fact extraction (one case, sequential).
 # --------------------------------------------------------------------------- #
 
-def _parse_rows(case: dict) -> list[dict]:
+def case_sources(case: dict) -> list[tuple[str, str]]:
+    """(path, content) pairs — multi-file fixtures (the reference's
+    `moreCode`) declare `files=[(relname, content), ...]`; single-file
+    cases keep the name-derived path."""
+    files = case.get("files")
+    if not files:
+        return [(case_path(case), case_content(case))]
+    base = case["name"]
+    return [(f"{base}/{rel}", content) for rel, content in files]
+
+
+def _parse_one(lang: str, path: str, content: str) -> list[dict]:
     from joern_spark.frontends.astnode import flatten_file
-    lang = case["lang"]
-    content = case_content(case)
-    path = case_path(case)
     if lang in ("c", "cpp"):
         from joern_spark.frontends.clike import parse_c_file
         roots = parse_c_file("parity", path, "f" * 40, lang, content)
@@ -164,6 +172,24 @@ def _parse_rows(case: dict) -> list[dict]:
         from joern_spark.frontends.javasrc import parse_java_file
         roots = parse_java_file("parity", path, "f" * 40, content)
     return flatten_file("parity", path, "f" * 40, lang, content, roots)
+
+
+def _parse_rows(case: dict) -> list[dict]:
+    lang = case["lang"]
+    out: list[dict] = []
+    base = 0
+    for path, content in case_sources(case):
+        rows = _parse_one(lang, path, content)
+        if base:
+            for r in rows:
+                r["node_idx"] += base
+                for k in ("parent_idx", "method_idx", "ref_idx"):
+                    if r.get(k) is not None and r[k] >= 0:
+                        r[k] += base
+        if rows:
+            base = max(r["node_idx"] for r in rows) + 1
+        out += rows
+    return out
 
 
 def display_code(r: dict) -> str:

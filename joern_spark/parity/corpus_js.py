@@ -2310,3 +2310,82 @@ CASES += [
               ("foo.bar.MyClass", 0): ["foo.bar", "MyClass"]},
          cite=_JSC_CITE + ":273-312"),
 ]
+
+# ------------------------------------------------------------------- #
+# TypeRecoveryPassTests.scala — import-seeded recovery, builtins, dummy
+# return values, cross-module member resolution (multi-file).
+# ------------------------------------------------------------------- #
+TRP = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/"
+       "TypeRecoveryPassTests.scala")
+
+CASES += [
+    dict(
+        name="js-typerec-external-type", lang="javascript", wrap=False,
+        code="""
+import { WebClient } from "slack_sdk";
+import { SendGridAPIClient } from "sendgrid";
+
+const client = new WebClient("WOLOLO");
+const sg = new SendGridAPIClient("SENGRID_KEY_WOLOLO");
+
+function sendSlackMessage(chan, msg) {
+    client.chatPostMessage(channel=chan, text=msg);
+}
+
+let response = sg.send(message);
+""",
+        typerec=[["id:client", "slack_sdk:WebClient"],
+                 ["id:sg", "sendgrid:SendGridAPIClient"],
+                 ["id:response",
+                  "sendgrid:SendGridAPIClient:send:<returnValue>"],
+                 ["sg.send(message)", "sendgrid:SendGridAPIClient:send"],
+                 ["client.chatPostMessage(channel=chan, text=msg)",
+                  "slack_sdk:WebClient:chatPostMessage"]],
+        cite=f"{TRP}:42-98",
+    ),
+    dict(
+        name="js-typerec-builtins", lang="javascript", wrap=False,
+        code="""
+console.log("Hello world");
+let x = Math.abs(-1);
+""",
+        typerec=[["console.log(\"Hello world\")", "__whatwg.console:log"],
+                 ["Math.abs(-1)", "__ecma.Math:abs"],
+                 ["id:x", "__ecma.Number"]],
+        cite=f"{TRP}:100-114",
+    ),
+    dict(
+        name="js-typerec-cross-module", lang="javascript", wrap=False,
+        files=[("Foo.ts", """
+import { SQLAlchemy } from "flask_sqlalchemy";
+
+export const x = 1;
+export const y = "test";
+export const db = new SQLAlchemy();
+"""), ("Bar.ts", """
+import { x, y, db } from './Foo';
+
+let z = x;
+z = y;
+
+let d = db;
+
+d.createTable()
+
+db.deleteTable();
+""")],
+        # the resolved relative import flows the exporter's types across:
+        # x/y primitives, db's object type, z multi-hint, d single
+        # (:117-205)
+        typerec=[["id:x", "__ecma.Number"],
+                 ["id:y", "__ecma.String"],
+                 ["id:db", "flask_sqlalchemy:SQLAlchemy"],
+                 ["id:z", "__ecma.Number,__ecma.String"],
+                 ["id:d", "flask_sqlalchemy:SQLAlchemy"],
+                 ["d.createTable()",
+                  "flask_sqlalchemy:SQLAlchemy:createTable"],
+                 ["db.deleteTable()",
+                  "flask_sqlalchemy:SQLAlchemy:deleteTable"]],
+        cite=f"{TRP}:117-205",
+    ),
+]

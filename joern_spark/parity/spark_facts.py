@@ -25,9 +25,10 @@ from joern_spark import parity as P
 
 
 def corpus_source(spark: SparkSession) -> DataFrame:
-    rows = [("parity", P.case_path(c), "f" * 40,
-             "cpp" if c["lang"] == "cpp" else c["lang"], P.case_content(c))
-            for c in P.corpus()]
+    rows = [("parity", path, "f" * 40,
+             "cpp" if c["lang"] == "cpp" else c["lang"], content)
+            for c in P.corpus()
+            for path, content in P.case_sources(c)]
     return spark.createDataFrame(rows, M.SOURCE_SCHEMA)
 
 
@@ -88,12 +89,17 @@ def spark_facts(spark: SparkSession) -> DataFrame:
     nodes = with_ids(parse_source(src)).filter(F.col("parse_error") == "")
     nodes = nodes.localCheckpoint(eager=True)  # tiny; parsed once
 
-    case_of = F.regexp_replace(F.col("path"), r"\.(c|cpp|java|js)$", "")
+    # multi-file fixtures name their paths `<case>/<relname>`; the case
+    # key strips the per-file suffix (mirror of P.case_sources)
+    case_of = F.regexp_replace(
+        F.regexp_replace(F.col("path"), r"/.*$", ""),
+        r"\.(c|cpp|java|js)$", "")
     base = nodes.withColumn("kase", case_of).withColumn("dc", _display_code())
 
     cfgn = base.filter(~F.col("kind").isin(*P.NON_CFG_KINDS))
-    w_plain = Window.partitionBy("kase", "dc").orderBy("node_idx")
-    w_kind = Window.partitionBy("kase", "dc", "kind").orderBy("node_idx")
+    w_plain = Window.partitionBy("kase", "dc").orderBy("path", "node_idx")
+    w_kind = Window.partitionBy("kase", "dc", "kind").orderBy("path",
+                                                              "node_idx")
     keyed = (cfgn.withColumn("i_plain", F.row_number().over(w_plain) - 1)
              .withColumn("i_kind", F.row_number().over(w_kind) - 1))
     # every CFG node addressed in both spellings (plain + kind-qualified),
@@ -250,9 +256,9 @@ def spark_facts(spark: SparkSession) -> DataFrame:
     kase_of_path = base.select("lang", "kase", "path").distinct()
     out.append(
         st.filter(~F.col("var").startswith("_tmp_"))
-        .groupBy("path", "var")
-        .agg(F.concat_ws(",", F.sort_array(F.collect_set("type"))).alias("obj"))
         .join(kase_of_path, "path")
+        .groupBy("lang", "kase", "var")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_set("type"))).alias("obj"))
         .select("lang", "kase", F.lit("typerec").alias("relation"),
                 F.concat(F.lit("id:"), F.col("var")).alias("subj"), "obj"))
 
