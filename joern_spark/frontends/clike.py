@@ -966,6 +966,21 @@ class CParser:
             self.next()
         self.cpp_members.pop()
         self.ns.pop()
+        # unqualified member calls inside the class body resolve to the
+        # class's own methods — bodies may call members declared LATER, so
+        # fix up after the whole class parses (c2cpg CallTest 5:
+        # `b()` inside A.a -> A.b:void())
+        table = self.cpp_class_methods.get(full, {})
+        if table:
+            def _fix(n: "N") -> None:
+                if n.kind == M.CALL and n.method_full_name == n.name \
+                        and "." not in n.name and n.name in table:
+                    fn, sig, _rty = table[n.name]
+                    n.method_full_name = fn
+                    n.signature = sig
+                for c in n.children:
+                    _fix(c)
+            _fix(decl)
         return decl
 
     def parse_class_member(self, class_full: str):
@@ -1273,6 +1288,12 @@ class CParser:
                    ast_parent_type=parent_type, ast_parent_full_name=parent_full)
         if self.lang == "cpp" and class_full is None and "." not in name:
             self.cpp_free_funcs.setdefault(name, (full_name, signature))
+            # namespaced free functions also key under the qualified
+            # spelling so `NNN::foo(1)` resolves (c2cpg CallTests
+            # "stand alone method (CPP)")
+            q = full_name.rsplit(":", 1)[0] if ":" in full_name else full_name
+            if q != name:
+                self.cpp_free_funcs.setdefault(q, (full_name, signature))
         if self.lang == "cpp" and class_full:
             self.cpp_class_methods.setdefault(
                 class_full.rstrip("."), {})[name] = (full_name, signature,
@@ -2087,6 +2108,13 @@ class CParser:
             node = lit
         elif t.v == "this":
             node = self.this_expr(t)
+        elif t.v == "::" and self.peek() is not None \
+                and self.peek().t == "id":
+            # global-namespace qualifier `::square(10)` — the name is the
+            # unqualified global (c2cpg CallTest 3)
+            t = self.next()
+            node = N(M.IDENTIFIER, code=t.v, name=t.v, line=t.line,
+                     type_full_name=M.ANY)
         elif t.t == "id" or t.t == "kw":
             name = t.v
             if self.at("::"):
@@ -2339,6 +2367,15 @@ class CParser:
                 info = self.cpp_free_funcs.get(name)
                 if info is not None:
                     full, sig = info
+                elif "." in name:
+                    # qualified member call `A::square(10)` resolves
+                    # through the class-method table (c2cpg CallTest 4:
+                    # A.square:int(int))
+                    cls, _, mname = name.rpartition(".")
+                    cand = self.declared_types.get(cls, cls)
+                    m = self.cpp_class_methods.get(cand, {}).get(mname)
+                    if m is not None:
+                        full, sig = m[0], m[1]
             disp_name = name if name.startswith(M.OP) else name.split(".")[-1]
             call = N(M.CALL, code=self.slice(start, close), name=disp_name,
                      method_full_name=full, signature=sig,

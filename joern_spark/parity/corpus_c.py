@@ -1396,3 +1396,113 @@ int main() {
         cite=f"{CAP}:1422-1443",
     ),
 ]
+
+# ------------------------------------------------------------------- #
+# c2cpg CallTests.scala — call fullnames/signatures across C and C++
+# qualification forms.
+# ------------------------------------------------------------------- #
+CCT = "c2cpg/src/test/scala/io/joern/c2cpg/passes/ast/CallTests.scala"
+
+CASES += [
+    dict(
+        name="c-calltest-1", lang="c", wrap=False,
+        code="""
+int add(int x, int y) {
+  return x + y;
+}
+int main(int argc, char **argv) {
+  printf("%d\\n", add((1+2), 3));
+}
+""",
+        callmfn=[["add", "add"], ["printf", "printf"],
+                 ["<operator>.addition", "<operator>.addition"]],
+        ast={"add((1+2), 3)": ["1+2", "3"]},
+        calls=[["main", "add"], ["main", "printf"]],
+        cite=f"{CCT}:14-69 (CallTest 1)",
+    ),
+    dict(
+        name="cpp-calltest-global-qual", lang="cpp", wrap=False,
+        code="""
+int square(int num) {
+    return num * num;
+}
+void call_square() {
+    ::square(10);
+}
+""",
+        methods=[["square", "square:int(int)"],
+                 ["call_square", "call_square:void()"]],
+        callmfn=[["square", "square:int(int)"],
+                 ["<operator>.multiplication", "<operator>.multiplication"]],
+        cite=f"{CCT}:121-134 (CallTest 3)",
+    ),
+    dict(
+        name="cpp-calltest-static-class", lang="cpp", wrap=False,
+        code="""
+class A {
+  public:
+    static int square(int num) {
+      return num * num;
+    }
+};
+
+void call_square() {
+  A::square(10);
+}
+""",
+        methods=[["square", "A.square:int(int)"],
+                 ["call_square", "call_square:void()"]],
+        callmfn=[["square", "A.square:int(int)"],
+                 ["<operator>.multiplication", "<operator>.multiplication"]],
+        cite=f"{CCT}:136-156 (CallTest 4)",
+    ),
+    dict(
+        name="cpp-calltest-member-unqualified", lang="cpp", wrap=False,
+        code="""
+class A {
+  void a() {
+    b();
+  }
+  void b() {}
+};
+""",
+        methods=[["b", "A.b:void()"], ["a", "A.a:void()"]],
+        callmfn=[["b", "A.b:void()"]],
+        cite=f"{CCT}:158-177 (CallTest 5)",
+    ),
+    dict(
+        name="cpp-calltest-namespaced-member", lang="cpp", wrap=False,
+        code="""
+namespace NNN {
+  class A {
+    public:
+      void foo(int a){}
+  };
+}
+
+void outer() {
+  NNN::A a;
+  a.foo(1);
+}
+""",
+        methods=[["foo", "NNN.A.foo:void(int)"]],
+        callmfn=[["foo", "NNN.A.foo:void(int)"]],
+        ast={"a.foo(1)": ["a", "1"]},
+        cite=f"{CCT}:207-272 ('Successfully typed calls' member forms)",
+    ),
+    dict(
+        name="cpp-calltest-namespaced-free", lang="cpp", wrap=False,
+        code="""
+namespace NNN {
+  void foo(int a){}
+}
+
+void outer() {
+  NNN::foo(1);
+}
+""",
+        methods=[["foo", "NNN.foo:void(int)"]],
+        callmfn=[["foo", "NNN.foo:void(int)"]],
+        cite=f"{CCT}:274-299",
+    ),
+]
