@@ -1318,7 +1318,13 @@ class CParser:
             if pname:
                 self.declare(pname, p)
         if body == "parse":
-            blk = self.parse_compound()
+            if not hasattr(self, "cpp_method_stack"):
+                self.cpp_method_stack = []
+            self.cpp_method_stack.append(name)
+            try:
+                blk = self.parse_compound()
+            finally:
+                self.cpp_method_stack.pop()
             method.add(blk)
             method.line_end = blk.line_end
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=ret_ty,
@@ -2133,9 +2139,104 @@ class CParser:
             else:
                 self.on_unresolved_identifier(node)
             node = self.identifier_expr(node)
+        elif t.v == "[" and self.lang == "cpp":
+            node = self.parse_cpp_lambda(t)
         else:
             raise ParseError(f"unexpected token {t.v!r} in expression at line {t.line}")
         return self.parse_postfix_ops(node, t)
+
+    def parse_cpp_lambda(self, open_tok: "Tok") -> "N":
+        """C++ lambda `[captures](params) [mutable] [-> ret] { body }` —
+        METHOD named `<lambda>N` with the reference's fullname scheme
+        `{path}:<global>.{enclosing}.<lambda>N:{sig}`; explicit captures
+        become LOCALs at the body start; the expression value is a
+        METHOD_REF (c2cpg LambdaExpressionTests)."""
+        captures: list[str] = []
+        while self.peek() is not None and not self.at("]"):
+            tok = self.next()
+            if tok.t == "id":
+                captures.append(tok.v)
+        if self.at("]"):
+            self.next()
+        params: list[tuple[str, str, str]] = []  # (type, name, raw)
+        if self.at("("):
+            self.next()
+            while self.peek() is not None and not self.at(")"):
+                p0 = self.peek()
+                pty = self.parse_type()
+                pname = ""
+                if self.peek() is not None and self.peek().t == "id":
+                    pname = self.next().v
+                p1 = self.toks[self.pos - 1]
+                params.append((pty, pname, self.src[p0.a:p1.b].strip()))
+                if self.at(","):
+                    self.next()
+            if self.at(")"):
+                self.next()
+        while self.at_any(("mutable", "constexpr", "noexcept")):
+            self.next()
+        ret_ty = M.ANY
+        if self.at("->"):
+            self.next()
+            ret_ty = self.parse_type()
+        self.cpp_lambda_n = getattr(self, "cpp_lambda_n", 0)
+        lam = f"{M.LAMBDA_PREFIX}{self.cpp_lambda_n}"
+        self.cpp_lambda_n += 1
+        sig = f"{ret_ty}({','.join(p[0] for p in params)})"
+        # global_block already spells "{path}:<global>"
+        encl = ".".join([self.global_block] + [p for p in self.ns if p]
+                        + getattr(self, "cpp_method_stack", []))
+        full = f"{encl}.{lam}:{sig}"
+        method = N(M.METHOD, code="<lambda>", name=lam, full_name=full,
+                   signature=sig, line=open_tok.line,
+                   ast_parent_type=M.METHOD,
+                   ast_parent_full_name=encl)
+        self.push_scope()
+        # explicit captures become LOCALs at the body start, typed from
+        # the captured declaration when known
+        cap_locals: list[N] = []
+        for cname in captures:
+            d = self.lookup(cname)
+            loc = N(M.LOCAL, code=cname, name=cname,
+                    type_full_name=(d.type_full_name if d is not None
+                                    else M.ANY), line=open_tok.line)
+            cap_locals.append(loc)
+            self.declare(cname, loc)
+        for i, (pty, pname, raw) in enumerate(params, start=1):
+            p = N(M.METHOD_PARAMETER_IN, code=raw, name=pname,
+                  type_full_name=pty, param_index=i, line=open_tok.line,
+                  evaluation_strategy=M.BY_VALUE)
+            method.add(p)
+            if pname:
+                self.declare(pname, p)
+        if self.at("{"):
+            blk = self.parse_compound()
+        else:
+            blk = N(M.BLOCK, code="", line=open_tok.line,
+                    type_full_name="void")
+        blk.children[:0] = cap_locals
+        method.add(blk)
+        if ret_ty == M.ANY:
+            # inferred return type from a literal/typed return expression
+            # (LambdaExpressionTests "different return type annotations":
+            # `[] () { return 1; }` -> int())
+            for st_node in blk.children:
+                if st_node.kind == M.RETURN and st_node.children:
+                    t0 = st_node.children[0].type_full_name
+                    if t0 and t0 != M.ANY:
+                        ret_ty = t0
+                        break
+            sig = f"{ret_ty}({','.join(p[0] for p in params)})"
+            full = f"{encl}.{lam}:{sig}"
+            method.full_name = full
+            method.signature = sig
+        method.add(N(M.METHOD_RETURN, code="RET", type_full_name=ret_ty,
+                     evaluation_strategy=M.BY_VALUE, line=open_tok.line))
+        self.pop_scope()
+        ref = N(M.METHOD_REF, code="<lambda>", method_full_name=full,
+                type_full_name=full, line=open_tok.line)
+        ref.add(method)
+        return ref
 
     def parse_postfix_ops(self, node: N, start: Tok) -> N:
         while True:

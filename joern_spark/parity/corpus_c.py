@@ -1506,3 +1506,64 @@ void outer() {
         cite=f"{CCT}:274-299",
     ),
 ]
+
+# ------------------------------------------------------------------- #
+# LambdaExpressionTests.scala — C++ lambdas: fullname scheme
+# `{path}:<global>.{enclosing}.<lambda>N:{sig}` (the reference fixture
+# file is Test0.cpp; these transcriptions substitute the case-derived
+# path, scheme otherwise identical), capture locals, return inference.
+# ------------------------------------------------------------------- #
+CLE = "c2cpg/src/test/scala/io/joern/c2cpg/passes/ast/LambdaExpressionTests.scala"
+
+CASES += [
+    dict(
+        name="cpp-lambda-argument", lang="cpp", wrap=False,
+        code="""
+class Foo {
+  public:
+    string getFromSupplier(string input, std::function<string(string)>& mapper) {
+      return mapper.apply(input);
+    }
+
+    void foo(string input, string fallback) {
+      getFromSupplier(
+        input,
+        [fallback] (string lambdaInput) -> string { return lambdaInput.length() > 5 ? "Long" : fallback; }
+      );
+    }
+};
+""",
+        methods=[["<lambda>0", "cpp-lambda-argument.cpp:<global>.Foo.foo"
+                               ".<lambda>0:string(string)"]],
+        params=[["<lambda>0.lambdaInput", "1:string:BY_VALUE"]],
+        paramcode=[["<lambda>0.lambdaInput", "string lambdaInput"]],
+        # captured `fallback` becomes a LOCAL at the body start (:68-89)
+        locals=[["<lambda>0.fallback", "fallback|string"]],
+        cite=f"{CLE}:15-115 (fullname path substituted for Test0.cpp)",
+    ),
+    dict(
+        name="cpp-lambda-return-annotations", lang="cpp", wrap=False,
+        code="""
+void foo() {
+  auto l1 = [] () -> int { return 1; };
+  auto l2 = [] () { return 1; };
+  auto l3 = [] () -> unknown { return bar(); };
+  auto l4 = [] () mutable -> int { return 1; };
+  auto l5 = [] () mutable { return 1; };
+}
+""",
+        methods=[
+            ["<lambda>0", "cpp-lambda-return-annotations.cpp:<global>"
+                          ".foo.<lambda>0:int()"],
+            ["<lambda>1", "cpp-lambda-return-annotations.cpp:<global>"
+                          ".foo.<lambda>1:int()"],
+            ["<lambda>2", "cpp-lambda-return-annotations.cpp:<global>"
+                          ".foo.<lambda>2:unknown()"],
+            ["<lambda>3", "cpp-lambda-return-annotations.cpp:<global>"
+                          ".foo.<lambda>3:int()"],
+            ["<lambda>4", "cpp-lambda-return-annotations.cpp:<global>"
+                          ".foo.<lambda>4:int()"],
+            ["foo", "foo:void()"]],
+        cite=f"{CLE}:117-137 (fullname path substituted)",
+    ),
+]
