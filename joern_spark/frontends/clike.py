@@ -1409,6 +1409,12 @@ class CParser:
     def parse_label(self) -> list[N]:
         label_tok = self.next()
         self.expect(":")
+        if self.at("}"):
+            # trailing label with no statement (`foo: }` —
+            # c2cpg ControlStructureTest1's goto target)
+            jt = N(M.JUMP_TARGET, code=f"{label_tok.v}:",
+                   name=label_tok.v, line=label_tok.line)
+            return [jt]
         inner = self.parse_statement()
         # code spans `label: <stmt>` — matches CDT rawSignature of the label stmt
         end_tok = self.toks[self.pos - 1]

@@ -1567,3 +1567,129 @@ void foo() {
         cite=f"{CLE}:117-137 (fullname path substituted)",
     ),
 ]
+
+# ------------------------------------------------------------------- #
+# c2cpg ast/ControlStructureTests.scala — structure identification and
+# implicit condition wraps.
+# ------------------------------------------------------------------- #
+CCS = ("c2cpg/src/test/scala/io/joern/c2cpg/passes/ast/"
+       "ControlStructureTests.scala")
+
+CASES += [
+    dict(
+        name="c-cstest-1", lang="c", wrap=False,
+        code="""
+void foo(int x, int y) {
+ try {
+    goto foo;
+    foo:
+ } catch(exc_t exc) {
+ }
+
+ for(int i = 0; i < 10; i++) {
+     if (x > y) {
+     continue;
+    }
+    while(y++ < x) {
+     printf("foo\\n");
+   }
+ }
+
+switch(y) {
+  case 1:
+   printf("bar\\n");
+   break;
+  default:
+};
+
+ int i = 0;
+ do {
+   i++;
+ } while(i < 11);
+}
+""",
+        # every control-structure kind identified with its condition
+        # (:46-84); goto/break/continue keep the raw `...;` code
+        cs=[["foo:TRY", "try"], ["foo:CATCH", "catch"],
+            ["foo:GOTO", "goto foo;"], ["foo:BREAK", "break;"],
+            ["foo:CONTINUE", "continue;"], ["foo:IF", "if (x > y)"],
+            ["foo:FOR", "for"], ["foo:WHILE", "while (y++ < x)"],
+            ["foo:DO", "do"], ["foo:SWITCH", "switch (y)"]],
+        cscond=[["foo:IF", "x > y"], ["foo:FOR", "i < 10"],
+                ["foo:WHILE", "y++ < x"], ["foo:DO", "i < 11"],
+                ["foo:SWITCH", "y"]],
+        cite=f"{CCS}:12-84 (ControlStructureTest1)",
+    ),
+    dict(
+        name="c-cstest-multi-init", lang="c", wrap=False,
+        code="""
+void foo() {
+  for (int x=1,y=1; x; --x) { bar(); };
+}
+""",
+        # for children: locals, init block [x=1, y=1], wrapped condition,
+        # update, body (:93-121)
+        locals=[["foo.x", "int x|int"], ["foo.y", "int y|int"]],
+        ast={("<empty>", 1): ["x=1", "y=1"],
+             "x=1": ["x", "1"], "y=1": ["y", "1"]},
+        cscond=[["foo:FOR", "x != 0"]],
+        cite=f"{CCS}:86-121 (ControlStructureTest2)",
+    ),
+    dict(
+        name="c-cstest-nonexpr-conditions", lang="c", wrap=False,
+        code="""
+void foo1() {
+  for (int x=1; x; --x) { bar(); };
+}
+void foo2() {
+  int x = 0;
+  do {
+    x++;
+   } while (x);
+}
+void foo3() {
+  int x = 0;
+  while (x) {
+    x++;
+  };
+}
+void foo4() {
+  int x = 0;
+  if (x) {
+    bar();
+  };
+}
+""",
+        # non-boolean conditions wrap into `x != 0` notEquals calls
+        # (:124-202)
+        cscond=[["foo1:FOR", "x != 0"], ["foo2:DO", "x != 0"],
+                ["foo3:WHILE", "x != 0"], ["foo4:IF", "x != 0"]],
+        ast={("x != 0", 0): ["x", "0"],
+             ("x != 0", 1): ["x", "0"],
+             ("x != 0", 2): ["x", "0"],
+             ("x != 0", 3): ["x", "0"]},
+        callmfn=[["<operator>.notEquals", "<operator>.notEquals"]],
+        cite=f"{CCS}:124-202 (ControlStructureTest3)",
+    ),
+    dict(
+        name="c-cstest-null-comparison", lang="c", wrap=False,
+        code="""
+struct foo { char member; };
+void foo() {
+  struct foo *x = malloc(sizeof(struct foo));
+  do {
+    foo_free(x);
+  } while(x);
+}
+void bar() {
+  struct foo *x = malloc(sizeof(struct foo));
+  do {
+    foo_free(x);
+  } while(x == NULL);
+}
+""",
+        # pointer conditions wrap as `x != NULL` (:204-237)
+        cscond=[["foo:DO", "x != NULL"], ["bar:DO", "x == NULL"]],
+        cite=f"{CCS}:204-237",
+    ),
+]
