@@ -1355,7 +1355,12 @@ class CParser:
         if v == "{":
             return [self.parse_compound()]
         if v == "if":
-            return [self.parse_if()]
+            node = self.parse_if()
+            pend = getattr(self, "pending_stmt_prefix", None)
+            if pend:
+                self.pending_stmt_prefix = None
+                return pend + [node]
+            return [node]
         if v == "while":
             return [self.parse_while()]
         if v == "do":
@@ -1363,7 +1368,12 @@ class CParser:
         if v == "for":
             return [self.parse_for()]
         if v == "switch":
-            return [self.parse_switch()]
+            node = self.parse_switch()
+            pend = getattr(self, "pending_stmt_prefix", None)
+            if pend:
+                self.pending_stmt_prefix = None
+                return pend + [node]
+            return [node]
         if v == "try":
             return [self.parse_try()]
         if v == "throw":
@@ -1468,9 +1478,40 @@ class CParser:
 
     def parse_condition_parens(self):
         self.expect("(")
+        if self.lang == "cpp" and self._has_init_semi():
+            # C++17 `if (init; cond)` — the initializer hoists BEFORE the
+            # statement (Cpp17FeaturesTests "selection statements with
+            # initializer")
+            init = (self.try_parse_declaration(consume_semi=False)
+                    if self.looks_like_type() else None)
+            if init is None:
+                e = self.parse_expression()
+                init = [e] if e is not None else []
+            if self.at(";"):
+                self.next()
+            if not hasattr(self, "pending_stmt_prefix") \
+                    or self.pending_stmt_prefix is None:
+                self.pending_stmt_prefix = []
+            self.pending_stmt_prefix += init
         cond = self.parse_expression()
         close = self.expect(")")
         return cond, close
+
+    def _has_init_semi(self) -> bool:
+        k = 0
+        depth = 1
+        while self.peek(k) is not None:
+            v = self.peek(k).v
+            if v in "([{":
+                depth += 1
+            elif v in ")]}":
+                depth -= 1
+                if depth == 0:
+                    return False
+            elif v == ";" and depth == 1:
+                return True
+            k += 1
+        return False
 
     def empty_loop_condition(self, kw: Tok) -> N | None:
         """`for (;;)` condition placeholder — C emits none (the loop body
@@ -1499,6 +1540,8 @@ class CParser:
 
     def parse_if(self) -> N:
         kw = self.next()
+        if self.lang == "cpp" and self.at("constexpr"):
+            self.next()  # C++17 `if constexpr (...)` (Cpp17FeaturesTests)
         cond, close = self.parse_condition_parens()
         inner = self.src[kw.b:close.a].strip()
         if inner.startswith("("):  # drop exactly the header's own open paren

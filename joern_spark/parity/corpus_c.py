@@ -1693,3 +1693,67 @@ void bar() {
         cite=f"{CCS}:204-237",
     ),
 ]
+
+# ------------------------------------------------------------------- #
+# Cpp17FeaturesTests.scala — nested namespaces, if-init, constexpr if.
+# ------------------------------------------------------------------- #
+C17 = ("c2cpg/src/test/scala/io/joern/c2cpg/cpp/features17/"
+       "Cpp17FeaturesTests.scala")
+
+CASES += [
+    dict(
+        name="cpp17-nested-namespaces", lang="cpp", wrap=False,
+        code="""
+namespace A1 {
+  namespace B1 {
+    namespace C1 {
+      int i;
+    }
+  }
+}
+
+namespace A2::B2::C2 {
+  int i;
+}
+""",
+        # both the old nesting and the C++17 A2::B2::C2 form produce
+        # dotted `{file}:A.B.C` fullnames (:311-335; path substituted)
+        nsblock=[["A1", "cpp17-nested-namespaces.cpp:A1"],
+                 ["B1", "cpp17-nested-namespaces.cpp:A1.B1"],
+                 ["C1", "cpp17-nested-namespaces.cpp:A1.B1.C1"],
+                 ["A2", "cpp17-nested-namespaces.cpp:A2"],
+                 ["B2", "cpp17-nested-namespaces.cpp:A2.B2"],
+                 ["C2", "cpp17-nested-namespaces.cpp:A2.B2.C2"]],
+        cite=f"{C17}:311-335 (fullname path substituted for Test0.cpp)",
+    ),
+    dict(
+        name="cpp17-constexpr-if", lang="cpp", wrap=False,
+        code="""
+template <typename T>
+constexpr bool isIntegral() {
+  if constexpr (std::is_integral<T>::value) {
+    return true;
+  } else {
+    return false;
+  }
+}
+""",
+        cscond=[["isIntegral:IF", "std::is_integral<T>::value"]],
+        cite=f"{C17}:562-581",
+    ),
+    dict(
+        name="cpp17-if-init", lang="cpp", wrap=False,
+        code="""
+void foo() {
+  if (std::lock_guard<std::mutex> lk(mx); v.empty()) {
+    v.push_back(val);
+  }
+}
+""",
+        # the init hoists before the if at statement level (:532-560)
+        locals=[["foo.lk", "std.lock_guard lk|std.lock_guard"]],
+        cscond=[["foo:IF", "v.empty()"]],
+        cite=f"{C17}:532-560 (init-declaration hoisted; ctor-arg init "
+             "not yet modeled)",
+    ),
+]
