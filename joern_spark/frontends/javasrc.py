@@ -714,7 +714,8 @@ class JavaParser(CParser):
             dotted = ".".join(parts)
             full = (self.imports.get(name) or self.declared_types.get(name)
                     or JAVA_LANG.get(name)
-                    or (dotted if len(parts) > 1 else name))
+                    or (dotted if len(parts) > 1
+                        else self.resolve_type(name)))
             ann = N(M.ANNOTATION, name=name, full_name=full, line=at_tok.line)
             code = f"@{dotted}"
             if self.at("("):
@@ -772,7 +773,11 @@ class JavaParser(CParser):
             elif t.v in (")", "}"):
                 depth -= 1
             toks.append(self.next().v)
-        src = " ".join(toks)
+        if first is not None and toks:
+            last = self.toks[self.pos - 1]
+            src = self.slice(first, last)
+        else:
+            src = " ".join(toks)
         if first is not None and first.t == "str" and len(toks) == 1:
             return src, src[1:-1]
         return src, src
@@ -828,9 +833,10 @@ class JavaParser(CParser):
     def parse(self) -> list[N]:
         self._prescan_type_decls()
         roots: list[N] = []
+        self._pending_anns: list[N] = []
         while self.peek() is not None:
             t = self.peek()
-            self.skip_annotations()
+            self._pending_anns += self.skip_annotations()
             if self.peek() is None:
                 break
             t = self.peek()
@@ -890,7 +896,8 @@ class JavaParser(CParser):
         return roots
 
     def parse_type_decl(self) -> N | None:
-        anns = self.skip_annotations()
+        anns = getattr(self, "_pending_anns", []) + self.skip_annotations()
+        self._pending_anns = []
         while self.at_any(MODIFIERS):
             self.next()
         t = self.peek()
@@ -1653,8 +1660,9 @@ class JavaParser(CParser):
         ret_targs = self.last_type_args
         params: list[tuple[str, str, str, bool]] = []
         targs_by_name: dict[str, list[str]] = {}
+        anns_by_name: dict[str, list] = {}
         while not self.at(")"):
-            self.skip_annotations()
+            p_anns = self.skip_annotations()
             while self.at("final"):
                 self.next()
             raw_pty = self.parse_java_type()
@@ -1674,6 +1682,10 @@ class JavaParser(CParser):
             params.append((pty, raw_pty, pname, variadic))
             if p_targs and pname:
                 targs_by_name[pname] = p_targs
+            if p_anns and pname:
+                # parameter annotations attach to the METHOD_PARAMETER_IN
+                # (AnnotationTests "parameter annotations")
+                anns_by_name[pname] = p_anns
             if self.at(","):
                 self.next()
         self.expect(")")
@@ -1712,6 +1724,8 @@ class JavaParser(CParser):
                   evaluation_strategy=(M.BY_VALUE if pty in JAVA_PRIMITIVES
                                        else M.BY_SHARING))
             method.add(p)
+            for a in anns_by_name.get(pname, ()):
+                p.add(a)
             if pname in targs_by_name:
                 self.decl_targs[id(p)] = targs_by_name[pname]
             if pname:

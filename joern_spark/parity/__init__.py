@@ -473,7 +473,8 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
             if r["kind"] == M.ANNOTATION:
                 p = by_idx.get(r["parent_idx"])
                 if p is not None and p["kind"] in (M.METHOD, M.TYPE_DECL,
-                                                   M.MEMBER):
+                                                   M.MEMBER,
+                                                   M.METHOD_PARAMETER_IN):
                     out.add(("annot", p["name"],
                              f'{r["name"]}|{r["full_name"]}|{r["code"]}'))
 

@@ -3656,3 +3656,90 @@ class Foo extends Unknown {
               "e.Unknown prefix matches its intent)"),
     ),
 ]
+
+CASES += [
+    dict(
+        name="java-annot-parameter", lang="java", wrap=False,
+        code="""
+import some.MarkerAnnotation;
+public class SomeClass {
+
+  void function(@MarkerAnnotation int x) {
+
+  }
+}
+""",
+        annot=[["x", "MarkerAnnotation|some.MarkerAnnotation"
+                     "|@MarkerAnnotation"]],
+        cite=f"{JQ}/AnnotationTests.scala:166-184",
+    ),
+    dict(
+        name="java-annot-field", lang="java", wrap=False,
+        code="""
+import some.MarkerAnnotation;
+public class SomeClass {
+  @MarkerAnnotation int x;
+}
+""",
+        annot=[["x", "MarkerAnnotation|some.MarkerAnnotation"
+                     "|@MarkerAnnotation"]],
+        cite=f"{JQ}/AnnotationTests.scala:186-202",
+    ),
+    dict(
+        name="java-annot-array-init", lang="java", wrap=False,
+        code="""
+import some.NormalAnnotation;
+public class SomeClass {
+
+  @NormalAnnotation(value = {"aaa", "bbb"})
+  void function() {
+
+  }
+}
+""",
+        annot=[["function", 'NormalAnnotation|some.NormalAnnotation'
+                            '|@NormalAnnotation(value = {"aaa", "bbb"})']],
+        annotkids=[['@NormalAnnotation(value = {"aaa", "bbb"})',
+                    'value = {"aaa", "bbb"}'],
+                   ['value = {"aaa", "bbb"}', "value"],
+                   ['value = {"aaa", "bbb"}', '{"aaa", "bbb"}']],
+        cite=f"{JQ}/AnnotationTests.scala:233-280",
+    ),
+    dict(
+        name="java-annot-nested", lang="java", wrap=False,
+        code="""
+import some.NormalAnnotation;
+import some.OtherAnnotation;
+public class SomeClass {
+
+  @NormalAnnotation(value = @OtherAnnotation)
+  void function() {
+
+  }
+}
+""",
+        annot=[["function", "NormalAnnotation|some.NormalAnnotation"
+                            "|@NormalAnnotation(value = @OtherAnnotation)"]],
+        annotkids=[["@NormalAnnotation(value = @OtherAnnotation)",
+                    "value = @OtherAnnotation"],
+                   ["value = @OtherAnnotation", "value"],
+                   ["value = @OtherAnnotation", "@OtherAnnotation"]],
+        cite=f"{JQ}/AnnotationTests.scala:282-310",
+    ),
+    dict(
+        name="java-annot-stacked-wildcard", lang="java", wrap=False,
+        code="""
+import a.Specific;
+import b.*;
+
+@Specific
+@Wildcard1
+@Wildcard2
+class Foo { }
+""",
+        annot=[["Foo", "Specific|a.Specific|@Specific"],
+               ["Foo", "Wildcard1|b.Wildcard1|@Wildcard1"],
+               ["Foo", "Wildcard2|b.Wildcard2|@Wildcard2"]],
+        cite=f"{JQ}/AnnotationTests.scala:312-340",
+    ),
+]

@@ -316,7 +316,7 @@ def spark_facts(spark: SparkSession) -> DataFrame:
 
     # annotation facts: owner-keyed node properties + the parameter tree
     owner_dim = base.filter(F.col("kind").isin(
-        M.METHOD, M.TYPE_DECL, M.MEMBER)).select(
+        M.METHOD, M.TYPE_DECL, M.MEMBER, M.METHOD_PARAMETER_IN)).select(
         F.col("id").alias("own_id"), F.col("name").alias("own_name"))
     out.append(
         base.filter(F.col("kind") == M.ANNOTATION)
