@@ -172,6 +172,13 @@ def _js_cooked(raw: str) -> str:
     return "".join(out)
 
 
+# TS primitive annotations -> reference type fullnames (Defines.scala)
+TS_PRIMS = {"number": "__ecma.Number", "string": "__ecma.String",
+            "boolean": "__ecma.Boolean", "any": "ANY",
+            "void": "void", "bigint": "__ecma.BigInt",
+            "symbol": "__ecma.Symbol"}
+
+
 class JsParser(CParser):
     MAX_TOKENS = 400_000
     # computed member access `a[b]` -> <operator>.indexAccess (jssrc
@@ -1281,15 +1288,40 @@ class JsParser(CParser):
                     self.declare("this", tp)
                     self.next()
                     i = 0
+                    prop_params: list[tuple[str, str, list[str]]] = []
                     while not self.at(")"):
+                        # TS parameter-property modifiers: the parameter
+                        # ALSO becomes a class member assigned in the ctor
+                        # (TsClassesAstCreationPassTests "parameter
+                        # properties")
+                        mods: list[str] = []
+                        while self.peek() is not None and self.peek().v in (
+                                "public", "protected", "private",
+                                "readonly") and self.peek(1) is not None \
+                                and self.peek(1).v not in (",", ")", ":"):
+                            mods.append(self.next().v.upper())
                         if self.peek() is not None and self.peek().t in ("id", "kw"):
                             i += 1
                             pn = self.next()
                             p = N(M.METHOD_PARAMETER_IN, code=pn.v, name=pn.v,
                                   param_index=i, type_full_name=M.ANY, line=pn.line,
                                   evaluation_strategy=M.BY_SHARING)
+                            pty = M.ANY
+                            if self.at(":"):  # TS type annotation
+                                self.next()
+                                tt = self.peek()
+                                self._skip_ts_annotation_tokens()
+                                if tt is not None:
+                                    pty = TS_PRIMS.get(tt.v, M.ANY)
+                                    if pty != M.ANY:
+                                        p.type_full_name = pty
+                            if self.at("="):
+                                self.next()
+                                self._skip_assignment_expr_tokens()
                             method.add(p)
                             self.declare(pn.v, p)
+                            if mods:
+                                prop_params.append((pn.v, pty, mods))
                         elif self.at(","):
                             pass
                         else:
@@ -1299,6 +1331,40 @@ class JsParser(CParser):
                             self.next()
                     self.next()
                     mbody = self.parse_compound()
+                    if prop_params and mname == M.CONSTRUCTOR:
+                        assigns = []
+                        for pname2, pty2, mods2 in prop_params:
+                            mem = N(M.MEMBER, code=pname2, name=pname2,
+                                    type_full_name=pty2, line=mt.line)
+                            for md in mods2:
+                                mem.add(N(M.MODIFIER, code=md, name=md,
+                                          line=mt.line))
+                            decl.add(mem)
+                            this_id = N(M.IDENTIFIER, code="this",
+                                        name="this", type_full_name=full,
+                                        line=mt.line, arg_index=1)
+                            this_id.ref_target = tp
+                            fld = N(M.FIELD_IDENTIFIER, code=pname2,
+                                    name=pname2, canonical_name=pname2,
+                                    line=mt.line, arg_index=2)
+                            fa = N(M.CALL, code=f"this.{pname2}",
+                                   name=M.OP_FIELD_ACCESS,
+                                   method_full_name=M.OP_FIELD_ACCESS,
+                                   dispatch_type=M.STATIC_DISPATCH,
+                                   type_full_name=pty2, arg_index=1,
+                                   line=mt.line)
+                            fa.add(this_id, fld)
+                            rhs = N(M.IDENTIFIER, code=pname2, name=pname2,
+                                    type_full_name=pty2, line=mt.line,
+                                    arg_index=2)
+                            asg = N(M.CALL, code=f"this.{pname2} = {pname2}",
+                                    name=M.OP_ASSIGNMENT,
+                                    method_full_name=M.OP_ASSIGNMENT,
+                                    dispatch_type=M.STATIC_DISPATCH,
+                                    type_full_name=pty2, line=mt.line)
+                            asg.add(fa, rhs)
+                            assigns.append(asg)
+                        mbody.children[:0] = assigns
                     method.add(mbody)
                     method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                                  evaluation_strategy=M.BY_VALUE, line=mt.line))

@@ -2389,3 +2389,33 @@ db.deleteTable();
         cite=f"{TRP}:117-205",
     ),
 ]
+
+# ------------------------------------------------------------------- #
+# TsClassesAstCreationPassTests.scala — TS parameter properties.
+# ------------------------------------------------------------------- #
+CASES += [
+    dict(
+        name="js-ts-parameter-properties", lang="javascript", wrap=False,
+        code="""
+class Params {
+  constructor(
+    public readonly x: number,
+    protected y: number,
+    private z: number
+  ) {}
+}
+""",
+        # modifier-marked ctor params become typed members with
+        # `this.x = x` assignments (:13-37)
+        members=[["Params.x", "__ecma.Number"],
+                 ["Params.y", "__ecma.Number"],
+                 ["Params.z", "__ecma.Number"]],
+        params=[["<init>.x", "1:__ecma.Number:BY_SHARING"],
+                ["<init>.y", "2:__ecma.Number:BY_SHARING"],
+                ["<init>.z", "3:__ecma.Number:BY_SHARING"]],
+        ast={("<empty>", 1): ["this.x = x", "this.y = y", "this.z = z"],
+             "this.x = x": ["this.x", "x"]},
+        cite=("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/ast/"
+              "TsClassesAstCreationPassTests.scala:13-37"),
+    ),
+]
