@@ -1162,7 +1162,14 @@ class CParser:
                 self.next()
                 pack = True
             pname = ""
-            if self.peek() is not None and self.peek().t == "id":
+            if self.at("(") and self.peek(1) is not None \
+                    and self.peek(1).t == "id" and self.at(")", 2):
+                # parenthesized declarator `int * (a)` (MethodTests "Name
+                # for method parameter in parentheses")
+                self.next()
+                pname = self.next().v
+                self.next()
+            elif self.peek() is not None and self.peek().t == "id":
                 pname = self.next().v
             p_end = self.toks[self.pos - 1]
             dims = 0
@@ -1791,16 +1798,31 @@ class CParser:
         """`int x = 1, *y;` → [LOCAL x, CALL x = 1, LOCAL y]."""
         start = self.peek()
         base_ty = self.parse_type()
-        if self.peek() is None or self.peek().t != "id":
+        if self.peek() is None or (self.peek().t != "id"
+                                   and not (self.at("(")
+                                            and self.peek(1) is not None
+                                            and self.peek(1).t == "id"
+                                            and self.at(")", 2)
+                                            and self.at_any(("=", ";", ","),
+                                                            3))):
             return None
         out: list[N] = []
         while True:
             ptr = ""
             while self.at_any(("*", "&")):
                 ptr += "*" if self.next().v == "*" else ""
-            if self.peek() is None or self.peek().t != "id":
+            if self.at("(") and self.peek(1) is not None \
+                    and self.peek(1).t == "id" and self.at(")", 2) \
+                    and self.at_any(("=", ";", ","), 3):
+                # parenthesized declarator `int (x) = a` (MethodTests
+                # "Name for method parameter in parentheses")
+                self.next()
+                name_tok = self.next()
+                self.next()
+            elif self.peek() is None or self.peek().t != "id":
                 return None
-            name_tok = self.next()
+            else:
+                name_tok = self.next()
             name = name_tok.v
             ty = base_ty + ptr
             while self.at("["):

@@ -1757,3 +1757,38 @@ void foo() {
              "not yet modeled)",
     ),
 ]
+
+CASES += [
+    dict(
+        name="cpp-methodtest-ref-param", lang="cpp", wrap=False,
+        code="void foo(int &data) {};",
+        methods=[["foo", "foo:void(int&)"]],
+        params=[["foo.data", "1:int&:BY_VALUE"]],
+        paramcode=[["foo.data", "int &data"]],
+        cite="c2cpg/.../passes/ast/MethodTests.scala:90-102 (MethodTest5)",
+    ),
+    dict(
+        name="cpp-methodtest-template-ws", lang="cpp", wrap=False,
+        code="""
+void foo<A,
+         B,
+         C>() {};
+""",
+        methods=[["foo", "foo:void()"]],
+        msig=[["foo", "void()"]],
+        cite="c2cpg/.../passes/ast/MethodTests.scala:104-122 (MethodTest6)",
+    ),
+    dict(
+        name="c-methodtest-paren-param", lang="c", wrap=False,
+        code="""
+int foo(int * (a)) {
+  int (x) = a;
+  return 2 * *a;
+}
+""",
+        params=[["foo.a", "1:int*:BY_VALUE"]],
+        paramcode=[["foo.a", "int * (a)"]],
+        locals=[["foo.x", "int x|int"]],
+        cite="c2cpg/.../passes/ast/MethodTests.scala:304-319",
+    ),
+]
