@@ -3743,3 +3743,65 @@ class Foo { }
         cite=f"{JQ}/AnnotationTests.scala:312-340",
     ),
 ]
+
+CASES += [
+    dict(
+        name="java-method-generic-return-list", lang="java", wrap=False,
+        code="""
+import java.util.*;
+class Foo {
+ List<String> run() {
+   return null;
+ }
+}
+""",
+        methods=[["run", "Foo.run:java.util.List()"],
+                 ["<init>", "Foo.<init>:void()"]],
+        cite=f"{JQ}/MethodTests.scala:109-124",
+    ),
+    dict(
+        name="java-method-generic-return-baz", lang="java", wrap=False,
+        code="""
+import foo.bar.Baz;
+class Foo {
+ Baz<String> run() {
+   return null;
+ }
+}
+""",
+        methods=[["run", "Foo.run:foo.bar.Baz()"],
+                 ["<init>", "Foo.<init>:void()"]],
+        cite=f"{JQ}/MethodTests.scala:126-141",
+    ),
+    dict(
+        name="java-method-generic-identity", lang="java", wrap=False,
+        code="""
+import foo.bar.Baz;
+class Foo {
+ <T> Baz<T> run(Baz<T> x) {
+   return x;
+ }
+}
+""",
+        methods=[["run", "Foo.run:foo.bar.Baz(foo.bar.Baz)"],
+                 ["<init>", "Foo.<init>:void()"]],
+        cite=f"{JQ}/MethodTests.scala:143-175",
+    ),
+    dict(
+        name="java-method-comment-params", lang="java", wrap=False,
+        code="""
+class Foo {
+ abstract void run(
+   /* comment for 1st argument */
+   int arg1,
+   int arg2, // comment for arg2
+   int arg3);
+}
+""",
+        paramcode=[["run.arg1", "int arg1"], ["run.arg2", "int arg2"],
+                   ["run.arg3", "int arg3"], ["run.this", "this"]],
+        methods=[["run", "Foo.run:void(int,int,int)"],
+                 ["<init>", "Foo.<init>:void()"]],
+        cite=f"{JQ}/MethodTests.scala:177-195",
+    ),
+]
