@@ -443,6 +443,7 @@ class CParser:
     # ---------------- entry ----------------
     def parse(self) -> list[N]:
         roots: list[N] = []
+        self.global_stmts: list[N] = []
         while self.peek() is not None:
             node = self.parse_top_level()
             if node is not None:
@@ -481,6 +482,20 @@ class CParser:
         roots = [r for r in roots if _keep(r)]
         for r in roots:
             _prune(r)
+        # file-level variable declarations live in a `<global>` METHOD
+        # named like the reference's fake global method
+        if self.global_stmts:
+            gm = N(M.METHOD, code="<global>", name="<global>",
+                   full_name=self.global_block, signature="",
+                   line=self.global_stmts[0].line,
+                   ast_parent_type=M.NAMESPACE_BLOCK,
+                   ast_parent_full_name=self.global_block)
+            blk = N(M.BLOCK, code="", line=gm.line, type_full_name="void")
+            blk.add(*self.global_stmts)
+            gm.add(blk)
+            gm.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
+                     evaluation_strategy=M.BY_VALUE, line=gm.line))
+            roots.append(gm)
         # macro METHOD stubs for every expanded macro (one per fullname,
         # MacroHandler.createMacroMethodStub)
         roots.extend(getattr(self, "macro_methods", []))
@@ -1116,7 +1131,49 @@ class CParser:
         finally:
             for _ in range(pushed):
                 self.ns.pop()
-        # global variable: skip to ;
+        # global variable declaration: LOCAL (+ assignment) statements in
+        # the file's `<global>` method (c2cpg global handling;
+        # DataFlowTest81 flows from top-level initializers)
+        if not pushed and self.at_any(("=", ",", ";")):
+            decls: list[N] = []
+            cur_name = name
+            while True:
+                loc = N(M.LOCAL, code=f"{ty} {cur_name}", name=cur_name,
+                        type_full_name=ty, line=start.line)
+                self.declare(cur_name, loc)
+                decls.append(loc)
+                if self.at("="):
+                    self.next()
+                    try:
+                        init = self.parse_assignment_expr()
+                    except ParseError:
+                        self.skip_to_semicolon()
+                        self.global_stmts.extend(decls)
+                        return None
+                    ident = N(M.IDENTIFIER, code=cur_name, name=cur_name,
+                              type_full_name=ty, line=start.line,
+                              arg_index=1)
+                    ident.ref_target = loc
+                    init.arg_index = 2
+                    asg = N(M.CALL, code=f"{cur_name} = {init.code}",
+                            name=M.OP_ASSIGNMENT,
+                            method_full_name=M.OP_ASSIGNMENT,
+                            dispatch_type=M.STATIC_DISPATCH,
+                            type_full_name=ty, line=start.line)
+                    asg.add(ident, init)
+                    decls.append(asg)
+                if self.at(",") and self.peek(1) is not None \
+                        and self.peek(1).t == "id":
+                    self.next()
+                    cur_name = self.next().v
+                    continue
+                break
+            if self.at(";"):
+                self.next()
+            else:
+                self.skip_to_semicolon()
+            self.global_stmts.extend(decls)
+            return None
         self.skip_to_semicolon()
         return None
 

@@ -799,3 +799,202 @@ void abc() {
              count=0),
     ]),
 ]
+
+CASES += [
+    _f("c-flow-21", """
+void param(int x) {
+  int a = x;
+  int b = a;
+  int z = foo(b);
+}""", [
+        dict(name="ident_a_to_foo_arg",
+             source={"identifier": {"name": "a"}},
+             sink={"call_arg": {"name": "foo", "index": 1}},
+             want=[[("a = x", 3), ("b = a", 4), ("foo(b)", 5)],
+                   [("b = a", 4), ("foo(b)", 5)]]),
+    ]),
+    _f("c-flow-31", """
+struct Point {
+  int x;
+  int y;
+};
+
+struct Point source () {
+  struct Point point;
+  return point;
+}
+
+int sink(int x) {
+  return 0;
+}
+
+void main() {
+  struct Point point = source(2);
+  sink(point.x);
+}""", [
+        dict(name="tainted_struct",
+             source={"method_return": "source"},
+             sink={"param": {"method": "sink", "name": "x"}},
+             want=[[("RET", 7), ("source(2)", 17),
+                    ("point = source(2)", 17), ("sink(point.x)", 18),
+                    ("sink(int x)", 12)]]),
+    ]),
+    _f("c-flow-32", """
+typedef struct {
+  int len;
+  int* buf;
+} container;
+
+int source();
+void sink(container* cont);
+
+void foo(container* c, int idx) {
+  c->buf[idx] = source();
+  c->buf = 0;
+  sink(c);
+}""", [
+        # the overwrite `c->buf = 0` kills the taint (:896-901)
+        dict(name="killed_by_overwrite",
+             source={"method_return": "source"},
+             sink={"param": {"method": "sink"}},
+             count=0),
+    ]),
+    _f("c-flow-34", """
+typedef struct {int field;} S;
+int source();
+void sink(int i);
+
+void foo(S* arg) {
+  arg->field = source();
+  sink((*arg).field);
+}
+""", [
+        # arrow vs star-dot spell the same access path (:923-941)
+        dict(name="arrow_vs_stardot",
+             source={"method_return": "source"},
+             sink={"param": {"method": "sink"}},
+             count=1),
+    ]),
+    _f("c-flow-72", """
+struct struct_length {
+ unsigned int *plen;
+};
+struct wraping_struct {
+  struct struct_length *s_len;
+};
+void sink(unsigned int *plen4) {
+  *plen4 = 1000;
+}
+void level3(unsigned int *plen3) {
+  sink(plen3);
+}
+void level2(unsigned int *plen2) {
+  level3(plen2);
+}
+void level1(struct struct_length s_len) {
+  level2(s_len->plen);
+}
+void source(struct wraping_struct w_struct) {
+  level1(w_struct->s_len);
+}
+""", [
+        dict(name="four_level_chain",
+             source={"param": {"method": "source"}},
+             sink={"call_arg": {"name": "sink", "index": 1}},
+             want=[[("source(struct wraping_struct w_struct)", 20),
+                    ("level1(w_struct->s_len)", 21),
+                    ("level1(struct struct_length s_len)", 17),
+                    ("level2(s_len->plen)", 18),
+                    ("level2(unsigned int *plen2)", 14),
+                    ("level3(plen2)", 15),
+                    ("level3(unsigned int *plen3)", 11),
+                    ("sink(plen3)", 12)]]),
+    ]),
+]
+
+# DataFlowTest73-78: compound assignment operators (%=, ^=, |=, &=, <<=,
+# >>=) taint both the expression value and the target's next use.
+for _i, _op in ((73, "%="), (74, "^="), (75, "|="), (76, "&="),
+                (77, "<<="), (78, ">>=")):
+    CASES.append(_f(f"c-flow-{_i}", f"""
+int main(void) {{
+ int x = 5;
+ call1(x{_op}2);
+ call2(x);
+}}
+""", [
+        dict(name="taints_outer",
+             source={"literal": {"code": "2"}},
+             sink={"call": {"name": "call1"}},
+             want=[[(f"x{_op}2", 4), (f"call1(x{_op}2)", 4)]]),
+        dict(name="taints_next_use",
+             source={"literal": {"code": "2"}},
+             sink={"call": {"name": "call2"}},
+             want=[[(f"x{_op}2", 4), ("call2(x)", 5)]]),
+    ]))
+
+CASES += [
+    _f("c-flow-79", """
+int main(void) {
+ int x = 5;
+ int y = 2;
+ int z = x % y;
+ call1(z);
+}
+""", [
+        dict(name="first_arg_not_taints_second",
+             source={"literal": {"code": "5"}},
+             sink={"identifier": {"name": "y", "line": 5}},
+             count=0, want=[]),
+        dict(name="second_arg_not_taints_first",
+             source={"literal": {"code": "2"}},
+             sink={"identifier": {"name": "x", "line": 5}},
+             count=0, want=[]),
+        dict(name="args_taint_return",
+             source={"literal": {}},
+             sink={"call_arg": {"name": "call1"}},
+             want=[[("x = 5", 3), ("x % y", 5), ("z = x % y", 5),
+                    ("call1(z)", 6)],
+                   [("y = 2", 4), ("x % y", 5), ("z = x % y", 5),
+                    ("call1(z)", 6)]]),
+    ]),
+    _f("c-flow-80", """
+int main(void) {
+ int x = 10;
+ int y = 20;
+ int z[] = {x, y, 30};
+ call1(z);
+}
+""", [
+        dict(name="array_elems_taint_value",
+             source={"literal": {}},
+             sink={"call_arg": {"name": "call1"}},
+             want=[[("x = 10", 3), ("{x, y, 30}", 5),
+                    ("z[] = {x, y, 30}", 5), ("call1(z)", 6)],
+                   [("y = 20", 4), ("{x, y, 30}", 5),
+                    ("z[] = {x, y, 30}", 5), ("call1(z)", 6)],
+                   [("{x, y, 30}", 5), ("z[] = {x, y, 30}", 5),
+                    ("call1(z)", 6)]]),
+    ]),
+    _f("c-flow-81", """int a = 1;
+int b = 2;
+int c = 3;
+
+void foo() {
+  bar(a, b, c);
+}
+""", [
+        dict(name="top_level_a",
+             source={"literal": {"code": "1"}},
+             sink={"call_arg": {"name": "bar", "index": 1}},
+             want=[[("a = 1", 1), ("bar(a, b, c)", 6)]]),
+        dict(name="top_level_b",
+             source={"literal": {"code": "2"}},
+             sink={"call_arg": {"name": "bar", "index": 2}},
+             want=[[("b = 2", 2), ("bar(a, b, c)", 6)]]),
+        dict(name="top_level_c",
+             source={"literal": {"code": "3"}},
+             sink={"call_arg": {"name": "bar", "index": 3}},
+             want=[[("c = 3", 3), ("bar(a, b, c)", 6)]]),
+    ]),
+]
