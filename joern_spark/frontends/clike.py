@@ -1015,6 +1015,20 @@ class CParser:
                 self.peek(1) is not None and self.peek(1).t == "id" and \
                 (self.at("{", 2) or self.at(":", 2)):
             return self.parse_class(nested_in=class_full)
+        if self.at("enum"):
+            # nested enum member `enum Kind { A, B, C } kind;` — the enum
+            # TYPE_DECL plus an optional member typed by it
+            # (ClassTypeTests "conversions": Foo.Kind)
+            e = self.parse_enum(start)
+            out = [e] if e is not None else []
+            if self.peek() is not None and self.peek().t == "id":
+                nm = self.next()
+                ety = e.full_name if e is not None else M.ANY
+                out.append(N(M.MEMBER, code=nm.v, name=nm.v,
+                             type_full_name=ety, line=nm.line))
+            if self.at(";"):
+                self.next()
+            return out
         # constructor / destructor — c2cpg names constructors after the
         # class (fullName Foo.Foo:void(int), AstCreationPassTests:1470-1476),
         # destructors keep the `~` name
@@ -1027,6 +1041,16 @@ class CParser:
             return self.parse_function_rest("void", nm, start, class_full,
                                             dynamic=is_virtual,
                                             is_static=is_static)
+        if self.at("operator") and self.peek(1) is not None \
+                and self.peek(1).t == "id":
+            # conversion operator `operator Kind() const` — named after the
+            # target type, which is also the return type (ClassTypeTests
+            # "conversions": Foo.Kind:Foo.Kind()<const>)
+            self.next()
+            sym = self.next().v
+            return self.parse_function_rest(
+                self.declared_types.get(sym, sym), sym, start, class_full,
+                dynamic=is_virtual, is_static=is_static)
         ty = self.parse_type()
         if self.peek() is None:
             return None
@@ -1042,6 +1066,11 @@ class CParser:
                 self.next()
             return None
         name = self.next().v
+        while self.at("::") and self.peek(1) is not None:
+            # redundant in-class qualifier `Foo &Foo::operator+ (...)`
+            # (ClassTypeTests "operator definitions")
+            self.next()
+            name = self.next().v
         if name == "operator":
             # overload name is the bare symbol (shortName strips the
             # `operator` keyword; MethodTests "extern C class operator
@@ -1055,6 +1084,11 @@ class CParser:
                 self.expect(")")
                 sym = "()"
             name = sym
+            if sym and sym[0].isalpha():
+                # conversion operator `operator Kind() const` — the return
+                # type is the (qualified) target type (ClassTypeTests
+                # "fullnames in classes with conversions": Foo.Kind)
+                ty = self.declared_types.get(sym, sym)
         if self.at("("):
             return self.parse_function_rest(ty, name, start, class_full,
                                             dynamic=is_virtual,
