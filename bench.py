@@ -71,11 +71,21 @@ def main():
         # (a fixed-latency DAG tail at small corpus sizes)
         for k, v in out.get("timings", {}).items():
             stage_samples.setdefault(k, []).append(v)
+    def _median(vs: list[float]) -> float:
+        s = sorted(vs)
+        n = len(s)
+        return round((s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2), 3)
+
     build_sec = min(build_times)
     timings["cpg_build"] = build_sec
+    # median alongside best-of for the headline figures: best-of is the
+    # round-comparable steady-state number; median is the drift-robust one
+    # (VERDICT r4 "What's wrong" #2).
+    build_median = _median(build_times)
     for k, vs in stage_samples.items():
         timings[k] = min(vs)
     files_per_sec = round(n_files / build_sec, 2)
+    files_per_sec_median = round(n_files / build_median, 2)
 
     nodes, edges = out["nodes"], out["edges"]
 
@@ -138,6 +148,9 @@ def main():
         "cpg_nodes": n_nodes,
         "cpg_edges": n_edges,
         "files_per_sec": files_per_sec,
+        "cpg_build_median": build_median,
+        "files_per_sec_median": files_per_sec_median,
+        "queries_median": {k: _median(v) for k, v in all_samples.items()},
     }))
 
 

@@ -62,7 +62,10 @@ def static_call_edges(call_sites: DataFrame, dim: DataFrame,
 def method_ref_edges(nodes: DataFrame, dim: DataFrame | None = None) -> DataFrame:
     refs = nodes.filter((F.col("kind") == M.METHOD_REF) & (F.col("method_full_name") != ""))
     dim = dim if dim is not None else method_dimension(nodes)
-    j = refs.join(F.broadcast(dim), refs["method_full_name"] == dim["m_fn"], "inner")
+    # No forced broadcast: the method dimension is ∝ |methods| and at the
+    # 10^12-file target is not executor-resident. AQE converts to broadcast
+    # hash at runtime when stats allow (same policy as static_call_edges).
+    j = refs.join(dim, refs["method_full_name"] == dim["m_fn"], "inner")
     return j.select(*_edge(F.col("id"), F.col("m_id"), M.REF))
 
 
@@ -137,7 +140,10 @@ def dynamic_call_edges(nodes: DataFrame, call_sites: DataFrame,
               .select(F.col("td_fn").alias("impl_type"),
                       F.col("bname").alias("call_name"),
                       F.col("bsig").alias("m_sig"), "m_id"))
-    cands = cand_types.join(F.broadcast(vtable), "impl_type")
+    # vtable is |internal methods| × (1 + inherited rows) — method-scale, so
+    # never force-broadcast it; AQE picks broadcast-hash from runtime stats
+    # when it genuinely fits (static_call_edges precedent).
+    cands = cand_types.join(vtable, "impl_type")
     sig_inner = F.regexp_extract("m_sig", r"\((.*)\)", 1)
     sig_arity = F.when(F.col("m_sig") == "", F.lit(None)).otherwise(
         F.when(sig_inner == "", F.lit(0)).otherwise(F.size(F.split(sig_inner, ","))))
@@ -162,7 +168,9 @@ def naive_call_edges(call_sites: DataFrame, linked: DataFrame,
     # here would also be nondeterministic across runs
     methods = (dim.filter(~F.col("is_external"))
                .select(F.col("m_name").alias("name"), "m_id"))
-    j = unlinked.join(F.broadcast(methods), "name")
+    # all-internal-methods-by-name is ∝ |methods|: AQE-decided join, no
+    # forced broadcast (static_call_edges precedent).
+    j = unlinked.join(methods, "name")
     return j.select(*_edge(F.col("id"), F.col("m_id"), M.CALL_EDGE))
 
 

@@ -152,7 +152,10 @@ def candidate_alias_pairs(dim: DataFrame,
 
     freq = internals.groupBy("name").agg(F.count("*").alias("nfreq"))
     cold = freq.filter(F.col("nfreq") <= hot_name_freq).select("name")
-    internals = internals.join(F.broadcast(cold), "name")
+    # cold-name dictionary is ∝ |distinct names| — method-scale, so the join
+    # strategy is AQE-decided rather than force-broadcast
+    # (static_call_edges precedent in operators/callgraph.py).
+    internals = internals.join(cold, "name")
 
     sig_inner = F.regexp_extract("sig", r"\((.*)\)", 1)
     sig_arity = F.when(sig_inner == "", F.lit(0)).otherwise(
@@ -207,9 +210,11 @@ def canonical_symbol_map(dim: DataFrame,
 
 
 def canonicalize_call_edges(edges: DataFrame, mapping: DataFrame) -> DataFrame:
-    """Rewrite CALL-edge targets through the canonical map (N:1 broadcast
-    join; mapping row count is bounded by the stub dimension)."""
-    m = F.broadcast(mapping.select(F.col("m_id").alias("dst"), "canon_id"))
+    """Rewrite CALL-edge targets through the canonical map (N:1 join; mapping
+    row count is bounded by the stub dimension — still ∝ |methods|, so the
+    physical strategy is AQE-decided, not force-broadcast
+    (static_call_edges precedent in operators/callgraph.py)."""
+    m = mapping.select(F.col("m_id").alias("dst"), "canon_id")
     calls = edges.filter(F.col("label") == M.CALL_EDGE)
     rest = edges.filter(F.col("label") != M.CALL_EDGE)
     rewritten = (calls.join(m, "dst", "left")

@@ -121,7 +121,9 @@ def _recover(nodes: DataFrame, iterations: int = 2
                       r"\.[A-Za-z0-9]+$", ""))
                   .select(F.col("path").alias("src_path"), "dir", "tgt"))
     rel_imports = imports.filter(F.col("mod").startswith("."))
-    rel_links = (rel_imports.join(F.broadcast(file_stems), ["dir", "tgt"])
+    # file_stems is ∝ |files| — never force-broadcast at the 10^12-file
+    # target; AQE decides (static_call_edges precedent).
+    rel_links = (rel_imports.join(file_stems, ["dir", "tgt"])
                  .select(F.col("path").alias("imp_path"), "var", "src_path")
                  .localCheckpoint(eager=True))
     seed_imp = (imports.join(rel_links.select(
