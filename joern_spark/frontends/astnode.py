@@ -27,7 +27,7 @@ class N:
         "ast_parent_type", "ast_parent_full_name", "inherits_from",
         "alias_type_full_name", "evaluation_strategy", "param_index",
         "is_variadic", "is_external", "line", "line_end", "children",
-        "ref_target", "idx", "has_body",
+        "ref_target", "idx", "has_body", "generic_signature",
     )
 
     def __init__(self, kind: str, code: str = "", name: str = "", line: int = 0, **kw):
@@ -58,6 +58,7 @@ class N:
         self.is_variadic = False
         self.is_external = False
         self.has_body = False
+        self.generic_signature = ""
         self.children: list[N] = []
         self.ref_target: Optional[N] = None  # parse-time REF (ident -> LOCAL/PARAM)
         self.idx = -1
@@ -126,6 +127,7 @@ def flatten_file(
                 param_index=node.param_index, is_variadic=node.is_variadic,
                 is_external=node.is_external, line=node.line,
                 line_end=node.line_end,
+                generic_signature=node.generic_signature,
             )
         )
         for i, c in enumerate(node.children, start=1):

@@ -299,12 +299,21 @@ class CParser:
                 depth -= 1
                 if depth == 0:
                     return t
-            elif close_v == ">" and t.v == ">>" and depth >= 2:
+            elif close_v == ">" and t.v == ">>":
                 # `>>` lexes as one token; inside nested template args
                 # (std::map<string, vector<int>>) it closes two levels
-                depth -= 2
-                if depth == 0:
-                    return t
+                if depth >= 2:
+                    depth -= 2
+                    if depth == 0:
+                        return t
+                else:
+                    # closes THIS level only — split the token and leave a
+                    # `>` behind for the enclosing list (`<T extends
+                    # List<String>>`)
+                    second = Tok(t.t, ">", t.a + 1, t.b, t.line)
+                    self.pos -= 1
+                    self.toks[self.pos] = second
+                    return Tok(t.t, ">", t.a, t.a + 1, t.line)
 
     def peek_matching_gt(self, limit: int = 128) -> bool:
         """True iff a balanced ``<...>`` starts at the cursor within `limit`

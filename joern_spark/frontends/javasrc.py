@@ -179,6 +179,13 @@ class JavaParser(CParser):
                                   "...", "::"))
     _NO_SPACE_AFTER = frozenset((".", "(", "[", "!", "~", "::", "@"))
 
+    # genericSignature scratch state (set by parse_java_type /
+    # _parse_type_params; consumed by the declaration sites)
+    last_raw_type = ""
+    last_tparams_sig = ""
+    _pending_tparams_sig = ""
+    _pending_ret_raw = ""
+
     def slice(self, a, b) -> str:
         """Expression code spelling. Multi-line or comment-bearing spans are
         re-rendered from tokens the way JavaParser's printer would —
@@ -439,6 +446,8 @@ class JavaParser(CParser):
         # record components per class fullname: [(raw type, resolved type,
         # name, line)] (RecordTests.scala:10-131)
         self.record_components: dict[str, list[tuple[str, str, str, int]]] = {}
+        # raw header type texts (generic args kept) for genericSignatures
+        self.record_component_raws: dict[str, list[str]] = {}
         self.compact_ctor_classes: set[str] = set()
         # anonymous-class naming context (AnonymousClassTests.scala): a
         # stack of (context prefix, enclosing class fullname, is_static) —
@@ -550,6 +559,138 @@ class JavaParser(CParser):
             return f"{M.UNRESOLVED_NAMESPACE}.{base}{suffix}"
         return name.replace("*", "[]")
 
+    # ---------------- JVM-style generic signatures --------------------------
+    # (GenericSignatureTests.scala semantics: declared SOURCE types, simple
+    #  names; qualified source names verbatim; type variables `TX;`;
+    #  `L__unspecified_type;` for var/lambda/unknown)
+
+    _PRIM_SIG = {"byte": "B", "char": "C", "double": "D", "float": "F",
+                 "int": "I", "long": "J", "short": "S", "boolean": "Z",
+                 "void": "V"}
+    UNSPEC_SIG = "L__unspecified_type;"
+
+    def _tvar_names(self) -> set:
+        s: set[str] = set()
+        for env in self.tparam_env:
+            s.update(env)
+        return s
+
+    def _sig_base_name(self, name: str) -> str:
+        """Class-name spelling inside `L...;`: dotted source names verbatim;
+        names resolving to a LOCAL class use its CPG fullName
+        (`Test.test:void().Foo`); nested classes their `$`-joined CPG name
+        (`Test$Foo`); everything else the simple source name."""
+        if "." in name:
+            return name
+        fn = self.declared_types.get(name)
+        if fn:
+            if ":" in fn:  # local class (method-scoped fullname)
+                return fn
+            local = fn[len(self.package) + 1:] \
+                if self.package and fn.startswith(self.package + ".") else fn
+            if "$" in local:
+                return local
+        return name
+
+    def sig_of_raw(self, raw: str, tvars: set | None = None) -> str:
+        """Raw declared-type source text -> JVM generic signature."""
+        raw = (raw or "").strip()
+        if not raw or raw == "var":
+            return self.UNSPEC_SIG
+        tvars = self._tvar_names() if tvars is None else tvars
+        sig, _ = self._sig_parse(raw, 0, tvars)
+        return sig or self.UNSPEC_SIG
+
+    def _sig_parse(self, s: str, i: int, tvars: set) -> tuple[str, int]:
+        n = len(s)
+        while i < n and s[i].isspace():
+            i += 1
+        if i < n and s[i] == "@":  # annotation in type position — skip name
+            i += 1
+            while i < n and (s[i].isalnum() or s[i] in "_$."):
+                i += 1
+            return self._sig_parse(s, i, tvars)
+        if i < n and s[i] == "?":
+            i += 1
+            while i < n and s[i].isspace():
+                i += 1
+            if s.startswith("extends", i):
+                inner, i = self._sig_parse(s, i + 7, tvars)
+                return "+" + inner, i
+            if s.startswith("super", i):
+                inner, i = self._sig_parse(s, i + 5, tvars)
+                return "-" + inner, i
+            return "*", i
+        j = i
+        while j < n and (s[j].isalnum() or s[j] in "_$."):
+            j += 1
+        name = s[i:j]
+        i = j
+        while i < n and s[i].isspace():
+            i += 1
+        args = ""
+        if i < n and s[i] == "<":
+            i += 1
+            parts: list[str] = []
+            while i < n:
+                while i < n and s[i].isspace():
+                    i += 1
+                if i < n and s[i] == ">":
+                    i += 1
+                    break
+                part, i = self._sig_parse(s, i, tvars)
+                parts.append(part)
+                while i < n and s[i].isspace():
+                    i += 1
+                if i < n and s[i] == ",":
+                    i += 1
+                elif i < n and s[i] == ">":
+                    i += 1
+                    break
+                else:
+                    break
+            args = "<" + "".join(parts) + ">"
+        dims = 0
+        while True:
+            while i < n and s[i].isspace():
+                i += 1
+            if s.startswith("[]", i):
+                dims += 1
+                i += 2
+            elif s.startswith("...", i):
+                dims += 1
+                i += 3
+            else:
+                break
+        if not name:
+            return "[" * dims + self.UNSPEC_SIG, i
+        if name in self._PRIM_SIG and not args:
+            core = self._PRIM_SIG[name]
+        elif name in tvars and not args:
+            core = f"T{name};"
+        elif name == "var":
+            core = self.UNSPEC_SIG
+        else:
+            core = f"L{self._sig_base_name(name)}{args};"
+        return "[" * dims + core, i
+
+    def tparams_sig(self, bounds: list) -> str:
+        """[(name, [raw bound texts])] -> `<T:LObject;U:LB1;:LB2;>`; the
+        unbounded class bound renders LObject; extra bounds join with `:`
+        (empty-class-bound collapse per GenericSignatureTests doc note)."""
+        if not bounds:
+            return ""
+        tvars = self._tvar_names() | {nm for nm, _ in bounds}
+        out = ["<"]
+        for nm, raws in bounds:
+            if not raws:
+                out.append(f"{nm}:LObject;")
+            else:
+                out.append(f"{nm}:" + ":".join(
+                    self.sig_of_raw(r, tvars) for r in raws))
+        out.append(">")
+        return "".join(out)
+
     def _parse_type_params(self) -> dict[str, str]:
         """`<T, U extends Num & Cmp, V extends U>` -> {name: erased type}.
 
@@ -561,6 +702,7 @@ class JavaParser(CParser):
         self.expect("<")
         raw: dict[str, str | None] = {}
         order: list[str] = []
+        bounds_raw: list[tuple[str, list[str]]] = []
         while self.peek() is not None and not self.at(">"):
             self.skip_annotations()
             t = self.peek()
@@ -569,18 +711,24 @@ class JavaParser(CParser):
                 continue
             name = self.next().v
             bound = None
+            braws: list[str] = []
             if self.at("extends"):
                 self.next()
                 bound = self.parse_java_type()
+                braws.append(self.last_raw_type)
                 while self.at("&"):
                     self.next()
-                    self.parse_java_type()  # additional bounds are dropped
+                    self.parse_java_type()  # additional bounds erase away,
+                    braws.append(self.last_raw_type)  # but sign the gensig
             raw[name] = bound
             order.append(name)
+            bounds_raw.append((name, braws))
             if self.at(","):
                 self.next()
         if self.at(">"):
             self.next()
+        # `<T:LObject;U:LB1;:LB2;>` prefix for the owner's genericSignature
+        self.last_tparams_sig = self.tparams_sig(bounds_raw)
         env: dict[str, str] = {}
 
         def erase(nm: str, seen: tuple = ()) -> str:
@@ -616,6 +764,12 @@ class JavaParser(CParser):
                     depth -= 1
                     if depth == 0 and start is not None:
                         args.append(self.src[start.a:t.a].strip())
+                elif t.v == ">>":
+                    depth -= 2
+                    if depth <= 0:
+                        depth = 0
+                        if start is not None:
+                            args.append(self.src[start.a:t.a + 1].strip())
                 elif t.v == "," and depth == 1 and start is not None:
                     args.append(self.src[start.a:t.a].strip())
                     start = self.peek()
@@ -631,12 +785,14 @@ class JavaParser(CParser):
     def parse_java_type(self) -> str:
         t = self.peek()
         if t is None:
+            self.last_raw_type = ""
             return M.ANY
         if t.v == "?":  # wildcard
             self.next()
             if self.at_any(("extends", "super")):
                 self.next()
                 self.parse_java_type()
+            self.last_raw_type = self.src[t.a:self.toks[self.pos - 1].b]
             return M.ANY
         name = self.next().v
         while self.at(".") and self.peek(1) is not None and self.peek(1).t == "id":
@@ -659,6 +815,10 @@ class JavaParser(CParser):
         while self.at("[") and self.at("]", 1):
             self.next(); self.next()
             dims += "[]"
+        # raw source span of the full type (generic args INCLUDED) — the
+        # genericSignature input (GenericSignatureTests: signatures are
+        # computed from declared source types, pre-erasure)
+        self.last_raw_type = self.src[t.a:self.toks[self.pos - 1].b]
         return name + dims
 
     def looks_like_java_type(self) -> bool:
@@ -682,6 +842,11 @@ class JavaParser(CParser):
                 elif v == ">":
                     depth -= 1
                     if depth == 0:
+                        k += 1
+                        break
+                elif v == ">>":  # closes two nested levels in one token
+                    depth -= 2
+                    if depth <= 0:
                         k += 1
                         break
                 elif v == ";" or v == "{":
@@ -922,33 +1087,45 @@ class JavaParser(CParser):
         self.typedefs.add(name)
         # class-level type parameters erase for the whole body
         # (GenericsTests.scala:93-136 `class Foo<T extends Number>`)
+        self.last_tparams_sig = ""
         env = self._parse_type_params() if self.at("<") else {}
+        td_tparams_sig = self.last_tparams_sig
         self.tparam_env.append(env)
         if kw == "record" and self.at("("):
             # record header components -> MEMBER + accessor + canonical
             # `<init>` synthesis (RecordTests.scala:10-131)
             self.next()
             comps: list[tuple[str, str, str, int]] = []
+            comp_raws: list[str] = []
             while self.peek() is not None and not self.at(")"):
                 self.skip_annotations()
                 t0 = self.peek()
                 rty = self.parse_java_type()
+                raw = self.last_raw_type
                 if self.peek() is not None and self.peek().t == "id":
                     nm = self.next()
                     comps.append((rty, self.resolve_type(rty), nm.v, t0.line))
+                    comp_raws.append(raw)
                 if self.at(","):
                     self.next()
             if self.at(")"):
                 self.next()
             self.record_components[full] = comps
+            self.record_component_raws[full] = comp_raws
         inherits: list[str] = []
         had_extends = False
+        ext_raws: list[str] = []   # raw source texts for the gensig
+        impl_raws: list[str] = []
         while self.at_any(("extends", "implements", "permits")):
             which = self.next().v
             while True:
+                s0 = self.peek()
                 base, targs = self._parse_super_type()
+                s_raw = self.src[s0.a:self.toks[self.pos - 1].b] \
+                    if s0 is not None else ""
                 if which != "permits":
                     inherits.append(base)
+                    (ext_raws if which == "extends" else impl_raws).append(s_raw)
                     if targs:
                         self.generic_supers.setdefault(full, []).append(
                             (base, targs))
@@ -978,6 +1155,26 @@ class JavaParser(CParser):
                  inherits_from=inherits or None, line=kw_tok.line,
                  ast_parent_type=M.NAMESPACE_BLOCK,
                  ast_parent_full_name=self.global_block)
+        # genericSignature: `[<tparams>]<super><ifaces...>`; implicit super
+        # LObject / LEnum<LSelf;> / LRecord (GenericSignatureTests typeDecl
+        # cases — interfaces always carry the implicit LObject; class bound)
+        if kw == "enum":
+            decl.generic_signature = (f"LEnum<L{name};>;"
+                                      + "".join(self.sig_of_raw(r)
+                                                for r in impl_raws))
+        else:
+            if kw == "record":
+                sup = "LRecord;"
+            elif kw == "interface":
+                sup = "LObject;"
+            elif ext_raws:
+                sup = self.sig_of_raw(ext_raws[0])
+            else:
+                sup = "LObject;"
+            ifaces = ext_raws if kw == "interface" else impl_raws
+            decl.generic_signature = (td_tparams_sig + sup
+                                      + "".join(self.sig_of_raw(r)
+                                                for r in ifaces))
         self.expect("{")
         self.ns.append(name)
         self.class_methods.setdefault(full, {})
@@ -1043,6 +1240,12 @@ class JavaParser(CParser):
                 evaluation_strategy=M.BY_VALUE, line=line))
         return m
 
+    def _record_comp_sigs(self, full: str) -> list[str]:
+        """Component generic signatures — the record's class tparam env is
+        still active when the synthesized parts are built."""
+        raws = self.record_component_raws.get(full, [])
+        return [self.sig_of_raw(r) for r in raws]
+
     def _canonical_record_ctor(self, full: str, line: int) -> N:
         """Canonical `<init>` assigning every component
         (RecordTests.scala:179-217)."""
@@ -1053,7 +1256,10 @@ class JavaParser(CParser):
                  name=M.CONSTRUCTOR,
                  full_name=f"{full}.{M.CONSTRUCTOR}:void({','.join(tys)})",
                  signature=f"void({','.join(tys)})", line=line,
-                 ast_parent_type=M.TYPE_DECL, ast_parent_full_name=full)
+                 ast_parent_type=M.TYPE_DECL, ast_parent_full_name=full,
+                 generic_signature=("("
+                                    + "".join(self._record_comp_sigs(full))
+                                    + ")V"))
         this = N(M.METHOD_PARAMETER_IN, code="this", name="this",
                  type_full_name=full, param_index=0, line=line,
                  evaluation_strategy=M.BY_SHARING)
@@ -1100,14 +1306,18 @@ class JavaParser(CParser):
         comps = self.record_components.get(full, [])
         if not comps:
             return
+        comp_sigs = self._record_comp_sigs(full)
         declared = {c.name for c in decl.children if c.kind == M.METHOD}
-        for rty, ty, nm, ln in comps:
+        for (rty, ty, nm, ln), csig in zip(comps, comp_sigs):
             decl.add(N(M.MEMBER, code=f"{rty} {nm}", name=nm,
                        type_full_name=ty, line=ln,
                        ast_parent_type=M.TYPE_DECL,
-                       ast_parent_full_name=full))
+                       ast_parent_full_name=full,
+                       generic_signature=csig))
             if nm not in declared:
-                decl.add(self._record_accessor(full, rty, ty, nm, ln))
+                acc = self._record_accessor(full, rty, ty, nm, ln)
+                acc.generic_signature = f"(){csig}"
+                decl.add(acc)
         canon_sig = f"void({','.join(ty for _, ty, _, _ in comps)})"
         have_canon = full in self.compact_ctor_classes or any(
             c.kind == M.METHOD and c.name == M.CONSTRUCTOR
@@ -1225,7 +1435,7 @@ class JavaParser(CParser):
         ctor = N(M.METHOD, code=f"{simple}()", name=M.CONSTRUCTOR,
                  full_name=f"{class_full}.{M.CONSTRUCTOR}:void()",
                  signature="void()", line=line, ast_parent_type=M.TYPE_DECL,
-                 ast_parent_full_name=class_full)
+                 ast_parent_full_name=class_full, generic_signature="()V")
         this = N(M.METHOD_PARAMETER_IN, code="this", name="this",
                  type_full_name=class_full, param_index=0, line=line,
                  evaluation_strategy=M.BY_SHARING)
@@ -1467,11 +1677,14 @@ class JavaParser(CParser):
         if t.v in ("class", "interface", "enum", "record"):
             return self.parse_java_class(t.v)
         if self.at("<"):  # generic method type params — erase for this member
+            self.last_tparams_sig = ""
             self.tparam_env.append(self._parse_type_params())
+            self._pending_tparams_sig = self.last_tparams_sig
             try:
                 return self._parse_member_tail(class_full, class_kw, is_static)
             finally:
                 self.tparam_env.pop()
+                self._pending_tparams_sig = ""
         return self._parse_member_tail(class_full, class_kw, is_static)
 
     def _parse_member_tail(self, class_full: str, class_kw: str,
@@ -1493,17 +1706,32 @@ class JavaParser(CParser):
             self.next()
             return self._parse_compact_ctor(class_full, start)
         if class_kw == "enum" and start is not None and start.t == "id" and not self.looks_like_java_type():
-            # enum constants: IDENT [,(args)] ... until ';'
+            # enum constants -> MEMBER nodes typed as the enum itself; code
+            # keeps the argument list, no AST children (EnumTests.scala:35-74)
+            simple = class_full.split(".")[-1].split("$")[-1]
+            consts: list[N] = []
             while self.peek() is not None and not self.at(";") and not self.at("}"):
+                t0 = self.peek()
+                if t0.t != "id":
+                    self.next()
+                    continue
+                nm_tok = self.next()
+                code = nm_tok.v
                 if self.at("("):
-                    self.skip_balanced("(", ")")
-                elif self.at("{"):
+                    close = self.skip_balanced("(", ")")
+                    code = self.src[nm_tok.a:close.b]
+                if self.at("{"):
                     self.skip_balanced("{", "}")
-                else:
+                consts.append(N(M.MEMBER, code=code, name=nm_tok.v,
+                                type_full_name=class_full, line=nm_tok.line,
+                                ast_parent_type=M.TYPE_DECL,
+                                ast_parent_full_name=class_full,
+                                generic_signature=f"L{simple};"))
+                if self.at(","):
                     self.next()
             if self.at(";"):
                 self.next()
-            return None
+            return consts or None
         if start.t == "id" and self.at("(", 1):
             # return-type-less method declaration (`public foo() {...}`) —
             # JavaParser tolerates these (javasrc LambdaTests fixtures);
@@ -1512,6 +1740,7 @@ class JavaParser(CParser):
             return self.parse_java_method("void", start.v, start, class_full,
                                           is_static=is_static)
         raw_ty = self.parse_java_type()
+        decl_raw = self.last_raw_type  # full raw text (generic args included)
         ty = self.resolve_type(raw_ty)
         if self.peek() is None or self.peek().t != "id":
             # skip unparseable
@@ -1525,11 +1754,13 @@ class JavaParser(CParser):
             return None
         name = self.next().v
         if self.at("("):
+            self._pending_ret_raw = decl_raw
             return self.parse_java_method(ty, name, start, class_full, is_static=is_static)
         # field(s)
         members = [N(M.MEMBER, code=f"{ty} {name}", name=name, type_full_name=ty,
                      line=start.line, ast_parent_type=M.TYPE_DECL,
-                     ast_parent_full_name=class_full)]
+                     ast_parent_full_name=class_full,
+                     generic_signature=self.sig_of_raw(decl_raw))]
         self.declare(name, members[0])
         if is_static:
             self.static_member_ids.add(id(members[0]))
@@ -1542,7 +1773,8 @@ class JavaParser(CParser):
                     nm2 = self.next().v
                     mb = N(M.MEMBER, code=f"{ty} {nm2}", name=nm2, type_full_name=ty,
                            line=start.line, ast_parent_type=M.TYPE_DECL,
-                           ast_parent_full_name=class_full)
+                           ast_parent_full_name=class_full,
+                           generic_signature=self.sig_of_raw(decl_raw))
                     members.append(mb)
                     self.declare(nm2, mb)
                     if is_static:
@@ -1568,7 +1800,10 @@ class JavaParser(CParser):
         ctor = N(M.METHOD, code=f"public {simple}", name=M.CONSTRUCTOR,
                  full_name=f"{class_full}.{M.CONSTRUCTOR}:void({','.join(tys)})",
                  signature=f"void({','.join(tys)})", line=start.line,
-                 ast_parent_type=M.TYPE_DECL, ast_parent_full_name=class_full)
+                 ast_parent_type=M.TYPE_DECL, ast_parent_full_name=class_full,
+                 generic_signature=("("
+                                    + "".join(self._record_comp_sigs(class_full))
+                                    + ")V"))
         self.push_scope()
         this = N(M.METHOD_PARAMETER_IN, code="this", name="this",
                  type_full_name=class_full, param_index=0, line=start.line,
@@ -1658,7 +1893,10 @@ class JavaParser(CParser):
         # its type args target-type `return <lambda>` (LambdaTests
         # "returned from a function")
         ret_targs = self.last_type_args
+        ret_raw, self._pending_ret_raw = self._pending_ret_raw, ""
+        tp_sig, self._pending_tparams_sig = self._pending_tparams_sig, ""
         params: list[tuple[str, str, str, bool]] = []
+        param_sig_raws: list[str] = []
         targs_by_name: dict[str, list[str]] = {}
         anns_by_name: dict[str, list] = {}
         while not self.at(")"):
@@ -1666,6 +1904,7 @@ class JavaParser(CParser):
             while self.at("final"):
                 self.next()
             raw_pty = self.parse_java_type()
+            p_sig_raw = self.last_raw_type
             p_targs = self.last_type_args  # `Function<String, Integer>`
             pty = self.resolve_type(raw_pty)
             variadic = False
@@ -1674,12 +1913,15 @@ class JavaParser(CParser):
                 variadic = True
                 pty += "[]"
                 raw_pty += "..."
+                p_sig_raw += "[]"
             pname = self.next().v if self.peek() is not None and self.peek().t == "id" else ""
             while self.at("[") and self.at("]", 1):
                 self.next(); self.next()
                 pty += "[]"
                 raw_pty += "[]"
+                p_sig_raw += "[]"
             params.append((pty, raw_pty, pname, variadic))
+            param_sig_raws.append(p_sig_raw)
             if p_targs and pname:
                 targs_by_name[pname] = p_targs
             if p_anns and pname:
@@ -1708,6 +1950,12 @@ class JavaParser(CParser):
         method = N(M.METHOD, code=f"{ret_ty} {name}({','.join(p[0] for p in params)})",
                    name=name, full_name=full_name, signature=sig, line=start.line,
                    ast_parent_type=M.TYPE_DECL, ast_parent_full_name=class_full)
+        # `[<tparams>](param sigs)ret sig` — ctors return V
+        ret_sig = "V" if name == M.CONSTRUCTOR \
+            else self.sig_of_raw(ret_raw or ret_ty)
+        method.generic_signature = (
+            tp_sig + "(" + "".join(self.sig_of_raw(r) for r in param_sig_raws)
+            + ")" + ret_sig)
         self.push_scope()
         if not is_static:
             this = N(M.METHOD_PARAMETER_IN, code="this", name="this",
@@ -1721,6 +1969,7 @@ class JavaParser(CParser):
             p = N(M.METHOD_PARAMETER_IN, code=f"{raw_pty} {pname}".strip(), name=pname,
                   type_full_name=pty, param_index=i, is_variadic=var,
                   line=start.line,
+                  generic_signature=self.sig_of_raw(param_sig_raws[i - 1]),
                   evaluation_strategy=(M.BY_VALUE if pty in JAVA_PRIMITIVES
                                        else M.BY_SHARING))
             method.add(p)
@@ -1879,15 +2128,20 @@ class JavaParser(CParser):
         line = decl.line
         full = decl.full_name
         if not is_static and encl_cls:
+            # outerClass signs the enclosing class WITHOUT its type args —
+            # the outer's type vars have no meaning inside the local class
+            # (GenericSignatureTests "a local class with captures")
             decl.add(N(M.MEMBER, code="outerClass", name="outerClass",
                        type_full_name=encl_cls, line=line,
                        ast_parent_type=M.TYPE_DECL,
-                       ast_parent_full_name=full))
+                       ast_parent_full_name=full,
+                       generic_signature=f"L{encl_cls.split('.')[-1]};"))
         for nm in cap_names:
             decl.add(N(M.MEMBER, code=nm, name=nm,
                        type_full_name=captured[nm].type_full_name, line=line,
                        ast_parent_type=M.TYPE_DECL,
-                       ast_parent_full_name=full))
+                       ast_parent_full_name=full,
+                       generic_signature=captured[nm].generic_signature))
         for ctor in decl.children:
             if ctor.kind != M.METHOD or ctor.name != M.CONSTRUCTOR:
                 continue
@@ -2051,7 +2305,9 @@ class JavaParser(CParser):
             src_ty = (coll.type_full_name if is_array
                       else "java.util.Iterator")
             src_decl = N(M.LOCAL, code=src, name=src,
-                         type_full_name=src_ty or M.ANY, line=line)
+                         type_full_name=src_ty or M.ANY, line=line,
+                         generic_signature=(self.UNSPEC_SIG if is_array
+                                            else "Ljava.util.Iterator;"))
             self.declare(src, src_decl)
             prelude.append(src_decl)
             if is_array:
@@ -2081,7 +2337,8 @@ class JavaParser(CParser):
         # synthesized bare ("item", ControlStructureTests.scala:636-638)
         item_loc = N(M.LOCAL,
                      code=f"{raw_ty} {item}" if is_array else item, name=item,
-                     type_full_name=ty, line=name_tok.line)
+                     type_full_name=ty, line=name_tok.line,
+                     generic_signature=self.sig_of_raw(raw_ty))
         self.declare(item, item_loc)
 
         if is_array:
@@ -2090,7 +2347,7 @@ class JavaParser(CParser):
             idx = f"$idx{self.idx_counter}"
             self.idx_counter += 1
             idx_loc = N(M.LOCAL, code=idx, name=idx, type_full_name="int",
-                        line=line)
+                        line=line, generic_signature="I")
             self.declare(idx, idx_loc)
             node = N(M.CONTROL_STRUCTURE, code="for",
                      control_structure_type=M.CS_FOR, line=line)
@@ -2551,6 +2808,7 @@ class JavaParser(CParser):
         while self.at("final"):
             self.next()
         raw_ty = self.parse_java_type()
+        decl_sig_raw = self.last_raw_type
         decl_targs = self.last_type_args  # `Function<String, String> f`
         base_ty = self.resolve_type(raw_ty)
         if self.peek() is None or self.peek().t != "id":
@@ -2565,10 +2823,12 @@ class JavaParser(CParser):
             code_ty = raw_ty  # LOCAL/assignment codes keep the SOURCE type
             # spelling ("Integer y", not "java.lang.Integer y") while
             # typeFullName resolves — LocalTests.scala:22-27
+            post_dims = 0
             while self.at("[") and self.at("]", 1):
                 self.next(); self.next()
                 ty += "[]"
                 code_ty += "[]"
+                post_dims += 1
             # a vardecl clashing with a LIVE hoisted pattern local of the
             # same (name, type) SHARES that local (PatternExprTests "a
             # pattern and local variable share a name and a type"); a
@@ -2581,7 +2841,9 @@ class JavaParser(CParser):
             else:
                 mangled = self._mangled_pattern_name(name)
                 loc = N(M.LOCAL, code=f"{code_ty} {name}", name=mangled,
-                        type_full_name=ty, line=name_tok.line)
+                        type_full_name=ty, line=name_tok.line,
+                        generic_signature=("[" * post_dims
+                                           + self.sig_of_raw(decl_sig_raw)))
                 out.append(loc)
             self.declare(name, loc)
             if self.at("="):
@@ -2929,8 +3191,11 @@ class JavaParser(CParser):
             ty = "java.lang.Object"
         name = f"$obj{self.temp_obj_n}"
         self.temp_obj_n += 1
+        # the tmp's static type depends on the initializer's (unresolvable in
+        # general) type -> L__unspecified_type; (GenericSignatureTests
+        # "a pattern initializer requiring a tmp local")
         loc = N(M.LOCAL, code=name, name=name, type_full_name=ty,
-                line=node.line)
+                line=node.line, generic_signature=self.UNSPEC_SIG)
         self._hoist_pattern_local(loc)
 
         def mk_ident() -> N:
@@ -3095,7 +3360,8 @@ class JavaParser(CParser):
         if loc is None:
             mangled = self._mangled_pattern_name(name)
             loc = N(M.LOCAL, code=f"{pat['raw']} {name}", name=mangled,
-                    type_full_name=var_ty, line=pat["line"])
+                    type_full_name=var_ty, line=pat["line"],
+                    generic_signature=self.sig_of_raw(pat["raw"]))
             self._hoist_pattern_local(loc)
             if self.block_pattern_names:
                 self.block_pattern_names[-1][(name, var_ty)] = loc
@@ -3307,6 +3573,7 @@ class JavaParser(CParser):
     def parse_new(self) -> N:
         op_tok = self.next()
         raw_ty = self.parse_java_type()
+        new_sig_raw = self.last_raw_type  # before args can clobber it
         # parse_java_type consumes empty `[]` pairs — recover the element
         # type and dimension count for `new int[] {...}` shapes
         base_raw = raw_ty
@@ -3356,7 +3623,8 @@ class JavaParser(CParser):
             self.next()
         end = self.toks[self.pos - 1]
         if self.at("{"):  # anonymous class body
-            return self._parse_anon_class(ty, args, op_tok, end)
+            return self._parse_anon_class(ty, args, op_tok, end,
+                                          super_raw=new_sig_raw)
         # javasrc2cpg-style: constructor invocation CALL named <init> with
         # methodFullName Type.<init>:void(...) (Defines.scala:25)
         known = self.class_methods.get(ty, {}).get(M.CONSTRUCTOR)
@@ -3379,7 +3647,8 @@ class JavaParser(CParser):
         return call
 
     def _parse_anon_class(self, super_full: str, args: list["N"],
-                          op_tok: "Tok", hdr_end: "Tok") -> "N":
+                          op_tok: "Tok", hdr_end: "Tok",
+                          super_raw: str = "") -> "N":
         """`new Bar(...) { members }` — an anonymous TYPE_DECL named
         `Bar$N` with fullname `{context}.Bar$N` where the context is the
         enclosing method (`foo.Foo.foo`), field initializer (`foo.Foo.b`)
@@ -3402,7 +3671,10 @@ class JavaParser(CParser):
         decl = N(M.TYPE_DECL, code=f"new {simple}(...) {{...}}", name=name,
                  full_name=full, inherits_from=[super_full],
                  line=op_tok.line, ast_parent_type=M.METHOD,
-                 ast_parent_full_name=ctx)
+                 ast_parent_full_name=ctx,
+                 # the written supertype is the whole signature — anonymous
+                 # classes have no implicit-LObject row of their own
+                 generic_signature=self.sig_of_raw(super_raw or simple))
         self.class_supers[full] = [super_full]
         self.class_methods.setdefault(full, {})
         self.expect("{")
@@ -3488,18 +3760,27 @@ class JavaParser(CParser):
                    ast_parent_full_name=owner or self.global_block)
         self.push_scope()
         params: list[str] = []
+        param_sigs: list[str] = []
         if self.at("("):
             self.next()
             while not self.at(")"):
+                psig = self.UNSPEC_SIG
                 if self.looks_like_java_type() and self.peek(1) is not None and self.peek(1).t == "id":
                     self.parse_java_type()
+                    # explicitly-annotated lambda params sign their declared
+                    # type; untyped ones L__unspecified_type;
+                    psig = self.sig_of_raw(self.last_raw_type)
                 if self.peek() is not None and self.peek().t == "id":
                     params.append(self.next().v)
+                    param_sigs.append(psig)
                 if self.at(","):
                     self.next()
             self.next()
         else:
             params.append(self.next().v)
+            param_sigs.append(self.UNSPEC_SIG)
+        method.generic_signature = ("(" + "".join(param_sigs) + ")"
+                                    + self.UNSPEC_SIG)
         for i, pname in enumerate(params, start=1):
             p = N(M.METHOD_PARAMETER_IN, code=pname, name=pname, param_index=i,
                   line=start.line, evaluation_strategy=M.BY_SHARING)

@@ -331,6 +331,10 @@ RAW_NODE_FIELDS = [
                                       # reconciliation (MethodStubCreator.scala:59-66) is a plain
                                       # groupBy over call sites instead of a 1.6M-row child
                                       # aggregation + join against the full node table.
+    ("generic_signature", T.StringType()),  # JVM-style generic signature on
+                                      # METHOD/TYPE_DECL/LOCAL/MEMBER (javasrc;
+                                      # GenericSignatureTests.scala semantics:
+                                      # declared source types, simple names)
     ("line", T.IntegerType()),
     ("line_end", T.IntegerType()),    # METHOD rows: closing-brace line (-1 unset);
                                       # numberOfLines = line_end - line + 1
@@ -426,6 +430,7 @@ def raw_node(**kw):
         "is_variadic": False,
         "is_external": False,
         "nargs": -1,
+        "generic_signature": "",
         "line": 0,
         "line_end": -1,
         "parse_error": "",

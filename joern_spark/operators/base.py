@@ -42,6 +42,7 @@ def _mk_nodes(df: DataFrame, **exprs) -> DataFrame:
         "alias_type_full_name": F.lit(""), "evaluation_strategy": F.lit(""),
         "param_index": F.lit(-1), "is_variadic": F.lit(False),
         "is_external": F.lit(False), "nargs": F.lit(-1),
+        "generic_signature": F.lit(""),
         "line": F.lit(0), "line_end": F.lit(-1), "parse_error": F.lit(""),
         "ie_src": F.lit(None).cast("array<bigint>"),
         "ie_dst": F.lit(None).cast("array<bigint>"),

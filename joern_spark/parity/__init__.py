@@ -54,12 +54,13 @@ _EXT = {"c": "c", "cpp": "cpp", "java": "java", "javascript": "js"}
 
 def corpus() -> list[dict]:
     from joern_spark.parity import (corpus_c, corpus_c_flows, corpus_java,
-                                    corpus_java_flows, corpus_java_patterns,
+                                    corpus_java_flows, corpus_java_gensig,
+                                    corpus_java_patterns,
                                     corpus_js, corpus_js_flows)
     return (corpus_c.CASES + corpus_c_flows.CASES + corpus_js.CASES
             + corpus_js_flows.CASES
             + corpus_java.CASES + corpus_java_flows.CASES
-            + corpus_java_patterns.CASES)
+            + corpus_java_patterns.CASES + corpus_java_gensig.CASES)
 
 
 def case_path(case: dict) -> str:
@@ -100,7 +101,8 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
     for rel in ("calls", "inherits", "declares", "methods", "captures",
                 "cs", "cscond", "params", "locals", "members", "membercode",
                 "bindings", "callmfn", "typerec", "imports", "annot",
-                "annotkids", "tdalias", "nsblock", "msig", "paramcode"):
+                "annotkids", "tdalias", "nsblock", "msig", "paramcode",
+                "gensig"):
         for s, o in (case.get(rel) or []):
             out.append((rel, s, o))
     # node typeFullName assertions keyed like cfg subjects (code@idx[#KIND])
@@ -502,6 +504,15 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
                     if (c["parent_idx"] == r["node_idx"]
                             and c["role"] == M.ROLE_CONDITION):
                         out.add(("cscond", subj, c["code"]))
+
+    if case.get("gensig") is not None:
+        # genericSignature keyed by `KIND:name` — cpg.local/.method/.member/
+        # .typeDecl .name(X).genericSignature.l golden values
+        # (GenericSignatureTests.scala)
+        for r in rows:
+            gs = r.get("generic_signature") or ""
+            if gs:
+                out.add(("gensig", f'{r["kind"]}:{r["name"]}', gs))
 
     if case.get("msig") is not None:
         # METHOD signature keyed by name (AstCreationPassTests "Method AST

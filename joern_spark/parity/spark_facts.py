@@ -278,6 +278,13 @@ def spark_facts(spark: SparkSession) -> DataFrame:
         .select("lang", "kase", F.lit("captures").alias("relation"),
                 F.col("mname").alias("subj"), F.col("decl_name").alias("obj")))
 
+    # genericSignature keyed by `KIND:name` (GenericSignatureTests)
+    out.append(
+        base.filter(F.coalesce(F.col("generic_signature"), F.lit("")) != "")
+        .select("lang", "kase", F.lit("gensig").alias("relation"),
+                F.concat_ws(":", F.col("kind"), F.col("name")).alias("subj"),
+                F.col("generic_signature").alias("obj")))
+
     # call-site methodFullName inventory keyed by call name
     out.append(
         base.filter((F.col("kind") == M.CALL)
