@@ -216,6 +216,12 @@ class JavaParser(CParser):
             prev = v
         return "".join(out)
 
+    def declare(self, name: str, node: N):
+        # record the innermost enclosing method for local-class capture
+        # scoping (LocalClassTests nested-context rule)
+        self.decl_method[id(node)] = self.method_ctx[-1] if self.method_ctx else ""
+        super().declare(name, node)
+
     def lower_field_access(self, call: "N") -> "N":
         """`xs.length` on an array-typed base -> <operator>.sizeOf with the
         base as its only argument (ArrayTests.scala:146-158)."""
@@ -448,6 +454,16 @@ class JavaParser(CParser):
         self.record_components: dict[str, list[tuple[str, str, str, int]]] = {}
         # raw header type texts (generic args kept) for genericSignatures
         self.record_component_raws: dict[str, list[str]] = {}
+        # local-class fullname -> [(capture name or "this", type)] in ctor
+        # param order — appended to `new Local(...)` call sites
+        self.local_class_captures: dict[str, list[tuple[str, str]]] = {}
+        # innermost enclosing method fullname per declaration — local
+        # classes capture ONLY the immediately-enclosing method's variables
+        # (LocalClassTests "local classes in a nested static context":
+        # Baz captures barLocal/barParam but NOT foo's, which flow through
+        # Bar's members via outerClass instead)
+        self.method_ctx: list[str] = []
+        self.decl_method: dict[int, str] = {}
         self.compact_ctor_classes: set[str] = set()
         # anonymous-class naming context (AnonymousClassTests.scala): a
         # stack of (context prefix, enclosing class fullname, is_static) —
@@ -1805,6 +1821,7 @@ class JavaParser(CParser):
                                     + "".join(self._record_comp_sigs(class_full))
                                     + ")V"))
         self.push_scope()
+        self.method_ctx.append(ctor.full_name)
         this = N(M.METHOD_PARAMETER_IN, code="this", name="this",
                  type_full_name=class_full, param_index=0, line=start.line,
                  evaluation_strategy=M.BY_SHARING)
@@ -1831,6 +1848,7 @@ class JavaParser(CParser):
         ctor.add(body)
         ctor.add(N(M.METHOD_RETURN, code="RET", type_full_name="void",
                    evaluation_strategy=M.BY_VALUE, line=start.line))
+        self.method_ctx.pop()
         self.pop_scope()
         self.compact_ctor_classes.add(class_full)
         self.class_methods.setdefault(class_full, {})[M.CONSTRUCTOR] = [(
@@ -1957,6 +1975,7 @@ class JavaParser(CParser):
             tp_sig + "(" + "".join(self.sig_of_raw(r) for r in param_sig_raws)
             + ")" + ret_sig)
         self.push_scope()
+        self.method_ctx.append(full_name)
         if not is_static:
             this = N(M.METHOD_PARAMETER_IN, code="this", name="this",
                      type_full_name=class_full, param_index=0, line=start.line,
@@ -1995,6 +2014,7 @@ class JavaParser(CParser):
             method.line_end = blk.line_end
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=ret_ty,
                      evaluation_strategy=M.BY_VALUE, line=start.line))
+        self.method_ctx.pop()
         self.pop_scope()
         return method
 
@@ -2119,7 +2139,8 @@ class JavaParser(CParser):
             d = n.ref_target
             if n.kind == M.IDENTIFIER and d is not None \
                     and id(d) not in inside and n.name != "this" \
-                    and d.kind in (M.LOCAL, M.METHOD_PARAMETER_IN):
+                    and d.kind in (M.LOCAL, M.METHOD_PARAMETER_IN) \
+                    and self.decl_method.get(id(d)) == (mfn or ""):
                 captured.setdefault(d.name, d)
             for c in n.children:
                 find(c)
@@ -2190,7 +2211,27 @@ class JavaParser(CParser):
             insert_at = next((i for i, c in enumerate(ctor.children)
                               if c.kind not in (M.METHOD_PARAMETER_IN,)), 0)
             ctor.children[insert_at:insert_at] = new_params
-            body.children[0:0] = assigns
+            # a ctor that delegates via `this(...)` forwards its capture
+            # params to the chained ctor instead of re-assigning them
+            # (LocalClassTests "local classes with chained explicit
+            # constructors": assigns only in non-delegating ctors)
+            deleg = next((c for c in body.children
+                          if c.kind == M.CALL and c.name == "this"), None)
+            if deleg is not None:
+                base = max((c.arg_index for c in deleg.children), default=0)
+                for off, p in enumerate(new_params, start=1):
+                    fwd = N(M.IDENTIFIER, code=p.name, name=p.name,
+                            type_full_name=p.type_full_name,
+                            arg_index=base + off, line=line)
+                    fwd.ref_target = p
+                    deleg.add(fwd)
+            else:
+                body.children[0:0] = assigns
+        # `new Local(...)` call sites append the capture arguments after the
+        # explicit ones (LocalClassTests "object creation expressions")
+        self.local_class_captures[full] = (
+            ([("this", encl_cls)] if not is_static and encl_cls else [])
+            + [(nm, captured[nm].type_full_name) for nm in cap_names])
         return decl
 
     def parse_for(self) -> N:
@@ -3644,6 +3685,18 @@ class JavaParser(CParser):
         for i, a in enumerate(args, start=1):
             a.arg_index = i
             call.add(a)
+        # local classes: the synthesized capture params become implicit
+        # arguments after the explicit ones — enclosing `this` first, then
+        # the captured variables (LocalClassTests "object creation
+        # expressions": argumentIndex continues after the explicit args)
+        for off, (nm, cty) in enumerate(self.local_class_captures.get(ty, []),
+                                        start=len(args) + 1):
+            decl = self.lookup(nm)
+            ident = N(M.IDENTIFIER, code=nm, name=nm, type_full_name=cty,
+                      arg_index=off, line=op_tok.line)
+            if decl is not None:
+                ident.ref_target = decl
+            call.add(ident)
         return call
 
     def _parse_anon_class(self, super_full: str, args: list["N"],
@@ -3759,6 +3812,7 @@ class JavaParser(CParser):
                    ast_parent_type=M.TYPE_DECL,
                    ast_parent_full_name=owner or self.global_block)
         self.push_scope()
+        self.method_ctx.append(full)
         params: list[str] = []
         param_sigs: list[str] = []
         if self.at("("):
@@ -3809,6 +3863,7 @@ class JavaParser(CParser):
             self._pop_pattern_frame(frame, blk)
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
                      evaluation_strategy=M.BY_VALUE, line=start.line))
+        self.method_ctx.pop()
         self.pop_scope()
         if outer_this is not None:
             # a lambda using instance state gets its own 0th `this`

@@ -55,12 +55,14 @@ _EXT = {"c": "c", "cpp": "cpp", "java": "java", "javascript": "js"}
 def corpus() -> list[dict]:
     from joern_spark.parity import (corpus_c, corpus_c_flows, corpus_java,
                                     corpus_java_flows, corpus_java_gensig,
+                                    corpus_java_localcls,
                                     corpus_java_patterns,
                                     corpus_js, corpus_js_flows)
     return (corpus_c.CASES + corpus_c_flows.CASES + corpus_js.CASES
             + corpus_js_flows.CASES
             + corpus_java.CASES + corpus_java_flows.CASES
-            + corpus_java_patterns.CASES + corpus_java_gensig.CASES)
+            + corpus_java_patterns.CASES + corpus_java_gensig.CASES
+            + corpus_java_localcls.CASES)
 
 
 def case_path(case: dict) -> str:
