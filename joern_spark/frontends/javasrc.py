@@ -185,6 +185,7 @@ class JavaParser(CParser):
     last_tparams_sig = ""
     _pending_tparams_sig = ""
     _pending_ret_raw = ""
+    _twr_prelude: list = []
 
     def slice(self, a, b) -> str:
         """Expression code spelling. Multi-line or comment-bearing spans are
@@ -2091,6 +2092,13 @@ class JavaParser(CParser):
             out = super().parse_statement()
         finally:
             self._stmt_depth -= 1
+        if self._twr_prelude and out \
+                and any(getattr(n, "control_structure_type", "") == M.CS_TRY
+                        for n in out):
+            # try-with-resources: locals + resource assignments precede the
+            # TRY as sibling statements (NewControlStructureTests:70-122)
+            out = self._twr_prelude + list(out)
+            self._twr_prelude = []
         is_cs = len(out) == 1 and out[0].kind == M.CONTROL_STRUCTURE
         if len(self.pending_pattern_locals) > pmark:
             # pattern locals hoisted by this statement's expressions are
@@ -2777,25 +2785,40 @@ class JavaParser(CParser):
     def parse_try(self) -> N:
         kw = self.next()
         node = N(M.CONTROL_STRUCTURE, code="try", control_structure_type=M.CS_TRY, line=kw.line)
+        twr_prelude: list[N] = []
         if self.at("("):  # try-with-resources
             self.next()
             self.push_scope()
             while not self.at(")"):
                 if self.looks_like_java_type():
                     raw_ty = self.parse_java_type()
+                    sig_raw = self.last_raw_type
                     ty = self.resolve_type(raw_ty)
                     if self.peek() is not None and self.peek().t == "id":
                         nm = self.next()
-                        # code keeps the raw spelling ("FileReader fr",
-                        # ControlStructureTests.scala:81-83)
+                        # resources hoist BEFORE the try as sibling LOCAL +
+                        # assignment statements; code keeps the raw spelling
+                        # ("FileReader fr", NewControlStructureTests:70-122)
                         loc = N(M.LOCAL, code=f"{raw_ty} {nm.v}", name=nm.v,
-                                type_full_name=ty, line=nm.line)
-                        node.add(loc)
+                                type_full_name=ty, line=nm.line,
+                                generic_signature=self.sig_of_raw(sig_raw))
+                        twr_prelude.append(loc)
                         self.declare(nm.v, loc)
                         if self.at("="):
                             self.next()
                             init = self.parse_assignment_expr()
-                            node.add(init)
+                            ident = N(M.IDENTIFIER, code=nm.v, name=nm.v,
+                                      type_full_name=ty, line=nm.line,
+                                      arg_index=1)
+                            ident.ref_target = loc
+                            init.arg_index = 2
+                            asg = N(M.CALL, code=f"{nm.v} = {init.code}",
+                                    name=M.OP_ASSIGNMENT,
+                                    method_full_name=M.OP_ASSIGNMENT,
+                                    dispatch_type=M.STATIC_DISPATCH,
+                                    type_full_name=ty, line=nm.line)
+                            asg.add(ident, init)
+                            twr_prelude.append(asg)
                 if self.at(";"):
                     self.next()
                 elif not self.at(")"):
@@ -2832,6 +2855,10 @@ class JavaParser(CParser):
                     role=M.ROLE_FINALLY_BODY, line=f.line)
             fin.add(self.parse_compound())
             node.add(fin)
+        # resources surface as SIBLING statements before the try — the
+        # enclosing parse_statement drains this immediately (nested tries
+        # are safe: each parse_try overwrites the attr just before return)
+        self._twr_prelude = twr_prelude
         return node
 
     def looks_like_type(self) -> bool:
@@ -3674,11 +3701,15 @@ class JavaParser(CParser):
         elif ty in self.declared_types.values():
             # internal ctor-less class -> the synthesized default ctor
             mfn = f"{ty}.{M.CONSTRUCTOR}:void({','.join(M.ANY for _ in args)})"
-        else:
+        elif args:
             # external class: signature unresolvable without its sources
             # (GenericsTests.scala:18-20 `new Box<>(0)` ->
             # box.Box.<init>:<unresolvedSignature>(1))
             mfn = f"{ty}.{M.CONSTRUCTOR}:{M.UNRESOLVED_SIGNATURE}({len(args)})"
+        else:
+            # a no-arg external ctor IS fully known: void()
+            # (TypeInferenceTests:202-255 `new Bar()` -> a.Bar.<init>:void())
+            mfn = f"{ty}.{M.CONSTRUCTOR}:void()"
         call = N(M.CALL, code=self.slice(op_tok, end), name=M.CONSTRUCTOR,
                  method_full_name=mfn, dispatch_type=M.STATIC_DISPATCH,
                  line=op_tok.line, type_full_name=ty)

@@ -470,3 +470,187 @@ public class Test {
         cite=f"{_S}:1341-1476",
     ),
 ]
+
+
+# --------------------------------------------------------------------------- #
+# NewControlStructureTests remainder (try-with-resources, static-import
+# foreach clinit structure).
+# --------------------------------------------------------------------------- #
+
+CASES += [
+    # NewControlStructureTests:54-124 — try-with-resources hoists each
+    # resource as a LOCAL + assignment BEFORE the TRY; the try keeps only
+    # its block. (The reference further splits `new` into alloc+<init>;
+    # this frontend's single <init>-call `new` representation is asserted
+    # through the assignment code instead.)
+    dict(
+        name="java-localcls-try-with-resources", lang="java", wrap=False,
+        code="""
+import java.io.FileReader;
+import java.io.IOException;
+import java.io.BufferedReader;
+
+public class Foo {
+    static String foo(String path) throws IOException {
+        try (FileReader fr = new FileReader(path);
+             BufferedReader br = new BufferedReader(fr)) {
+            return br.readLine();
+        }
+    }
+}
+""",
+        locals=[("foo.fr", "FileReader fr|java.io.FileReader"),
+                ("foo.br", "BufferedReader br|java.io.BufferedReader")],
+        cs=[("foo:TRY", "try")],
+        ast={("fr = new FileReader(path)", 0, "CALL"):
+                 ["fr", "new FileReader(path)"],
+             ("br = new BufferedReader(fr)", 0, "CALL"):
+                 ["br", "new BufferedReader(fr)"],
+             ("return br.readLine();", 0): ["br.readLine()"]},
+        cite="querying/ControlStructureTests.scala:54-124 (NewControlStructureTests try-with-resource blocks)",
+    ),
+    # NewControlStructureTests:126-167 — a static field initializer lands
+    # in <clinit> as an assignment whose target is an implicit-TYPE_REF
+    # fieldAccess typed as the field.
+    dict(
+        name="java-localcls-static-arr-clinit", lang="java", wrap=False,
+        code="""
+public class Bar {
+  public static String[] STATIC_ARR = new String[10];
+}
+""",
+        ast={("String[] Bar.STATIC_ARR = new String[10]", 0, "CALL"):
+                 ["Bar.STATIC_ARR", "new String[10]"],
+             ("Bar.STATIC_ARR", 0, "CALL"): ["Bar", "STATIC_ARR"],
+             ("new String[10]", 0, "CALL"): ["10"]},
+        nodetype={("Bar.STATIC_ARR", 0): "java.lang.String[]"},
+        methods=[["<clinit>", "Bar.<clinit>:void()"]],
+        cite="querying/ControlStructureTests.scala:126-167 (clinit assignment structure)",
+    ),
+]
+
+# --------------------------------------------------------------------------- #
+# NewTypeInferenceTests — single-compilation-unit inference cases (the
+# cross-file overload-resolution groups need whole-program symbol solving
+# and are exercised through the distributed static linker instead).
+# --------------------------------------------------------------------------- #
+
+CASES += [
+    # :202-220 — ctor invocation starting a call chain: <init> resolves to
+    # the imported class with a KNOWN void() signature (no args); the
+    # chained call takes the receiver's imported type with an unresolved
+    # signature.
+    dict(
+        name="java-typeinf-ctor-chain", lang="java", wrap=False,
+        code="""
+import a.Bar;
+
+public class Foo {
+  public void foo() {
+    String s = new Bar().getValue();
+  }
+}
+""",
+        callmfn=[("<init>", "a.Bar.<init>:void()"),
+                 ("getValue", "a.Bar.getValue:<unresolvedSignature>(0)")],
+        cite="querying/TypeInferenceTests.scala:202-220",
+    ),
+    # :222-239 — ctor invocation as an argument.
+    dict(
+        name="java-typeinf-ctor-arg", lang="java", wrap=False,
+        code="""
+import a.Bar;
+
+public class Foo {
+
+  public static void foo() {
+    useBar(new Bar());
+  }
+
+  public static void useBar(Bar b) {}
+}
+""",
+        callmfn=[("<init>", "a.Bar.<init>:void()"),
+                 ("useBar", "Foo.useBar:void(a.Bar)")],
+        cite="querying/TypeInferenceTests.scala:222-239",
+    ),
+    # :241-255 — ctor invocation as a return argument.
+    dict(
+        name="java-typeinf-ctor-return", lang="java", wrap=False,
+        code="""
+import a.Bar;
+
+public class Foo {
+  public Bar getBar() {
+    return new Bar();
+  }
+}
+""",
+        callmfn=[("<init>", "a.Bar.<init>:void()")],
+        cite="querying/TypeInferenceTests.scala:241-255",
+    ),
+    # :258-288 — member types inferred from imports and used to resolve
+    # member-receiver calls.
+    dict(
+        name="java-typeinf-members", lang="java", wrap=False,
+        code="""
+import a.Logger;
+import a.LoggerFactory;
+import b.Environment;
+
+public class Foo {
+  Environment env;
+  private static Logger log = LoggerFactory.getLogger(Foo.class);
+
+  public void foo() {
+    log.info("UserName is {}", env.getProperty("property"));
+  }
+}
+""",
+        members=[("Foo.env", "b.Environment"), ("Foo.log", "a.Logger")],
+        callmfn=[("info", "a.Logger.info:<unresolvedSignature>(2)"),
+                 ("getProperty",
+                  "b.Environment.getProperty:<unresolvedSignature>(1)"),
+                 ("getLogger",
+                  "a.LoggerFactory.getLogger:<unresolvedSignature>(1)")],
+        cite="querying/TypeInferenceTests.scala:258-288",
+    ),
+    # :290-326 — ctor created purely from import info: unresolved
+    # signature with the argument count.
+    dict(
+        name="java-typeinf-ctor-import", lang="java", wrap=False,
+        code="""
+import a.b.c.Bar;
+
+class Foo {
+  public void test2() {
+    Bar b = new Bar(0);
+  }
+}
+""",
+        callmfn=[("<init>",
+                  "a.b.c.Bar.<init>:<unresolvedSignature>(1)")],
+        locals=[("test2.b", "Bar b|a.b.c.Bar")],
+        cite="querying/TypeInferenceTests.scala:290-326",
+    ),
+    # :119-150 — return type of a method declared in the same unit resolves
+    # through its import; the METHOD fullName carries it.
+    dict(
+        name="java-typeinf-return-import", lang="java", wrap=False,
+        code="""
+package org.codeminers.thirdparty;
+
+import com.sendgrid.SendGrid;
+
+public class ThirdParty {
+    public static SendGrid getSgClient() {
+	     return new SendGrid("Dummy-api-key");
+    }
+}
+""",
+        methods=[("getSgClient",
+                  "org.codeminers.thirdparty.ThirdParty.getSgClient:"
+                  "com.sendgrid.SendGrid()")],
+        cite="querying/TypeInferenceTests.scala:119-150",
+    ),
+]
