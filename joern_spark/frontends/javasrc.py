@@ -360,7 +360,7 @@ class JavaParser(CParser):
                      line=node.line)
             code = f"{cls_name}.{fname}"
         else:
-            this_decl = self.lookup("this")
+            this_decl = self._this_for_member(d)
             if this_decl is None:
                 return node
             base = N(M.IDENTIFIER, code="this", name="this", line=node.line,
@@ -379,6 +379,31 @@ class JavaParser(CParser):
         fa.add(fld)
         fa.ref_target = d  # fieldAccess REF -> MEMBER (FieldAccessLinkerPass)
         return fa
+
+    def _this_for_member(self, member: N) -> N | None:
+        """The `this` binding whose class (or one of its transitive supers)
+        OWNS the member — an outer field accessed from an anonymous-class
+        initializer binds the OUTER this, not the anon's (CapturingTests
+        "instance initializer accessing outer field")."""
+        owner = member.ast_parent_full_name or ""
+        fallback = None
+        for s in reversed(self.scopes):
+            t = s.get("this")
+            if t is None:
+                continue
+            if fallback is None:
+                fallback = t
+            cls, seen = t.type_full_name, set()
+            stack = [cls]
+            while stack:
+                c = stack.pop()
+                if c in seen:
+                    continue
+                seen.add(c)
+                if c == owner:
+                    return t
+                stack.extend(self.class_supers.get(c, []))
+        return fallback
 
     def note_init_dynamic_type(self, decl: "N", init: "N") -> None:
         if init.kind == M.CALL and init.name == M.CONSTRUCTOR \
@@ -458,6 +483,9 @@ class JavaParser(CParser):
         # local-class fullname -> [(capture name or "this", type)] in ctor
         # param order — appended to `new Local(...)` call sites
         self.local_class_captures: dict[str, list[tuple[str, str]]] = {}
+        # stack of enclosing class FULLNAMES (incl. anonymous/local classes,
+        # whose ns-derived spellings would be wrong)
+        self.class_ctx: list[str] = []
         # innermost enclosing method fullname per declaration — local
         # classes capture ONLY the immediately-enclosing method's variables
         # (LocalClassTests "local classes in a nested static context":
@@ -1194,6 +1222,7 @@ class JavaParser(CParser):
                                                 for r in ifaces))
         self.expect("{")
         self.ns.append(name)
+        self.class_ctx.append(full)
         self.class_methods.setdefault(full, {})
         # pre-scan member signatures so intra-class calls resolve regardless of
         # declaration order (JavaParser-style symbol solving, single file)
@@ -1205,6 +1234,7 @@ class JavaParser(CParser):
         if self.at("}"):
             self.next()
         self.ns.pop()
+        self.class_ctx.pop()
         # javasrc2cpg creates a default `<init>` for every non-interface
         # type without an explicit constructor (TypeDeclTests.scala:355-375,
         # interfaces excluded per :166-174), and folds non-static field
@@ -1686,7 +1716,20 @@ class JavaParser(CParser):
             self.next()
             return None
         if self.at("{"):  # instance/static initializer block
-            blk = self.parse_compound()
+            # `this` inside an initializer is the DECLARING class's this —
+            # not an enclosing lambda/method's (CapturingTests "instance
+            # initializers in anonymous classes": no `this` leak). The
+            # synthetic binding is never attached to the AST, so refs to it
+            # flatten to -1 (no crossing-capture edge).
+            self.push_scope()
+            self.declare("this", N(M.METHOD_PARAMETER_IN, code="this",
+                                   name="this", type_full_name=class_full,
+                                   param_index=0,
+                                   evaluation_strategy=M.BY_SHARING))
+            try:
+                blk = self.parse_compound()
+            finally:
+                self.pop_scope()
             return None if not blk.children else blk
         t = self.peek()
         if t is None:
@@ -2786,9 +2829,11 @@ class JavaParser(CParser):
         kw = self.next()
         node = N(M.CONTROL_STRUCTURE, code="try", control_structure_type=M.CS_TRY, line=kw.line)
         twr_prelude: list[N] = []
+        twr_scope = False
         if self.at("("):  # try-with-resources
             self.next()
             self.push_scope()
+            twr_scope = True
             while not self.at(")"):
                 if self.looks_like_java_type():
                     raw_ty = self.parse_java_type()
@@ -2827,6 +2872,11 @@ class JavaParser(CParser):
         body = self.parse_compound()
         body.role = M.ROLE_TRY_BODY
         node.add(body)
+        if twr_scope:
+            # resources are scoped to the try block (JLS 14.20.3) — a
+            # same-named outer field is visible again afterwards
+            # (CapturingTests "TryStmt with resources shadowing a field")
+            self.pop_scope()
         while self.at("catch"):
             c = self.next()
             catch = N(M.CONTROL_STRUCTURE, code="catch", control_structure_type=M.CS_CATCH,
@@ -3763,6 +3813,7 @@ class JavaParser(CParser):
         self.class_methods.setdefault(full, {})
         self.expect("{")
         self.push_scope()
+        self.class_ctx.append(full)
         self._prescan_members(full)
         while self.peek() is not None and not self.at("}"):
             member = self.parse_member(full, "class")
@@ -3770,6 +3821,7 @@ class JavaParser(CParser):
                 decl.add(*member) if isinstance(member, list) else decl.add(member)
         if self.at("}"):
             self.next()
+        self.class_ctx.pop()
         self.pop_scope()
         # default constructor: this + (instance context) outerClass param
         # with `this.outerClass = outerClass` first, then member inits
@@ -3998,8 +4050,14 @@ class JavaParser(CParser):
                     and i < len(targs_list) else None)
 
     def _enclosing_class_chain(self) -> list[str]:
-        """Innermost-first fullnames of the enclosing type declarations
-        ($-joined binary names)."""
+        """Innermost-first fullnames of the enclosing type declarations.
+        Backed by the explicit class-context stack so local and anonymous
+        classes resolve against their OWN (method-scoped / `$N`) fullnames
+        — `sink(barMember)` inside `new Bar() {...}` finds Bar's inherited
+        member (AnonymousClassTests "extending non-trivial classes")."""
+        if self.class_ctx:
+            return list(reversed(self.class_ctx))
+        # fallback ($-joined binary names from the namespace path)
         chain = []
         names = [p for p in self.ns if p]
         for i in range(len(names), 0, -1):

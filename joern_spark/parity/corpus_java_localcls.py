@@ -654,3 +654,223 @@ public class ThirdParty {
         cite="querying/TypeInferenceTests.scala:119-150",
     ),
 ]
+
+CASES += [
+    # AnonymousClassTests:269-304 — unqualified calls inside an anonymous
+    # class resolve against the anon class's own fullname through its
+    # supertype's inherited members; implicit this is typed as the anon
+    # class. (The :232-267 enum-entry group is pendingUntilFixed upstream
+    # and the :360-392 bodies are `???` stubs — not transcribed.)
+    dict(
+        name="java-anon-super-members", lang="java", wrap=False,
+        code="""
+package foo;
+
+abstract class Bar {
+  int barMember = 0;
+  void bar();
+  void sink(int input) {}
+}
+
+class Foo {
+  static Bar b = new Bar() {
+    public void bar() {
+      sink(barMember);
+    }
+  };
+
+  void foo() {
+    b.bar();
+  }
+}
+""",
+        callmfn=[("sink", "foo.Foo.b.Bar$0.sink:void(int)")],
+        nodetype={("this", 1): "foo.Foo.b.Bar$0"},
+        ast={("this.sink(barMember)", 0): ["this", "this.barMember"]},
+        cite="querying/AnonymousClassTests.scala:269-304",
+    ),
+]
+
+# --------------------------------------------------------------------------- #
+# CapturingTests remainder — capture SETS per closure (the reference asserts
+# closureBindingId'd locals; this engine's equivalent is the crossing-REF
+# captures relation, exact-set per closure so "should not contain" absences
+# are FP-gated automatically).
+# --------------------------------------------------------------------------- #
+
+CASES += [
+    # :124-149 — TWR: capture path but not the resource-declared reader.
+    dict(
+        name="java-capt-twr", lang="java", wrap=False,
+        code="""
+import java.io.*;
+
+public class Test {
+  public void test(String path) {
+    Runnable r = () -> {
+      try (BufferedReader reader = new BufferedReader(new FileReader(path))) {
+        System.out.println(reader);
+      } catch (IOException e) {
+      }
+    };
+
+    r.run();
+  }
+}
+""",
+        captures=[("<lambda>0", "path")],
+        cite="querying/CapturingTests.scala:124-149",
+    ),
+    # :151-196 — TWR resource shadowing a captured FIELD: the local wins in
+    # scope; the field flows via this (not a variable capture).
+    dict(
+        name="java-capt-twr-shadow", lang="java", wrap=False,
+        code="""
+import java.io.*;
+
+public class Test {
+  BufferedReader reader;
+
+  public void test(String path) {
+    Runnable r = () -> {
+      try (BufferedReader reader = new BufferedReader(new FileReader(path))) {
+        System.out.println(reader);
+      } catch (IOException e) {
+      }
+      System.out.println(reader);
+    };
+
+    r.run();
+  }
+}
+""",
+        captures=[("<lambda>0", "path"), ("<lambda>0", "this")],
+        cite="querying/CapturingTests.scala:151-196",
+    ),
+    # :198-222 — local record in lambda: capture `captured`, never the
+    # record component `value`.
+    dict(
+        name="java-capt-local-record", lang="java", wrap=False,
+        code="""
+public class Foo {
+  public void test(String captured) {
+    Runnable r = () -> {
+      record LocalRecord(String value) {
+        void print() {
+          System.out.println(value);
+        }
+      }
+      new LocalRecord(captured).print();
+    };
+  }
+}
+""",
+        captures=[("<lambda>0", "captured")],
+        cite="querying/CapturingTests.scala:198-222",
+    ),
+    # :327-349 — while-condition pattern variable s is NOT a capture.
+    dict(
+        name="java-capt-while-pattern", lang="java", wrap=False,
+        code="""
+public class Foo {
+  public void test(Object obj) {
+    Runnable r = () -> {
+      while (obj instanceof String s) {
+        System.out.println(s);
+        break;
+      }
+    };
+  }
+}
+""",
+        captures=[("<lambda>0", "obj")],
+        cite="querying/CapturingTests.scala:327-349",
+    ),
+    # :394-420 — foreach + pattern: capture items, never item or s.
+    dict(
+        name="java-capt-for-pattern", lang="java", wrap=False,
+        code="""
+import java.util.*;
+
+public class Foo {
+  public void test(List<Object> items) {
+    Runnable r = () -> {
+      for (Object item : items) {
+        if (item instanceof String s) {
+          System.out.println(s);
+        }
+      }
+    };
+  }
+}
+""",
+        captures=[("<lambda>0", "items")],
+        cite="querying/CapturingTests.scala:394-420",
+    ),
+    # :475-498 — a local class's OWN field is not a lambda capture (only
+    # the implicit outer `this` for the ctor call site is).
+    dict(
+        name="java-capt-localcls-field", lang="java", wrap=False,
+        code="""
+public class Foo {
+  public void test() {
+    Runnable r = () -> {
+      class Local {
+        int field = 42;
+        void method() {
+          System.out.println(field);
+        }
+      }
+      new Local().method();
+    };
+  }
+}
+""",
+        captures=[("<lambda>0", "this")],
+        cite="querying/CapturingTests.scala:475-498",
+    ),
+    # :529-555 — `this` inside an anonymous class's instance initializer is
+    # the ANON's this; the lambda captures nothing.
+    dict(
+        name="java-capt-anon-init-this", lang="java", wrap=False,
+        code="""
+public class Foo {
+  private String value = "outer";
+
+  public void test() {
+    Runnable r = () -> {
+      Object obj = new Object() {
+        {
+          System.out.println(this);
+        }
+      };
+    };
+  }
+}
+""",
+        captures=[("<lambda>0", "")],  # empty-set assertion
+        cite="querying/CapturingTests.scala:529-555",
+    ),
+    # :557-589 — an OUTER field accessed from the initializer binds the
+    # outer this -> the lambda captures this.
+    dict(
+        name="java-capt-anon-init-field", lang="java", wrap=False,
+        code="""
+public class Foo {
+  private String value = "outer";
+
+  public void test() {
+    Runnable r = () -> {
+      Object obj = new Object() {
+        {
+          System.out.println(value);
+        }
+      };
+    };
+  }
+}
+""",
+        captures=[("<lambda>0", "this")],
+        cite="querying/CapturingTests.scala:557-589",
+    ),
+]
