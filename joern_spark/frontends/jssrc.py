@@ -921,6 +921,8 @@ class JsParser(CParser):
         return outer
 
     # ---------------- functions ----------------
+    last_ret_annotation = ""
+
     def parse_function(self, statement: bool, name_hint: str = "") -> N | None:
         kw = self.next()  # 'function'
         if self.at("*"):
@@ -952,12 +954,13 @@ class JsParser(CParser):
         self.declare("this", tp)
         self.expect("(")
         defaults, destructured = self._parse_param_list(method)
+        ret_ann = self.last_ret_annotation or M.ANY
         body = self.parse_compound()
         self._lower_default_params(body, defaults, kw.line)
         self._lower_destructured_params(body, destructured)
         method.add(body)
         method.line_end = body.line_end
-        method.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
+        method.add(N(M.METHOD_RETURN, code="RET", type_full_name=ret_ann,
                      evaluation_strategy=M.BY_VALUE, line=kw.line))
         self.scope_path.pop()
         self.pop_fn_frame(body)
@@ -1015,9 +1018,20 @@ class JsParser(CParser):
                       evaluation_strategy=M.BY_SHARING)
                 method.add(p)
                 self.declare(pn.v, p)
-                if self.at(":"):  # TS parameter type annotation — skip
+                if self.at("?"):  # TS optional-parameter marker
                     self.next()
+                if self.at(":"):  # TS parameter type annotation — keep
+                    # the raw text as the declared type (XTypeRecovery
+                    # resolves it against the import table,
+                    # TypeRecoveryPassTests "Type hints for method
+                    # parameters and returns")
+                    self.next()
+                    a0 = self.peek()
                     self._skip_ts_annotation_tokens()
+                    if a0 is not None and self.pos > 0 \
+                            and self.toks[self.pos - 1].a >= a0.a:
+                        p.type_full_name = self.src[
+                            a0.a:self.toks[self.pos - 1].b].strip() or M.ANY
                 if self.at("="):  # default value
                     self.next()
                     defaults.append((pn.v, self.parse_assignment_expr().code))
@@ -1059,9 +1073,21 @@ class JsParser(CParser):
                         locmap[tname] = tl
                 destructured.append((pname, elems, is_array, pat_tok.line,
                                      locmap, default_src, pat_src))
+            elif not self.at(",") and not self.at(")"):
+                self.next()  # stray token — keep the loop progressing
             if self.at(","):
                 self.next()
         self.next()
+        # TS return-type annotation `): T {` — record the raw text for the
+        # METHOD_RETURN and consume it so the body parses
+        self.last_ret_annotation = ""
+        if self.at(":"):
+            self.next()
+            a0 = self.peek()
+            self._skip_ts_ret_annotation_tokens()
+            if a0 is not None and self.toks[self.pos - 1].a >= a0.a:
+                self.last_ret_annotation = self.src[
+                    a0.a:self.toks[self.pos - 1].b].strip()
         return defaults, destructured
 
     def _skip_ts_annotation_tokens(self) -> None:
@@ -1076,6 +1102,21 @@ class JsParser(CParser):
                     return
                 depth -= 1
             elif depth == 0 and v in (",", "="):
+                return
+            self.next()
+
+    def _skip_ts_ret_annotation_tokens(self) -> None:
+        """Skip a TS return-type annotation up to the body `{` / `=>`."""
+        depth = 0
+        while self.peek() is not None:
+            v = self.peek().v
+            if v in ("<", "(", "["):
+                depth += 1
+            elif v in (">", ")", "]"):
+                if depth == 0:
+                    return
+                depth -= 1
+            elif depth == 0 and v in ("{", "=>", ";"):
                 return
             self.next()
 

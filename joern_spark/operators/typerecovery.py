@@ -121,9 +121,19 @@ def _recover(nodes: DataFrame, iterations: int = 2
                       r"\.[A-Za-z0-9]+$", ""))
                   .select(F.col("path").alias("src_path"), "dir", "tgt"))
     rel_imports = imports.filter(F.col("mod").startswith("."))
+    # relative `require("./m")` bindings resolve the same way (no IMPORT
+    # node is emitted for require) — their exported members alias under
+    # the binding var ("Recovered values that are returned in methods")
+    req_rel = (askel.join(req, "rhs_id").join(req_arg, "rhs_id")
+               .filter(F.col("type").startswith("."))
+               .withColumn("dir", F.regexp_extract("path", r"^(.*)/[^/]*$", 1))
+               .withColumn("tgt", F.element_at(F.split("type", "/"), -1))
+               .select("path", "var", "dir", "tgt"))
     # file_stems is ∝ |files| — never force-broadcast at the 10^12-file
     # target; AQE decides (static_call_edges precedent).
-    rel_links = (rel_imports.join(file_stems, ["dir", "tgt"])
+    rel_links = (rel_imports.select("path", "var", "dir", "tgt")
+                 .unionByName(req_rel)
+                 .join(file_stems, ["dir", "tgt"])
                  .select(F.col("path").alias("imp_path"), "var", "src_path")
                  .localCheckpoint(eager=True))
     seed_imp = (imports.join(rel_links.select(
@@ -193,6 +203,80 @@ def _recover(nodes: DataFrame, iterations: int = 2
                    .select("path", "var",
                            F.col("rhs_name").alias("src_var")))
 
+    # `v = <methodRef>` binds the closure fullname ("resolve a function
+    # full name called as a constructor")
+    seed_mref = (askel.filter(F.col("rhs_kind") == M.METHOD_REF)
+                 .join(ch.select(F.col("id").alias("rhs_id"),
+                                 F.col("method_full_name").alias("type")),
+                       "rhs_id")
+                 .filter(F.col("type") != "")
+                 .select("path", "var", "type"))
+
+    # `exports.f = <methodRef>` — exported members carry the closure
+    # fullname; relative importers alias them under their binding
+    # ("Recovered values that are returned in methods")
+    fa_lhs2 = ch.filter((F.col("arg_index") == 1) & (F.col("kind") == M.CALL)
+                        & (F.col("name") == M.OP_FIELD_ACCESS)).select(
+        F.col("parent_id").alias("assign_id"), F.col("id").alias("fa2_id"))
+    fa2_base = ch.filter((F.col("arg_index") == 1)
+                         & (F.col("kind") == M.IDENTIFIER)).select(
+        F.col("parent_id").alias("fa2_id"), F.col("name").alias("bname"))
+    fa2_fld = ch.filter(F.col("kind") == M.FIELD_IDENTIFIER).select(
+        F.col("parent_id").alias("fa2_id"), F.col("canonical_name").alias("fld"))
+    rhs_mref2 = ch.filter((F.col("arg_index") == 2)
+                          & (F.col("kind") == M.METHOD_REF)
+                          & (F.col("method_full_name") != "")).select(
+        F.col("parent_id").alias("assign_id"),
+        F.col("method_full_name").alias("type"))
+    seed_exports = (assigns.join(fa_lhs2, "assign_id")
+                    .join(fa2_base, "fa2_id").join(fa2_fld, "fa2_id")
+                    .join(rhs_mref2, "assign_id")
+                    .filter(F.col("bname").isin("exports", "module"))
+                    .select("path",
+                            F.concat(F.lit("exports."), F.col("fld")).alias("var"),
+                            "type"))
+
+    # TS type-annotation hints on parameters / method returns — the raw
+    # annotation text resolves its HEAD against the symbol table each
+    # iteration ("Type hints for method parameters and returns")
+    js = nodes.filter(F.col("lang") == "javascript")
+    ann_params = (js.filter((F.col("kind") == M.METHOD_PARAMETER_IN)
+                            & (F.col("name") != "this")
+                            & ~F.col("type_full_name").isin(
+                                M.ANY, "", "__ecma.Array"))
+                  .select("path", F.col("name").alias("pvar"),
+                          F.col("type_full_name").alias("ann"))
+                  .withColumn("head", F.split("ann", r"\.").getItem(0))
+                  .withColumn("tail", F.array_join(
+                      F.slice(F.split("ann", r"\."), 2, 100), ":")))
+    methods_js = js.filter(F.col("kind") == M.METHOD).select(
+        "path", F.col("id").alias("mid"),
+        F.col("full_name").alias("mfn_full"), F.col("name").alias("mname"))
+    mret_ann = (js.filter((F.col("kind") == M.METHOD_RETURN)
+                          & ~F.col("type_full_name").isin(M.ANY, ""))
+                .select(F.col("parent_id").alias("mid"),
+                        F.col("type_full_name").alias("ann"))
+                .join(methods_js, "mid")
+                .withColumn("head", F.split("ann", r"\.").getItem(0))
+                .withColumn("tail", F.array_join(
+                    F.slice(F.split("ann", r"\."), 2, 100), ":")))
+    # return-statement expressions (literal / recovered-call)
+    ret_children = (js.select("id", "parent_id", "kind", "code", "method_id")
+                    .join(js.filter(F.col("kind") == M.RETURN)
+                          .select(F.col("id").alias("parent_id")),
+                          "parent_id", "leftsemi"))
+    ret_lit = (ret_children.filter(F.col("kind") == M.LITERAL)
+               .withColumn("rtype",
+                           F.when(F.col("code").rlike(r"^['\"`]"),
+                                  "__ecma.String")
+                           .when(F.col("code").rlike(
+                               r"^[0-9][0-9_.xXbBoOeE+-]*$"),
+                               "__ecma.Number"))
+               .filter(F.col("rtype").isNotNull())
+               .select(F.col("method_id").alias("mid"), "rtype"))
+    ret_call_ids = (ret_children.filter(F.col("kind") == M.CALL)
+                    .select("id", F.col("method_id").alias("mid")))
+
     # destructured-require members: `v = <fieldAccess>(b, f)` — propagate a
     # single bare-module base type to v
     fa_assign = (askel.filter((F.col("rhs_kind") == M.CALL)
@@ -219,7 +303,8 @@ def _recover(nodes: DataFrame, iterations: int = 2
 
     st = (seed_req.unionByName(seed_imp).unionByName(seed_lit)
           .unionByName(seed_arr).unionByName(seed_obj)
-          .unionByName(seed_builtin)
+          .unionByName(seed_builtin).unionByName(seed_mref)
+          .unionByName(seed_exports)
           .distinct().localCheckpoint(eager=True))
 
     # member-call receivers: call -> base ARGUMENT(0) identifier name
@@ -270,6 +355,24 @@ def _recover(nodes: DataFrame, iterations: int = 2
                   .agg(F.collect_set("type").alias("tys"))
                   .filter(F.size("tys") == 1)
                   .select("path", "var", F.element_at("tys", 1).alias("type")))
+        # annotated params resolve their head through the symbol table
+        st = st.unionByName(
+            ann_params.join(single.withColumnRenamed("var", "head"),
+                            ["path", "head"])
+            .select("path", F.col("pvar").alias("var"),
+                    F.when(F.col("tail") == "", F.col("type"))
+                    .otherwise(F.concat_ws(":", "type", "tail"))
+                    .alias("type"))).distinct()
+        # exported members flow to relative importers under their binding
+        st = st.unionByName(
+            rel_links.join(
+                st.filter(F.col("var").startswith("exports."))
+                .select(F.col("path").alias("src_path"),
+                        F.col("var").alias("evar"), "type"), "src_path")
+            .select(F.col("imp_path").alias("path"),
+                    F.concat(F.col("var"), F.lit("."),
+                             F.expr("substring(evar, 9)")).alias("var"),
+                    "type")).distinct()
         remaining = member_calls if rewrites is None else \
             member_calls.join(rewrites.select("id"), "id", "left_anti")
         # direct `v.f` symbol entries (object-literal methods) win over the
@@ -290,19 +393,79 @@ def _recover(nodes: DataFrame, iterations: int = 2
               .select("id",
                       F.concat_ws(":", F.col("type"), F.col("name")).alias("rec_mfn"),
                       "path"))
-        rw = rw.unionByName(rw_direct).localCheckpoint(eager=True)
+        rw = rw.unionByName(rw_direct).withColumn("is_ctor", F.lit(False))
+        # `new F()` where F is a single-typed known closure -> the ctor
+        # call resolves to the function's fullname (no <returnValue>)
+        single2 = (st.groupBy("path", "var")
+                   .agg(F.collect_set("type").alias("tys"))
+                   .filter(F.size("tys") == 1)
+                   .select("path", "var",
+                           F.element_at("tys", 1).alias("type")))
+        op_new = calls.filter(F.col("name") == M.OP + "new").select(
+            F.col("id").alias("new_id"), "path")
+        rw_new = (op_new.join(new_recv, "new_id")
+                  .join(single2.withColumnRenamed("var", "tname"),
+                        ["path", "tname"])
+                  .filter(F.col("type").contains("::"))
+                  .select(F.col("new_id").alias("id"),
+                          F.col("type").alias("rec_mfn"), "path")
+                  .withColumn("is_ctor", F.lit(True)))
+        if rewrites is not None:
+            rw_new = rw_new.join(rewrites.select("id"), "id", "left_anti")
+        rw = rw.unionByName(rw_new).localCheckpoint(eager=True)
         rewrites = rw if rewrites is None else rewrites.unionByName(rw)
-        # assigned results take `mfn:<returnValue>`
-        ret = (ret_lhs.join(rw.select(F.col("id").alias("rhs_id"), "rec_mfn"),
+        # method-return types: annotation > returned literal > returned
+        # recovered call; the ret: rows surface as typerec facts
+        ret_ann_res = (mret_ann.join(single2.withColumnRenamed("var", "head"),
+                                     ["path", "head"])
+                       .select("mid",
+                               F.when(F.col("tail") == "", F.col("type"))
+                               .otherwise(F.concat_ws(":", "type", "tail"))
+                               .alias("rtype"),
+                               F.lit(0).alias("prio")))
+        ret_call = (ret_call_ids.join(rewrites.select("id", "rec_mfn"), "id")
+                    .select("mid",
+                            F.concat(F.col("rec_mfn"),
+                                     F.lit(":" + RETURN_VALUE)).alias("rtype"),
+                            F.lit(2).alias("prio")))
+        ret_map = (ret_ann_res
+                   .unionByName(ret_lit.withColumn("prio", F.lit(1)))
+                   .unionByName(ret_call)
+                   .groupBy("mid")
+                   .agg(F.min(F.struct("prio", "rtype")).alias("b"))
+                   .select("mid", F.col("b.rtype").alias("rtype"))
+                   .join(methods_js, "mid")
+                   .localCheckpoint(eager=True))
+        ret_by_mfn = ret_map.select(F.col("mfn_full").alias("rec_mfn"),
+                                    F.col("rtype").alias("known_rtype"))
+        st = st.unionByName(
+            ret_map.filter(~F.col("mname").startswith(":"))
+            .select("path", F.concat(F.lit("ret:"), "mname").alias("var"),
+                    F.col("rtype").alias("type"))).distinct()
+        # assigned results: known callee return type > `mfn:<returnValue>`
+        ret = (ret_lhs.join(rw.filter(~F.col("is_ctor"))
+                            .select(F.col("id").alias("rhs_id"), "rec_mfn"),
                             "rhs_id")
+               .join(ret_by_mfn, "rec_mfn", "left")
                .select("path", "var",
                        F.when(F.col("rec_mfn").startswith("__ecma.Math:"),
                               F.lit("__ecma.Number"))
+                       .when(F.col("known_rtype").isNotNull(),
+                             F.col("known_rtype"))
                        .otherwise(F.concat(F.col("rec_mfn"),
                                            F.lit(":" + RETURN_VALUE)))
                        .alias("type")))
         st = (st.unionByName(ret).distinct()
               .localCheckpoint(eager=True))
+    # a later-recovered return type REPLACES the dummy `mfn:<returnValue>`
+    # hint rows accumulated in earlier iterations
+    repl = ret_by_mfn.select(
+        F.concat(F.col("rec_mfn"), F.lit(":" + RETURN_VALUE)).alias("type"),
+        "known_rtype").dropDuplicates(["type"])
+    st = (st.join(repl, "type", "left")
+          .select("path", "var",
+                  F.coalesce("known_rtype", "type").alias("type"))
+          .distinct().localCheckpoint(eager=True))
     return rewrites.select("id", "rec_mfn"), st
 
 

@@ -297,8 +297,95 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
             if b is not None:
                 member.append((r, b["name"]))
 
+    # `v = <methodRef>` binds the closure's fullname (resolve a function
+    # full name called as a constructor, TypeRecoveryPassTests:467-477)
+    for var, rh in assigns:
+        if rh["kind"] == M.METHOD_REF and rh.get("method_full_name"):
+            add(var, rh["method_full_name"])
+
+    # `exports.f = <methodRef>` / `module.exports.f = ...` — the exported
+    # member carries the closure fullname; relative importers alias it
+    # under their binding ("Recovered values that are returned in methods")
+    rel_bindings: list[str] = []
+    for var, rh in assigns:
+        if rh["kind"] == M.CALL and rh["name"] == "require":
+            lit = child(rh["node_idx"], 1, (M.LITERAL,))
+            if lit is not None and lit["code"][1:2] == ".":
+                rel_bindings.append(var)
+    for r in rows:
+        if r["kind"] != M.CALL or r["name"] != M.OP_ASSIGNMENT:
+            continue
+        flhs = child(r["node_idx"], 1, (M.CALL,))
+        rh = child(r["node_idx"], 2)
+        if flhs is None or rh is None or flhs["name"] != M.OP_FIELD_ACCESS:
+            continue
+        base = child(flhs["node_idx"], 1, (M.IDENTIFIER,))
+        fld = child(flhs["node_idx"], 2, (M.FIELD_IDENTIFIER,))
+        if base is None or fld is None:
+            continue
+        if base["name"] in ("exports", "module") \
+                and rh["kind"] == M.METHOD_REF and rh.get("method_full_name"):
+            add(f'exports.{fld["canonical_name"]}', rh["method_full_name"])
+
+    # TS type-annotation hints: params carry the raw annotation text in
+    # typeFullName; resolve the head against the symbol table each
+    # iteration ("Type hints for method parameters and returns")
+    ann_params = [r for r in rows
+                  if r["kind"] == M.METHOD_PARAMETER_IN
+                  and r["name"] != "this"
+                  and r["type_full_name"] not in (M.ANY, "", "__ecma.Array")]
+    methods_by_idx = {r["node_idx"]: r for r in rows if r["kind"] == M.METHOD}
+    mret_ann: dict[int, str] = {}
+    for r in rows:
+        if r["kind"] == M.METHOD_RETURN \
+                and r["type_full_name"] not in (M.ANY, "", None) \
+                and r["parent_idx"] in methods_by_idx:
+            mret_ann[r["parent_idx"]] = r["type_full_name"]
+    returns: list[tuple[int, dict]] = []
+    for r in rows:
+        if r["kind"] == M.RETURN:
+            for c in kids.get(r["node_idx"], []):
+                returns.append((r["method_idx"], c))
+
+    def resolve_ann(ann: str) -> str | None:
+        parts = ann.split(".")
+        tys = st.get(parts[0], [])
+        if len(tys) == 1:
+            return ":".join([tys[0]] + parts[1:])
+        return None
+
+    newcalls = [r for r in rows
+                if r["kind"] == M.CALL and r["name"] == M.OP + "new"]
+
     rec: dict[int, str] = {}
+    new_rec_ids: set[int] = set()  # ctor-call rewrites: no <returnValue>
+    ret_ty: dict[str, str] = {}
     for _ in range(2):
+        # annotated params / returns resolve through the (import-seeded)
+        # symbol table
+        for r in ann_params:
+            t = resolve_ann(r["type_full_name"])
+            if t is not None:
+                add(r["name"], t)
+        for midx, ann in mret_ann.items():
+            t = resolve_ann(ann)
+            if t is not None:
+                ret_ty[methods_by_idx[midx]["full_name"]] = t
+        # relative-import binding aliases for exported members
+        for key in [k for k in st if k.startswith("exports.")]:
+            for b in rel_bindings:
+                for t in st[key]:
+                    add(f"{b}.{key[len('exports.'):]}", t)
+        # `new F()` where F is a known closure -> the ctor call resolves to
+        # the function's fullname
+        for r in newcalls:
+            recv = child(r["node_idx"], -1, (M.IDENTIFIER,))
+            if recv is None or r["node_idx"] in rec:
+                continue
+            tys = [t for t in st.get(recv["name"], []) if "::" in t]
+            if len(tys) == 1:
+                rec[r["node_idx"]] = tys[0]
+                new_rec_ids.add(r["node_idx"])
         for var, tname in news:
             for ty in st.get(tname, []):
                 add(var, ty)
@@ -326,6 +413,25 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
             tys = st.get(var, [])
             if len(tys) == 1 and r["node_idx"] not in rec:
                 rec[r["node_idx"]] = f"{tys[0]}:{r['name']}"
+        # returned literals / recovered calls type the method return
+        for midx, expr in returns:
+            m = methods_by_idx.get(midx)
+            if m is None or m["full_name"] in ret_ty:
+                continue
+            if expr["kind"] == M.LITERAL:
+                c = expr["code"]
+                if c[:1] in "'\"`":
+                    ret_ty[m["full_name"]] = "__ecma.String"
+                elif re.fullmatch(r"[0-9][0-9_.xXbBoOeE+-]*", c):
+                    ret_ty[m["full_name"]] = "__ecma.Number"
+            elif expr["node_idx"] in rec:
+                ret_ty[m["full_name"]] = rec[expr["node_idx"]] \
+                    + ":<returnValue>"
+        for fn, t in ret_ty.items():
+            m = next((mm for mm in methods_by_idx.values()
+                      if mm["full_name"] == fn), None)
+            if m is not None and m["name"] and not m["name"].startswith(":"):
+                add(f'ret:{m["name"]}', t)
         for var, rh in assigns:
             if rh["node_idx"] in rec:
                 mfn = rec[rh["node_idx"]]
@@ -333,7 +439,15 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
                     # Math methods return Numbers (TypeRecoveryPassTests:
                     # `let x = Math.abs(-1)` -> x typed __ecma.Number)
                     add(var, "__ecma.Number")
-                else:
+                elif mfn in ret_ty:
+                    # the callee's recovered RETURN type beats (and
+                    # replaces) the dummy marker ("propagate literal types
+                    # to the method return": x -> __ecma.Number)
+                    lst = st.get(var, [])
+                    if mfn + ":<returnValue>" in lst:
+                        lst.remove(mfn + ":<returnValue>")
+                    add(var, ret_ty[mfn])
+                elif rh["node_idx"] not in new_rec_ids:
                     add(var, mfn + ":<returnValue>")
     return rec, st
 

@@ -416,7 +416,10 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
             out.add(("typerec", by_idx[idx]["code"], mfn))
         for var, tys in st.items():
             if not var.startswith("_tmp_"):
-                out.add(("typerec", f"id:{var}", ",".join(sorted(tys))))
+                # `ret:<method>` rows are method-return types (their own
+                # subject spelling); plain vars keep the id: prefix
+                subj = var if var.startswith("ret:") else f"id:{var}"
+                out.add(("typerec", subj, ",".join(sorted(tys))))
 
     if case.get("nsblock") is not None:
         # NAMESPACE_BLOCK (name, fullName) pairs (NamespaceTypeTests:

@@ -2419,3 +2419,77 @@ class Params {
               "TsClassesAstCreationPassTests.scala:13-37"),
     ),
 ]
+
+# ------------------------------------------------------------------- #
+# TypeRecoveryPassTests phase 3 — annotation hints, method-return
+# propagation, function-as-constructor resolution.
+# ------------------------------------------------------------------- #
+CASES += [
+    # :334-352 — TS param/return annotations resolve through the import.
+    dict(
+        name="js-typerec-param-hints", lang="javascript", wrap=False,
+        code="""
+import google from 'googleapis';
+
+function foo(a: google.More, b: google.Money): google.Problems {
+ a.bar();
+ b.baz();
+}
+""",
+        typerec=[["a.bar()", "googleapis:google:More:bar"],
+                 ["b.baz()", "googleapis:google:Money:baz"],
+                 ["ret:foo", "googleapis:google:Problems"]],
+        cite=f"{TRP}:334-352",
+    ),
+    # :354-411 — recovered values returned in methods: literal returns
+    # type the method return AND the cross-module caller's result; a
+    # returned recovered call chains :<returnValue>.
+    dict(
+        name="js-typerec-returns", lang="javascript", wrap=False,
+        files=[("foo.js", """
+const axios = require("axios");
+
+exports.literalFunction = function() { return 2; };
+
+const axiosInstance = axios.create({
+  baseURL: 'https://api.example.com',
+  timeout: 5000,
+  headers: {  'Content-Type': 'application/json' }
+});
+
+exports.get = (url: string, config?: any) => {
+  return axiosInstance.get(url, config);
+};
+"""), ("bar.js", """
+const foo = require("./foo");
+
+const x = foo.literalFunction();
+const y = foo.get();
+""")],
+        code="",
+        typerec=[["ret:literalFunction", "__ecma.Number"],
+                 ["id:x", "__ecma.Number"],
+                 ["ret:get", "axios:create:<returnValue>:get:<returnValue>"],
+                 ["id:y", "axios:create:<returnValue>:get:<returnValue>"],
+                 ["foo.literalFunction()",
+                  "js-typerec-returns/foo.js::program:literalFunction"],
+                 ["foo.get()", "js-typerec-returns/foo.js::program:get"]],
+        cite=f"{TRP}:354-411",
+    ),
+    # :467-477 — a function value used as a constructor: the
+    # <operator>.new call resolves to the function's fullname.
+    dict(
+        name="js-typerec-func-ctor", lang="javascript", wrap=False,
+        code="""
+var Print = function(str) {
+	console.log(str);
+}
+
+new Print("Hello")
+""",
+        typerec=[["new Print(\"Hello\")",
+                  "js-typerec-func-ctor.js::program:Print"],
+                 ["console.log(str)", "__whatwg.console:log"]],
+        cite=f"{TRP}:467-477",
+    ),
+]

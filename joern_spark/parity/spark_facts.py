@@ -260,7 +260,9 @@ def spark_facts(spark: SparkSession) -> DataFrame:
         .groupBy("lang", "kase", "var")
         .agg(F.concat_ws(",", F.sort_array(F.collect_set("type"))).alias("obj"))
         .select("lang", "kase", F.lit("typerec").alias("relation"),
-                F.concat(F.lit("id:"), F.col("var")).alias("subj"), "obj"))
+                F.when(F.col("var").startswith("ret:"), F.col("var"))
+                .otherwise(F.concat(F.lit("id:"), F.col("var"))).alias("subj"),
+                "obj"))
 
     # (closure method name, captured declaration name) — same rule as
     # base.capture_edges, name-keyed for the parity scorer
