@@ -1101,7 +1101,7 @@ class JsParser(CParser):
                 if depth == 0:
                     return
                 depth -= 1
-            elif depth == 0 and v in (",", "="):
+            elif depth == 0 and v in (",", "=", ";", "{", "}"):
                 return
             self.next()
 
@@ -1257,7 +1257,10 @@ class JsParser(CParser):
                 self.next()
                 continue
             is_static = False
-            while self.at_any(("static", "async", "get", "set")) and not self.at("(", 1):
+            while self.at_any(("static", "async", "get", "set", "public",
+                               "private", "protected", "readonly",
+                               "declare", "override", "abstract")) \
+                    and not self.at("(", 1):
                 if self.at("static"):
                     is_static = True
                 self.next()
@@ -1416,6 +1419,16 @@ class JsParser(CParser):
                     if mname == M.CONSTRUCTOR:
                         ctor_node = method
                     continue
+                mem_ann = ""
+                if self.at(":"):  # TS field type annotation — keep the raw
+                    # text as the member's declared type (XTypeRecovery
+                    # resolves it; TypeRecoveryPassTests TS-class members)
+                    self.next()
+                    a0 = self.peek()
+                    self._skip_ts_annotation_tokens()
+                    if a0 is not None and self.toks[self.pos - 1].a >= a0.a:
+                        mem_ann = self.src[
+                            a0.a:self.toks[self.pos - 1].b].strip()
                 if self.at("="):  # class field with initializer
                     self.next()
                     val = self.parse_assignment_expr()
@@ -1429,7 +1442,7 @@ class JsParser(CParser):
                     # Tests.scala:101-157)
                     mem_code = f"static {stmt_code}" if is_static else stmt_code
                     decl.add(N(M.MEMBER, code=mem_code, name=mname,
-                               type_full_name=M.ANY, line=mt.line,
+                               type_full_name=mem_ann or M.ANY, line=mt.line,
                                ast_parent_type=M.TYPE_DECL,
                                ast_parent_full_name=full))
                     tgt = N(M.IDENTIFIER, code=mname, name=mname,
@@ -1444,7 +1457,7 @@ class JsParser(CParser):
                     continue
                 decl.add(N(M.MEMBER,
                            code=f"static {mname}" if is_static else mname,
-                           name=mname, type_full_name=M.ANY,
+                           name=mname, type_full_name=mem_ann or M.ANY,
                            line=mt.line, ast_parent_type=M.TYPE_DECL,
                            ast_parent_full_name=full))
                 if self.at(";"):

@@ -249,6 +249,15 @@ def _recover(nodes: DataFrame, iterations: int = 2
                   .withColumn("head", F.split("ann", r"\.").getItem(0))
                   .withColumn("tail", F.array_join(
                       F.slice(F.split("ann", r"\."), 2, 100), ":")))
+    # annotated class members + `v = this.<f>` adoption (TS three-address
+    # lowering: `_tmp = this.http; _tmp.post(...)`)
+    ann_members = (js.filter((F.col("kind") == M.MEMBER)
+                             & ~F.col("type_full_name").isin(M.ANY, ""))
+                   .select("path", F.col("name").alias("fld"),
+                           F.col("type_full_name").alias("ann"))
+                   .withColumn("head", F.split("ann", r"\.").getItem(0))
+                   .withColumn("tail", F.array_join(
+                       F.slice(F.split("ann", r"\."), 2, 100), ":")))
     methods_js = js.filter(F.col("kind") == M.METHOD).select(
         "path", F.col("id").alias("mid"),
         F.col("full_name").alias("mfn_full"), F.col("name").alias("mname"))
@@ -286,6 +295,12 @@ def _recover(nodes: DataFrame, iterations: int = 2
                         & (F.col("kind") == M.IDENTIFIER)).select(
         F.col("parent_id").alias("rhs_id"), F.col("name").alias("bvar"))
     fa_edges = fa_assign.join(fa_base, "rhs_id").select("path", "var", "bvar")
+    fa_fld = ch.filter(F.col("kind") == M.FIELD_IDENTIFIER).select(
+        F.col("parent_id").alias("rhs_id"),
+        F.col("canonical_name").alias("fld"))
+    this_fa_edges = (fa_assign.join(
+        fa_base.filter(F.col("bvar") == "this"), "rhs_id")
+        .join(fa_fld, "rhs_id").select("path", "var", "fld"))
 
     # The symbol table is a small dimension (proportional to assignments
     # with a recoverable RHS) but is referenced ~5x per iteration below —
@@ -363,6 +378,16 @@ def _recover(nodes: DataFrame, iterations: int = 2
                     F.when(F.col("tail") == "", F.col("type"))
                     .otherwise(F.concat_ws(":", "type", "tail"))
                     .alias("type"))).distinct()
+        # annotated members: `v = this.<f>` adopts the resolved member type
+        mem_ty = (ann_members.join(single.withColumnRenamed("var", "head"),
+                                   ["path", "head"])
+                  .select("path", "fld",
+                          F.when(F.col("tail") == "", F.col("type"))
+                          .otherwise(F.concat_ws(":", "type", "tail"))
+                          .alias("type")))
+        st = st.unionByName(
+            this_fa_edges.join(mem_ty, ["path", "fld"])
+            .select("path", "var", "type")).distinct()
         # exported members flow to relative importers under their binding
         st = st.unionByName(
             rel_links.join(

@@ -357,6 +357,20 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
     newcalls = [r for r in rows
                 if r["kind"] == M.CALL and r["name"] == M.OP + "new"]
 
+    # annotated class members: `v = this.<f>` adopts the member's resolved
+    # annotation type (TS three-address lowering, TypeRecoveryPassTests
+    # "Temporary variables inserted ...")
+    ann_members = [r for r in rows
+                   if r["kind"] == M.MEMBER
+                   and r["type_full_name"] not in (M.ANY, "", None)]
+    this_fa_edges: list[tuple[str, str]] = []  # (lhs var, member fld)
+    for var, rh in assigns:
+        if rh["kind"] == M.CALL and rh["name"] == M.OP_FIELD_ACCESS:
+            b = child(rh["node_idx"], 1, (M.IDENTIFIER,))
+            fi = child(rh["node_idx"], 2, (M.FIELD_IDENTIFIER,))
+            if b is not None and fi is not None and b["name"] == "this":
+                this_fa_edges.append((var, fi["canonical_name"]))
+
     rec: dict[int, str] = {}
     new_rec_ids: set[int] = set()  # ctor-call rewrites: no <returnValue>
     ret_ty: dict[str, str] = {}
@@ -367,6 +381,14 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
             t = resolve_ann(r["type_full_name"])
             if t is not None:
                 add(r["name"], t)
+        mem_ty: dict[str, str] = {}
+        for r in ann_members:
+            t = resolve_ann(r["type_full_name"])
+            if t is not None:
+                mem_ty[r["name"]] = t
+        for var, fld in this_fa_edges:
+            if fld in mem_ty:
+                add(var, mem_ty[fld])
         for midx, ann in mret_ann.items():
             t = resolve_ann(ann)
             if t is not None:

@@ -2493,3 +2493,28 @@ new Print("Hello")
         cite=f"{TRP}:467-477",
     ),
 ]
+
+CASES += [
+    # :413-436 — TS three-address temporaries: `this.http.post(...)`
+    # routes through `_tmp = this.http`; the member's annotation resolves
+    # the call.
+    dict(
+        name="js-typerec-tmp-member", lang="javascript", wrap=False,
+        code="""
+import { HttpClient } from '@angular/common/http';
+
+@Injectable({
+  providedIn: 'root',
+})
+export class SharedService {
+  private http: HttpClient = new HttpClient();
+  saveUserFeedback(payload) {
+    return this.http.post('https://google.com', payload);
+  }
+}
+""",
+        typerec=[["this.http.post('https://google.com', payload)",
+                  "@angular/common/http:HttpClient:post"]],
+        cite=f"{TRP}:413-436",
+    ),
+]
