@@ -1561,7 +1561,13 @@ class CParser:
         expr = None
         if not self.at(";"):
             expr = self.parse_expression()
-        semi = self.expect(";")
+        if self.at("}"):
+            # error recovery: `return 0 }` — CDT tolerates the missing
+            # semicolon (querydb codeExamples rely on it, e.g.
+            # DangerousFunctions.scala's insecure_scanf/insecure_strncat)
+            semi = self.toks[self.pos - 1]
+        else:
+            semi = self.expect(";")
         node = N(M.RETURN, code=self.slice(r, semi), line=r.line)
         if expr is not None:
             expr.arg_index = 1
