@@ -51,6 +51,28 @@ def _cpg(spark: SparkSession) -> dict:
     return _CPG_CACHE[key]
 
 
+_SCAN_CPG_CACHE: dict[int, dict] = {}
+
+
+def _scan_cpg(spark: SparkSession) -> dict:
+    """CPG over the querydb scanner codeExamples (one translation unit per
+    bundle, CQueryTestSuite.scala:18-29) — separate from the main fixture
+    corpus so its oracles stay untouched."""
+    key = id(spark)
+    if key not in _SCAN_CPG_CACHE:
+        from joern_spark.plans.pipeline import build_cpg, source_fingerprint
+        from joern_spark.scanners_c import suite_source_rows
+        src = spark.createDataFrame(
+            suite_source_rows(),
+            "repo string, path string, commit string, lang string, "
+            "content string")
+        fp = f"{source_fingerprint(src)}:{_code_fingerprint()}"
+        _SCAN_CPG_CACHE[key] = build_cpg(
+            spark, src, out_dir="/tmp/joern_spark_cpg/scanfix",
+            fingerprint=fp)
+    return _SCAN_CPG_CACHE[key]
+
+
 def _s(col):
     return F.col(col).cast("string")
 
@@ -310,6 +332,45 @@ def q_cpg_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+def q_cpg_scan_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """joern-scan querydb C bundles over their own codeExamples corpus:
+    every bundle's queries against its translation unit, evidence reduced
+    to (bundle, query_name, enclosing method) exactly as the reference's
+    CQueryTestSuite.findMatchingCalls asserts (querydb/src/test/scala/io/
+    joern/suites/CQueryTestSuite.scala:33-41)."""
+    from joern_spark.scanners_c import suite_findings
+    c = _scan_cpg(spark)
+    return (suite_findings(c["nodes"], c["edges"])
+            .select(_s("bundle").alias("bundle"),
+                    _s("query_name").alias("query_name"),
+                    _s("method_name").alias("method_name")))
+
+
+def _config_source(spark: SparkSession) -> DataFrame:
+    from joern_spark.corpus import config_fixture_rows
+    return spark.createDataFrame(
+        config_fixture_rows(),
+        "repo string, path string, commit string, lang string, "
+        "content string")
+
+
+def q_cpg_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPENDENCY nodes from package.json / package-lock.json —
+    DependenciesPass (jssrc2cpg DependenciesPass.scala:15-35, lock-file
+    precedence per PackageJsonParser.scala:79-92)."""
+    from joern_spark.operators.configfiles import dependency_nodes
+    return (dependency_nodes(_config_source(spark))
+            .select(_s("name").alias("name"), _s("version").alias("version")))
+
+
+def q_cpg_config_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFIG_FILE nodes — ConfigPass + PrivateKeyFilePass (jssrc2cpg
+    ConfigPass.scala:20-34, PrivateKeyFilePass.scala:13-26)."""
+    from joern_spark.operators.configfiles import config_file_nodes
+    return (config_file_nodes(_config_source(spark))
+            .select(_s("name").alias("name"), _s("content").alias("content")))
+
+
 def q_cpg_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMPORT nodes (#include directives / JS import statements) —
     XImportsPass analogue."""
@@ -449,6 +510,11 @@ def _cpg_oracles() -> dict[str, str]:
         "cpg_findings": O.values_sql(
             O.expected_findings(),
             ["query_name", "path", "method_full_name", "line", "code"]),
+        "cpg_scan_c": _scan_c_oracle_sql(),
+        "cpg_dependencies": O.values_sql(
+            O.expected_dependencies(), ["name", "version"]),
+        "cpg_config_files": O.values_sql(
+            O.expected_config_files(), ["name", "content"]),
         "cpg_type_recovery": O.values_sql(
             O.expected_type_recovery(),
             ["path", "call_code", "recovered_mfn"]),
@@ -475,6 +541,16 @@ def _cpg_oracles() -> dict[str, str]:
              "dim_weighted_sum"]),
         "cpg_parity": _parity_oracle_sql(),
     }
+
+
+def _scan_c_oracle_sql() -> str:
+    """Expected evidence-method sets transcribed from the reference's
+    querydb suites (scanners/c/*Tests.scala) rendered as VALUES — the
+    ground truth is the reference's own assertions, not a rerun."""
+    from joern_spark import oracle as O
+    from joern_spark.scanners_c import suite_expected_rows
+    return O.values_sql(suite_expected_rows(),
+                        ["bundle", "query_name", "method_name"])
 
 
 def _parity_oracle_sql() -> str:
@@ -509,6 +585,9 @@ CPG_QUERIES = {
     "cpg_dynamic_calls": q_cpg_dynamic_calls,
     "cpg_imports": q_cpg_imports,
     "cpg_findings": q_cpg_findings,
+    "cpg_scan_c": q_cpg_scan_c,
+    "cpg_dependencies": q_cpg_dependencies,
+    "cpg_config_files": q_cpg_config_files,
     "cpg_type_recovery": q_cpg_type_recovery,
     "cpg_declared_only": q_cpg_declared_only,
     "cpg_captures": q_cpg_captures,

@@ -1047,6 +1047,65 @@ def expected_canonical_aliases() -> list[tuple[str, str]]:
 
 # --------------------------------------------------------------------------- #
 # VALUES SQL rendering
+def expected_dependencies() -> list[tuple[str, str]]:
+    """DependenciesPass over the config fixtures, sequentially: lock file
+    wins per directory when non-empty, else the package.json's four groups
+    (PackageJsonParser.scala:41-93)."""
+    import json
+    from joern_spark.corpus import CONFIG_FIXTURES
+    groups = ("dependencies", "devDependencies", "peerDependencies",
+              "optionalDependencies")
+    by_dir: dict[str, dict[str, dict]] = {}
+    for path, content in CONFIG_FIXTURES:
+        if "node_modules" in path:
+            continue
+        d, _, base = path.rpartition("/")
+        if base in ("package.json", "package-lock.json"):
+            by_dir.setdefault(d, {})[base] = content
+    out = set()
+    for d, files in by_dir.items():
+        lock_deps = {}
+        if "package-lock.json" in files:
+            try:
+                j = json.loads(files["package-lock.json"])
+                for name, v in (j.get("dependencies") or {}).items():
+                    if isinstance(v, str):
+                        lock_deps[name] = v
+                    elif isinstance(v, dict) and "version" in v:
+                        lock_deps[name] = v["version"]
+            except ValueError:
+                pass
+        if lock_deps:
+            out |= {(n, v) for n, v in lock_deps.items()}
+            continue
+        if "package.json" in files:
+            try:
+                j = json.loads(files["package.json"])
+                for g in groups:
+                    out |= {(n, v) for n, v in (j.get(g) or {}).items()
+                            if isinstance(v, str)}
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def expected_config_files() -> list[tuple[str, str]]:
+    """ConfigPass + PrivateKeyFilePass over the config fixtures."""
+    import re
+    from joern_spark.corpus import CONFIG_FIXTURES
+    exts = (".json", ".config.js", ".conf.js", ".vue", ".html", ".pug")
+    out = []
+    for path, content in CONFIG_FIXTURES:
+        if "node_modules" in path:
+            continue
+        if path.endswith(exts):
+            out.append((path, content))
+        elif path.endswith(".key") and re.search(r"RSA\sPRIVATE\sKEY",
+                                                 content):
+            out.append((path, "Content omitted for security reasons."))
+    return sorted(out)
+
+
 # --------------------------------------------------------------------------- #
 
 def _sql_lit(v) -> str:

@@ -1498,3 +1498,134 @@ def run_bundles(nodes: DataFrame, edges: DataFrame,
                         F.col("code").alias("code")))
             out = rows if out is None else out.unionByName(rows)
     return out.distinct()
+
+
+# --------------------------------------------------------------------------- #
+# driver suite — all bundles over one combined fixture corpus
+# --------------------------------------------------------------------------- #
+
+# UseAfterFreeTests.scala overrides the suite cpg for the field query (the
+# bundle concat cross-contaminates free/reassign pairs across examples, so
+# the reference pins this query to its own two-function fixture).
+UAF_FIELD_FIXTURE = """
+void uaf_good(a_struct_type *a_struct) {
+  free(a_struct->ptr);
+  if (something) {
+    a_struct->ptr = NULL;
+    return;
+  }
+  a_struct->ptr = foo;
+}
+
+void uaf_bad(a_struct_type *a_struct) {
+ free(a_struct->ptr);
+ if (something) {
+   return;
+ }
+ a_struct->ptr = foo;
+}
+"""
+
+SUITE_OVERRIDES: dict[tuple[str, str], str] = {
+    ("UseAfterFree", "free-field-no-reassign"): "UseAfterFreeTests.c",
+}
+
+# Expected (bundle, query_name) -> enclosing-method sets, transcribed from
+# the reference suites (querydb/src/test/scala/io/joern/scanners/c/*Tests
+# .scala, CQueryTestSuite.findMatchingCalls).  free-follows-value-reuse's
+# uaf_pd_false_positive hit is the reference's own documented FP
+# (UseAfterFree.scala:109-116 codeExamples keep it in the positive set).
+SUITE_EXPECTED: dict[tuple[str, str], frozenset[str]] = {
+    ("DangerousFunctions", "call-to-gets"): frozenset({"insecure_gets"}),
+    ("DangerousFunctions", "format-controlled-printf"):
+        frozenset({"insecure_printf", "insecure_sprintf"}),
+    ("DangerousFunctions", "call-to-scanf"): frozenset({"insecure_scanf"}),
+    ("DangerousFunctions", "call-to-strcat"):
+        frozenset({"insecure_strcat", "insecure_strncat"}),
+    ("DangerousFunctions", "call-to-strcpy"):
+        frozenset({"insecure_strcpy", "insecure_strncpy"}),
+    ("DangerousFunctions", "call-to-strtok"): frozenset({"insecure_strtok"}),
+    ("DangerousFunctions", "call-to-getwd"): frozenset({"insecure_getwd"}),
+    ("Metrics", "too-many-params"): frozenset({"too_many_params"}),
+    ("Metrics", "too-high-complexity"):
+        frozenset({"high_cyclomatic_complexity"}),
+    ("Metrics", "too-long"): frozenset({"func_with_many_lines"}),
+    ("Metrics", "multiple-returns"):
+        frozenset({"func_with_multiple_returns"}),
+    ("Metrics", "too-many-loops"): frozenset({"high_number_of_loops"}),
+    ("Metrics", "too-nested"): frozenset({"func_with_nesting_level_of_3"}),
+    ("CredentialDrop", "setuid-without-setgid"):
+        frozenset({"bad1", "bad3"}),
+    ("CredentialDrop", "setgid-without-setgroups"): frozenset({"bad2"}),
+    ("SignedLeftShift", "signed-left-shift"):
+        frozenset({"shift_bad1", "shift_bad2", "shift_bad3"}),
+    ("IntegerTruncations", "strlen-truncation"):
+        frozenset({"strlen_vulnerable"}),
+    ("RetvalChecks", "unchecked-read-recv-malloc"):
+        frozenset({"unchecked_read", "checks_something_else"}),
+    ("SocketApi", "socket-send"): frozenset({"return_not_checked"}),
+    ("CopyLoops", "copy-loop"): frozenset({"index_into_dst_array"}),
+    ("HeapBasedOverflow", "malloc-memcpy-int-overflow"):
+        frozenset({"heap_vulnerable"}),
+    ("NullTermination", "strncpy-no-null-term"): frozenset({"nullterm_bad"}),
+    ("FileOpRace", "file-operation-race"): frozenset({"insecure_race"}),
+    ("UseAfterFree", "free-field-no-reassign"): frozenset({"uaf_bad"}),
+    ("UseAfterFree", "free-returned-value"): frozenset({"uaf_ret_bad"}),
+    ("UseAfterFree", "free-follows-value-reuse"):
+        frozenset({"uaf_pd_bad", "uaf_pd_false_positive"}),
+}
+
+
+def suite_source_rows() -> list[tuple[str, str, str, str, str]]:
+    """One translation unit per bundle (CQueryTestSuite concat) plus the
+    UseAfterFree field-query override fixture — (repo, path, commit, lang,
+    content) rows for the standard pipeline source schema."""
+    rows = [("fixtures/querydb", f"{n}.c", "c" * 40, "c", bundle_code(b))
+            for n, b in BUNDLES.items()]
+    rows.append(("fixtures/querydb", "UseAfterFreeTests.c", "c" * 40, "c",
+                 UAF_FIELD_FIXTURE))
+    return rows
+
+
+def suite_expected_rows() -> list[tuple[str, str, str]]:
+    """SUITE_EXPECTED flattened to (bundle, query_name, method_name)."""
+    return sorted((b, q, m) for (b, q), ms in SUITE_EXPECTED.items()
+                  for m in ms)
+
+
+def suite_findings(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """-> (bundle, query_name, method_name) distinct — every bundle run
+    against its own translation unit inside one combined CPG.  Node ids are
+    content-hashed per (path, …) so cross-file edges cannot exist; filtering
+    the node relation to the bundle's file (plus the path-less external
+    stubs — MethodStubCreator emits one `gets`/`free`/… stub for the whole
+    corpus, and call-site resolution walks CALL edges into them) is exactly
+    the per-suite cpg of the reference harness."""
+    # Materialize both relations once up front: the traversals below are
+    # bounded frontier-join loops (one eager action per level), and an
+    # un-checkpointed `edges` — a wide union of operator branches straight
+    # out of build_cpg — would re-execute that whole union on every level
+    # of every query (observed 10x+ wall-clock).
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    stubs = nodes.filter(F.col("path") == "")
+    out = None
+    for bname, bundle in BUNDLES.items():
+        for q in bundle:
+            fpath = SUITE_OVERRIDES.get((bname, q.name), f"{bname}.c")
+            n_f = (nodes.filter(F.col("path") == fpath).unionByName(stubs)
+                   .localCheckpoint(eager=True))
+            methods = n_f.filter(F.col("kind") == M.METHOD).select(
+                F.col("id").alias("m_id"), F.col("name").alias("m_name"))
+            ids = q.traversal(n_f, edges).select("id").distinct()
+            ev = n_f.join(ids, "id")
+            named = (ev.filter(F.col("kind") != M.METHOD)
+                     .join(methods, ev["method_id"] == methods["m_id"])
+                     .select("m_name")
+                     .unionByName(ev.filter(F.col("kind") == M.METHOD)
+                                  .select(F.col("name").alias("m_name"))))
+            rows = named.select(F.lit(bname).alias("bundle"),
+                                F.lit(q.name).alias("query_name"),
+                                F.col("m_name").alias("method_name"))
+            out = rows if out is None else out.unionByName(rows)
+    return out.distinct()

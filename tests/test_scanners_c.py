@@ -183,28 +183,10 @@ def test_file_operation_race(spark):
 
 # --- UseAfterFreeTests.scala (overridden cpg) -------------------------------- #
 
-UAF_FIELD_CODE = """
-void uaf_good(a_struct_type *a_struct) {
-  free(a_struct->ptr);
-  if (something) {
-    a_struct->ptr = NULL;
-    return;
-  }
-  a_struct->ptr = foo;
-}
-
-void uaf_bad(a_struct_type *a_struct) {
- free(a_struct->ptr);
- if (something) {
-   return;
- }
- a_struct->ptr = foo;
-}
-"""
-
 
 def test_free_field_no_reassign(spark):
-    n, e = _cpg_for(spark, UAF_FIELD_CODE, "UseAfterFreeTests.c")
+    from joern_spark.scanners_c import UAF_FIELD_FIXTURE
+    n, e = _cpg_for(spark, UAF_FIELD_FIXTURE, "UseAfterFreeTests.c")
     q = BUNDLES["UseAfterFree"][0]
     assert evidence_methods(n, e, q) == {"uaf_bad"}
 
@@ -242,3 +224,20 @@ def test_run_bundles_schema(spark):
         ("setuid-without-setgid", "bad3"),
         ("setgid-without-setgroups", "bad2"),
     }
+
+
+# --- combined driver suite (cpg_scan_c) --------------------------------------- #
+
+def test_suite_findings_match_reference(spark):
+    from joern_spark.plans.pipeline import build_cpg
+    from joern_spark.scanners_c import (
+        suite_expected_rows, suite_findings, suite_source_rows)
+    src = spark.createDataFrame(
+        suite_source_rows(),
+        "repo string, path string, commit string, lang string, content string")
+    out = build_cpg(spark, src)
+    n = out["nodes"].cache()
+    assert n.filter(F.col("parse_error") != "").count() == 0
+    got = {(r["bundle"], r["query_name"], r["method_name"])
+           for r in suite_findings(n, out["edges"]).collect()}
+    assert got == set(suite_expected_rows())
