@@ -195,6 +195,56 @@ lookForProperty(input);
 """
 
 
+FIXTURE_JS_MUSIC = """class Musician {
+    constructor(name, song) {
+        this.username = name;
+        this.song = song;
+    }
+    sing() {
+        console.log(this.username);
+    }
+}
+
+export default Musician;
+"""
+
+FIXTURE_JS_GREETER = """module.exports = {
+  sayhi: function() {
+    console.log("hi");
+  },
+  saybye: function() {
+    console.log("bye");
+  }
+}
+"""
+
+FIXTURE_JS_APP = """import Musician from "./music";
+const greeter = require('./greeter.js');
+
+class Performer extends Musician {
+  constructor(name, song, stage) {
+    super(name, song);
+    this.stage = stage;
+  }
+  perform() {
+    this.announce();
+    greeter.sayhi();
+  }
+  announce() {
+    console.log(this.stage);
+  }
+}
+
+function warmup() {
+  greeter.saybye();
+}
+
+const m = new Musician('ada', 'tune');
+const p = new Performer('lin', 'tune', 'main');
+warmup();
+"""
+
+
 def fixture_rows() -> list[tuple[str, str, str, str, str]]:
     return [
         ("fixtures/c-basics", "src/test.c", COMMIT, "c", FIXTURE_C_TEST),
@@ -209,6 +259,12 @@ def fixture_rows() -> list[tuple[str, str, str, str, str]]:
         ("fixtures/java-cross", "src/Helpers.java", COMMIT, "java", FIXTURE_JAVA_HELPERS),
         ("fixtures/js-simple", "src/simple.js", COMMIT, "javascript", FIXTURE_JS_SIMPLE),
         ("fixtures/js-simple", "src/closures.js", COMMIT, "javascript", FIXTURE_JS_CLOSURES),
+        # cross-module resolution corpus: ES default export + CommonJS
+        # object export, a resolved `extends`, this-member dispatch
+        # (CallLinkerPass / RequirePass / InheritanceFullNamePass shapes)
+        ("fixtures/js-modules", "src/music.js", COMMIT, "javascript", FIXTURE_JS_MUSIC),
+        ("fixtures/js-modules", "src/greeter.js", COMMIT, "javascript", FIXTURE_JS_GREETER),
+        ("fixtures/js-modules", "src/app.js", COMMIT, "javascript", FIXTURE_JS_APP),
     ]
 
 

@@ -2436,6 +2436,10 @@ class CParser:
                 node = call
             elif self.at(".") or (self.ARROW_MEMBER and self.at("->")):
                 arrow = self.next().v == "->"
+                qnew = self.try_qualified_new(node, start)
+                if qnew is not None:  # Java `outer.new Inner(...)`
+                    node = qnew
+                    continue
                 self.skip_explicit_type_args()  # Java `x.<T>m()` — no-op here
                 fld_tok = self.next()
                 if self.at("("):
@@ -2467,6 +2471,10 @@ class CParser:
 
     def try_tagged_template(self, node: "N", start: "Tok") -> "N | None":
         """JS hook: `tag\`...\`` tagged template calls; no-op for C."""
+        return None
+
+    def try_qualified_new(self, node: "N", start: "Tok") -> "N | None":
+        """Java hook: `outer.new Inner(...)`; no-op for C."""
         return None
 
     def skip_explicit_type_args(self) -> None:

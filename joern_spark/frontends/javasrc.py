@@ -2267,7 +2267,10 @@ class JavaParser(CParser):
             # (LocalClassTests "local classes with chained explicit
             # constructors": assigns only in non-delegating ctors)
             deleg = next((c for c in body.children
-                          if c.kind == M.CALL and c.name == "this"), None)
+                          if c.kind == M.CALL
+                          and (c.name == "this"
+                               or (c.name == M.CONSTRUCTOR
+                                   and c.code.startswith("this(")))), None)
             if deleg is not None:
                 base = max((c.arg_index for c in deleg.children), default=0)
                 for off, p in enumerate(new_params, start=1):
@@ -4179,6 +4182,44 @@ class JavaParser(CParser):
                 self.next()
         close = self.expect(")")
         name = callee.name if callee.kind == M.IDENTIFIER else callee.code
+        if callee.kind == M.IDENTIFIER and name in ("super", "this"):
+            # explicit constructor invocation: a lone `<init>` call (no
+            # alloc), STATIC_DISPATCH, receiver `this` typed as the TARGET
+            # class (ConstructorInvocationTests "direct invocation using
+            # `super`": obj.typeFullName "Foo"; "using `this`": "Bar")
+            chain = self._enclosing_class_chain()
+            encl = chain[0] if chain else ""
+            if name == "this":
+                target = encl
+            else:
+                sups = self.class_supers.get(encl, [])
+                target = sups[0] if sups else "java.lang.Object"
+            known = self.class_methods.get(target, {}).get(M.CONSTRUCTOR)
+            if known:
+                mfn = self._pick_overload(known, args)[0]
+            elif target in self.declared_types.values():
+                mfn = (f"{target}.{M.CONSTRUCTOR}:"
+                       f"void({','.join(M.ANY for _ in args)})")
+            elif args:
+                mfn = (f"{target}.{M.CONSTRUCTOR}:"
+                       f"{M.UNRESOLVED_SIGNATURE}({len(args)})")
+            else:
+                mfn = f"{target}.{M.CONSTRUCTOR}:void()"
+            sig = mfn.rsplit(":", 1)[1] if ":" in mfn else ""
+            call = N(M.CALL, code=self.slice(start, close),
+                     name=M.CONSTRUCTOR, method_full_name=mfn,
+                     dispatch_type=M.STATIC_DISPATCH, signature=sig,
+                     type_full_name="void", line=start.line)
+            this_decl = self.lookup("this")
+            thisid = N(M.IDENTIFIER, code="this", name="this",
+                       type_full_name=target, arg_index=0, line=start.line)
+            if this_decl is not None:
+                thisid.ref_target = this_decl
+            call.add(thisid)
+            for i, a in enumerate(args, start=1):
+                a.arg_index = i
+                call.add(a)
+            return call
         # intra-class resolution against the pre-scanned member table
         resolved = None
         is_static = False
@@ -4238,6 +4279,58 @@ class JavaParser(CParser):
         for i, a in enumerate(args, start=1):
             a.arg_index = i
             call.add(a)
+        return call
+
+    def try_qualified_new(self, outer: N, start: Tok) -> N | None:
+        """`outer.new Inner(...)` — inner-class constructor invocation
+        (ConstructorInvocationTests "inner class constructor invocations"):
+        a lone `<init>` CALL with methodFullName `Outer$Inner.<init>:sig`;
+        the outer expression becomes the trailing argument (the receiver
+        `this` slot is filled by the assignment target downstream, like
+        every other inline init call in this frontend)."""
+        if not self.at("new"):
+            return None
+        new_tok = self.next()
+        name_tok = self.next()
+        inner = name_tok.v
+        self.skip_explicit_type_args()
+        outer_ty = self.resolve_type(outer.type_full_name or "")
+        target = ""
+        if outer_ty and f"{outer_ty}${inner}" in self.declared_types.values():
+            target = f"{outer_ty}${inner}"
+        else:
+            cands = [t for t in self.declared_types.values()
+                     if t.endswith(f"${inner}")]
+            if len(cands) == 1:
+                target = cands[0]
+        target = target or f"{outer_ty or M.UNRESOLVED_NAMESPACE}${inner}"
+        args: list[N] = []
+        if self.at("("):
+            self.next()
+            while not self.at(")"):
+                args.append(self.parse_assignment_expr())
+                if self.at(","):
+                    self.next()
+            self.next()
+        end = self.toks[self.pos - 1]
+        known = self.class_methods.get(target, {}).get(M.CONSTRUCTOR)
+        if known:
+            mfn = self._pick_overload(known, args)[0]
+        elif target in self.declared_types.values():
+            mfn = (f"{target}.{M.CONSTRUCTOR}:"
+                   f"void({','.join(M.ANY for _ in args)})")
+        else:
+            mfn = (f"{target}.{M.CONSTRUCTOR}:"
+                   f"{M.UNRESOLVED_SIGNATURE}({len(args)})")
+        call = N(M.CALL, code=self.slice(start, end), name=M.CONSTRUCTOR,
+                 method_full_name=mfn, dispatch_type=M.STATIC_DISPATCH,
+                 signature=mfn.rsplit(":", 1)[1] if ":" in mfn else "",
+                 line=new_tok.line, type_full_name=target)
+        for i, a in enumerate(args, start=1):
+            a.arg_index = i
+            call.add(a)
+        outer.arg_index = len(args) + 1
+        call.add(outer)
         return call
 
     def build_member_call(self, receiver: N, fld_tok: Tok, start: Tok, arrow: bool) -> N:

@@ -652,12 +652,134 @@ class JsParser(CParser):
             out[0].code = f"{label_tok.v}:"
         return out
 
+    def _export_ref(self, name: str, line: int) -> N:
+        """RHS for a synthesized `exports.X = X` assignment: a METHOD_REF
+        when the local name is a known function/class (so XTypeRecovery's
+        exports seed picks up the closure fullname), else an identifier."""
+        loc = self.lookup(name)
+        mfn = ""
+        if loc is not None:
+            mfn = getattr(loc, "method_full_name", "") or ""
+            if not mfn and "::" in (getattr(loc, "type_full_name", "") or ""):
+                mfn = loc.type_full_name
+        if not mfn and name in self.declared_types:
+            mfn = f"{self.declared_types[name]}:{M.CONSTRUCTOR}"
+        if mfn:
+            ref = N(M.METHOD_REF, code=name, method_full_name=mfn, line=line)
+            return ref
+        ident = N(M.IDENTIFIER, code=name, name=name, line=line,
+                  type_full_name=M.ANY)
+        if loc is not None:
+            ident.ref_target = loc
+        return ident
+
+    def _export_assign(self, fld: str, rhs: N, line: int) -> N:
+        """`exports.<fld> = <rhs>` — createExportAssignmentCallAst
+        (jssrc2cpg AstForDeclarationsCreator.scala:186-214; default exports
+        render `exports["default"]` per createExportCallAst DefaultsKey)."""
+        lhs_code = 'exports["default"]' if fld == "default" else f"exports.{fld}"
+        base = N(M.IDENTIFIER, code="exports", name="exports", line=line,
+                 type_full_name=M.ANY, arg_index=1)
+        self.on_unresolved_identifier(base)
+        fi = N(M.FIELD_IDENTIFIER, code=fld, name=fld, canonical_name=fld,
+               line=line, arg_index=2)
+        fa = N(M.CALL, code=lhs_code, name=M.OP_FIELD_ACCESS,
+               method_full_name=M.OP_FIELD_ACCESS,
+               dispatch_type=M.STATIC_DISPATCH, line=line, arg_index=1)
+        fa.add(base, fi)
+        rhs.arg_index = 2
+        asg = N(M.CALL, code=f"{lhs_code} = {rhs.code}", name=M.OP_ASSIGNMENT,
+                method_full_name=M.OP_ASSIGNMENT,
+                dispatch_type=M.STATIC_DISPATCH, line=line)
+        asg.add(fa, rhs)
+        return asg
+
     def parse_import_export(self) -> list[N]:
         t = self.next()
         if t.v == "export":
+            # `export {...} from 'm'` / `export * from 'm'` re-exports:
+            # consume through the terminating `;`, no local lowering
+            if self.at("{") or self.at("*"):
+                k, depth, is_reexport = self.pos, 0, False
+                while k < len(self.toks):
+                    v = self.toks[k].v
+                    if v == "{":
+                        depth += 1
+                    elif v == "}":
+                        depth -= 1
+                    elif v == ";" and depth <= 0:
+                        break
+                    elif v == "from" and depth <= 0:
+                        is_reexport = True
+                        break
+                    k += 1
+                if is_reexport:
+                    while self.pos < k:
+                        self.next()
+                    self.next()  # 'from'
+                    if self.peek() is not None and self.peek().t == "str":
+                        self.next()
+                    if self.at(";"):
+                        self.next()
+                    return []
             if self.at("default"):
+                # `export default <decl|expr>` lowers to an
+                # `exports["default"] = <value>` assignment
+                # (astForExportDefaultDeclaration)
                 self.next()
-            return self.parse_statement()
+                named_decl = False
+                for off in range(3):  # [async] function [*] Name / class Name
+                    tok = self.peek(off)
+                    if tok is None:
+                        break
+                    if tok.v in ("async", "function", "class", "*"):
+                        continue
+                    named_decl = tok.t == "id"
+                    break
+                if named_decl and (self.at_any(("class", "function")) or (
+                        self.at("async") and self.at("function", 1))):
+                    stmts = self.parse_statement()
+                    names = [n.name for n in stmts if n.kind == M.LOCAL
+                             and n.name]
+                    out = list(stmts)
+                    if names:
+                        out.append(self._export_assign(
+                            "default", self._export_ref(names[0], t.line),
+                            t.line))
+                    return out
+                expr = self.parse_assignment_expr()
+                if self.at(";"):
+                    self.next()
+                if expr.kind == M.IDENTIFIER:
+                    expr = self._export_ref(expr.name, t.line)
+                return [self._export_assign("default", expr, t.line)]
+            if self.at("{"):
+                # `export { a, b as c };` — one exports assignment per
+                # specifier (astForExportNamedDeclaration specifiers)
+                self.next()
+                specs: list[tuple[str, str]] = []  # (local, exported)
+                while self.peek() is not None and not self.at("}"):
+                    tok = self.next()
+                    if tok.t in ("id", "kw") and tok.v not in ("as", ","):
+                        if specs and self.toks[self.pos - 2].v == "as":
+                            specs[-1] = (specs[-1][0], tok.v)
+                        else:
+                            specs.append((tok.v, tok.v))
+                if self.at("}"):
+                    self.next()
+                if self.at(";"):
+                    self.next()
+                return [self._export_assign(exp, self._export_ref(
+                    loc_name, t.line), t.line) for loc_name, exp in specs]
+            # `export <decl>` — the declaration plus `exports.X = X` per
+            # declared name
+            stmts = self.parse_statement()
+            out = list(stmts)
+            for n in stmts:
+                if n.kind == M.LOCAL and n.name:
+                    out.append(self._export_assign(
+                        n.name, self._export_ref(n.name, t.line), t.line))
+            return out
         # import ... — IMPORT nodes with importedEntity (name) and
         # importedAs (canonical_name); full_name carries the TYPE the
         # binding resolves to for XTypeRecovery: `module:Alias` for named
@@ -1431,7 +1553,16 @@ class JsParser(CParser):
                             a0.a:self.toks[self.pos - 1].b].strip()
                 if self.at("="):  # class field with initializer
                     self.next()
+                    # the initializer expression is evaluated inside the
+                    # constructor (instance) / <clinit> (static), so nested
+                    # closures and class expressions scope under it —
+                    # `bar = class Bar {...}` names Bar `Foo:<init>:Bar`
+                    # (CallLinkerPassTests.scala:22-39 endWith
+                    # ":Foo:<init>:Bar:c")
+                    self.scope_path.append(
+                        M.STATIC_INIT if is_static else M.CONSTRUCTOR)
                     val = self.parse_assignment_expr()
+                    self.scope_path.pop()
                     stmt_code = self.slice(mt, self.toks[self.pos - 1])
                     if self.at(";"):
                         self.next()
@@ -1665,7 +1796,10 @@ class JsParser(CParser):
             ret_id.ref_target = loc
             block = N(M.BLOCK, code=raw, type_full_name=M.ANY, line=op_tok.line)
             block.add(loc, assign, ctor, ret_id)
-            return block
+            # member/call chains on the new-expression value —
+            # `new this.bar().c()` is a MemberExpression over the lowered
+            # block (CallLinkerPassTests.scala:22-39)
+            return self.parse_postfix_ops(block, op_tok)
         if v == "...":
             # spread/rest in expression position → `<operator>.spread` call,
             # code `...<arg>` (AstForPrimitivesCreator

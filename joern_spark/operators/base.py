@@ -90,7 +90,13 @@ def used_type_fullnames(nodes: DataFrame) -> DataFrame:
         ),
         F.coalesce(F.col("inherits_from"), F.array()),
     )
+    from joern_spark.operators.typerecovery import js_inherits_parents
     return (nodes.select(F.explode(cand).alias("fn"))
+            # resolved/synthesized JS parent types (XInheritanceFullNamePass
+            # createTypeStub) join the universe so INHERITS_FROM edges have
+            # TYPE targets
+            .unionByName(js_inherits_parents(nodes)
+                         .select(F.col("parent_fn").alias("fn")))
             .filter((F.col("fn") != "") & F.col("fn").isNotNull())
             .distinct())
 
@@ -425,7 +431,14 @@ def field_access_ref_edges(nodes: DataFrame) -> DataFrame:
 
 def inherits_edges(nodes: DataFrame) -> DataFrame:
     d = nodes.filter((F.col("kind") == M.TYPE_DECL) & F.col("inherits_from").isNotNull())
-    e = d.select(F.col("id").alias("src"), F.explode("inherits_from").alias("parent_fn"))
+    # JavaScript parents resolve through the XInheritanceFullNamePass twin
+    # (import/name lookup); other frontends emit resolved names at parse
+    from joern_spark.operators.typerecovery import js_inherits_parents
+    e = (d.filter(F.col("lang") != "javascript")
+         .select(F.col("id").alias("src"),
+                 F.explode("inherits_from").alias("parent_fn"))
+         .unionByName(js_inherits_parents(nodes)
+                      .withColumnRenamed("id", "src")))
     return e.select(*_edge(F.col("src"), type_id(F.col("parent_fn")), M.INHERITS_FROM))
 
 

@@ -52,7 +52,7 @@ JS_GLOBAL_BUILTINS = {
 def _js_children(nodes: DataFrame) -> DataFrame:
     return nodes.filter(F.col("lang") == "javascript").select(
         "id", "parent_id", "arg_index", "kind", "name", "code", "path",
-        "canonical_name", "method_full_name")
+        "canonical_name", "method_full_name", "full_name")
 
 
 def js_symbol_table(nodes: DataFrame, iterations: int = 2) -> DataFrame:
@@ -71,7 +71,8 @@ def _recover(nodes: DataFrame, iterations: int = 2
     ch = _js_children(nodes)
     calls = nodes.filter((F.col("lang") == "javascript")
                          & (F.col("kind") == M.CALL)).select(
-        "id", "name", "method_full_name", "path", "dispatch_type")
+        "id", "name", "method_full_name", "path", "dispatch_type",
+        "method_id", "parent_id")
 
     # assignment skeleton: (assign_id, path, lhs_name, rhs_id, rhs_kind)
     assigns = nodes.filter((F.col("lang") == "javascript")
@@ -107,38 +108,59 @@ def _recover(nodes: DataFrame, iterations: int = 2
                             & (F.col("canonical_name") != ""))
                .select("path", F.col("canonical_name").alias("var"),
                        F.col("full_name").alias("type"))
-               .withColumn("mod", F.split("type", ":").getItem(0))
-               .withColumn("dir", F.regexp_extract("path",
-                                                   r"^(.*)/[^/]*$", 1))
-               .withColumn("tgt", F.element_at(
-                   F.split(F.col("mod"), "/"), -1)))
+               .withColumn("mod", F.split("type", ":").getItem(0)))
     file_stems = (nodes.filter(F.col("lang") == "javascript")
                   .select("path").distinct()
-                  .withColumn("dir", F.regexp_extract("path",
-                                                      r"^(.*)/[^/]*$", 1))
-                  .withColumn("tgt", F.regexp_replace(
-                      F.regexp_extract("path", r"([^/]+)$", 1),
-                      r"\.[A-Za-z0-9]+$", ""))
-                  .select(F.col("path").alias("src_path"), "dir", "tgt"))
-    rel_imports = imports.filter(F.col("mod").startswith("."))
+                  .withColumn("stem", F.regexp_replace(
+                      "path", r"\.[A-Za-z0-9]+$", ""))
+                  .select(F.col("path").alias("src_path"), "stem"))
+
+    def _rel_stem(path_col, mod_col):
+        """Normalized, extension-stripped `dirname(path)/mod` — posix
+        normpath over the bounded `./`/`../` nesting of import specifiers
+        (RequirePassTests `../../foo.ts`, `./d2/bar.ts`)."""
+        dirc = F.regexp_extract(path_col, r"^(.*)/[^/]*$", 1)
+        x = F.when(dirc == "", mod_col).otherwise(
+            F.concat_ws("/", dirc, mod_col))
+        for _ in range(6):
+            x = F.regexp_replace(x, r"(^|/)\./", "$1")
+            x = F.regexp_replace(x, r"(^|/)[^/.][^/]*/\.\./", "$1")
+        return F.regexp_replace(x, r"\.[A-Za-z0-9]+$", "")
+
+    # resolved relative imports carry the imported member (named/default
+    # imports: the trailing `:alias` of the IMPORT type; requires: NULL)
+    rel_imports = (imports.filter(F.col("mod").startswith("."))
+                   .withColumn("member", F.when(
+                       F.col("type").contains(":"),
+                       F.substring_index("type", ":", -1))
+                       .otherwise(F.col("var")))
+                   .withColumn("stem", _rel_stem(F.col("path"),
+                                                 F.col("mod")))
+                   .select("path", "var", "member", "stem"))
     # relative `require("./m")` bindings resolve the same way (no IMPORT
     # node is emitted for require) — their exported members alias under
     # the binding var ("Recovered values that are returned in methods")
     req_rel = (askel.join(req, "rhs_id").join(req_arg, "rhs_id")
                .filter(F.col("type").startswith("."))
-               .withColumn("dir", F.regexp_extract("path", r"^(.*)/[^/]*$", 1))
-               .withColumn("tgt", F.element_at(F.split("type", "/"), -1))
-               .select("path", "var", "dir", "tgt"))
+               .withColumn("stem", _rel_stem(F.col("path"), F.col("type")))
+               .withColumn("member", F.lit(None).cast("string"))
+               .select("path", "var", "member", "stem"))
     # file_stems is ∝ |files| — never force-broadcast at the 10^12-file
     # target; AQE decides (static_call_edges precedent).
-    rel_links = (rel_imports.select("path", "var", "dir", "tgt")
-                 .unionByName(req_rel)
-                 .join(file_stems, ["dir", "tgt"])
-                 .select(F.col("path").alias("imp_path"), "var", "src_path")
+    rel_links = (rel_imports.unionByName(req_rel)
+                 .join(file_stems, "stem")
+                 .select(F.col("path").alias("imp_path"), "var", "member",
+                         "src_path")
                  .localCheckpoint(eager=True))
-    seed_imp = (imports.join(rel_links.select(
-                    F.col("imp_path").alias("path"), "var",
-                    F.lit(True).alias("resolved")), ["path", "var"], "left")
+    resolved_binds = rel_links.select(
+        F.col("imp_path").alias("path"), "var",
+        F.lit(True).alias("resolved")).distinct()
+    seed_imp = (imports.join(resolved_binds, ["path", "var"], "left")
+                .filter(F.col("resolved").isNull())
+                .select("path", "var", "type"))
+    # resolved require bindings drop their raw "./m" seed — the binding
+    # adopts the exporter's entity in the iteration loop instead
+    seed_req = (seed_req.join(resolved_binds, ["path", "var"], "left")
                 .filter(F.col("resolved").isNull())
                 .select("path", "var", "type"))
 
@@ -235,6 +257,37 @@ def _recover(nodes: DataFrame, iterations: int = 2
                     .select("path",
                             F.concat(F.lit("exports."), F.col("fld")).alias("var"),
                             "type"))
+    # `module.exports = { f: function(){}, ... }` — each property of the
+    # lowered object literal registers as an exported member
+    # (CallLinkerPassTests "link exported <lambda> functions across file
+    # boundaries")
+    rhs_blk2 = ch.filter((F.col("arg_index") == 2)
+                         & (F.col("kind") == M.BLOCK)).select(
+        F.col("parent_id").alias("assign_id"), F.col("id").alias("rhs_id"))
+    seed_exports = seed_exports.unionByName(
+        assigns.join(fa_lhs2, "assign_id")
+        .join(fa2_base, "fa2_id")
+        .filter(F.col("bname").isin("exports", "module"))
+        .join(rhs_blk2, "assign_id")
+        .join(blk_assign, "rhs_id")
+        .join(fa_lhs, "ba_id").join(fld, "fa_id").join(mref, "ba_id")
+        .select("path",
+                F.concat(F.lit("exports."), F.col("fld")).alias("var"),
+                "type"))
+    # `exports.f = <identifier>` (ES named/default export lowering) —
+    # aliases the exported local's recovered types each iteration
+    rhs_ident2 = ch.filter((F.col("arg_index") == 2)
+                           & (F.col("kind") == M.IDENTIFIER)).select(
+        F.col("parent_id").alias("assign_id"),
+        F.col("name").alias("src_var"))
+    export_ident_edges = (assigns.join(fa_lhs2, "assign_id")
+                          .join(fa2_base, "fa2_id").join(fa2_fld, "fa2_id")
+                          .join(rhs_ident2, "assign_id")
+                          .filter(F.col("bname").isin("exports", "module"))
+                          .select("path",
+                                  F.concat(F.lit("exports."),
+                                           F.col("fld")).alias("var"),
+                                  "src_var"))
 
     # TS type-annotation hints on parameters / method returns — the raw
     # annotation text resolves its HEAD against the symbol table each
@@ -326,21 +379,129 @@ def _recover(nodes: DataFrame, iterations: int = 2
     base_ident = ch.filter((F.col("arg_index") == 0)
                            & (F.col("kind") == M.IDENTIFIER)).select(
         F.col("parent_id").alias("id"), F.col("name").alias("var"))
-    member_calls = (calls.filter((F.col("dispatch_type") == M.DYNAMIC_DISPATCH)
-                                 & (F.col("method_full_name") == M.UNKNOWN_FULL_NAME)
-                                 & (F.col("name") != "require"))
-                    .join(base_ident, "id")
-                    .select("id", "name", "path", "var"))
+    unresolved_calls = (calls.filter(
+        (F.col("dispatch_type") == M.DYNAMIC_DISPATCH)
+        & (F.col("method_full_name") == M.UNKNOWN_FULL_NAME)
+        & (F.col("name") != "require"))
+        .join(base_ident, "id")
+        .select("id", "name", "path", "var", "method_id"))
+    # simple `f()` calls: the RECEIVER is itself an identifier and the
+    # base is the implicit `this` — TypeHintCallLinker on a single-typed
+    # callable (CallLinkerPassTests "create call edges correctly",
+    # RequirePassTests)
+    recv_ident = ch.filter((F.col("arg_index") == -1)
+                           & (F.col("kind") == M.IDENTIFIER)).select(
+        F.col("parent_id").alias("id"), F.col("name").alias("rvar"))
+    direct_calls = (unresolved_calls.filter(F.col("var") == "this")
+                    .join(recv_ident, "id")
+                    .select("id", "path", F.col("rvar").alias("var")))
+    member_calls = (unresolved_calls
+                    .join(direct_calls.select("id"), "id", "left_anti")
+                    .select("id", "name", "path", "var", "method_id"))
+
+    # class methods dimension + class-member types assigned in <init>
+    # (field initializers lower into the constructor): `bar = class Bar`
+    # / `f = <methodRef>` type member `bar` of the enclosing class —
+    # typeHintForThisExpression + member flow (CallLinkerPassTests
+    # "create call edges correctly for methods from classes")
+    cls_methods = (js.filter((F.col("kind") == M.METHOD)
+                             & (F.col("ast_parent_type") == M.TYPE_DECL))
+                   .select(F.col("id").alias("method_id"),
+                           F.col("name").alias("cm_name"),
+                           F.col("ast_parent_full_name").alias("cls_fn")))
+    init_assigns = (calls.filter(F.col("name") == M.OP_ASSIGNMENT)
+                    .join(cls_methods.filter(
+                        F.col("cm_name") == M.CONSTRUCTOR), "method_id")
+                    .select(F.col("id").alias("assign_id"), "path", "cls_fn"))
+    lhs_fld = ch.filter((F.col("arg_index") == 1)
+                        & (F.col("kind") == M.IDENTIFIER)).select(
+        F.col("parent_id").alias("assign_id"), F.col("name").alias("fld"))
+    rhs_tref = ch.filter((F.col("arg_index") == 2)
+                         & (F.col("kind") == M.TYPE_REF)).select(
+        F.col("parent_id").alias("assign_id"), F.col("id").alias("tref_id"))
+    tref_td = ch.filter(F.col("kind") == M.TYPE_DECL).select(
+        F.col("parent_id").alias("tref_id"), F.col("full_name").alias("mty"))
+    rhs_mref3 = ch.filter((F.col("arg_index") == 2)
+                          & (F.col("kind") == M.METHOD_REF)
+                          & (F.col("method_full_name") != "")).select(
+        F.col("parent_id").alias("assign_id"),
+        F.col("method_full_name").alias("mty"))
+    mem_ctor = (init_assigns.join(lhs_fld, "assign_id")
+                .join(rhs_tref.join(tref_td, "tref_id")
+                      .select("assign_id", "mty")
+                      .unionByName(rhs_mref3), "assign_id")
+                .select("cls_fn", "fld", "mty")
+                .localCheckpoint(eager=True))
+
+    method_fns = (js.filter(F.col("kind") == M.METHOD)
+                  .select(F.col("full_name").alias("cand")).distinct())
+
+    # `this.b()` resolves against the enclosing class when the member
+    # method exists (`this` dynamicTypeHint = the class fullname)
+    rw0_this = (unresolved_calls.filter(F.col("var") == "this")
+                .join(direct_calls.select("id"), "id", "left_anti")
+                .join(cls_methods.select("method_id", "cls_fn"), "method_id")
+                .withColumn("cand", F.concat_ws(":", "cls_fn", "name"))
+                .join(method_fns, "cand")
+                .select("id", F.col("cand").alias("rec_mfn"), "path")
+                .withColumn("is_ctor", F.lit(False)))
+
+    # `new this.bar()` — the receiver field access resolves through the
+    # class-member table; the constructed value types the assigned tmp so
+    # a chained `.c()` composes the member-method fullname
+    opnew = calls.filter(F.col("name") == M.OP + "new").select(
+        F.col("id").alias("nid"), "path", "method_id",
+        F.col("parent_id").alias("blk_id"))
+    nfa = ch.filter((F.col("arg_index") == -1) & (F.col("kind") == M.CALL)
+                    & (F.col("name") == M.OP_FIELD_ACCESS)).select(
+        F.col("parent_id").alias("nid"), F.col("id").alias("nfa_id"))
+    nfa_this = ch.filter((F.col("arg_index") == 1)
+                         & (F.col("kind") == M.IDENTIFIER)
+                         & (F.col("name") == "this")).select(
+        F.col("parent_id").alias("nfa_id"))
+    nfa_fld = ch.filter(F.col("kind") == M.FIELD_IDENTIFIER).select(
+        F.col("parent_id").alias("nfa_id"),
+        F.col("canonical_name").alias("fld"))
+    nfa_full = (nfa.join(nfa_this, "nfa_id", "leftsemi")
+                .join(nfa_fld, "nfa_id").select("nid", "fld"))
+    new_this = (opnew.join(nfa_full, "nid")
+                .join(cls_methods.select("method_id", "cls_fn"), "method_id")
+                .join(mem_ctor, ["cls_fn", "fld"])
+                .select("nid", "blk_id", "path", "mty").distinct())
+    rw0_new = (new_this
+               .withColumn("ctor_cand",
+                           F.concat(F.col("mty"), F.lit(f":{M.CONSTRUCTOR}")))
+               .join(method_fns.select(F.col("cand").alias("ctor_cand"),
+                                       F.lit(True).alias("ctor_ok")),
+                     "ctor_cand", "left")
+               .select(F.col("nid").alias("id"),
+                       F.when(F.col("ctor_ok").isNotNull(),
+                              F.col("ctor_cand"))
+                       .otherwise(F.col("mty")).alias("rec_mfn"), "path")
+               .withColumn("is_ctor", F.lit(True)))
+    # the variable assigned from the new-expression block adopts the
+    # constructed class type (so chained member calls compose)
+    seed_new_this = (new_this.join(
+        askel.select(F.col("rhs_id").alias("blk_id"), "var"), "blk_id")
+        .select("path", "var", F.col("mty").alias("type")))
+    st = st.unionByName(seed_new_this).distinct() \
+        .localCheckpoint(eager=True)
 
     ret_lhs = askel.select("path", "var", "rhs_id")
 
-    rewrites = None
+    rewrites = rw0_this.unionByName(rw0_new).distinct() \
+        .localCheckpoint(eager=True)
     for _ in range(iterations):
-        # constructed-type propagation: v = new T() takes T's types
+        # constructed-type propagation: v = new T() takes T's types — the
+        # constructed VALUE drops the ctor binding's `:<init>` suffix so
+        # instantiated identifiers carry the class fullname
+        # (InheritanceFullNamePassTests "identifiers instantiated")
         st = st.unionByName(
             new_edges.join(st.withColumnRenamed("var", "tname"),
                            ["path", "tname"])
-            .select("path", "var", "type")).distinct()
+            .select("path", "var",
+                    F.regexp_replace("type", r":<init>$", "")
+                    .alias("type"))).distinct()
         # cross-module resolved imports: the exporter's types flow to the
         # importing file's binding
         st = st.unionByName(
@@ -365,6 +526,11 @@ def _recover(nodes: DataFrame, iterations: int = 2
         st = st.unionByName(
             fa_edges.join(bare, ["path", "bvar"]).select("path", "var", "type")
         ).distinct()
+        # each self-referencing union DOUBLES the plan tree (st_{k+1}
+        # references st_k twice); with ~12 rules per iteration the
+        # un-truncated tree is 2^12 scans — checkpoint at midpoints to
+        # keep it bounded (measured: unbounded tree hangs the build)
+        st = st.localCheckpoint(eager=True)
         # single-typed receivers -> methodFullName rewrite
         single = (st.groupBy("path", "var")
                   .agg(F.collect_set("type").alias("tys"))
@@ -388,18 +554,52 @@ def _recover(nodes: DataFrame, iterations: int = 2
         st = st.unionByName(
             this_fa_edges.join(mem_ty, ["path", "fld"])
             .select("path", "var", "type")).distinct()
-        # exported members flow to relative importers under their binding
+        # identifier-rhs exports (`exports.f = localName`) alias the
+        # exported local's recovered types
         st = st.unionByName(
-            rel_links.join(
-                st.filter(F.col("var").startswith("exports."))
-                .select(F.col("path").alias("src_path"),
-                        F.col("var").alias("evar"), "type"), "src_path")
+            export_ident_edges.join(
+                st.select("path", F.col("var").alias("src_var"), "type"),
+                ["path", "src_var"])
+            .select("path", "var", "type")).distinct()
+        exp_entity = (st.filter(F.col("var").startswith("exports."))
+                      .select(F.col("path").alias("src_path"),
+                              F.col("var").alias("evar"), "type"))
+        # exported members flow to relative importers under their binding
+        # (`<binding>.<member>` composite vars for member-call resolution)
+        st = st.unionByName(
+            rel_links.join(exp_entity, "src_path")
+            .filter(~F.col("evar").isin("exports.exports",
+                                        "exports.default"))
             .select(F.col("imp_path").alias("path"),
                     F.concat(F.col("var"), F.lit("."),
                              F.expr("substring(evar, 9)")).alias("var"),
                     "type")).distinct()
-        remaining = member_calls if rewrites is None else \
-            member_calls.join(rewrites.select("id"), "id", "left_anti")
+        # resolved bindings adopt their exported entity: named/default
+        # export for ES imports; the `module.exports` closure — else the
+        # module's `::program` entity — for requires
+        # (JavaScriptImportResolverPass; CallLinkerPassTests receiver
+        # typeFullName "bar.js::program", RequirePassTests
+        # "sampleone.js::program:<lambda>0")
+        ad_member = (rel_links.filter(F.col("member").isNotNull())
+                     .join(exp_entity, "src_path")
+                     .filter((F.col("evar") == F.concat(F.lit("exports."),
+                                                        F.col("member")))
+                             | (F.col("evar") == "exports.default"))
+                     .select(F.col("imp_path").alias("path"), "var", "type"))
+        req_binds = rel_links.filter(F.col("member").isNull())
+        mod_exp = exp_entity.filter(F.col("evar") == "exports.exports")
+        ad_modfn = (req_binds.join(mod_exp, "src_path")
+                    .select(F.col("imp_path").alias("path"), "var", "type"))
+        ad_prog = (req_binds.join(mod_exp.select("src_path").distinct(),
+                                  "src_path", "left_anti")
+                   .select(F.col("imp_path").alias("path"), "var",
+                           F.concat(F.col("src_path"),
+                                    F.lit("::program")).alias("type")))
+        st = (st.unionByName(ad_member).unionByName(ad_modfn)
+              .unionByName(ad_prog).distinct()
+              .localCheckpoint(eager=True))  # midpoint truncation, see above
+        remaining = member_calls.join(rewrites.select("id"), "id",
+                                      "left_anti")
         # direct `v.f` symbol entries (object-literal methods) win over the
         # composed `type:name` rewrite
         direct_single = (st.filter(F.col("var").contains(".")
@@ -419,6 +619,25 @@ def _recover(nodes: DataFrame, iterations: int = 2
                       F.concat_ws(":", F.col("type"), F.col("name")).alias("rec_mfn"),
                       "path"))
         rw = rw.unionByName(rw_direct).withColumn("is_ctor", F.lit(False))
+        # simple `f()` calls on a single-typed callable binding
+        # (conservative: multi-hint bindings — the flow-insensitive
+        # `barOrBaz` case — stay <unknownFullName>)
+        single_callable = (st.filter(
+            F.col("type").contains("::")
+            & ~F.col("type").endswith("::program")
+            & F.expr("instr(substring(type, instr(type, '::') + 2), ':')"
+                     " > 0"))
+            .groupBy("path", "var")
+            .agg(F.collect_set("type").alias("tys"))
+            .filter(F.size("tys") == 1)
+            .select("path", "var", F.element_at("tys", 1).alias("rec_mfn")))
+        rw_call = (direct_calls
+                   .join(rewrites.select("id"), "id", "left_anti")
+                   .join(rw.select("id"), "id", "left_anti")
+                   .join(single_callable, ["path", "var"])
+                   .select("id", "rec_mfn", "path")
+                   .withColumn("is_ctor", F.lit(False)))
+        rw = rw.unionByName(rw_call)
         # `new F()` where F is a single-typed known closure -> the ctor
         # call resolves to the function's fullname (no <returnValue>)
         single2 = (st.groupBy("path", "var")
@@ -492,6 +711,58 @@ def _recover(nodes: DataFrame, iterations: int = 2
                   F.coalesce("known_rtype", "type").alias("type"))
           .distinct().localCheckpoint(eager=True))
     return rewrites.select("id", "rec_mfn"), st
+
+
+def js_inherits_parents(nodes: DataFrame) -> DataFrame:
+    """(id, parent_fn) for JavaScript TYPE_DECLs with inheritsFrom entries
+    — the XInheritanceFullNamePass twin (jssrc flavor: pathSep ':',
+    moduleName ':program', fileExt '.js').  A parent name that is in the
+    file's scope (same-file type decls + imported entities) and names a
+    TYPE_DECL anywhere in the corpus resolves to that fullName; otherwise
+    an import whose entity ends with the name synthesizes the external
+    stub `<module>.js::program:<name>`; unresolvable parents keep the raw
+    name.  All joins are name-keyed small dimensions (∝ |type decls| /
+    |imports|) — AQE picks the strategy, nothing is force-broadcast
+    (jssrc InheritanceFullNamePassTests; sequential mirror:
+    oracle.js_resolve_inherits)."""
+    js = nodes.filter(F.col("lang") == "javascript")
+    td = (js.filter((F.col("kind") == M.TYPE_DECL)
+                    & F.col("inherits_from").isNotNull())
+          .select("id", "path", "full_name",
+                  F.explode("inherits_from").alias("x"))
+          .filter(~F.col("x").isin("ANY", "object", "")))
+    imp = js.filter(F.col("kind") == M.IMPORT).select(
+        "path", F.col("full_name").alias("qn"))
+    scope = (imp.select("path", F.substring_index("qn", ":", -1).alias("x"))
+             .unionByName(js.filter(F.col("kind") == M.TYPE_DECL)
+                          .select("path", F.substring_index(
+                              "full_name", ":", -1).alias("x")))
+             .distinct())
+    cands = (js.filter(F.col("kind") == M.TYPE_DECL)
+             .select(F.col("name").alias("x"),
+                     F.col("full_name").alias("cand_fn")).distinct())
+    resolved = (td.join(scope, ["path", "x"], "leftsemi")
+                .join(cands, "x")
+                .filter(F.col("cand_fn") != F.col("full_name"))
+                .select("id", F.col("cand_fn").alias("parent_fn"))
+                .distinct())
+    unres = td.join(resolved.select("id").distinct(), "id", "left_anti")
+    mod = F.substring_index("qn", ":", 1)
+    norm = F.regexp_replace(mod, r"(^|/)\./", "$1")
+    for _ in range(4):
+        norm = F.regexp_replace(norm, r"(^|/)[^/.][^/]*/\.\./", "$1")
+    synth = (unres.join(imp, "path")
+             .filter(F.col("qn").endswith(F.concat(F.lit(":"), F.col("x"))))
+             .withColumn("mod_norm", norm)
+             .withColumn("ext", F.when(F.substring_index(
+                 "mod_norm", "/", -1).contains("."), "").otherwise(".js"))
+             .select("id", F.concat("mod_norm", "ext",
+                                    F.lit("::program:"),
+                                    F.col("x")).alias("parent_fn"))
+             .distinct())
+    leftover = (unres.join(synth.select("id").distinct(), "id", "left_anti")
+                .select("id", F.col("x").alias("parent_fn")))
+    return resolved.unionByName(synth).unionByName(leftover)
 
 
 def apply_rewrites(call_sites: DataFrame, rewrites: DataFrame) -> DataFrame:

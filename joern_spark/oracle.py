@@ -195,6 +195,7 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
     (__ecma.Number/String), array-literal lowerings (__ecma.Array), and
     `new T(...)` constructor results. A member call is rewritten only when
     its receiver has exactly ONE recovered type."""
+    import posixpath
     import re
 
     kids: dict[int, list[dict]] = {}
@@ -215,23 +216,34 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
             lst.append(ty)
 
     # ES import / require IMPORT-node seeds (full_name = resolved type).
-    # A RELATIVE import whose target module exists in the corpus is a
-    # ResolvedMember: the exporting module's recovered types flow through
-    # the shared symbol table instead of a dummy "module:member" type
-    # (TypeRecoveryPassTests "recovering module members across modules")
-    stems: dict[str, set[str]] = {}
-    for r in rows:
-        pth = r.get("path") or ""
-        d, _, b = pth.rpartition("/")
-        stems.setdefault(d, set()).add(b.rsplit(".", 1)[0])
+    # A RELATIVE import whose target module exists in the corpus is
+    # resolved (JavaScriptImportResolverPass): the binding adopts the
+    # exporting module's exported entity — its `module.exports` closure,
+    # the named/default export, or the module's `::program` entity itself
+    # (CallLinkerPassTests receiver typeFullName "bar.js::program";
+    # RequirePassTests "sampleone.js::program:<lambda>0")
+    stem_map: dict[str, str] = {}
+    for pth in {r.get("path") or "" for r in rows}:
+        if pth:
+            stem_map[pth.rsplit(".", 1)[0]] = pth
+
+    def resolve_rel(importer: str, mod: str) -> str | None:
+        if not mod.startswith("."):
+            return None
+        base = posixpath.normpath(
+            posixpath.join(posixpath.dirname(importer), mod))
+        return stem_map.get(base) or stem_map.get(base.rsplit(".", 1)[0])
+
+    # (binding var, exporting path, imported member | None for require)
+    rel_resolved: list[tuple[str, str, str | None]] = []
     for r in rows:
         if r["kind"] == M.IMPORT and r.get("canonical_name"):
-            mod = r["full_name"].split(":", 1)[0]
-            if mod.startswith("."):
-                d = (r.get("path") or "").rpartition("/")[0]
-                tgt = mod.rstrip("/").split("/")[-1]
-                if tgt in stems.get(d, ()):
-                    continue
+            mod, _, member = r["full_name"].partition(":")
+            src = resolve_rel(r.get("path") or "", mod)
+            if src is not None:
+                rel_resolved.append((r["canonical_name"], src,
+                                     member or r["canonical_name"]))
+                continue
             add(r["canonical_name"], r["full_name"])
 
     # global builtin receivers (jssrc2cpg GlobalBuiltins;
@@ -253,7 +265,12 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
         if rh["kind"] == M.CALL and rh["name"] == "require":
             lit = child(rh["node_idx"], 1, (M.LITERAL,))
             if lit is not None:
-                add(var, re.sub(r"['\"`]", "", lit["code"]))
+                mod = re.sub(r"['\"`]", "", lit["code"])
+                src = resolve_rel(rh.get("path") or "", mod)
+                if src is not None:
+                    rel_resolved.append((var, src, None))
+                else:
+                    add(var, mod)
         elif rh["kind"] == M.LITERAL:
             code = rh["code"]
             if code[:1] in "'\"`":
@@ -289,12 +306,22 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
                         news.append((var, recv["name"]))
 
     member = []
+    direct = []  # simple `f()` calls: receiver IS an identifier
     for r in rows:
         if r["kind"] == M.CALL and r["dispatch_type"] == M.DYNAMIC_DISPATCH \
                 and r["method_full_name"] == M.UNKNOWN_FULL_NAME \
                 and r["name"] not in ("require",):
             b = child(r["node_idx"], 0, (M.IDENTIFIER,))
-            if b is not None:
+            if b is None:
+                continue
+            recv = child(r["node_idx"], -1, (M.IDENTIFIER,))
+            if recv is not None and b["name"] == "this":
+                # `sayhi()` — base is the implicit `this`, the receiver the
+                # callee identifier (TypeHintCallLinker on a single-typed
+                # callable; CallLinkerPassTests "create call edges
+                # correctly", RequirePassTests)
+                direct.append((r, recv["name"]))
+            else:
                 member.append((r, b["name"]))
 
     # `v = <methodRef>` binds the closure's fullname (resolve a function
@@ -303,15 +330,14 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
         if rh["kind"] == M.METHOD_REF and rh.get("method_full_name"):
             add(var, rh["method_full_name"])
 
-    # `exports.f = <methodRef>` / `module.exports.f = ...` — the exported
-    # member carries the closure fullname; relative importers alias it
-    # under their binding ("Recovered values that are returned in methods")
-    rel_bindings: list[str] = []
-    for var, rh in assigns:
-        if rh["kind"] == M.CALL and rh["name"] == "require":
-            lit = child(rh["node_idx"], 1, (M.LITERAL,))
-            if lit is not None and lit["code"][1:2] == ".":
-                rel_bindings.append(var)
+    # `exports.f = <methodRef>` / `module.exports = ...` — exported members
+    # carry the closure fullname, path-scoped (`exports@<path>.<fld>`) so
+    # multi-module corpora don't cross-contaminate; `module.exports = {f:
+    # function(){}}` object-literal exports register each property; a plain
+    # identifier rhs aliases the exported local's types each iteration
+    # ("Recovered values that are returned in methods";
+    # CallLinkerPassTests "link exported <lambda> functions")
+    export_ident: list[tuple[str, str]] = []  # (exports@path.fld, local var)
     for r in rows:
         if r["kind"] != M.CALL or r["name"] != M.OP_ASSIGNMENT:
             continue
@@ -321,11 +347,30 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
             continue
         base = child(flhs["node_idx"], 1, (M.IDENTIFIER,))
         fld = child(flhs["node_idx"], 2, (M.FIELD_IDENTIFIER,))
-        if base is None or fld is None:
+        if base is None or fld is None \
+                or base["name"] not in ("exports", "module"):
             continue
-        if base["name"] in ("exports", "module") \
-                and rh["kind"] == M.METHOD_REF and rh.get("method_full_name"):
-            add(f'exports.{fld["canonical_name"]}', rh["method_full_name"])
+        key = f'exports@{r.get("path") or ""}.{fld["canonical_name"]}'
+        if rh["kind"] == M.METHOD_REF and rh.get("method_full_name"):
+            add(key, rh["method_full_name"])
+        elif rh["kind"] == M.IDENTIFIER:
+            export_ident.append((key, rh["name"]))
+        elif rh["kind"] == M.BLOCK:
+            # object-literal export: `_tmp.g = <methodRef>` inside the
+            # lowered block registers each exported property
+            for c in kids.get(rh["node_idx"], []):
+                if c["kind"] != M.CALL or c["name"] != M.OP_ASSIGNMENT:
+                    continue
+                pfa = child(c["node_idx"], 1, (M.CALL,))
+                pm = child(c["node_idx"], 2, (M.METHOD_REF,))
+                if pfa is None or pm is None \
+                        or pfa["name"] != M.OP_FIELD_ACCESS \
+                        or not pm.get("method_full_name"):
+                    continue
+                pfi = child(pfa["node_idx"], 2, (M.FIELD_IDENTIFIER,))
+                if pfi is not None:
+                    add(f'exports@{r.get("path") or ""}.'
+                        f'{pfi["canonical_name"]}', pm["method_full_name"])
 
     # TS type-annotation hints: params carry the raw annotation text in
     # typeFullName; resolve the head against the symbol table each
@@ -371,8 +416,77 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
             if b is not None and fi is not None and b["name"] == "this":
                 this_fa_edges.append((var, fi["canonical_name"]))
 
+    # class-member types from ctor-body assignments (class-field
+    # initializers lower into <init>): `bar = class Bar {...}` /
+    # `f = <methodRef>` types member `bar` of the enclosing class —
+    # typeHintForThisExpression + member flow (CallLinkerPassTests
+    # "create call edges correctly for methods from classes")
+    mem_ctor_ty: dict[tuple[str, str], str] = {}  # (class_fn, fld) -> type
+    for r in rows:
+        if r["kind"] != M.CALL or r["name"] != M.OP_ASSIGNMENT:
+            continue
+        m = methods_by_idx.get(r["method_idx"])
+        if m is None or m["name"] != M.CONSTRUCTOR \
+                or m["ast_parent_type"] != M.TYPE_DECL:
+            continue
+        lh = child(r["node_idx"], 1, (M.IDENTIFIER,))
+        rh = child(r["node_idx"], 2)
+        if lh is None or rh is None:
+            continue
+        ty = ""
+        if rh["kind"] == M.TYPE_REF:
+            td = next((c for c in kids.get(rh["node_idx"], [])
+                       if c["kind"] == M.TYPE_DECL), None)
+            ty = td["full_name"] if td is not None else ""
+        elif rh["kind"] == M.METHOD_REF:
+            ty = rh.get("method_full_name") or ""
+        if ty:
+            mem_ctor_ty[(m["ast_parent_full_name"], lh["name"])] = ty
+
+    method_fns = {r["full_name"] for r in rows if r["kind"] == M.METHOD}
+
     rec: dict[int, str] = {}
     new_rec_ids: set[int] = set()  # ctor-call rewrites: no <returnValue>
+
+    # `this.b()` resolves against the enclosing class when the member
+    # method exists (`this` dynamicTypeHint = the class fullname)
+    for r, var in member:
+        if var != "this":
+            continue
+        m = methods_by_idx.get(r["method_idx"])
+        if m is None or m["ast_parent_type"] != M.TYPE_DECL:
+            continue
+        cand = f'{m["ast_parent_full_name"]}:{r["name"]}'
+        if cand in method_fns:
+            rec[r["node_idx"]] = cand
+
+    # `new this.bar()` — the receiver field access resolves through the
+    # class-member table; the constructed value types the assigned tmp so
+    # a chained `.c()` composes `...:<init>:Bar:c`
+    for r in newcalls:
+        fa = child(r["node_idx"], -1, (M.CALL,))
+        if fa is None or fa["name"] != M.OP_FIELD_ACCESS:
+            continue
+        b = child(fa["node_idx"], 1, (M.IDENTIFIER,))
+        fi = child(fa["node_idx"], 2, (M.FIELD_IDENTIFIER,))
+        m = methods_by_idx.get(r["method_idx"])
+        if b is None or fi is None or m is None or b["name"] != "this":
+            continue
+        cls = m["ast_parent_full_name"] \
+            if m["ast_parent_type"] == M.TYPE_DECL else ""
+        ty = mem_ctor_ty.get((cls, fi["canonical_name"]))
+        if not ty:
+            continue
+        ctor = f"{ty}:{M.CONSTRUCTOR}" \
+            if f"{ty}:{M.CONSTRUCTOR}" in method_fns else ty
+        rec[r["node_idx"]] = ctor
+        new_rec_ids.add(r["node_idx"])
+        # type the variable holding the new-expression block value
+        blk = r["parent_idx"]
+        for var, rh in assigns:
+            if rh["node_idx"] == blk:
+                add(var, ty)
+
     ret_ty: dict[str, str] = {}
     for _ in range(2):
         # annotated params / returns resolve through the (import-seeded)
@@ -393,11 +507,33 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
             t = resolve_ann(ann)
             if t is not None:
                 ret_ty[methods_by_idx[midx]["full_name"]] = t
-        # relative-import binding aliases for exported members
-        for key in [k for k in st if k.startswith("exports.")]:
-            for b in rel_bindings:
-                for t in st[key]:
-                    add(f"{b}.{key[len('exports.'):]}", t)
+        # identifier-rhs exports alias the exported local's types
+        for key, g in export_ident:
+            for t in st.get(g, ()):
+                add(key, t)
+        # resolved relative imports: the binding adopts the exporter's
+        # exported entity — named/default export, `module.exports`
+        # closure, or (for require) the module's `::program` entity; each
+        # exported member also aliases under `<binding>.<member>` for
+        # member-call resolution
+        for var, src, memb in rel_resolved:
+            if memb is not None:
+                for k in (f"exports@{src}.{memb}", f"exports@{src}.default"):
+                    for t in st.get(k, ()):
+                        add(var, t)
+            else:
+                mod_fns = st.get(f"exports@{src}.exports", ())
+                if mod_fns:
+                    for t in mod_fns:
+                        add(var, t)
+                else:
+                    add(var, f"{src}::program")
+            pref = f"exports@{src}."
+            for key in [k for k in st if k.startswith(pref)]:
+                f_ = key[len(pref):]
+                if f_ not in ("exports", "default"):
+                    for t in st[key]:
+                        add(f"{var}.{f_}", t)
         # `new F()` where F is a known closure -> the ctor call resolves to
         # the function's fullname
         for r in newcalls:
@@ -410,7 +546,12 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
                 new_rec_ids.add(r["node_idx"])
         for var, tname in news:
             for ty in st.get(tname, []):
-                add(var, ty)
+                # the constructed VALUE is typed with the class (the ctor
+                # binding's mfn minus `:<init>`) — identifiers instantiated
+                # from imported classes carry the type fullname
+                # (InheritanceFullNamePassTests "identifiers instantiated")
+                add(var, ty[:-len(f":{M.CONSTRUCTOR}")]
+                    if ty.endswith(f":{M.CONSTRUCTOR}") else ty)
         # identifier aliasing: `let d = db` copies the source's types
         # (TypeRecoveryPassTests "resolve 'foo.d' field access object
         # types correctly")
@@ -435,6 +576,17 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
             tys = st.get(var, [])
             if len(tys) == 1 and r["node_idx"] not in rec:
                 rec[r["node_idx"]] = f"{tys[0]}:{r['name']}"
+        # simple `f()` calls on a single-typed callable binding
+        # (TypeHintCallLinker; conservative: two candidate types — the
+        # flow-insensitive `barOrBaz` case — stay <unknownFullName>)
+        for r, var in direct:
+            if r["node_idx"] in rec:
+                continue
+            tys = [t for t in st.get(var, []) if "::" in t
+                   and not t.endswith(f"::{M.PROGRAM_METHOD[1:]}")
+                   and ":" in t.split("::", 1)[1]]
+            if len(tys) == 1:
+                rec[r["node_idx"]] = tys[0]
         # returned literals / recovered calls type the method return
         for midx, expr in returns:
             m = methods_by_idx.get(midx)
@@ -474,7 +626,46 @@ def _js_recover(rows: list[dict]) -> tuple[dict[int, str], dict[str, list[str]]]
     return rec, st
 
 
+@lru_cache(maxsize=1)
+def _js_recovered_corpus() -> dict[tuple[str, int], str]:
+    """(path, node_idx) -> recovered mfn over ALL fixture JS files at once —
+    cross-module resolution (resolved requires/imports) needs the whole
+    corpus in one symbol table, exactly like the Spark twin which computes
+    over the full node table."""
+    all_rows: list[dict] = []
+    origin: dict[int, tuple[str, int]] = {}
+    base = 0
+    for repo, path, commit, lang, rows in local_files():
+        if lang != "javascript":
+            continue
+        mx = base
+        for r in rows:
+            rr = dict(r)
+            rr["node_idx"] = r["node_idx"] + base
+            for k in ("parent_idx", "method_idx", "ref_idx"):
+                if rr.get(k) is not None and rr[k] >= 0:
+                    rr[k] += base
+            origin[rr["node_idx"]] = (path, r["node_idx"])
+            mx = max(mx, rr["node_idx"])
+            all_rows.append(rr)
+        base = mx + 1
+    rec, _ = _js_recover(all_rows)
+    return {origin[i]: mfn for i, mfn in rec.items() if i in origin}
+
+
+@lru_cache(maxsize=1)
+def _fixture_js_paths() -> frozenset[str]:
+    return frozenset(path for repo, path, commit, lang, rows in local_files()
+                     if lang == "javascript")
+
+
 def _js_recovered(rows: list[dict]) -> dict[int, str]:
+    """Per-file view of the corpus-wide recovery for fixture files; other
+    row sets (tests) recover in isolation."""
+    path = rows[0]["path"] if rows else ""
+    if path in _fixture_js_paths():
+        return {oi: mfn for (p, oi), mfn in _js_recovered_corpus().items()
+                if p == path}
     return _js_recover(rows)[0]
 
 
@@ -639,14 +830,74 @@ def expected_reaching_defs(path_suffix: str) -> list[tuple[str, str, str, str]]:
     return sorted(out)
 
 
+def js_resolve_inherits(rows: list[dict]) -> dict[int, list[str]]:
+    """id(row) -> resolved inheritsFromTypeFullName for JS TYPE_DECLs — the
+    sequential mirror of XInheritanceFullNamePass (jssrc flavor: pathSep
+    ':', moduleName ':program', fileExt '.js').  A parent name with a
+    matching TYPE_DECL anywhere in the corpus (and in the file's scope:
+    same-file type decls + imported entities) resolves to its fullName(s);
+    otherwise an import whose entity ends with the name synthesizes the
+    external stub `<module>.js::program:<name>`
+    (jssrc2cpg InheritanceFullNamePassTests)."""
+    import posixpath
+    td_all = [r for r in rows if r["kind"] == M.TYPE_DECL
+              and (r.get("lang") or "") == "javascript"]
+    by_name: dict[str, list[str]] = {}
+    for td in td_all:
+        by_name.setdefault(td["name"], []).append(td["full_name"])
+    imports_by_path: dict[str, list[str]] = {}
+    for r in rows:
+        if r["kind"] == M.IMPORT and r.get("full_name"):
+            imports_by_path.setdefault(r.get("path") or "", []).append(
+                r["full_name"])
+    tds_by_path: dict[str, list[str]] = {}
+    for td in td_all:
+        tds_by_path.setdefault(td.get("path") or "", []).append(
+            td["full_name"])
+    out: dict[int, list[str]] = {}
+    for td in td_all:
+        parents = [p for p in (td.get("inherits_from") or [])
+                   if p not in ("ANY", "object", "")]
+        if not parents:
+            continue
+        pth = td.get("path") or ""
+        scope = {qn.split(":")[-1]
+                 for qn in imports_by_path.get(pth, [])
+                 + tds_by_path.get(pth, [])}
+        resolved: list[str] = []
+        for x in parents:
+            if x in scope:
+                resolved += [fn for fn in by_name.get(x, [])
+                             if fn != td["full_name"]]
+        if resolved:
+            out[id(td)] = sorted(set(resolved))
+            continue
+        synth: list[str] = []
+        for x in parents:
+            for qn in imports_by_path.get(pth, []):
+                segs = qn.split(":")
+                if segs and segs[-1] == x and len(segs) > 1:
+                    mod = posixpath.normpath(":".join(segs[:-1]))
+                    ext = "" if mod.rsplit("/", 1)[-1].count(".") else ".js"
+                    synth.append(f"{mod}{ext}::program:{x}")
+                    break
+        if synth:
+            out[id(td)] = sorted(set(synth))
+    return out
+
+
 def expected_inherits() -> list[tuple[str, str]]:
-    """(type_decl_full_name, parent_type_full_name)."""
-    out = set()
+    """(type_decl_full_name, parent_type_full_name); JS parents resolved by
+    the XInheritanceFullNamePass mirror (corpus-wide name lookup)."""
+    all_rows: list[dict] = []
     for repo, path, commit, lang, rows in local_files():
-        for r in rows:
-            if r["kind"] == M.TYPE_DECL and r["inherits_from"]:
-                for p in r["inherits_from"]:
-                    out.add((r["full_name"], p))
+        all_rows += rows
+    res = js_resolve_inherits(all_rows)
+    out = set()
+    for r in all_rows:
+        if r["kind"] == M.TYPE_DECL and r["inherits_from"]:
+            for p in res.get(id(r), r["inherits_from"]):
+                out.add((r["full_name"], p))
     return sorted(out)
 
 

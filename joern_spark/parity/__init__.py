@@ -363,9 +363,16 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
                     out.add(("calls", m["name"], r["name"]))
 
     if case.get("inherits") is not None:
+        # JS parents resolve through XInheritanceFullNamePass (name lookup
+        # across the case corpus + import-derived external stubs); C++/Java
+        # keep the frontend's raw inheritsFrom entries
+        ih_res: dict[int, list[str]] = {}
+        if case["lang"] == "javascript":
+            from joern_spark.oracle import js_resolve_inherits
+            ih_res = js_resolve_inherits(rows)
         for r in rows:
             if r["kind"] == M.TYPE_DECL:
-                for p in (r.get("inherits_from") or []):
+                for p in ih_res.get(id(r), r.get("inherits_from") or []):
                     out.add(("inherits", r["name"], p))
 
     if case.get("ast") is not None:

@@ -3805,3 +3805,182 @@ class Foo {
         cite=f"{JQ}/MethodTests.scala:177-195",
     ),
 ]
+
+# --------------------------------------------------------------------------- #
+# ConstructorInvocationTests.scala — explicit constructor invocations and
+# constructor overload resolution.  The joint alloc/init BLOCK-lowering
+# assertions (:255-418) are not transcribed: this engine keeps the `<init>`
+# call inline as the assignment rhs (same fullnames/signatures and identical
+# dataflow facts, different AST shape).
+# --------------------------------------------------------------------------- #
+
+JQCI = f"{JQ}/ConstructorInvocationTests.scala"
+
+CASES += [
+    # :263-276 — constructor init call: methodFullName + signature.
+    dict(
+        name="java-ctorinv-init-call", lang="java", wrap=False,
+        code="""
+class Foo {
+  Foo(long aaa) {
+  }
+  static void method() {
+    Foo foo = new Foo(1);
+  }
+}
+""",
+        callmfn=[["<init>", "Foo.<init>:void(long)"]],
+        msig=[["<init>", "void(long)"], ["method", "void()"]],
+        cite=f"{JQCI}:263-276",
+    ),
+    # :278-306 — simple single-argument constructor: method node, this
+    # param typed as the class, value param typed int.
+    dict(
+        name="java-ctorinv-simple-ctor", lang="java", wrap=False,
+        code="""
+class Foo {
+  int x;
+
+  public Foo(int x) {
+    this.x = x;
+  }
+}
+""",
+        methods=[["<init>", "Foo.<init>:void(int)"]],
+        msig=[["<init>", "void(int)"]],
+        params=[["<init>.this", "0:Foo:BY_SHARING"],
+                ["<init>.x", "1:int:BY_VALUE"]],
+        cite=f"{JQCI}:278-306",
+    ),
+    # :308-325 — an object creation expression as an argument to an
+    # unresolved call still carries its literal argument.
+    dict(
+        name="java-ctorinv-unresolved-arg", lang="java", wrap=False,
+        code="""
+class Foo {
+  public Foo(int x) {}
+
+  void foo() {
+    sink(new Foo(42));
+  }
+}
+""",
+        ast={("new Foo(42)", 0, "CALL"): ["42"]},
+        callmfn=[["<init>", "Foo.<init>:void(int)"]],
+        cite=f"{JQCI}:308-325",
+    ),
+    # :181-253 + :420-476 — the shared Bar fixture: constructor overloads
+    # resolve by arity (`void(int)` vs `void(int,int)`), `this(x + y)`
+    # lowers to a lone `<init>` call on Bar's 1-arg ctor, `super(x)` to a
+    # lone `<init>` call on Foo's ctor with the receiver typed as the
+    # TARGET class.
+    dict(
+        name="java-ctorinv-this-super", lang="java", wrap=False,
+        code="""
+class Foo {
+  int x;
+
+  public Foo(int x) {
+    this.x = x;
+  }
+
+  public int getValue() {
+    return x;
+  }
+}
+
+class Bar extends Foo {
+  public Bar(int x) {
+    super(x);
+  }
+
+  public Bar(int x, int y) {
+    this(x + y);
+  }
+
+  public static Bar id(Bar b) {
+    return b;
+  }
+
+  public static void bar() {
+    id(new Bar(42));
+  }
+
+  public static void test1() {
+    Bar b = new Bar(4, 2);
+  }
+}
+""",
+        methods=[["<init>", "Foo.<init>:void(int)"],
+                 ["<init>", "Bar.<init>:void(int)"],
+                 ["<init>", "Bar.<init>:void(int,int)"]],
+        callmfn=[["<init>", "Foo.<init>:void(int)"],
+                 ["<init>", "Bar.<init>:void(int)"],
+                 ["<init>", "Bar.<init>:void(int,int)"]],
+        # the explicit invocations are lone <init> calls whose first
+        # argument is `this`; super(x) forwards x, this(x + y) the sum
+        ast={("super(x)", 0, "CALL"): ["this", "x"],
+             ("this(x + y)", 0, "CALL"): ["this", "x + y"]},
+        cite=f"{JQCI}:181-253",
+    ),
+]
+
+CASES += [
+    # NewConstructorInvocationTests :12-51 — qualified inner-class creation
+    # with an object-creation receiver: both `<init>` calls resolve.
+    dict(
+        name="java-ctorinv-qualified-new-expr", lang="java", wrap=False,
+        code="""
+class Foo {
+  class Bar {}
+
+  public static void test() {
+    Bar b = new Foo().new Bar();
+  }
+}
+""",
+        callmfn=[["<init>", "Foo$Bar.<init>:void()"],
+                 ["<init>", "Foo.<init>:void()"]],
+        locals=[["test.b", "Bar b|Foo$Bar"]],
+        cite=f"{JQCI}:12-51 (NewConstructorInvocationTests)",
+    ),
+    # :53-77 — variable receiver.
+    dict(
+        name="java-ctorinv-qualified-new-var", lang="java", wrap=False,
+        code="""
+class Foo {
+  class Bar {}
+
+  public static void test(Foo f) {
+    Bar b = f.new Bar();
+  }
+}
+""",
+        callmfn=[["<init>", "Foo$Bar.<init>:void()"]],
+        locals=[["test.b", "Bar b|Foo$Bar"]],
+        cite=f"{JQCI}:53-77 (NewConstructorInvocationTests)",
+    ),
+    # :79-110 — call receiver: the outer call keeps its own resolved
+    # methodFullName, the inner ctor resolves through the call's type.
+    dict(
+        name="java-ctorinv-qualified-new-call", lang="java", wrap=False,
+        code="""
+class Foo {
+  class Bar {}
+
+  public static Foo foo() {
+    return new Foo();
+  }
+
+  public static void test() {
+    Bar b = foo().new Bar();
+  }
+}
+""",
+        callmfn=[["<init>", "Foo$Bar.<init>:void()"],
+                 ["<init>", "Foo.<init>:void()"],
+                 ["foo", "Foo.foo:Foo()"]],
+        locals=[["test.b", "Bar b|Foo$Bar"]],
+        cite=f"{JQCI}:79-110 (NewConstructorInvocationTests)",
+    ),
+]

@@ -2518,3 +2518,285 @@ export class SharedService {
         cite=f"{TRP}:413-436",
     ),
 ]
+
+
+# --------------------------------------------------------------------------- #
+# CallLinkerPassTests.scala / RequirePassTests.scala /
+# InheritanceFullNamePassTests.scala — the jssrc post-processing chain
+# (JavaScriptImportResolverPass -> TypeRecovery -> TypeHintCallLinker);
+# call methodFullNames asserted via the typerec relation, inheritance via
+# the resolved inherits relation.
+# --------------------------------------------------------------------------- #
+
+CLP = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/"
+       "CallLinkerPassTests.scala")
+RPT = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/"
+       "RequirePassTests.scala")
+IFP = ("jssrc2cpg/src/test/scala/io/joern/jssrc2cpg/passes/"
+       "InheritanceFullNamePassTests.scala")
+
+CASES += [
+    # :12-39 — `this.b()` links to the enclosing class's member method;
+    # a class-expression member initializer scopes under `<init>`, so the
+    # chained `new this.bar().c()` resolves to Foo:<init>:Bar:c.
+    dict(
+        name="js-calllinker-class", lang="javascript", wrap=False,
+        code="""
+class Foo {
+  a() {
+    this.b();
+  }
+
+  b() {
+    console.log("b");
+    new this.bar().c();
+  }
+
+  bar = class Bar {
+    c() {
+      console.log("c");
+    }
+  }
+}""",
+        typerec=[["this.b()", "js-calllinker-class.js::program:Foo:b"],
+                 ["new this.bar().c()",
+                  "js-calllinker-class.js::program:Foo:<init>:Bar:c"],
+                 ["new this.bar()",
+                  "js-calllinker-class.js::program:Foo:<init>:Bar:<init>"]],
+        methods=[["b", "js-calllinker-class.js::program:Foo:b"],
+                 ["c", "js-calllinker-class.js::program:Foo:<init>:Bar:c"]],
+        cite=f"{CLP}:12-39",
+    ),
+    # :41-57 — a simple `sayhi()` call links to the file-local function.
+    dict(
+        name="js-calllinker-simple", lang="javascript", wrap=False,
+        code="""
+function sayhi() {
+  console.log("Hello World!");
+}
+sayhi();
+""",
+        typerec=[["sayhi()", "js-calllinker-simple.js::program:sayhi"]],
+        methods=[["sayhi", "js-calllinker-simple.js::program:sayhi"]],
+        cite=f"{CLP}:41-57",
+    ),
+    # :59-121 — exported object-literal lambdas link across file
+    # boundaries; the resolved require binding's receiver is typed with
+    # the exporting module's ::program entity.
+    dict(
+        name="js-calllinker-exports", lang="javascript", wrap=False,
+        files=[("foo.js", """
+const bar = require('./bar.js');
+const baz = require('./baz.js');
+
+bar.sayhi();
+baz.sayhowdy();
+"""), ("bar.js", """
+module.exports = {
+  sayhi: function() {
+    console.log("Hello World!");
+  },
+  saybye: function() {
+    console.log("Good-bye!");
+  }
+}
+"""), ("baz.js", """
+module.exports = {
+  sayhowdy: function() {
+    console.log("Howdy World!");
+  }
+}
+""")],
+        code="",
+        typerec=[["bar.sayhi()",
+                  "js-calllinker-exports/bar.js::program:sayhi"],
+                 ["baz.sayhowdy()",
+                  "js-calllinker-exports/baz.js::program:sayhowdy"],
+                 ["id:bar", "js-calllinker-exports/bar.js::program"],
+                 ["id:baz", "js-calllinker-exports/baz.js::program"]],
+        methods=[["sayhi", "js-calllinker-exports/bar.js::program:sayhi"],
+                 ["saybye", "js-calllinker-exports/bar.js::program:saybye"],
+                 ["sayhowdy",
+                  "js-calllinker-exports/baz.js::program:sayhowdy"]],
+        cite=f"{CLP}:59-121",
+    ),
+    # :123-186 — conservative flow-insensitive linking: a binding
+    # reassigned from two modules keeps BOTH type hints (declared type
+    # ANY) and its member call stays <unknownFullName>.
+    dict(
+        name="js-calllinker-conservative", lang="javascript", wrap=False,
+        files=[("foo.js", """
+var barOrBaz = require('./bar.js');
+barOrBaz = require('./baz.js');
+
+barOrBaz.sayhi();
+"""), ("bar.js", """
+module.exports = {
+  sayhi: function() {
+    console.log("Hello World, love BAR");
+  }
+}
+"""), ("baz.js", """
+module.exports = {
+  sayhi: function() {
+    console.log("Howdy World, love BAZ");
+  }
+}
+""")],
+        code="",
+        typerec=[["id:barOrBaz",
+                  "js-calllinker-conservative/bar.js::program,"
+                  "js-calllinker-conservative/baz.js::program"]],
+        methods=[["sayhi", "js-calllinker-conservative/bar.js::program:sayhi"],
+                 ["sayhi",
+                  "js-calllinker-conservative/baz.js::program:sayhi"]],
+        cite=f"{CLP}:123-186",
+    ),
+    # :12-40 — `module.exports = function(...)` whole-module export: the
+    # require binding resolves direct calls to the exported lambda.
+    dict(
+        name="js-requirepass-require", lang="javascript", wrap=False,
+        files=[("sample.js", """
+const externalfunc = require('./sampleone');
+function testone() {
+  var name = "foo";
+  console.log(name);
+  externalfunc(name);
+}
+
+testone();
+"""), ("sampleone.js", """
+module.exports = function (nameparam) {
+  console.log( "external func" + nameparam);
+}
+""")],
+        code="",
+        typerec=[["externalfunc(name)",
+                  "js-requirepass-require/sampleone.js::program:<lambda>0"],
+                 ["id:externalfunc",
+                  "js-requirepass-require/sampleone.js::program:<lambda>0"],
+                 ["testone()",
+                  "js-requirepass-require/sample.js::program:testone"]],
+        methods=[["<lambda>0",
+                  "js-requirepass-require/sampleone.js::program:<lambda>0"]],
+        cite=f"{RPT}:12-40",
+    ),
+    # :42-72 — ES named imports resolve through `export function` exports.
+    dict(
+        name="js-requirepass-import", lang="javascript", wrap=False,
+        files=[("sample.js", """
+import {foo, bar} from './sampleone.mjs';
+var x = "literal";
+foo(x);
+bar(x);
+"""), ("sampleone.mjs", """
+export function foo(x) {
+  console.log(x);
+}
+
+export function bar(x) {
+  console.log(x);
+}
+""")],
+        code="",
+        typerec=[["foo(x)",
+                  "js-requirepass-import/sampleone.mjs::program:foo"],
+                 ["bar(x)",
+                  "js-requirepass-import/sampleone.mjs::program:bar"],
+                 ["id:x", "__ecma.String"]],
+        methods=[["foo", "js-requirepass-import/sampleone.mjs::program:foo"],
+                 ["bar", "js-requirepass-import/sampleone.mjs::program:bar"]],
+        cite=f"{RPT}:42-72",
+    ),
+    # :74-103 — TypeScript relative importing across directories
+    # (`../../foo.ts`, `./d2/bar.ts` path normalization).
+    dict(
+        name="js-requirepass-ts-relative", lang="javascript", wrap=False,
+        files=[("foo.ts", """
+export function foo() {}
+"""), ("d1/d2/bar.ts", """
+import { foo } from "../../foo.ts";
+
+foo();
+export function bar() {}
+"""), ("d1/baz.ts", """
+import { bar } from "./d2/bar.ts";
+
+bar();
+""")],
+        code="",
+        typerec=[["foo()",
+                  "js-requirepass-ts-relative/foo.ts::program:foo"],
+                 ["bar()",
+                  "js-requirepass-ts-relative/d1/d2/bar.ts::program:bar"]],
+        cite=f"{RPT}:74-103",
+    ),
+    # :10-63 — a default-exported class resolves the importer's extends
+    # clause to the exporting module's TYPE_DECL; identifiers instantiated
+    # from either class carry the resolved type fullnames.
+    dict(
+        name="js-inheritance-fullname", lang="javascript", wrap=False,
+        files=[("inheritance.js", """
+import Musician from "./domain/music";
+
+class MusicWithLyrics extends Musician {
+  constructor(name, song, lyrics) {
+    super(name, song);
+    this.lyrics = lyrics;
+  }
+}
+
+const myMusician = new Musician('Rafi', 'song1');
+const myMusicWithLyrics = new MusicWithLyrics('Fido', 'song1', 'lyrics');
+"""), ("domain/music.js", """
+class Musician {
+    constructor(name, song) {
+        this.username = name;
+        this.song = song;
+    }
+    sing() {
+        console.log(`${this.username} says ${this.song}`);
+    }
+}
+
+export default Musician;
+""")],
+        code="",
+        inherits=[["MusicWithLyrics",
+                   "js-inheritance-fullname/domain/music.js::program:"
+                   "Musician"]],
+        typerec=[["id:myMusician",
+                  "js-inheritance-fullname/domain/music.js::program:"
+                  "Musician"],
+                 ["id:myMusicWithLyrics",
+                  "js-inheritance-fullname/inheritance.js::program:"
+                  "MusicWithLyrics"]],
+        methods=[["<init>",
+                  "js-inheritance-fullname/inheritance.js::program:"
+                  "MusicWithLyrics:<init>"],
+                 ["<init>",
+                  "js-inheritance-fullname/domain/music.js::program:"
+                  "Musician:<init>"],
+                 ["sing",
+                  "js-inheritance-fullname/domain/music.js::program:"
+                  "Musician:sing"]],
+        cite=f"{IFP}:10-63",
+    ),
+    # :65-85 — inheriting from an unresolvable external module synthesizes
+    # the `<module>.js::program:<name>` type stub.
+    dict(
+        name="js-inheritance-external", lang="javascript", wrap=False,
+        code="""
+import Musician from "music";
+
+class MusicWithLyrics extends Musician {
+  constructor(name, song, lyrics) {
+    super(name, song);
+    this.lyrics = lyrics;
+  }
+}
+""",
+        inherits=[["MusicWithLyrics", "music.js::program:Musician"]],
+        cite=f"{IFP}:65-85",
+    ),
+]
