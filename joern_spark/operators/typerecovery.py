@@ -713,7 +713,8 @@ def _recover(nodes: DataFrame, iterations: int = 2
     return rewrites.select("id", "rec_mfn"), st
 
 
-def js_inherits_parents(nodes: DataFrame) -> DataFrame:
+def js_inherits_parents(nodes: DataFrame,
+                        project_col: str = "repo") -> DataFrame:
     """(id, parent_fn) for JavaScript TYPE_DECLs with inheritsFrom entries
     — the XInheritanceFullNamePass twin (jssrc flavor: pathSep ':',
     moduleName ':program', fileExt '.js').  A parent name that is in the
@@ -725,24 +726,25 @@ def js_inherits_parents(nodes: DataFrame) -> DataFrame:
     |imports|) — AQE picks the strategy, nothing is force-broadcast
     (jssrc InheritanceFullNamePassTests; sequential mirror:
     oracle.js_resolve_inherits)."""
-    js = nodes.filter(F.col("lang") == "javascript")
+    js = nodes.filter(F.col("lang") == "javascript") \
+        .withColumn("proj", F.col(project_col))
     td = (js.filter((F.col("kind") == M.TYPE_DECL)
                     & F.col("inherits_from").isNotNull())
-          .select("id", "path", "full_name",
+          .select("id", "proj", "path", "full_name",
                   F.explode("inherits_from").alias("x"))
           .filter(~F.col("x").isin("ANY", "object", "")))
     imp = js.filter(F.col("kind") == M.IMPORT).select(
-        "path", F.col("full_name").alias("qn"))
+        "proj", "path", F.col("full_name").alias("qn"))
     scope = (imp.select("path", F.substring_index("qn", ":", -1).alias("x"))
              .unionByName(js.filter(F.col("kind") == M.TYPE_DECL)
                           .select("path", F.substring_index(
                               "full_name", ":", -1).alias("x")))
              .distinct())
     cands = (js.filter(F.col("kind") == M.TYPE_DECL)
-             .select(F.col("name").alias("x"),
+             .select("proj", F.col("name").alias("x"),
                      F.col("full_name").alias("cand_fn")).distinct())
     resolved = (td.join(scope, ["path", "x"], "leftsemi")
-                .join(cands, "x")
+                .join(cands, ["proj", "x"])
                 .filter(F.col("cand_fn") != F.col("full_name"))
                 .select("id", F.col("cand_fn").alias("parent_fn"))
                 .distinct())
@@ -751,7 +753,7 @@ def js_inherits_parents(nodes: DataFrame) -> DataFrame:
     norm = F.regexp_replace(mod, r"(^|/)\./", "$1")
     for _ in range(4):
         norm = F.regexp_replace(norm, r"(^|/)[^/.][^/]*/\.\./", "$1")
-    synth = (unres.join(imp, "path")
+    synth = (unres.join(imp.drop("proj"), "path")
              .filter(F.col("qn").endswith(F.concat(F.lit(":"), F.col("x"))))
              .withColumn("mod_norm", norm)
              .withColumn("ext", F.when(F.substring_index(

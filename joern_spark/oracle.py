@@ -842,9 +842,13 @@ def js_resolve_inherits(rows: list[dict]) -> dict[int, list[str]]:
     import posixpath
     td_all = [r for r in rows if r["kind"] == M.TYPE_DECL
               and (r.get("lang") or "") == "javascript"]
-    by_name: dict[str, list[str]] = {}
+    # name lookup scoped to the owning project/repo — cross-repo name
+    # resolution would be wrong at corpus scale (mirrors the Spark twin's
+    # project_col keying)
+    by_name: dict[tuple[str, str], list[str]] = {}
     for td in td_all:
-        by_name.setdefault(td["name"], []).append(td["full_name"])
+        by_name.setdefault((td.get("repo") or "", td["name"]),
+                           []).append(td["full_name"])
     imports_by_path: dict[str, list[str]] = {}
     for r in rows:
         if r["kind"] == M.IMPORT and r.get("full_name"):
@@ -867,8 +871,9 @@ def js_resolve_inherits(rows: list[dict]) -> dict[int, list[str]]:
         resolved: list[str] = []
         for x in parents:
             if x in scope:
-                resolved += [fn for fn in by_name.get(x, [])
-                             if fn != td["full_name"]]
+                resolved += [fn for fn in by_name.get(
+                    (td.get("repo") or "", x), [])
+                    if fn != td["full_name"]]
         if resolved:
             out[id(td)] = sorted(set(resolved))
             continue

@@ -366,13 +366,19 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
         # JS parents resolve through XInheritanceFullNamePass (name lookup
         # across the case corpus + import-derived external stubs); C++/Java
         # keep the frontend's raw inheritsFrom entries
+        is_js = case["lang"] == "javascript"
         ih_res: dict[int, list[str]] = {}
-        if case["lang"] == "javascript":
+        if is_js:
             from joern_spark.oracle import js_resolve_inherits
             ih_res = js_resolve_inherits(rows)
         for r in rows:
             if r["kind"] == M.TYPE_DECL:
-                for p in ih_res.get(id(r), r.get("inherits_from") or []):
+                # JS parents come from the resolver only (trivial ANY/object
+                # entries drop, matching the Spark twin); other frontends
+                # keep the raw inheritsFrom entries
+                ps = ih_res.get(id(r), []) if is_js \
+                    else r.get("inherits_from") or []
+                for p in ps:
                     out.add(("inherits", r["name"], p))
 
     if case.get("ast") is not None:

@@ -183,13 +183,25 @@ def spark_facts(spark: SparkSession) -> DataFrame:
         .select("lang", "kase", F.lit("calls").alias("relation"),
                 F.col("mname").alias("subj"), F.col("name").alias("obj")))
 
-    # inheritsFrom (TypeHierarchyPass explode shape)
-    out.append(
-        base.filter((F.col("kind") == M.TYPE_DECL)
-                    & F.col("inherits_from").isNotNull())
-        .select("lang", "kase", F.lit("inherits").alias("relation"),
-                F.col("name").alias("subj"),
-                F.explode("inherits_from").alias("obj")))
+    # inheritsFrom (TypeHierarchyPass explode shape); JS parents resolve
+    # per case via the XInheritanceFullNamePass twin (project = the case)
+    from joern_spark.operators.typerecovery import js_inherits_parents
+    ih_raw = (base.filter((F.col("kind") == M.TYPE_DECL)
+                          & F.col("inherits_from").isNotNull()
+                          & (F.col("lang") != "javascript"))
+              .select("lang", "kase", F.lit("inherits").alias("relation"),
+                      F.col("name").alias("subj"),
+                      F.explode("inherits_from").alias("obj")))
+    td_names = base.filter(F.col("kind") == M.TYPE_DECL).select(
+        F.col("id").alias("td_id"), F.col("name").alias("subj"),
+        F.col("lang").alias("td_lang"), F.col("kase").alias("td_kase"))
+    ih_js = (js_inherits_parents(base, project_col="kase")
+             .join(td_names, F.col("id") == F.col("td_id"))
+             .select(F.col("td_lang").alias("lang"),
+                     F.col("td_kase").alias("kase"),
+                     F.lit("inherits").alias("relation"), "subj",
+                     F.col("parent_fn").alias("obj")))
+    out.append(ih_raw.unionByName(ih_js))
 
     # astChildren of keyed (CFG-universe) parents
     children = base.select(F.col("parent_id").alias("pid"),
