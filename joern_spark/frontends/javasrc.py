@@ -1059,6 +1059,14 @@ class JavaParser(CParser):
                 if self.at(";"):
                     self.next()
                 self.package = ".".join(parts)
+                # the file's NAMESPACE_BLOCK: name = the package, fullName
+                # `{filename}:{package}`, order 1; type decls in this file
+                # re-parent under it (NamespaceBlockTests.scala:19-36)
+                self.global_block = f"{self.path}:{self.package}"
+                roots.append(N(M.NAMESPACE_BLOCK,
+                               code=f"package {self.package}",
+                               name=self.package,
+                               full_name=self.global_block, line=t.line))
                 continue
             if t.v == "import":
                 line = t.line

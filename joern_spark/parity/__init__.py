@@ -55,14 +55,16 @@ _EXT = {"c": "c", "cpp": "cpp", "java": "java", "javascript": "js"}
 def corpus() -> list[dict]:
     from joern_spark.parity import (corpus_c, corpus_c_flows, corpus_java,
                                     corpus_java_flows, corpus_java_gensig,
-                                    corpus_java_localcls,
+                                    corpus_java_localcls, corpus_java_ops,
+                                    corpus_java_generics,
                                     corpus_java_patterns,
                                     corpus_js, corpus_js_flows)
     return (corpus_c.CASES + corpus_c_flows.CASES + corpus_js.CASES
             + corpus_js_flows.CASES
             + corpus_java.CASES + corpus_java_flows.CASES
             + corpus_java_patterns.CASES + corpus_java_gensig.CASES
-            + corpus_java_localcls.CASES)
+            + corpus_java_localcls.CASES + corpus_java_ops.CASES
+            + corpus_java_generics.CASES)
 
 
 def case_path(case: dict) -> str:
@@ -104,7 +106,7 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
                 "cs", "cscond", "params", "locals", "members", "membercode",
                 "bindings", "callmfn", "typerec", "imports", "annot",
                 "annotkids", "tdalias", "nsblock", "msig", "paramcode",
-                "gensig"):
+                "gensig", "tdowner"):
         for s, o in (case.get(rel) or []):
             out.append((rel, s, o))
     # node typeFullName assertions keyed like cfg subjects (code@idx[#KIND])
@@ -433,6 +435,13 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
                 # subject spelling); plain vars keep the id: prefix
                 subj = var if var.startswith("ret:") else f"id:{var}"
                 out.add(("typerec", subj, ",".join(sorted(tys))))
+
+    if case.get("tdowner") is not None:
+        # TYPE_DECL -> its AST parent fullName (namespaceBlock.typeDecl
+        # traversal, NamespaceBlockTests.scala:34-36)
+        for r in rows:
+            if r["kind"] == M.TYPE_DECL and r.get("ast_parent_full_name"):
+                out.add(("tdowner", r["name"], r["ast_parent_full_name"]))
 
     if case.get("nsblock") is not None:
         # NAMESPACE_BLOCK (name, fullName) pairs (NamespaceTypeTests:
