@@ -104,6 +104,15 @@ JDK_METHODS: dict[tuple[str, str], list[tuple[str, bool, list[str]]]] = {
          "(java.lang.Object)", False, ["java.lang.Object"])],
     ("java.util.function.Supplier", "get"): [
         ("java.util.function.Supplier.get:java.lang.Object()", False, [])],
+    # List.sort(Comparator) target-types multi-abstract-method lambdas
+    # (NewTypeTests "lambda method implementing multi-abstract-method
+    # interface", TypeTests.scala:118-130)
+    ("java.util.ArrayList", "sort"): [
+        ("java.util.ArrayList.sort:void(java.util.Comparator)", False,
+         ["java.util.Comparator"])],
+    ("java.util.List", "sort"): [
+        ("java.util.List.sort:void(java.util.Comparator)", False,
+         ["java.util.Comparator"])],
 }
 
 # generic JDK functional types: class type-parameters plus each method's
@@ -134,6 +143,10 @@ FUNCTIONAL_IFACES: dict[str, tuple[list[str], str, str, list[str]]] = {
     "java.util.function.BinaryOperator": (["T"], "apply", "T", ["T", "T"]),
     "java.lang.Runnable": ([], "run", "void", []),
     "java.util.concurrent.Callable": (["V"], "call", "V", []),
+    # Comparator counts: its single abstract method is compare(T,T)->int
+    # (the other declared methods are default/static), so lambdas targeting
+    # it adopt int(Object,Object) when unparameterized (TypeTests:118-130)
+    "java.util.Comparator": (["T"], "compare", "int", ["T", "T"]),
 }
 
 # java.lang implicit imports — resolved like javasrc2cpg's TypeInfoCalculator
