@@ -262,6 +262,16 @@ class JavaParser(CParser):
                 if d is not None and d.kind == M.MEMBER \
                         and d.type_full_name:
                     call.type_full_name = d.type_full_name
+                elif self.class_ctx:
+                    # record components become MEMBERs only after the body
+                    # parses, so `this.value` in an explicit record ctor
+                    # adopts the component's declared type directly
+                    # (RecordTests.scala:144-215 valueAssign typeFullName)
+                    for _rty, ty, nm2, _ln in self.record_components.get(
+                            self.class_ctx[-1], []):
+                        if nm2 == fld.name and ty:
+                            call.type_full_name = ty
+                            break
         return call
 
     def make_literal(self, t) -> "N | None":

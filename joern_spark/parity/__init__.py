@@ -57,6 +57,7 @@ def corpus() -> list[dict]:
                                     corpus_java_flows, corpus_java_gensig,
                                     corpus_java_localcls, corpus_java_ops,
                                     corpus_java_generics, corpus_java_types,
+                                    corpus_java_records,
                                     corpus_java_patterns,
                                     corpus_js, corpus_js_flows)
     return (corpus_c.CASES + corpus_c_flows.CASES + corpus_js.CASES
@@ -64,7 +65,8 @@ def corpus() -> list[dict]:
             + corpus_java.CASES + corpus_java_flows.CASES
             + corpus_java_patterns.CASES + corpus_java_gensig.CASES
             + corpus_java_localcls.CASES + corpus_java_ops.CASES
-            + corpus_java_generics.CASES + corpus_java_types.CASES)
+            + corpus_java_generics.CASES + corpus_java_types.CASES
+            + corpus_java_records.CASES)
 
 
 def case_path(case: dict) -> str:
