@@ -58,6 +58,7 @@ def corpus() -> list[dict]:
                                     corpus_java_localcls, corpus_java_ops,
                                     corpus_java_generics, corpus_java_types,
                                     corpus_java_records,
+                                    corpus_java_localcls2,
                                     corpus_java_patterns,
                                     corpus_js, corpus_js_flows)
     return (corpus_c.CASES + corpus_c_flows.CASES + corpus_js.CASES
@@ -66,7 +67,7 @@ def corpus() -> list[dict]:
             + corpus_java_patterns.CASES + corpus_java_gensig.CASES
             + corpus_java_localcls.CASES + corpus_java_ops.CASES
             + corpus_java_generics.CASES + corpus_java_types.CASES
-            + corpus_java_records.CASES)
+            + corpus_java_records.CASES + corpus_java_localcls2.CASES)
 
 
 def case_path(case: dict) -> str:
@@ -108,7 +109,7 @@ def want_facts(case: dict) -> list[tuple[str, str, str]]:
                 "cs", "cscond", "params", "locals", "members", "membercode",
                 "bindings", "callmfn", "typerec", "imports", "annot",
                 "annotkids", "tdalias", "nsblock", "msig", "paramcode",
-                "gensig", "tdowner"):
+                "gensig", "tdowner", "tdcode"):
         for s, o in (case.get(rel) or []):
             out.append((rel, s, o))
     # node typeFullName assertions keyed like cfg subjects (code@idx[#KIND])
@@ -437,6 +438,13 @@ def python_case_facts(case: dict) -> set[tuple[str, str, str]]:
                 # subject spelling); plain vars keep the id: prefix
                 subj = var if var.startswith("ret:") else f"id:{var}"
                 out.add(("typerec", subj, ",".join(sorted(tys))))
+
+    if case.get("tdcode") is not None:
+        # TYPE_DECL CODE spelling ("class Local", LocalClassTests
+        # "have the correct code set")
+        for r in rows:
+            if r["kind"] == M.TYPE_DECL:
+                out.add(("tdcode", r["name"], r["code"]))
 
     if case.get("tdowner") is not None:
         # TYPE_DECL -> its AST parent fullName (namespaceBlock.typeDecl
