@@ -731,6 +731,11 @@ class CParser:
         decl_start = self.peek()
         while self.at("const") or self.at("auto"):
             self.next()
+        if self.at("&") or self.at("&&"):
+            if self.at("[", 1):
+                self.next()
+        if self.at("["):
+            return self._parse_range_for_binding(kw, decl_start)
         ty = self.parse_type() if not self.at(":") else M.ANY
         name = self.next().v if self.peek() is not None and \
             self.peek().t == "id" else "<unnamed>"
@@ -809,6 +814,99 @@ class CParser:
         blk.add(it_loc, item_loc, iasg, cs)
         self.pop_scope()
         return blk
+
+    def _parse_range_for_binding(self, kw: "Tok", decl_start: "Tok") -> "N":
+        """Ranged for over a structured binding `for (const auto& [a, b] :
+        coll)` — c2cpg lowers to a FOR control structure whose body block
+        front-loads `<tmp>0 = coll` plus one assignment per binding:
+        index accesses (`a = <tmp>0[0]`) when the collection's declared
+        type is an array, member accesses (`a = <tmp>0.a`) otherwise
+        (AstCreationPassTests "ranged for-loop with structured binding
+        with array/reference type" :799-856)."""
+        self.expect("[")
+        names: list[str] = []
+        while self.peek() is not None and not self.at("]"):
+            tok = self.next()
+            if tok.t == "id":
+                names.append(tok.v)
+        decl_end = self.peek()
+        if self.at("]"):
+            self.next()
+        decl_raw = self.slice(decl_start, decl_end) if decl_end else ""
+        self.expect(":")
+        coll_start = self.peek()
+        coll = self.parse_expression()
+        coll_raw = self.slice(coll_start, self.toks[self.pos - 1]) \
+            if coll_start is not None else ""
+        self.expect(")")
+        line = kw.line
+        self.push_scope()
+        tmp = "<tmp>0"
+        coll_ty = M.ANY
+        d = self.lookup(coll_raw)
+        if d is not None and d.type_full_name:
+            coll_ty = d.type_full_name
+        is_array = coll_ty.endswith("]")
+        cs = N(M.CONTROL_STRUCTURE, code=f"for ({decl_raw}:{coll_raw})",
+               control_structure_type=M.CS_FOR, line=line)
+        body = N(M.BLOCK, code="", line=line, type_full_name="void",
+                 role=M.ROLE_FOR_BODY)
+        tmp_loc = N(M.LOCAL, code=tmp, name=tmp, type_full_name=coll_ty,
+                    line=line)
+        self.declare(tmp, tmp_loc)
+        body.add(tmp_loc)
+        bind_locals: list[N] = []
+        for nm in names:
+            loc = N(M.LOCAL, code=nm, name=nm, type_full_name=M.ANY,
+                    line=line)
+            self.declare(nm, loc)
+            bind_locals.append(loc)
+            body.add(loc)
+        tmp_id = N(M.IDENTIFIER, code=tmp, name=tmp, type_full_name=coll_ty,
+                   arg_index=1, line=line)
+        tmp_id.ref_target = tmp_loc
+        coll.arg_index = 2
+        tasg = N(M.CALL, code=f"{tmp} = {coll_raw}", name=M.OP_ASSIGNMENT,
+                 method_full_name=M.OP_ASSIGNMENT,
+                 dispatch_type=M.STATIC_DISPATCH, type_full_name=coll_ty,
+                 line=line)
+        tasg.add(tmp_id, coll)
+        body.add(tasg)
+        for i, (nm, loc) in enumerate(zip(names, bind_locals)):
+            lhs = N(M.IDENTIFIER, code=nm, name=nm, type_full_name=M.ANY,
+                    arg_index=1, line=line)
+            lhs.ref_target = loc
+            base = N(M.IDENTIFIER, code=tmp, name=tmp,
+                     type_full_name=coll_ty, arg_index=1, line=line)
+            base.ref_target = tmp_loc
+            if is_array:
+                idx = N(M.LITERAL, code=str(i), type_full_name="int",
+                        arg_index=2, line=line)
+                rhs = N(M.CALL, code=f"{tmp}[{i}]", name=M.OP_INDEX_ACCESS,
+                        method_full_name=M.OP_INDEX_ACCESS,
+                        dispatch_type=M.STATIC_DISPATCH, line=line)
+                rhs.add(base, idx)
+            else:
+                fld = N(M.FIELD_IDENTIFIER, code=nm, name=nm,
+                        canonical_name=nm, arg_index=2, line=line)
+                rhs = N(M.CALL, code=f"{tmp}.{nm}", name=M.OP_FIELD_ACCESS,
+                        method_full_name=M.OP_FIELD_ACCESS,
+                        dispatch_type=M.STATIC_DISPATCH, line=line)
+                rhs.add(base, fld)
+            rhs.arg_index = 2
+            asg = N(M.CALL, code=f"{nm} = {rhs.code}", name=M.OP_ASSIGNMENT,
+                    method_full_name=M.OP_ASSIGNMENT,
+                    dispatch_type=M.STATIC_DISPATCH, line=line)
+            asg.add(lhs, rhs)
+            body.add(asg)
+        if self.at("{"):
+            inner = self.parse_compound()
+            body.add(*inner.children)
+        else:
+            body.add(*self.parse_statement())
+        cs.add(body)
+        self.pop_scope()
+        return cs
 
     def parse_enum(self, t: "Tok") -> "N | None":
         """`enum [class] Name [: T] { a, b = <expr>, ... }` — MEMBERs per
@@ -1105,17 +1203,22 @@ class CParser:
         # member variable(s) — code is the DECLARATOR spelling: pointer
         # stars + name + raw array suffix ("x", "*foo", "a[SIZE - 1]",
         # StructTypeTests.scala)
-        def _decl_code(stars: str, nm: str) -> str:
+        def _decl_code(stars: str, nm: str) -> tuple[str, str]:
+            """(declarator code, sized-array type suffix) — array members
+            keep the size in the TYPE like locals/params do
+            (AstCreationPassTests "be consistent with array types")."""
             code = f"{stars}{nm}"
+            suf = ""
             if self.at("["):
                 lb = self.peek()
-                self.skip_balanced("[", "]")
+                suf = self._array_dim_suffix()
                 code += self.slice(lb, self.toks[self.pos - 1])
-            return code
+            return code, suf
         if self.cpp_members and self.cpp_members[-1][0] == class_full:
             self.cpp_members[-1][1][name] = ty
-        members = [N(M.MEMBER, code=_decl_code("*" * ty.count("*"), name),
-                     name=name, type_full_name=ty, line=start.line)]
+        code0, suf0 = _decl_code("*" * ty.count("*"), name)
+        members = [N(M.MEMBER, code=code0, name=name,
+                     type_full_name=ty + suf0, line=start.line)]
         while self.at(","):
             self.next()
             stars2 = ""
@@ -1125,8 +1228,10 @@ class CParser:
             if self.peek() is None or self.peek().t != "id":
                 break
             nm2 = self.next().v
-            members.append(N(M.MEMBER, code=_decl_code(stars2, nm2), name=nm2,
-                             type_full_name=ty + stars2.replace("*", "*"),
+            code2, suf2 = _decl_code(stars2, nm2)
+            members.append(N(M.MEMBER, code=code2, name=nm2,
+                             type_full_name=ty + stars2.replace("*", "*")
+                             + suf2,
                              line=start.line))
         while self.peek() is not None and not self.at(";"):
             self.next()
@@ -1272,16 +1377,16 @@ class CParser:
             elif self.peek() is not None and self.peek().t == "id":
                 pname = self.next().v
             p_end = self.toks[self.pos - 1]
-            dims = 0
+            dim_sufs: list[str] = []
             while self.at("["):
-                self.skip_balanced("[", "]")
-                dims += 1
+                dim_sufs.append(self._array_dim_suffix())
                 p_end = self.toks[self.pos - 1]
-            if dims:
-                # `T x[]` -> T[]; `T *x[]` -> T[]* (CDT spelling,
-                # AstCreationPassTests "parameter in nodes as array...")
+            if dim_sufs:
+                # `T x[]` -> T[]; `T x[1]` -> T[1]; `T *x[]` -> T[]*
+                # (CDT spelling, AstCreationPassTests "parameter in nodes
+                # as array...", "be consistent with array types")
                 stars = len(pty) - len(pty.rstrip("*"))
-                pty = pty.rstrip("*") + "[]" * dims + "*" * stars
+                pty = pty.rstrip("*") + "".join(dim_sufs) + "*" * stars
             if self.at("="):  # default arg
                 self.next()
                 depth = 0
@@ -1915,8 +2020,12 @@ class CParser:
         out: list[N] = []
         while True:
             ptr = ""
+            amp = False
             while self.at_any(("*", "&")):
-                ptr += "*" if self.next().v == "*" else ""
+                if self.next().v == "*":
+                    ptr += "*"
+                else:
+                    amp = True
             if self.at("(") and self.peek(1) is not None \
                     and self.peek(1).t == "id" and self.at(")", 2) \
                     and self.at_any(("=", ";", ","), 3):
@@ -1931,12 +2040,45 @@ class CParser:
                 name_tok = self.next()
             name = name_tok.v
             ty = base_ty + ptr
+            # array declarators keep the sized spelling `char[BUFSIZE->
+            # 0x111...]` in the TYPE (object-like macros expanded) and the
+            # raw source in the CODE (AstCreationPassTests "be consistent
+            # with array types", "be consistent with long number types")
+            arr_close = None
+            arr_size_txt = None
             while self.at("["):
-                self.skip_balanced("[", "]")
-                ty += "*"
-            loc = N(M.LOCAL, code=f"{ty} {name}", name=name, type_full_name=ty, line=name_tok.line)
+                suf = self._array_dim_suffix()
+                arr_close = self.toks[self.pos - 1]
+                arr_size_txt = suf[1:-1]
+                ty += suf
+            ty = ty + "&" if amp else ty
+            # reference declarators keep the raw CDT spelling
+            # ("struct x &bar", AstCreationPassTests "decl assignment with
+            # references"); plain declarators keep the normalized one
+            if arr_close is not None:
+                loc_code = self.slice(start, arr_close)
+            elif amp or ty.endswith("&"):
+                loc_code = self.slice(start, name_tok)
+            else:
+                loc_code = f"{ty} {name}"
+            loc = N(M.LOCAL, code=loc_code, name=name, type_full_name=ty, line=name_tok.line)
             out.append(loc)
             self.declare(name, loc)
+            if arr_close is not None and not self.at("=") \
+                    and arr_size_txt \
+                    and arr_size_txt[:1].isdigit():
+                # sized stack array without initializer lowers to an
+                # <operator>.alloc over the (macro-expanded) size
+                # (AstCreationPassTests "be consistent with long number
+                # types")
+                lit = N(M.LITERAL, code=arr_size_txt, type_full_name="int",
+                        line=name_tok.line, arg_index=1)
+                alloc = N(M.CALL, code=self.slice(name_tok, arr_close),
+                          name=M.OP_ALLOC, method_full_name=M.OP_ALLOC,
+                          dispatch_type=M.STATIC_DISPATCH,
+                          type_full_name=ty, line=name_tok.line)
+                alloc.add(lit)
+                out.append(alloc)
             if self.at("="):
                 self.next()
                 if self.at("{"):  # brace initializer `int a[10] = {0};`
@@ -1972,8 +2114,36 @@ class CParser:
                 call.add(ident, init)
                 out.append(call)
             elif self.at("(") and self.lang == "cpp":
-                # constructor-call initializer — lower like assignment of <init> call
-                self.skip_balanced("(", ")")
+                # parenthesized/ctor initializer `int *val (new int[3]);`
+                # lowers to `val = (<expr>)` with the parens kept in the
+                # rhs code (AstCreationPassTests "decl assignment with
+                # parentheses"); multi-argument ctor initializers keep the
+                # skip-only behavior
+                open_tok = self.next()
+                save = self.pos
+                try:
+                    init = self.parse_expression()
+                    close_tok = self.expect(")")
+                except ParseError:
+                    self.pos = save
+                    depth = 1
+                    while self.peek() is not None and depth:
+                        v = self.next().v
+                        depth += (v == "(") - (v == ")")
+                    continue
+                init.code = self.slice(open_tok, close_tok)
+                ident = N(M.IDENTIFIER, code=name, name=name,
+                          type_full_name=ty, line=name_tok.line, arg_index=1)
+                ident.ref_target = loc
+                init.arg_index = 2
+                call = N(M.CALL,
+                         code=self.slice(name_tok, close_tok),
+                         name=M.OP_ASSIGNMENT,
+                         method_full_name=M.OP_ASSIGNMENT,
+                         dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
+                         line=name_tok.line)
+                call.add(ident, init)
+                out.append(call)
             if self.at(","):
                 self.next()
                 continue
@@ -2133,6 +2303,29 @@ class CParser:
         if t.v == "new" and self.lang == "cpp":
             op_tok = self.next()
             ty = self.parse_type()
+            if self.at("["):
+                # array new `new int[n]` -> <operator>.new wrapping an
+                # <operator>.alloc whose args are the element TYPE_REF and
+                # the size expression (AstCreationPassTests "'new' array")
+                self.next()
+                size = self.parse_expression()
+                close = self.expect("]")
+                code = self.slice(op_tok, close)
+                tref = N(M.TYPE_REF, code=ty, type_full_name=ty,
+                         line=op_tok.line, arg_index=1)
+                size.arg_index = 2
+                alloc = N(M.CALL, code=code, name=M.OP_ALLOC,
+                          method_full_name=M.OP_ALLOC,
+                          dispatch_type=M.STATIC_DISPATCH,
+                          type_full_name=M.ANY, line=op_tok.line,
+                          arg_index=1)
+                alloc.add(tref, size)
+                outer = N(M.CALL, code=code, name=M.OP_NEW,
+                          method_full_name=M.OP_NEW,
+                          dispatch_type=M.STATIC_DISPATCH,
+                          type_full_name=ty, line=op_tok.line)
+                outer.add(alloc)
+                return outer
             args: list[N] = []
             if self.at("("):
                 self.next()
@@ -2300,10 +2493,40 @@ class CParser:
                      type_full_name=M.ANY)
         elif t.t == "id" or t.t == "kw":
             name = t.v
+            if self.lang == "cpp" and name == "decltype" and self.at("("):
+                # `decltype(expr)` -> <operator>.typeOf CALL; a following
+                # `::member` chains through the fieldAccess postfix
+                # (AstCreationPassTests "decl assignment with typedecl")
+                self.next()
+                inner = self.parse_expression()
+                close = self.expect(")")
+                node = N(M.CALL, code=self.slice(t, close), name=M.OP_TYPE_OF,
+                         method_full_name=M.OP_TYPE_OF,
+                         dispatch_type=M.STATIC_DISPATCH, line=t.line)
+                inner.arg_index = 1
+                node.add(inner)
+                return self.parse_postfix_ops(node, t)
             if self.at("::"):
                 mr = self.method_ref_expr(t)
                 if mr is not None:
                     return mr
+                # qualified CALLS (`A::B::f(...)`) keep the merged dotted
+                # callee; plain qualified READS stay a bare identifier and
+                # the `::` postfix builds the nested fieldAccess chain
+                # c2cpg emits (AstCreationPassTests "qualified name with
+                # multiple :: parts")
+                k = 0
+                while self.at("::", k) and self.peek(k + 1) is not None \
+                        and self.peek(k + 1).t == "id":
+                    k += 2
+                if self.lang in ("c", "cpp") and not self.at("(", k):
+                    decl = self.lookup(name)
+                    node = N(M.IDENTIFIER, code=t.v, name=name, line=t.line,
+                             type_full_name=(decl.type_full_name
+                                             if decl is not None else M.ANY))
+                    if decl is not None:
+                        node.ref_target = decl
+                    return self.parse_postfix_ops(node, t)
             while self.at("::"):
                 self.next()
                 name += "." + self.next().v
@@ -2415,6 +2638,26 @@ class CParser:
         ref.add(method)
         return ref
 
+    def _array_dim_suffix(self) -> str:
+        """Consume one `[...]` declarator dimension; returns `[<size>]`
+        with object-like macros expanded (`[BUFSIZE]` -> `[0x111...]`,
+        AstCreationPassTests "be consistent with long number types") or
+        `[]` when empty."""
+        self.next()
+        depth, parts = 1, []
+        while self.peek() is not None and depth:
+            tk = self.next()
+            if tk.v == "[":
+                depth += 1
+            elif tk.v == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            mac = self.macros.get(tk.v) if tk.t == "id" else None
+            parts.append(mac.body if mac is not None and not mac.params
+                         else tk.v)
+        return "[" + "".join(parts) + "]"
+
     def parse_postfix_ops(self, node: N, start: Tok) -> N:
         while True:
             if self.at("("):
@@ -2454,6 +2697,24 @@ class CParser:
                          method_full_name=opname, dispatch_type=M.STATIC_DISPATCH, line=start.line)
                 call.add(node, fld)
                 node = self.lower_field_access(call)
+            elif self.lang in ("c", "cpp") and self.at("::") \
+                    and self.peek(1) is not None and self.peek(1).t == "id" \
+                    and not self.at("(", 2):
+                # qualified static read `Base::member` -> fieldAccess with
+                # the `::`-spelled code; chains nest left-to-right
+                # (AstCreationPassTests "qualified name with two :: parts")
+                self.next()
+                fld_tok = self.next()
+                fld = N(M.FIELD_IDENTIFIER, code=fld_tok.v, name=fld_tok.v,
+                        canonical_name=fld_tok.v, line=fld_tok.line,
+                        arg_index=2)
+                node.arg_index = 1
+                call = N(M.CALL, code=self.slice(start, fld_tok),
+                         name=M.OP_FIELD_ACCESS,
+                         method_full_name=M.OP_FIELD_ACCESS,
+                         dispatch_type=M.STATIC_DISPATCH, line=start.line)
+                call.add(node, fld)
+                node = call
             elif self.at("++") or self.at("--"):
                 op_tok = self.next()
                 opname = M.POSTFIX_OPERATOR_MAP[op_tok.v]

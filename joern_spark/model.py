@@ -214,6 +214,9 @@ OP_INSTANCE_OF = OP + "instanceOf"
 OP_FORMAT_STRING = OP + "formatString"
 OP_DELETE = OP + "delete"
 OP_NOT_NULL_ASSERT = OP + "notNullAssert"
+# C++ `decltype(x)` (c2cpg Defines.OperatorTypeOf; AstCreationPassTests
+# "decl assignment with typedecl")
+OP_TYPE_OF = OP + "typeOf"
 
 BINARY_OPERATOR_MAP = {
     # c2cpg AstForExpressionsCreator.scala:33-68 (OperatorMap)

@@ -53,7 +53,8 @@ _EXT = {"c": "c", "cpp": "cpp", "java": "java", "javascript": "js"}
 
 
 def corpus() -> list[dict]:
-    from joern_spark.parity import (corpus_c, corpus_c_flows, corpus_java,
+    from joern_spark.parity import (corpus_c, corpus_c2,
+                                    corpus_c_flows, corpus_java,
                                     corpus_java_flows, corpus_java_gensig,
                                     corpus_java_localcls, corpus_java_ops,
                                     corpus_java_generics, corpus_java_types,
@@ -61,7 +62,8 @@ def corpus() -> list[dict]:
                                     corpus_java_localcls2,
                                     corpus_java_patterns,
                                     corpus_js, corpus_js_flows)
-    return (corpus_c.CASES + corpus_c_flows.CASES + corpus_js.CASES
+    return (corpus_c.CASES + corpus_c2.CASES
+            + corpus_c_flows.CASES + corpus_js.CASES
             + corpus_js_flows.CASES
             + corpus_java.CASES + corpus_java_flows.CASES
             + corpus_java_patterns.CASES + corpus_java_gensig.CASES

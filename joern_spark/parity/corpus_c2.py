@@ -1,0 +1,212 @@
+"""c2cpg AstCreationPassTests parity corpus, round-5 breadth — transcribed
+BY HAND from c2cpg/src/test/scala/io/joern/c2cpg/passes/ast/
+AstCreationPassTests.scala (one parity case per reference `in { }` block,
+citing its line range).
+
+Covers the declaration/expression/structural regions the round-4 corpus
+left untranscribed: parenthesized and reference declarators, decltype,
+qualified `::` chains, structured-binding ranged-for lowering, multi-init
+for-loops, and the array-type consistency rules (`char[BUFSIZE]` typed
+with the expanded size, raw code kept).
+"""
+
+CAP = "c2cpg/src/test/scala/io/joern/c2cpg/passes/ast/AstCreationPassTests.scala"
+
+
+def _c(name, lang, code, cite_lines, **rels):
+    return dict(name=name, lang=lang, wrap=False, code=code,
+                cite=f"{CAP}:{cite_lines}", **rels)
+
+
+CASES = [
+    # :490-508 — parenthesized initializer lowers to `val = (new int[3])`
+    # with the parens kept on the rhs code.
+    _c("cpp-parens-decl", "cpp", """
+void method() {
+  int *val (new int[3]);
+}
+""", "490-508",
+       ast={("val (new int[3])", 0): ["val", "(new int[3])"],
+            ("(new int[3])", 0): ["new int[3]"],
+            ("new int[3]", 0): ["int", "3"]},
+       locals=[["method.val", "int* val|int*"]],
+       callmfn=[["<operator>.assignment", "<operator>.assignment"],
+                ["<operator>.new", "<operator>.new"],
+                ["<operator>.alloc", "<operator>.alloc"]]),
+    # :509-538 — `decltype(local)::value` is fieldAccess(typeOf(local),
+    # value); the constexpr bool local types the assignment.
+    _c("cpp-decltype-decl", "cpp", """
+void method() {
+  int local = 1;
+  constexpr bool is_std_array_v = decltype(local)::value;
+}
+""", "509-538",
+       ast={("is_std_array_v = decltype(local)::value", 0):
+                ["is_std_array_v", "decltype(local)::value"],
+            ("decltype(local)::value", 0): ["decltype(local)", "value"],
+            ("decltype(local)", 0): ["local"]},
+       locals=[["method.local", "int local|int"],
+               ["method.is_std_array_v", "bool is_std_array_v|bool"]],
+       callmfn=[["<operator>.typeOf", "<operator>.typeOf"],
+                ["<operator>.fieldAccess", "<operator>.fieldAccess"],
+                ["<operator>.assignment", "<operator>.assignment"]],
+       nodetype={("is_std_array_v", 0, "IDENTIFIER"): "bool"}),
+    # :539-574 — A::B::C::value nests fieldAccess left-to-right with the
+    # `::`-spelled codes at every level.
+    _c("cpp-qualified-multi", "cpp", """
+namespace A {
+  namespace B {
+    struct C {
+      static int value;
+    };
+  }
+}
+void foo() {
+  int x = A::B::C::value;
+}
+""", "539-574",
+       ast={("x = A::B::C::value", 0): ["x", "A::B::C::value"],
+            ("A::B::C::value", 0): ["A::B::C", "value"],
+            ("A::B::C", 0): ["A::B", "C"],
+            ("A::B", 0): ["A", "B"]},
+       callmfn=[["<operator>.fieldAccess", "<operator>.fieldAccess"],
+                ["<operator>.assignment", "<operator>.assignment"]]),
+    # :576-598 — two-part Foo::bar static read.
+    _c("cpp-qualified-two", "cpp", """
+struct Foo {
+  static int bar;
+};
+void test() {
+  int x = Foo::bar;
+}
+""", "576-598",
+       ast={("x = Foo::bar", 0): ["x", "Foo::bar"],
+            ("Foo::bar", 0): ["Foo", "bar"]},
+       callmfn=[["<operator>.fieldAccess", "<operator>.fieldAccess"],
+                ["<operator>.assignment", "<operator>.assignment"]]),
+    # :599-612 — identifier rhs keeps the parameter's int type.
+    _c("c-decl-ident-right", "c", """
+void method(int x) {
+  int local = x;
+}
+""", "599-612",
+       ast={("local = x", 0): ["local", "x"]},
+       locals=[["method.local", "int local|int"]],
+       nodetype={("x", 0, "IDENTIFIER"): "int",
+                 ("local", 0, "IDENTIFIER"): "int"}),
+    # :613-626 — reference declarators keep the raw `struct x &bar` code.
+    _c("cpp-decl-references", "cpp", """
+int addrOfLocalRef(struct x **foo) {
+  struct x &bar = **foo;
+  *foo = &bar;
+}
+""", "613-626",
+       locals=[["addrOfLocalRef.bar", "struct x &bar|x&"]]),
+    # :627-652 — comma-declared locals each get their own assignment.
+    _c("c-decl-multiple", "c", """
+void method(int x, int y) {
+  int local = x, local2 = y;
+}
+""", "627-652",
+       locals=[["method.local", "int local|int"],
+               ["method.local2", "int local2|int"]],
+       ast={("local = x", 0): ["local", "x"],
+            ("local2 = y", 0): ["local2", "y"]}),
+    # :799-832 — structured-binding ranged-for over an array: FOR with
+    # `<tmp>0 = foo` plus per-binding index accesses; locals keep the
+    # sized array type, bindings stay ANY.
+    _c("cpp-ranged-for-array", "cpp", """
+void method() {
+  int foo[2] = {1, 2};
+  for(const auto& [a, b] : foo) {};
+}
+""", "799-832",
+       locals=[["method.foo", "int foo[2]|int[2]"],
+               ["method.<tmp>0", "<tmp>0|int[2]"],
+               ["method.a", "a|ANY"], ["method.b", "b|ANY"]],
+       cs=[["method:FOR", "for (const auto& [a, b]:foo)"]],
+       ast={("<tmp>0 = foo", 0): ["<tmp>0", "foo"],
+            ("a = <tmp>0[0]", 0): ["a", "<tmp>0[0]"],
+            ("b = <tmp>0[1]", 0): ["b", "<tmp>0[1]"],
+            ("<tmp>0[0]", 0): ["<tmp>0", "0"],
+            ("<tmp>0[1]", 0): ["<tmp>0", "1"]}),
+    # :833-856 — non-array collection: per-binding member accesses.
+    _c("cpp-ranged-for-ref", "cpp", """
+void method() {
+  auto foo = bar();
+  for(const auto& [a, b] : foo) {};
+}
+""", "833-856",
+       cs=[["method:FOR", "for (const auto& [a, b]:foo)"]],
+       ast={("<tmp>0 = foo", 0): ["<tmp>0", "foo"],
+            ("a = <tmp>0.a", 0): ["a", "<tmp>0.a"],
+            ("b = <tmp>0.b", 0): ["b", "<tmp>0.b"],
+            ("<tmp>0.a", 0): ["<tmp>0", "a"],
+            ("<tmp>0.b", 0): ["<tmp>0", "b"]},
+       callmfn=[["<operator>.fieldAccess", "<operator>.fieldAccess"]]),
+    # :857-884 — for with comma-separated initializations: init block
+    # holds both assignments, condition/update/body in order.
+    _c("c-for-multi-init", "c", """
+void method(int x, int y) {
+  for ( x = 0, y = 0; x < 1; x += 1) {
+    int z = 0;
+  }
+}
+""", "857-884",
+       cs=[["method:FOR", "for"]],
+       cscond=[["method:FOR", "x < 1"]],
+       ast={("x = 0", 0): ["x", "0"], ("y = 0", 0): ["y", "0"],
+            ("x += 1", 0): ["x", "1"], ("z = 0", 0): ["z", "0"],
+            ("<empty>", 1): ["x = 0", "y = 0"],
+            ("<empty>", 2): ["int z", "z = 0"]}),
+    # :2530-2540 — array types keep the size in members, params, locals.
+    _c("c-array-type-consistency", "c", """
+struct x { char z[1]; };
+void a(char y[1]) {
+  char x[1];
+}
+""", "2530-2540",
+       members=[["x.z", "char[1]"]],
+       params=[["a.y", "1:char[1]:BY_VALUE"]],
+       locals=[["a.x", "char x[1]|char[1]"]]),
+    # :2542-2556 — macro-sized array: type uses the EXPANDED size, code
+    # keeps the raw spelling, and the decl emits an <operator>.alloc
+    # carrying the expanded literal.
+    _c("c-array-type-macro", "c", """
+#define BUFSIZE 0x111111111111111
+void copy(char *string) {
+	char buf[BUFSIZE];
+	stpncpy(buf, string, BUFSIZE);
+}
+""", "2542-2556",
+       locals=[["copy.buf",
+                "char buf[BUFSIZE]|char[0x111111111111111]"]],
+       ast={("buf[BUFSIZE]", 0, "CALL"): ["0x111111111111111"]},
+       callmfn=[["<operator>.alloc", "<operator>.alloc"]]),
+    # :2517-2528 — pointer types stay consistent across member, param,
+    # local, and return.
+    _c("c-pointer-type-consistency", "c", """
+struct x { char * z; };
+char *a(char *y) {
+  char *x;
+}
+""", "2517-2528",
+       members=[["x.z", "char*"]],
+       params=[["a.y", "1:char*:BY_VALUE"]],
+       locals=[["a.x", "char* x|char*"]],
+       nodetype={("RET", 0, "METHOD_RETURN"): "char*"}),
+    # :1686-1703 — `new int[n]`: <operator>.new wrapping an
+    # <operator>.alloc whose args are the element TYPE_REF and the size.
+    _c("cpp-new-array", "cpp", """
+int * alloc(int n) {
+   int * arr = new int[n];
+   return arr;
+}
+""", "1686-1703",
+       ast={("arr = new int[n]", 0): ["arr", "new int[n]"],
+            ("new int[n]", 0, "CALL"): ["new int[n]"],
+            ("new int[n]", 1, "CALL"): ["int", "n"]},
+       callmfn=[["<operator>.new", "<operator>.new"],
+                ["<operator>.alloc", "<operator>.alloc"],
+                ["<operator>.assignment", "<operator>.assignment"]]),
+]
