@@ -1303,7 +1303,14 @@ class CParser:
                               arg_index=1)
                     ident.ref_target = loc
                     init.arg_index = 2
-                    asg = N(M.CALL, code=f"{cur_name} = {init.code}",
+                    # a brace-ctor BLOCK rhs has no code of its own — spell
+                    # the assignment from the ctor call inside it
+                    # ("x = Foo{0}", AstCreationPassTests :1538)
+                    rhs_code = init.code or next(
+                        (c.code for c in init.children
+                         if c.kind == M.CALL and c.name != M.OP_ASSIGNMENT),
+                        "")
+                    asg = N(M.CALL, code=f"{cur_name} = {rhs_code}",
                             name=M.OP_ASSIGNMENT,
                             method_full_name=M.OP_ASSIGNMENT,
                             dispatch_type=M.STATIC_DISPATCH,
@@ -2285,9 +2292,15 @@ class CParser:
             if self.at("("):
                 self.next()
                 if self.looks_like_type():
+                    ty_start = self.peek()
                     ty = self.parse_type()
+                    raw_ty = self.slice(ty_start, self.toks[self.pos - 1])
                     close = self.expect(")")
-                    arg = N(M.TYPE_REF, code=ty, type_full_name=ty, line=op_tok.line, arg_index=1)
+                    # c2cpg spells sizeof-on-type args as IDENTIFIERs
+                    # named after the raw type ("be correct for sizeof
+                    # expressions": i.name == "int")
+                    arg = N(M.IDENTIFIER, code=raw_ty, name=raw_ty,
+                            type_full_name=ty, line=op_tok.line, arg_index=1)
                 else:
                     arg = self.parse_expression()
                     arg.arg_index = 1
@@ -2327,7 +2340,9 @@ class CParser:
                 outer.add(alloc)
                 return outer
             args: list[N] = []
+            had_parens = False
             if self.at("("):
+                had_parens = True
                 self.next()
                 while not self.at(")"):
                     a = self.parse_assignment_expr()
@@ -2336,7 +2351,15 @@ class CParser:
                         self.next()
                 self.next()
             end = self.toks[self.pos - 1]
-            call = N(M.CALL, code=self.slice(op_tok, end), name=M.OP_NEW,
+            code = self.slice(op_tok, end)
+            ctor = self.cpp_class_methods.get(ty, {}).get(ty.split(".")[-1])
+            if had_parens and ctor is not None:
+                # declared-class `new Foo(n, 42)` lowers to the reference's
+                # block form: <operator>.new( BLOCK{ <tmp>N local;
+                # <tmp>N = <operator>.alloc; Foo(&<tmp>N, args); <tmp>N } )
+                # (AstCreationPassTests "'new' object" / "placement new")
+                return self._new_object_block(op_tok, ty, ctor, args, code)
+            call = N(M.CALL, code=code, name=M.OP_NEW,
                      method_full_name=M.OP_NEW, dispatch_type=M.STATIC_DISPATCH,
                      line=op_tok.line, type_full_name=ty)
             tref = N(M.TYPE_REF, code=ty, type_full_name=ty, line=op_tok.line, arg_index=1)
@@ -2361,7 +2384,10 @@ class CParser:
             save = self.pos
             self.next()
             if self.looks_like_type():
+                ty_start = self.peek()
                 ty = self.parse_type()
+                raw_ty = self.slice(ty_start, self.toks[self.pos - 1]) \
+                    if ty_start is not None else ty
                 if self.at(")"):
                     self.next()
                     # compound literal `(int){ 1 }` — a cast whose second
@@ -2371,7 +2397,7 @@ class CParser:
                         b0 = self.peek()
                         self.skip_balanced("{", "}")
                         b1 = self.toks[self.pos - 1]
-                        tref = N(M.TYPE_REF, code=ty, type_full_name=ty,
+                        tref = N(M.TYPE_REF, code=raw_ty, type_full_name=ty,
                                  line=t.line, arg_index=1)
                         init = N(M.BLOCK, code=self.src[b0.a:b1.b],
                                  line=b0.line, arg_index=2,
@@ -2387,7 +2413,7 @@ class CParser:
                     if nxt is not None and (nxt.t in ("id", "num", "str", "char") or nxt.v in ("(", "*", "&", "!", "~", "-", "+")):
                         operand = self.parse_unary()
                         end = self.toks[self.pos - 1]
-                        tref = N(M.TYPE_REF, code=ty, type_full_name=ty, line=t.line, arg_index=1)
+                        tref = N(M.TYPE_REF, code=raw_ty, type_full_name=ty, line=t.line, arg_index=1)
                         operand.arg_index = 2
                         call = N(M.CALL, code=self.slice(t, end), name=M.OP_CAST,
                                  method_full_name=M.OP_CAST, dispatch_type=M.STATIC_DISPATCH,
@@ -2493,6 +2519,51 @@ class CParser:
                      type_full_name=M.ANY)
         elif t.t == "id" or t.t == "kw":
             name = t.v
+            if self.lang == "cpp" and self.at("<") \
+                    and name in ("const_cast", "static_cast", "dynamic_cast",
+                                 "reinterpret_cast"):
+                # C++ named casts lower to <operator>.cast with the raw
+                # type spelling on the TYPE_REF (AstCreationPassTests
+                # "be correct for const_cast/static_cast/...")
+                self.next()
+                ty_start = self.peek()
+                ty = self.parse_type()
+                raw_ty = self.slice(ty_start, self.toks[self.pos - 1]) \
+                    if ty_start is not None else ty
+                self.expect(">")
+                self.expect("(")
+                operand = self.parse_expression()
+                close = self.expect(")")
+                tref = N(M.TYPE_REF, code=raw_ty, type_full_name=ty,
+                         line=t.line, arg_index=1)
+                operand.arg_index = 2
+                call = N(M.CALL, code=self.slice(t, close), name=M.OP_CAST,
+                         method_full_name=M.OP_CAST,
+                         dispatch_type=M.STATIC_DISPATCH, line=t.line,
+                         type_full_name=ty)
+                call.add(tref, operand)
+                return self.parse_postfix_ops(call, t)
+            if self.lang == "cpp" and self.at("{") \
+                    and t.t == "id":
+                cls_full = self.declared_types.get(name, name)
+                ctor = self.cpp_class_methods.get(cls_full, {}).get(name)
+                if ctor is not None:
+                    # brace constructor expression `Foo{0}` — same block
+                    # lowering as `new`, minus the <operator>.new wrapper
+                    # (AstCreationPassTests "constructor expression")
+                    self.next()
+                    args = []
+                    while self.peek() is not None and not self.at("}"):
+                        args.append(self.parse_assignment_expr())
+                        if self.at(","):
+                            self.next()
+                    close = self.expect("}")
+                    code = self.slice(t, close)
+                    outer = self._new_object_block(t, cls_full, ctor, args,
+                                                   code)
+                    blk = outer.children[0]
+                    blk.arg_index = -1
+                    return blk
             if self.lang == "cpp" and name == "decltype" and self.at("("):
                 # `decltype(expr)` -> <operator>.typeOf CALL; a following
                 # `::member` chains through the fieldAccess postfix
@@ -2637,6 +2708,64 @@ class CParser:
                 type_full_name=full, line=open_tok.line)
         ref.add(method)
         return ref
+
+    def _new_object_block(self, op_tok: "Tok", ty: str, ctor, args: list,
+                          code: str) -> "N":
+        """`new Foo(n, 42)` on a declared class — the c2cpg lowering: the
+        <operator>.new call's first argument is a BLOCK holding a `<tmp>N`
+        local, `<tmp>N = <operator>.alloc`, the resolved constructor call
+        (receiver `&<tmp>N`), and the `<tmp>N` value identifier
+        (AstCreationPassTests "'new' object": constructorCall mfn
+        Foo.Foo:void(int,int), args [&<tmp>0, n, 42])."""
+        ctor_full, ctor_sig, _ret = ctor
+        self.cpp_tmp_n = getattr(self, "cpp_tmp_n", 0)
+        tmp = f"<tmp>{self.cpp_tmp_n}"
+        self.cpp_tmp_n += 1
+        line = op_tok.line
+        blk = N(M.BLOCK, code="", line=line, type_full_name=ty,
+                arg_index=1)
+        tmp_loc = N(M.LOCAL, code=tmp, name=tmp, type_full_name=ty,
+                    line=line)
+        blk.add(tmp_loc)
+        tmp_id = N(M.IDENTIFIER, code=tmp, name=tmp, type_full_name=ty,
+                   arg_index=1, line=line)
+        tmp_id.ref_target = tmp_loc
+        alloc = N(M.CALL, code=M.OP_ALLOC, name=M.OP_ALLOC,
+                  method_full_name=M.OP_ALLOC,
+                  dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
+                  line=line, arg_index=2)
+        tasg = N(M.CALL, code=f"{tmp} = {M.OP_ALLOC}", name=M.OP_ASSIGNMENT,
+                 method_full_name=M.OP_ASSIGNMENT,
+                 dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
+                 line=line)
+        tasg.add(tmp_id, alloc)
+        blk.add(tasg)
+        recv_id = N(M.IDENTIFIER, code=tmp, name=tmp, type_full_name=ty,
+                    line=line, arg_index=1)
+        recv_id.ref_target = tmp_loc
+        recv = N(M.CALL, code=f"&{tmp}", name=M.OP_ADDRESS_OF,
+                 method_full_name=M.OP_ADDRESS_OF,
+                 dispatch_type=M.STATIC_DISPATCH, line=line, arg_index=0)
+        recv.add(recv_id)
+        ctor_call = N(M.CALL, code=code, name=ty.split(".")[-1],
+                      method_full_name=ctor_full, signature=ctor_sig,
+                      dispatch_type=M.STATIC_DISPATCH,
+                      type_full_name="void", line=line)
+        ctor_call.add(recv)
+        for i, a in enumerate(args, start=1):
+            a.arg_index = i
+            ctor_call.add(a)
+        blk.add(ctor_call)
+        val_id = N(M.IDENTIFIER, code=tmp, name=tmp, type_full_name=ty,
+                   line=line)
+        val_id.ref_target = tmp_loc
+        blk.add(val_id)
+        outer = N(M.CALL, code=code, name=M.OP_NEW,
+                  method_full_name=M.OP_NEW,
+                  dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
+                  line=line)
+        outer.add(blk)
+        return outer
 
     def _array_dim_suffix(self) -> str:
         """Consume one `[...]` declarator dimension; returns `[<size>]`

@@ -195,6 +195,207 @@ char *a(char *y) {
        params=[["a.y", "1:char*:BY_VALUE"]],
        locals=[["a.x", "char* x|char*"]],
        nodetype={("RET", 0, "METHOD_RETURN"): "char*"}),
+    # :1521-1540 — `Foo x = Foo{0}`: brace-ctor expression lowers to the
+    # tmp block with the resolved ctor call (args &<tmp>0, 0).
+    _c("cpp-ctor-expr", "cpp", """
+class Foo {
+public:
+ Foo(int i) {  };
+};
+Foo x = Foo{0};
+""", "1521-1540",
+       ast={("x = Foo{0}", 0): ["x", "<empty>"],
+            ("Foo{0}", 0): ["&<tmp>0", "0"],
+            ("&<tmp>0", 0): ["<tmp>0"]},
+       callmfn=[["Foo", "Foo.Foo:void(int)"],
+                ["<operator>.assignment", "<operator>.assignment"],
+                ["<operator>.alloc", "<operator>.alloc"],
+                ["<operator>.addressOf", "<operator>.addressOf"]],
+       methods=[["Foo", "Foo.Foo:void(int)"]]),
+    # :1542-1556 — call argument linkage.
+    _c("c-method-calls2", "c", """
+void foo(int x) {
+  bar(x);
+}
+""", "1542-1556",
+       ast={("bar(x)", 0): ["x"]},
+       calls=[["foo", "bar"]]),
+    # :1558-1575 — RETURN wraps the multiplication as its only child.
+    _c("c-method-returns", "c", """
+int d(int x) {
+  return x * 2;
+}
+""", "1558-1575",
+       ast={("return x * 2;", 0): ["x * 2"],
+            ("x * 2", 0): ["x", "2"]},
+       callmfn=[["<operator>.multiplication",
+                 "<operator>.multiplication"]]),
+    # :1585-1593 — logicalNot over the bare identifier.
+    _c("c-unary-method-calls", "c", """
+bool invert(bool b) {
+  return !b;
+}
+""", "1585-1593",
+       ast={("!b", 0): ["b"], ("return !b;", 0): ["!b"]}),
+    # :1594-1610 — C cast inside a conditional: TYPE_REF(int) + the
+    # subtraction at argument 2.
+    _c("c-unary-expr-cast", "c", """
+int strnlen (const char *str, int max)
+    {
+      const char *end = memchr(str, 0, max);
+      return end ? (int)(end - str) : max;
+    }
+""", "1594-1610",
+       ast={("(int)(end - str)", 0): ["int", "end - str"],
+            ("end - str", 0): ["end", "str"]},
+       callmfn=[["<operator>.cast", "<operator>.cast"],
+                ["<operator>.subtraction", "<operator>.subtraction"],
+                ["<operator>.conditional", "<operator>.conditional"],
+                ["<operator>.assignment", "<operator>.assignment"],
+                ["memchr", "memchr"]],
+       nodetype={("(int)(end - str)", 0, "CALL"): "int",
+                 ("int", 0, "TYPE_REF"): "int"}),
+    # :1611-1622 — post-increment/-decrement argument is x.
+    _c("c-post-incr", "c", """
+int foo(int x) {
+  int sub = x--;
+  int pos = x++;
+  return pos;
+}
+""", "1611-1622",
+       ast={("x++", 0): ["x"], ("x--", 0): ["x"]},
+       callmfn=[["<operator>.postIncrement", "<operator>.postIncrement"],
+                ["<operator>.postDecrement", "<operator>.postDecrement"],
+                ["<operator>.assignment", "<operator>.assignment"]]),
+    # :1623-1631 — conditional argument codes (cond, true, false).
+    _c("c-cond-calls", "c", """
+int abs(int x) {
+  return x > 0 ? x : -x;
+}
+""", "1623-1631",
+       ast={("x > 0 ? x : -x", 0): ["x > 0", "x", "-x"],
+            ("-x", 0): ["x"]}),
+    # :1632-1643 — sizeof-on-type argument is an IDENTIFIER named `int`.
+    _c("c-sizeof-type", "c", """
+size_t int_size() {
+  return sizeof(int);
+}
+""", "1632-1643",
+       ast={("sizeof(int)", 0): ["int"]},
+       nodetype={("int", 0, "IDENTIFIER"): "int"}),
+    # :1644-1648 — empty labelled statement keeps the `label:;` code.
+    _c("c-label-stmt", "c", "void foo() { label:; }", "1644-1648",
+       ast={("<empty>", 0): ["label:;"]}),
+    # :1649-1657 — C array subscripts lower to indirectIndexAccess.
+    _c("c-array-index", "c", """
+int head(int x[]) {
+  return x[0];
+}
+""", "1649-1657",
+       ast={("x[0]", 0): ["x", "0"]},
+       callmfn=[["<operator>.indirectIndexAccess",
+                 "<operator>.indirectIndexAccess"]]),
+    # :1658-1685 — C-style cast: TYPE_REF keeps the raw `Bar` code with
+    # the namespace-resolved B.Bar type; f keeps A.Foo.
+    _c("cpp-c-style-cast", "cpp", """
+namespace A {
+  class Foo {};
+}
+namespace B {
+  class Bar {};
+}
+
+using namespace A;
+using namespace B;
+
+Bar cast(Foo f) {
+  return (Bar) f;
+}
+""", "1658-1685",
+       ast={("(Bar) f", 0): ["Bar", "f"]},
+       callmfn=[["<operator>.cast", "<operator>.cast"]],
+       nodetype={("Bar", 0, "TYPE_REF"): "B.Bar",
+                 ("f", 0, "IDENTIFIER"): "A.Foo"}),
+    # :2104-2125 — `new Foo(n, 42)`: block form with the resolved ctor.
+    _c("cpp-new-object", "cpp", """
+class Foo {
+  public:
+    Foo(int i, int j) {};
+};
+Foo* alloc(int n) {
+   Foo* foo = new Foo(n, 42);
+   return foo;
+}
+""", "2104-2125",
+       ast={("new Foo(n, 42)", 1): ["&<tmp>0", "n", "42"],
+            ("&<tmp>0", 0): ["<tmp>0"],
+            ("<tmp>0 = <operator>.alloc", 0):
+                ["<tmp>0", "<operator>.alloc"]},
+       callmfn=[["Foo", "Foo.Foo:void(int,int)"],
+                ["<operator>.new", "<operator>.new"],
+                ["<operator>.alloc", "<operator>.alloc"],
+                ["<operator>.addressOf", "<operator>.addressOf"],
+                ["<operator>.assignment", "<operator>.assignment"]],
+       methods=[["Foo", "Foo.Foo:void(int,int)"]]),
+    # :2127-2137 — delete keeps its operand.
+    _c("cpp-delete", "cpp", """
+int delete_number(int* n) {
+  delete n;
+}
+""", "2127-2137",
+       ast={("delete n", 0): ["n"]},
+       callmfn=[["<operator>.delete", "<operator>.delete"]]),
+    # :2139-2149 — array delete keeps the `delete[]` code.
+    _c("cpp-delete-array", "cpp", """
+void delete_number(int n[]) {
+  delete[] n;
+}
+""", "2139-2149",
+       ast={("delete[] n", 0): ["n"]},
+       callmfn=[["<operator>.delete", "<operator>.delete"]]),
+    # :2151-2170 — const_cast: raw `int` TYPE_REF + float operand.
+    _c("cpp-const-cast", "cpp", """
+void foo(float n) {
+  int y = const_cast<int>(n);
+  return;
+}
+""", "2151-2170",
+       ast={("const_cast<int>(n)", 0): ["int", "n"]},
+       callmfn=[["<operator>.cast", "<operator>.cast"],
+                ["<operator>.assignment", "<operator>.assignment"]],
+       nodetype={("int", 0, "TYPE_REF"): "int",
+                 ("n", 0, "IDENTIFIER"): "float",
+                 ("const_cast<int>(n)", 0, "CALL"): "int"}),
+    # :2171-2190
+    _c("cpp-static-cast", "cpp", """
+void foo(float n) {
+  int y = static_cast<int>(n);
+  return;
+}
+""", "2171-2190",
+       ast={("static_cast<int>(n)", 0): ["int", "n"]},
+       nodetype={("int", 0, "TYPE_REF"): "int",
+                 ("n", 0, "IDENTIFIER"): "float"}),
+    # :2191-2210
+    _c("cpp-dynamic-cast", "cpp", """
+void foo(float n) {
+  int y = dynamic_cast<int>(n);
+  return;
+}
+""", "2191-2210",
+       ast={("dynamic_cast<int>(n)", 0): ["int", "n"]},
+       nodetype={("int", 0, "TYPE_REF"): "int",
+                 ("n", 0, "IDENTIFIER"): "float"}),
+    # :2211-2230
+    _c("cpp-reinterpret-cast", "cpp", """
+void foo(float n) {
+  int y = reinterpret_cast<int>(n);
+  return;
+}
+""", "2211-2230",
+       ast={("reinterpret_cast<int>(n)", 0): ["int", "n"]},
+       nodetype={("int", 0, "TYPE_REF"): "int",
+                 ("n", 0, "IDENTIFIER"): "float"}),
     # :1686-1703 — `new int[n]`: <operator>.new wrapping an
     # <operator>.alloc whose args are the element TYPE_REF and the size.
     _c("cpp-new-array", "cpp", """
