@@ -521,6 +521,11 @@ class CParser:
         if t.v == ";":
             self.next()
             return None
+        if t.v == "asm" and self.at("(", 1):
+            # file-level `asm(...)` keeps an UNKNOWN node in the global
+            # method body (AstCreationPassTests "embedded ASM code")
+            self.global_stmts.append(self._parse_asm(t))
+            return None
         if t.v == "namespace":
             return self.parse_namespace()
         if t.v in ("template",):
@@ -1573,6 +1578,8 @@ class CParser:
             return []
         if v == "{":
             return [self.parse_compound()]
+        if v == "asm" and self.at("(", 1) and self.lang in ("c", "cpp"):
+            return [self._parse_asm(t)]
         if v == "if":
             node = self.parse_if()
             pend = getattr(self, "pending_stmt_prefix", None)
@@ -2089,21 +2096,7 @@ class CParser:
             if self.at("="):
                 self.next()
                 if self.at("{"):  # brace initializer `int a[10] = {0};`
-                    open_tok = self.next()
-                    elems: list[N] = []
-                    while self.peek() is not None and not self.at("}"):
-                        elems.append(self.parse_assignment_expr())
-                        if self.at(","):
-                            self.next()
-                    close_tok = self.expect("}")
-                    init = N(M.CALL, code=self.slice(open_tok, close_tok),
-                             name=M.OP_ARRAY_INITIALIZER,
-                             method_full_name=M.OP_ARRAY_INITIALIZER,
-                             dispatch_type=M.STATIC_DISPATCH,
-                             line=open_tok.line)
-                    for i, e in enumerate(elems, start=1):
-                        e.arg_index = i
-                        init.add(e)
+                    init = self._parse_brace_init(self.next())
                 else:
                     init = self.parse_assignment_expr()
                 self.note_init_dynamic_type(loc, init)
@@ -2120,6 +2113,40 @@ class CParser:
                          line=name_tok.line)
                 call.add(ident, init)
                 out.append(call)
+            elif self.at("{") and self.lang == "cpp":
+                # designated brace init `Point3D p { .x = 1, ... };`
+                # lowers to per-member assignments `p.x = 1`
+                # (AstCreationPassTests "designated struct initializers in
+                # C++"); non-designated brace inits keep only the local
+                init = self._parse_brace_init(self.next())
+                for e in init.children:
+                    if not (e.kind == M.CALL and e.name == M.OP_ASSIGNMENT
+                            and e.children
+                            and e.children[0].kind == M.IDENTIFIER):
+                        continue
+                    fldname = e.children[0].name
+                    base = N(M.IDENTIFIER, code=name, name=name,
+                             type_full_name=ty, line=name_tok.line,
+                             arg_index=1)
+                    base.ref_target = loc
+                    fld = N(M.FIELD_IDENTIFIER, code=fldname, name=fldname,
+                            canonical_name=fldname, line=e.line,
+                            arg_index=2)
+                    fa = N(M.CALL, code=f"{name}.{fldname}",
+                           name=M.OP_FIELD_ACCESS,
+                           method_full_name=M.OP_FIELD_ACCESS,
+                           dispatch_type=M.STATIC_DISPATCH, line=e.line,
+                           arg_index=1)
+                    fa.add(base, fld)
+                    val = e.children[1]
+                    val.arg_index = 2
+                    asg = N(M.CALL,
+                            code=f"{name}.{fldname} = {val.code}",
+                            name=M.OP_ASSIGNMENT,
+                            method_full_name=M.OP_ASSIGNMENT,
+                            dispatch_type=M.STATIC_DISPATCH, line=e.line)
+                    asg.add(fa, val)
+                    out.append(asg)
             elif self.at("(") and self.lang == "cpp":
                 # parenthesized/ctor initializer `int *val (new int[3]);`
                 # lowers to `val = (<expr>)` with the parens kept in the
@@ -2383,6 +2410,13 @@ class CParser:
             # cast or parenthesized expression
             save = self.pos
             self.next()
+            if self.at("{") and self.lang in ("c", "cpp"):
+                # GNU statement expression `({int y = 1; y;})` — a BLOCK
+                # whose trailing expression is its value
+                # (AstCreationPassTests "compound statement expressions")
+                blk = self.parse_compound()
+                self.expect(")")
+                return self.parse_postfix_ops(blk, t)
             if self.looks_like_type():
                 ty_start = self.peek()
                 ty = self.parse_type()
@@ -2767,6 +2801,81 @@ class CParser:
         outer.add(blk)
         return outer
 
+    def _parse_asm(self, t: "Tok") -> "N":
+        """`asm( ... )` (statement or top-level) -> an UNKNOWN node whose
+        code keeps the raw source (AstCreationPassTests "embedded ASM
+        code"/"embedded ASM calls": code startsWith "asm(")."""
+        self.next()
+        self.skip_balanced("(", ")")
+        end = self.toks[self.pos - 1]
+        if self.at(";"):
+            self.next()
+        return N(M.UNKNOWN, code=self.slice(t, end), line=t.line)
+
+    def _parse_brace_init(self, open_tok: "Tok") -> "N":
+        """Brace initializer `{ e, ... }` -> <operator>.arrayInitializer;
+        designated elements (`[1] = 5`, `[3 ... 9] = 15`, `.a = 1`)
+        become assignment children with raw-sliced codes
+        (AstCreationPassTests "designated initializers ...")."""
+        elems: list[N] = []
+        while self.peek() is not None and not self.at("}"):
+            e0 = self.peek()
+            if self.at("["):
+                self.next()
+                lo = self.parse_assignment_expr()
+                if self.at("..."):
+                    self.next()
+                    hi = self.parse_assignment_expr()
+                    rb = self.expect("]")
+                    lo.arg_index, hi.arg_index = 1, 2
+                    des = N(M.CALL, code=self.slice(e0, rb),
+                            name=M.OP_ARRAY_INITIALIZER,
+                            method_full_name=M.OP_ARRAY_INITIALIZER,
+                            dispatch_type=M.STATIC_DISPATCH, line=e0.line)
+                    des.add(lo, hi)
+                else:
+                    self.expect("]")
+                    des = lo
+                self.expect("=")
+                val = self.parse_assignment_expr()
+                end = self.toks[self.pos - 1]
+                des.arg_index, val.arg_index = 1, 2
+                asg = N(M.CALL, code=self.slice(e0, end),
+                        name=M.OP_ASSIGNMENT,
+                        method_full_name=M.OP_ASSIGNMENT,
+                        dispatch_type=M.STATIC_DISPATCH, line=e0.line)
+                asg.add(des, val)
+                elems.append(asg)
+            elif self.at(".") and self.peek(1) is not None \
+                    and self.peek(1).t == "id":
+                self.next()
+                fld_tok = self.next()
+                fld = N(M.IDENTIFIER, code=fld_tok.v, name=fld_tok.v,
+                        line=fld_tok.line, arg_index=1)
+                self.expect("=")
+                val = self.parse_assignment_expr()
+                end = self.toks[self.pos - 1]
+                val.arg_index = 2
+                asg = N(M.CALL, code=self.slice(e0, end),
+                        name=M.OP_ASSIGNMENT,
+                        method_full_name=M.OP_ASSIGNMENT,
+                        dispatch_type=M.STATIC_DISPATCH, line=e0.line)
+                asg.add(fld, val)
+                elems.append(asg)
+            else:
+                elems.append(self.parse_assignment_expr())
+            if self.at(","):
+                self.next()
+        close_tok = self.expect("}")
+        init = N(M.CALL, code=self.slice(open_tok, close_tok),
+                 name=M.OP_ARRAY_INITIALIZER,
+                 method_full_name=M.OP_ARRAY_INITIALIZER,
+                 dispatch_type=M.STATIC_DISPATCH, line=open_tok.line)
+        for i, e in enumerate(elems, start=1):
+            e.arg_index = i
+            init.add(e)
+        return init
+
     def _array_dim_suffix(self) -> str:
         """Consume one `[...]` declarator dimension; returns `[<size>]`
         with object-like macros expanded (`[BUFSIZE]` -> `[0x111...]`,
@@ -2844,6 +2953,15 @@ class CParser:
                          dispatch_type=M.STATIC_DISPATCH, line=start.line)
                 call.add(node, fld)
                 node = call
+            elif self.at("...") and self.lang == "cpp" \
+                    and node.kind == M.IDENTIFIER \
+                    and self.peek(1) is not None \
+                    and self.peek(1).v in (")", ","):
+                # pack expansion `args...` in an argument list — the
+                # identifier keeps its own code (AstCreationPassTests
+                # "call with pack expansion"); designator ranges
+                # (`[3 ... 9]`) must NOT be swallowed
+                self.next()
             elif self.at("++") or self.at("--"):
                 op_tok = self.next()
                 opname = M.POSTFIX_OPERATOR_MAP[op_tok.v]

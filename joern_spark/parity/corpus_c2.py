@@ -396,6 +396,96 @@ void foo(float n) {
        ast={("reinterpret_cast<int>(n)", 0): ["int", "n"]},
        nodetype={("int", 0, "TYPE_REF"): "int",
                  ("n", 0, "IDENTIFIER"): "float"}),
+    # :2231-2266 — C designated array initializers: each designator is an
+    # assignment child; ranges become arrayInitializer(lo, hi).
+    _c("c-designated-array", "c", """
+void foo() {
+  int a[3] = { [1] = 5, [2] = 10, [3 ... 9] = 15 };
+};
+""", "2231-2266",
+       ast={("{ [1] = 5, [2] = 10, [3 ... 9] = 15 }", 0):
+                ["[1] = 5", "[2] = 10", "[3 ... 9] = 15"],
+            ("[1] = 5", 0): ["1", "5"],
+            ("[2] = 10", 0): ["2", "10"],
+            ("[3 ... 9] = 15", 0): ["[3 ... 9]", "15"],
+            ("[3 ... 9]", 0): ["3", "9"]},
+       callmfn=[["<operator>.arrayInitializer",
+                 "<operator>.arrayInitializer"],
+                ["<operator>.assignment", "<operator>.assignment"]]),
+    # :2268-2306 — the C++ spelling of the same fixture.
+    _c("cpp-designated-array", "cpp", """
+void foo() {
+  int a[3] = { [1] = 5, [2] = 10, [3 ... 9] = 15 };
+};
+""", "2268-2306",
+       ast={("{ [1] = 5, [2] = 10, [3 ... 9] = 15 }", 0):
+                ["[1] = 5", "[2] = 10", "[3 ... 9] = 15"],
+            ("[3 ... 9] = 15", 0): ["[3 ... 9]", "15"]},
+       callmfn=[["<operator>.arrayInitializer",
+                 "<operator>.arrayInitializer"],
+                ["<operator>.assignment", "<operator>.assignment"]]),
+    # :2308-2335 — C struct designated initializers.
+    _c("c-designated-struct", "c", """
+void foo() {
+  struct foo b = { .a = 1, .b = 2 };
+};
+""", "2308-2335",
+       ast={("{ .a = 1, .b = 2 }", 0): [".a = 1", ".b = 2"],
+            (".a = 1", 0): ["a", "1"],
+            (".b = 2", 0): ["b", "2"]},
+       callmfn=[["<operator>.arrayInitializer",
+                 "<operator>.arrayInitializer"],
+                ["<operator>.assignment", "<operator>.assignment"]]),
+    # :2337-2354 — C++ designated struct init lowers to per-member
+    # assignments `point3D.x = 1`.
+    _c("cpp-designated-struct", "cpp", """
+class Point3D {
+  public:
+    int x;
+    int y;
+    int z;
+};
+
+void foo() {
+  Point3D point3D { .x = 1, .y = 2, .z = 3 };
+};
+""", "2337-2354",
+       ast={("point3D.x = 1", 0): ["point3D.x", "1"],
+            ("point3D.y = 2", 0): ["point3D.y", "2"],
+            ("point3D.z = 3", 0): ["point3D.z", "3"],
+            ("point3D.x", 0): ["point3D", "x"]},
+       callmfn=[["<operator>.assignment", "<operator>.assignment"],
+                ["<operator>.fieldAccess", "<operator>.fieldAccess"]]),
+    # :2356-2375 — pack-expansion call argument keeps the bare code.
+    _c("cpp-pack-call", "cpp", """
+void foo(int x, int*... args) {
+  foo(x, args...);
+};
+""", "2356-2375",
+       ast={("foo(x, args...)", 0): ["x", "args"]},
+       calls=[["foo", "foo"]]),
+    # :2376-2388 — file-level ASM keeps an UNKNOWN node (asserted through
+    # its presence in the global body with the raw `asm(` code).
+    _c("c-asm-global", "c", """
+asm(
+ "  push %ebp       \\n"
+ "  movl %esp, %ebp \\n"
+ "  push %ebx       \\n"
+);
+""", "2376-2388",
+       ast={("<global>", 0): ["<empty>", "RET"]}),
+    # :2403-2424 — GNU statement expressions: each BLOCK holds the local,
+    # the assignment, and the trailing value identifier.
+    _c("c-compound-expr", "c", """
+int x = ({int y = 1; y;}) + ({int z = 2; z;});
+""", "2403-2424",
+       ast={("<empty>", 1): ["int y", "y = 1", "y"],
+            ("<empty>", 2): ["int z", "z = 2", "z"],
+            ("y = 1", 0): ["y", "1"],
+            ("z = 2", 0): ["z", "2"]},
+       locals=[["<global>.x", "int x|int"],
+               ["<global>.y", "int y|int"],
+               ["<global>.z", "int z|int"]]),
     # :1686-1703 — `new int[n]`: <operator>.new wrapping an
     # <operator>.alloc whose args are the element TYPE_REF and the size.
     _c("cpp-new-array", "cpp", """
