@@ -1588,7 +1588,12 @@ class CParser:
                 return pend + [node]
             return [node]
         if v == "while":
-            return [self.parse_while()]
+            node = self.parse_while()
+            pend = getattr(self, "pending_stmt_prefix", None)
+            if pend:
+                self.pending_stmt_prefix = None
+                return pend + [node]
+            return [node]
         if v == "do":
             return [self.parse_do()]
         if v == "for":
@@ -1836,10 +1841,70 @@ class CParser:
         b.add(*stmts)
         return b
 
+    def _try_condition_decl(self) -> "tuple[N, N] | None":
+        """C++ condition declarations `while (int n = count())` /
+        `for (...; char* p = getNext(); ...)` — the LOCAL hoists out and
+        the condition becomes the bare `n = count()` assignment
+        (ControlStructureTests "while loop with const pointer assignment
+        condition": assignment calls are no loop-equal candidates).
+        Returns (local, assignment) or None."""
+        if self.lang != "cpp":
+            return None
+        save = self.pos
+        while self.at("const"):
+            self.next()
+        if not (self.peek() is not None
+                and (self.peek().t == "kw" and self.peek().v
+                     in self.STMT_TYPE_KEYWORDS
+                     or self.peek().t == "id" and self.looks_like_type())):
+            self.pos = save
+            return None
+        try:
+            ty_start = self.peek()
+            ty = self.parse_type()
+            ptr = ""
+            while self.at_any(("*", "&")):
+                ptr += "*" if self.next().v == "*" else ""
+            if self.peek() is None or self.peek().t != "id" \
+                    or not self.at("=", 1):
+                self.pos = save
+                return None
+            name_tok = self.next()
+            self.next()  # '='
+            init = self.parse_assignment_expr()
+        except ParseError:
+            self.pos = save
+            return None
+        ty += ptr
+        name = name_tok.v
+        raw = self.slice(ty_start, name_tok)
+        loc = N(M.LOCAL, code=raw, name=name, type_full_name=ty,
+                line=name_tok.line)
+        self.declare(name, loc)
+        ident = N(M.IDENTIFIER, code=name, name=name, type_full_name=ty,
+                  line=name_tok.line, arg_index=1)
+        ident.ref_target = loc
+        init.arg_index = 2
+        asg = N(M.CALL, code=f"{name} = {init.code}", name=M.OP_ASSIGNMENT,
+                method_full_name=M.OP_ASSIGNMENT,
+                dispatch_type=M.STATIC_DISPATCH, type_full_name=ty,
+                line=name_tok.line)
+        asg.add(ident, init)
+        return loc, asg
+
     def parse_while(self) -> N:
         kw = self.next()
         self.expect("(")
-        cond = self.parse_expression()
+        decl = self._try_condition_decl()
+        if decl is not None:
+            loc, cond = decl
+            # the hoisted LOCAL lands in the enclosing block, before the
+            # WHILE (ControlStructureTests: cLocal.astParent == the
+            # method block)
+            self.pending_stmt_prefix = (getattr(self, "pending_stmt_prefix",
+                                                None) or []) + [loc]
+        else:
+            cond = self.parse_expression()
         close = self.expect(")")
         code = f"while ({self.src[kw.b:close.a].strip().lstrip('(').strip()})"
         node = N(M.CONTROL_STRUCTURE, code=code, control_structure_type=M.CS_WHILE, line=kw.line)
@@ -1923,8 +1988,17 @@ class CParser:
         self.expect(";")
         # condition
         if not self.at(";"):
-            cond = self.parse_expression()
-            cond = self.wrap_condition(cond)
+            decl = self._try_condition_decl()
+            if decl is not None:
+                # `for (...; char* p = getNext(); ...)` — the LOCAL lives
+                # under the FOR node, the condition is the bare assignment
+                # (ControlStructureTests "for loop with pointer condition
+                # declaration")
+                loc, cond = decl
+                node.add(loc)
+            else:
+                cond = self.parse_expression()
+                cond = self.wrap_condition(cond)
             cond.role = M.ROLE_CONDITION
             node.add(cond)
         else:

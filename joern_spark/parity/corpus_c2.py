@@ -159,6 +159,184 @@ void method(int x, int y) {
             ("x += 1", 0): ["x", "1"], ("z = 0", 0): ["z", "0"],
             ("<empty>", 1): ["x = 0", "y = 0"],
             ("<empty>", 2): ["int z", "z = 0"]}),
+    # -- passes/ast/ControlStructureTests.scala remainder ------------- #
+    # CS:252-268 — if/else-if/else chain: TRUE/FALSE_BODY edges.
+    dict(name="c-cs-ifelse-chain", lang="c", wrap=False, code="""
+void foo(int c) {
+  if (c > 10) {
+    c -= 10;
+  } else if (c < 10) {
+    c += 10;
+  } else {
+    c = 10;
+  }
+}
+""",
+         roledge={("if (c > 10)", 0): ["CONDITION:c > 10",
+                                       "TRUE_BODY:<empty>",
+                                       "FALSE_BODY:else"],
+                  ("if (c < 10)", 0): ["CONDITION:c < 10",
+                                       "TRUE_BODY:<empty>",
+                                       "FALSE_BODY:else"]},
+         ast={("else", 0): ["if (c < 10)"],
+              ("<empty>", 1): ["c -= 10"], ("<empty>", 2): ["c += 10"],
+              ("<empty>", 3): ["c = 10"]},
+         cite="c2cpg/.../passes/ast/ControlStructureTests.scala:252-268"),
+    # CS:270-282 — no FALSE_BODY without else.
+    dict(name="c-cs-if-no-else", lang="c", wrap=False, code="""
+void foo(int x) {
+  if (x > 0) { sink(x); }
+}
+""",
+         roledge={("if (x > 0)", 0): ["CONDITION:x > 0",
+                                      "TRUE_BODY:<empty>"]},
+         ast={("<empty>", 1): ["sink(x)"]},
+         cite="c2cpg/.../passes/ast/ControlStructureTests.scala:270-282"),
+    # CS:284-297 — DO_BODY edge.
+    dict(name="c-cs-dowhile-edge", lang="c", wrap=False, code="""
+void foo(int c) {
+  do {
+    c += 1;
+  } while (c < 10);
+}
+""",
+         roledge={("do", 0): ["CONDITION:c < 10", "DO_BODY:<empty>"]},
+         cscond=[["foo:DO", "c < 10"]],
+         ast={("<empty>", 1): ["c += 1"]},
+         cite="c2cpg/.../passes/ast/ControlStructureTests.scala:284-297"),
+    # CS:299-314 — FOR_INIT/FOR_UPDATE/FOR_BODY edges.
+    dict(name="c-cs-for-edges", lang="c", wrap=False, code="""
+void foo(int c) {
+  for (int i = 0; i < c; i++) {
+    sink(i);
+  }
+}
+""",
+         roledge={("for", 0): ["CONDITION:i < c", "FOR_INIT:i = 0",
+                               "FOR_UPDATE:i++", "FOR_BODY:<empty>"]},
+         ast={("<empty>", 1): ["sink(i)"]},
+         cite="c2cpg/.../passes/ast/ControlStructureTests.scala:299-314"),
+    # CS:316-335 — TRY_BODY/CATCH_BODY edges, no finally.
+    dict(name="c-cs-trycatch-edges", lang="c", wrap=False, code="""
+void foo() {
+  try {
+    sink();
+  } catch (int e) {
+    sinkCatch(e);
+  }
+}
+""",
+         roledge={("try", 0): ["TRY_BODY:<empty>", "CATCH_BODY:catch"]},
+         ast={("<empty>", 1): ["sink()"], ("<empty>", 2): ["sinkCatch(e)"],
+              ("catch", 0): ["<empty>", "int e"]},
+         cite="c2cpg/.../passes/ast/ControlStructureTests.scala:316-335"),
+    # CS:338-358 — shadowed loop variable keeps both typed locals, uses
+    # resolve to the nearest declaration.
+    dict(name="c-cs-shadowed-for", lang="c", wrap=False, code="""
+void foo(void) {
+  int x = 52;
+  for (float x = 1.0; x > 0.5; x--) {}
+}
+""",
+         locals=[["foo.x", "int x|int"], ["foo.x", "float x|float"]],
+         nodetype={("x", 0, "IDENTIFIER"): "int",
+                   ("x", 1, "IDENTIFIER"): "float",
+                   ("x", 2, "IDENTIFIER"): "float",
+                   ("x", 3, "IDENTIFIER"): "float"},
+         cite="c2cpg/.../passes/ast/ControlStructureTests.scala:338-358"),
+    # CS:360-392 — shadowing across the ranged-for lowering.
+    dict(name="cpp-cs-shadowed-ranged", lang="cpp", wrap=False, code="""
+void foo() {
+  int x = 1;
+  float xs[] = {1.0, 2.0, 3.0};
+  for (float x : xs) {}
+}
+""",
+         locals=[["foo.x", "int x|int"], ["foo.x", "x|float"],
+                 ["foo.xs", "float xs[]|float[]"],
+                 ["foo.<iterator>0", "<iterator>0|std.iterator"]],
+         nodetype={("x", 0, "IDENTIFIER"): "int",
+                   ("x", 1, "IDENTIFIER"): "float"},
+         cite="c2cpg/.../passes/ast/ControlStructureTests.scala:360-392"),
+    # CS:400-407 — `if (cond);` keeps an EMPTY true-body block.
+    dict(name="c-cs-semicolon-if", lang="c", wrap=False, code="""
+void checkSemicolon(int a, int b) {
+  if (a == b); {
+    something();
+  }
+}
+""",
+         roledge={("if (a == b)", 0): ["CONDITION:a == b",
+                                       "TRUE_BODY:<empty>"]},
+         ast={("if (a == b)", 0): ["a == b", "<empty>"],
+              ("<empty>", 1): []},
+         cite="c2cpg/.../passes/ast/ControlStructureTests.scala:400-407"),
+    # CS:409-416
+    dict(name="c-cs-semicolon-for", lang="c", wrap=False, code="""
+void checkSemicolon2(int a, int b) {
+  for (int i = 0; i < 10; i++); {
+    something();
+  }
+}
+""",
+         roledge={("for", 0): ["CONDITION:i < 10", "FOR_INIT:i = 0",
+                               "FOR_UPDATE:i++", "FOR_BODY:<empty>"]},
+         ast={("<empty>", 1): []},
+         cite="c2cpg/.../passes/ast/ControlStructureTests.scala:409-416"),
+    # CS:418-425
+    dict(name="c-cs-semicolon-while", lang="c", wrap=False, code="""
+void checkSemicolon3(int a, int b) {
+  while (a < b); {
+    something();
+  }
+}
+""",
+         roledge={("while (a < b)", 0): ["CONDITION:a < b",
+                                         "TRUE_BODY:<empty>"]},
+         ast={("<empty>", 1): []},
+         cite="c2cpg/.../passes/ast/ControlStructureTests.scala:418-425"),
+    # CS:429-462 — while condition declaration: the LOCAL hoists to the
+    # method block, the condition is the bare assignment.
+    dict(name="cpp-while-decl-cond", lang="cpp", wrap=False, code="""
+void main() {
+  while (const char* c = read()) {
+    foo(c);
+  }
+}
+""",
+         cscond=[["main:WHILE", "c = read()"]],
+         locals=[["main.c", "char* c|char*"]],
+         ast={("<empty>", 0): ["char* c",
+                               "while (const char* c = read())"],
+              ("c = read()", 0): ["c", "read()"]},
+         cite="c2cpg/.../passes/ast/ControlStructureTests.scala:429-462"),
+    # CS:464-490
+    dict(name="cpp-while-int-decl-cond", lang="cpp", wrap=False, code="""
+void main() {
+  while (int n = count()) {
+    process(n);
+  }
+}
+""",
+         cscond=[["main:WHILE", "n = count()"]],
+         locals=[["main.n", "int n|int"]],
+         cite="c2cpg/.../passes/ast/ControlStructureTests.scala:464-490"),
+    # CS:492-515 — for condition declaration: the LOCAL lives under the
+    # FOR node.
+    dict(name="cpp-for-decl-cond", lang="cpp", wrap=False, code="""
+void main() {
+  for (int i = 0; char* p = getNext(); i++) {
+    process(p);
+  }
+}
+""",
+         cscond=[["main:FOR", "p = getNext()"]],
+         locals=[["main.p", "char* p|char*"],
+                 ["main.i", "int i|int"]],
+         ast={("for", 0): ["int i", "i = 0", "char* p", "p = getNext()",
+                           "i++", "<empty>"]},
+         cite="c2cpg/.../passes/ast/ControlStructureTests.scala:492-515"),
+
     # :2530-2540 — array types keep the size in members, params, locals.
     _c("c-array-type-consistency", "c", """
 struct x { char z[1]; };
