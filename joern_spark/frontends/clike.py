@@ -212,6 +212,10 @@ class CParser:
         return call
 
     def __init__(self, content: str, path: str, lang: str):
+        if lang == "cpp":
+            # C++ comparisons/logicals are bool (c2cpg; C spells int —
+            # LambdaExpressionTests "capturing this": bool() lambda)
+            self.BOOL_OP_TY = "bool"
         self.src = content
         self.path = path
         self.lang = lang  # "c" or "cpp"
@@ -2174,6 +2178,12 @@ class CParser:
                 else:
                     init = self.parse_assignment_expr()
                 self.note_init_dynamic_type(loc, init)
+                if init.kind == M.METHOD_REF and loc.type_full_name == "auto":
+                    # `auto x = [](...){...}` — the reference types the
+                    # lambda-holding local std.function
+                    # (LambdaExpressionTests "be correct when calling a
+                    # lambda": Defines.Function)
+                    loc.type_full_name = "std.function"
                 ident = N(M.IDENTIFIER, code=name, name=name, type_full_name=ty,
                           line=name_tok.line, arg_index=1)
                 ident.ref_target = loc

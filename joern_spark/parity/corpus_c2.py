@@ -337,6 +337,144 @@ void main() {
                            "i++", "<empty>"]},
          cite="c2cpg/.../passes/ast/ControlStructureTests.scala:492-515"),
 
+    # -- passes/ast/LambdaExpressionTests.scala breadth ---------------- #
+    # LE:44-54 — lambda METHOD with typed param and return.
+    dict(name="cpp-lambda-arg-method", lang="cpp", wrap=False, code="""
+class Foo {
+  public:
+    string getFromSupplier(string input, std::function<string(string)>& mapper) {
+      return mapper.apply(input);
+    }
+
+    void foo(string input, string fallback) {
+      getFromSupplier(
+        input,
+        [fallback] (string lambdaInput) -> string { return lambdaInput.length() > 5 ? "Long" : fallback; }
+      );
+    }
+}
+""",
+         methods=[["<lambda>0",
+                   "cpp-lambda-arg-method.cpp:<global>.Foo.foo.<lambda>0:string(string)"]],
+         params=[["<lambda>0.lambdaInput", "1:string:BY_VALUE"]],
+         cite="c2cpg/.../passes/ast/LambdaExpressionTests.scala:44-54"),
+    # LE:37-42 — lambdaInput refs the lambda's own parameter.
+    dict(name="cpp-lambda-arg-paramref", lang="cpp", wrap=False, code="""
+class Foo2 {
+  public:
+    void foo(string input, string fallback) {
+      getFromSupplier(
+        input,
+        [fallback] (string lambdaInput) -> string { return lambdaInput.length() > 5 ? "Long" : fallback; }
+      );
+    }
+}
+""",
+         refs={("lambdaInput", 0, "IDENTIFIER"):
+                   ["string lambdaInput&<lambda>0@0"]},
+         cite="c2cpg/.../passes/ast/LambdaExpressionTests.scala:37-42"),
+    # LE:68-89 — captured identifiers become LOCALs at the lambda body
+    # start, typed from the captured declaration.
+    dict(name="cpp-lambda-arg-capture-local", lang="cpp", wrap=False, code="""
+class Foo3 {
+  public:
+    void foo(string input, string fallback) {
+      getFromSupplier(
+        input,
+        [fallback] (string lambdaInput) -> string { return lambdaInput.length() > 5 ? "Long" : fallback; }
+      );
+    }
+}
+""",
+         locals=[["<lambda>0.fallback", "fallback|string"]],
+         ast={("lambdaInput.length() > 5 ? \"Long\" : fallback", 0):
+                  ["lambdaInput.length() > 5", "\"Long\"", "fallback"]},
+         cite="c2cpg/.../passes/ast/LambdaExpressionTests.scala:68-106"),
+    # LE:128-136 — return-type annotations: explicit, inferred, unknown,
+    # mutable variants.
+    dict(name="cpp-lambda-ret-annotations", lang="cpp", wrap=False, code="""
+void foo() {
+  auto l1 = [] () -> int { return 1; };
+  auto l2 = [] () { return 1; };
+  auto l3 = [] () -> unknown { return bar(); };
+  auto l4 = [] () mutable -> int { return 1; };
+  auto l5 = [] () mutable { return 1; };
+}
+""",
+         methods=[["<lambda>0",
+                   "cpp-lambda-ret-annotations.cpp:<global>.foo.<lambda>0:int()"],
+                  ["<lambda>1",
+                   "cpp-lambda-ret-annotations.cpp:<global>.foo.<lambda>1:int()"],
+                  ["<lambda>2",
+                   "cpp-lambda-ret-annotations.cpp:<global>.foo.<lambda>2:unknown()"],
+                  ["<lambda>3",
+                   "cpp-lambda-ret-annotations.cpp:<global>.foo.<lambda>3:int()"],
+                  ["<lambda>4",
+                   "cpp-lambda-ret-annotations.cpp:<global>.foo.<lambda>4:int()"],
+                  ["foo", "foo:void()"]],
+         cite="c2cpg/.../passes/ast/LambdaExpressionTests.scala:128-136"),
+    # LE:149-176 — a this-capturing lambda returns bool for the pointer
+    # comparison (C++ comparisons are bool).
+    dict(name="cpp-lambda-capture-this", lang="cpp", wrap=False, code="""
+class Foo {
+  public:
+    int firstDirty;
+    void foo() {
+      bar(l, [this] { return this->firstDirty == nullptr; });
+    }
+}
+""",
+         methods=[["<lambda>0",
+                   "cpp-lambda-capture-this.cpp:<global>.Foo.foo.<lambda>0:bool()"],
+                  ["foo", "Foo.foo:void()"]],
+         cite="c2cpg/.../passes/ast/LambdaExpressionTests.scala:149-176"),
+    # LE:455-493 — file-level lambdas assign METHOD_REFs with
+    # global-scoped fullnames.
+    dict(name="cpp-lambda-global", lang="cpp", wrap=False, code="""
+auto x = [] (int a, int b) -> int
+ { return a + b; };
+auto y = [] (string a, string b) -> string
+ { return a + b; };
+""",
+         methods=[["<lambda>0",
+                   "cpp-lambda-global.cpp:<global>.<lambda>0:int(int,int)"],
+                  ["<lambda>1",
+                   "cpp-lambda-global.cpp:<global>.<lambda>1:string(string,string)"],
+                  ["<global>", "cpp-lambda-global.cpp:<global>"]],
+         msig=[["<lambda>0", "int(int,int)"],
+               ["<lambda>1", "string(string,string)"]],
+         nodemfn={("<lambda>", 0):
+                      "cpp-lambda-global.cpp:<global>.<lambda>0:int(int,int)",
+                  ("<lambda>", 1):
+                      "cpp-lambda-global.cpp:<global>.<lambda>1:string(string,string)"},
+         cite="c2cpg/.../passes/ast/LambdaExpressionTests.scala:455-493"),
+    # LE:555-580 — calling lambdas: the holding local types std.function,
+    # direct invocation goes through pointerCall.
+    dict(name="cpp-lambda-calling", lang="cpp", wrap=False, code="""
+void foo() {
+auto x = [](int n) -> int
+{
+  return 32 + n;
+};
+
+constexpr int foo1 = x(10);
+constexpr int foo2 = [](int n) -> int
+{
+  return 32 + n;
+}(10);
+}
+""",
+         methods=[["<lambda>0",
+                   "cpp-lambda-calling.cpp:<global>.foo.<lambda>0:int(int)"],
+                  ["<lambda>1",
+                   "cpp-lambda-calling.cpp:<global>.foo.<lambda>1:int(int)"],
+                  ["foo", "foo:void()"]],
+         locals=[["foo.x", "auto x|std.function"],
+                 ["foo.foo1", "int foo1|int"],
+                 ["foo.foo2", "int foo2|int"]],
+         ast={("x(10)", 0): ["x", "10"]},
+         cite="c2cpg/.../passes/ast/LambdaExpressionTests.scala:555-580"),
+
     # :2530-2540 — array types keep the size in members, params, locals.
     _c("c-array-type-consistency", "c", """
 struct x { char z[1]; };
