@@ -938,6 +938,10 @@ class CParser:
                 self.next()
             return None
         full = self.qual(name) if name else name
+        if name:
+            # qualified enum types resolve in conversion operators and
+            # member declarations (ClassTypeTests "conversions": Foo.Kind)
+            self.declared_types.setdefault(name, full)
         decl = N(M.TYPE_DECL, code=f"enum{kw2} {name}".rstrip(), name=name,
                  full_name=full, line=t.line,
                  ast_parent_type=M.NAMESPACE_BLOCK,
@@ -1200,10 +1204,12 @@ class CParser:
                 self.expect(")")
                 sym = "()"
             name = sym
-            if sym and sym[0].isalpha():
+            if sym and sym[0].isalpha() and sym not in ("new", "delete"):
                 # conversion operator `operator Kind() const` — the return
                 # type is the (qualified) target type (ClassTypeTests
-                # "fullnames in classes with conversions": Foo.Kind)
+                # "fullnames in classes with conversions": Foo.Kind);
+                # `operator new`/`operator delete` keep the declared
+                # return type ("operator definitions": Foo.delete:void(..))
                 ty = self.declared_types.get(sym, sym)
         if self.at("("):
             return self.parse_function_rest(ty, name, start, class_full,

@@ -475,6 +475,99 @@ constexpr int foo2 = [](int n) -> int
          ast={("x(10)", 0): ["x", "10"]},
          cite="c2cpg/.../passes/ast/LambdaExpressionTests.scala:555-580"),
 
+    # -- passes/types/ClassTypeTests.scala breadth --------------------- #
+    # CT:21-25 + :45-48 — member TYPE.
+    dict(name="cpp-classtype-member", lang="cpp", wrap=False, code="""
+class Foo {
+  member_type x;
+};
+
+ret_type myFunc(param_type param) {
+  local_type y;
+}""",
+         members=[["Foo.x", "member_type"]],
+         membercode=[["Foo.x", "x"]],
+         cite="c2cpg/.../passes/types/ClassTypeTests.scala:21-25,45-48"),
+    # CT:27-31 + :50-53 — return TYPE.
+    dict(name="cpp-classtype-ret", lang="cpp", wrap=False, code="""
+class Foo2 {
+  member_type x;
+};
+
+ret_type myFunc(param_type param) {
+  local_type y;
+}""",
+         nodetype={("RET", 0, "METHOD_RETURN"): "ret_type"},
+         cite="c2cpg/.../passes/types/ClassTypeTests.scala:27-31,50-53"),
+    # CT:33-37 + :55-58 — parameter TYPE.
+    dict(name="cpp-classtype-param", lang="cpp", wrap=False, code="""
+class Foo3 {
+  member_type x;
+};
+
+ret_type myFunc(param_type param) {
+  local_type y;
+}""",
+         params=[["myFunc.param", "1:param_type:BY_VALUE"]],
+         cite="c2cpg/.../passes/types/ClassTypeTests.scala:33-37,55-58"),
+    # CT:39-43 + :60-63 — local TYPE.
+    dict(name="cpp-classtype-local", lang="cpp", wrap=False, code="""
+class Foo4 {
+  member_type x;
+};
+
+ret_type myFunc(param_type param) {
+  local_type y;
+}""",
+         locals=[["myFunc.y", "local_type y|local_type"]],
+         cite="c2cpg/.../passes/types/ClassTypeTests.scala:39-43,60-63"),
+    # CT:165-190 — ctor signature resolves qualified reference parameter
+    # types; the implicit this is FooT* at index 0.
+    dict(name="cpp-class-ctor-types", lang="cpp", wrap=False, code="""
+class FooT : public Foo {
+  public:
+    FooT(
+      const std::string& a,
+      const Bar::SomeClass& b
+    ): Bar::Foo(a, b) {}
+}""",
+         methods=[["FooT",
+                   "FooT.FooT:void(std.string&,Bar.SomeClass&)"]],
+         msig=[["FooT", "void(std.string&,Bar.SomeClass&)"]],
+         params=[["FooT.this", "0:FooT*:BY_SHARING"],
+                 ["FooT.a", "1:std.string&:BY_VALUE"],
+                 ["FooT.b", "2:Bar.SomeClass&:BY_VALUE"]],
+         cite="c2cpg/.../passes/types/ClassTypeTests.scala:165-190"),
+    # CT:192-216 — operator overload fullnames use the bare symbols;
+    # `operator delete` keeps the declared void return.
+    dict(name="cpp-operator-defs", lang="cpp", wrap=False, code="""
+class Foo {
+  public:
+    void operator delete (void *d) { free(d); }
+    bool operator == (const Foo &lhs, const Foo &rhs) { return false; }
+    Foo &Foo::operator + (const Foo &lhs, const Foo &rhs) { return null; }
+    Foo &Foo::operator() (const Foo &a) { return null; }
+    Foo &Foo::operator[] (int index) { return null; }
+}
+Foo &Foo::operator + (const Foo &lhs, const Foo &rhs)
+""",
+         methods=[["delete", "Foo.delete:void(void*)"],
+                  ["==", "Foo.==:bool(Foo&,Foo&)"],
+                  ["+", "Foo.+:Foo&(Foo&,Foo&)"],
+                  ["()", "Foo.():Foo&(Foo&)"],
+                  ["[]", "Foo.[]:Foo&(int)"]],
+         cite="c2cpg/.../passes/types/ClassTypeTests.scala:192-216"),
+    # CT:218-230 — conversion operators adopt the qualified target type.
+    dict(name="cpp-operator-conversion", lang="cpp", wrap=False, code="""
+class Foo {
+  enum Kind { A, B, C } kind;
+ public:
+   operator Kind() const { return kind; }
+};
+""",
+         methods=[["Kind", "Foo.Kind:Foo.Kind()<const>"]],
+         cite="c2cpg/.../passes/types/ClassTypeTests.scala:218-230"),
+
     # :2530-2540 — array types keep the size in members, params, locals.
     _c("c-array-type-consistency", "c", """
 struct x { char z[1]; };
