@@ -40,7 +40,8 @@ KEYWORDS = frozenset(
 
 TYPE_KEYWORDS = frozenset(
     """void char short int long float double signed unsigned bool auto
-    const volatile struct union enum class typename constexpr""".split()
+    const volatile struct union enum class typename constexpr
+    static extern register inline""".split()
 )
 
 _TOKEN_RE = re.compile(
@@ -438,6 +439,10 @@ class CParser:
             # `&&` (rvalue ref) lexes as one token (AstCreationPassTests
             # "pack expansion with dereferences": Args&&)
             ptr += self.next().v
+        # `volatile` survives into the type spelling ("volatile int**",
+        # TypeNodePassTests "be correct for volatile types"); const/static
+        # and the other storage classes drop
+        saw_volatile = "volatile" in parts
         core = [p for p in parts if p not in ("const", "volatile", "static", "inline", "extern", "register", "constexpr")]
         # CDT-style size-specifier normalization (MethodTests.scala:
         # "long int"->"long", "long long int"->"longlong", "short int"->
@@ -451,6 +456,8 @@ class CParser:
                   "double", "float") for w in core) and len(core) > 1
             else " ".join(core))
         base = self.declared_types.get(base, base)
+        if saw_volatile and base:
+            base = f"volatile {base}"
         return (base + ptr) if base else ("ANY" + ptr)
 
     # ---------------- entry ----------------
@@ -714,17 +721,43 @@ class CParser:
             return out
         ty = self.parse_type()
         name = ""
+        amp_in_parens = False
+        arr = ""
         while self.peek() is not None and not self.at(";"):
             tk = self.next()
             if tk.t == "id":
                 name = tk.v
+            elif tk.v == "&":
+                amp_in_parens = True
+            elif tk.v == "[":
+                inner: list[str] = []
+                while self.peek() is not None and not self.at("]"):
+                    inner.append(self.next().v)
+                if self.at("]"):
+                    self.next()
+                arr = "[" + "".join(inner) + "]"
         if self.at(";"):
             self.next()
         if not name:
             return None
         self.typedefs.add(name)
+        # transitive alias resolution (`typedef foo * bar` -> char** when
+        # foo aliases char*) and reference-to-array spellings
+        # (`typedef const char (&TwoChars)[2]` -> "char(&)[2]"),
+        # TypeNodePassTests :13-34
+        stars = len(ty) - len(ty.rstrip("*"))
+        base = ty.rstrip("*")
+        if not hasattr(self, "typedef_aliases"):
+            self.typedef_aliases = {}
+        alias = self.typedef_aliases.get(base, base) + "*" * stars
+        if amp_in_parens and arr:
+            alias = f"{alias}(&){arr}"
+        elif arr:
+            alias += arr
+        self.typedef_aliases[name] = alias
         return N(M.TYPE_DECL, code=self.slice(start, self.toks[self.pos - 1]),
-                 name=name, full_name=self.qual(name), alias_type_full_name=ty,
+                 name=name, full_name=self.qual(name),
+                 alias_type_full_name=alias,
                  line=start.line, ast_parent_type=M.NAMESPACE_BLOCK,
                  ast_parent_full_name=self.global_block)
 
@@ -1645,6 +1678,8 @@ class CParser:
         # declaration? (STMT_TYPE_KEYWORDS is per-language: Java adds
         # boolean/byte, which are not C type keywords)
         if (t.t == "kw" and t.v in self.STMT_TYPE_KEYWORDS) \
+                or (t.t == "kw" and t.v == "static"
+                    and self.lang in ("c", "cpp")) \
                 or (t.t == "id" and self.looks_like_type()):
             save = self.pos
             decl = self.try_parse_declaration()

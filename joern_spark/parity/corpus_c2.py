@@ -568,6 +568,121 @@ class Foo {
          methods=[["Kind", "Foo.Kind:Foo.Kind()<const>"]],
          cite="c2cpg/.../passes/types/ClassTypeTests.scala:218-230"),
 
+    # -- passes/types/TypeNodePassTests.scala ------------------------- #
+    # TN:13-22 — typedef aliases resolve transitively (foo* -> char**).
+    dict(name="c-typedef-toplevel", lang="c", wrap=False, code="""
+typedef const char * foo;
+typedef foo * bar;
+""",
+         tdalias=[["foo", "char*"], ["bar", "char**"]],
+         cite="c2cpg/.../passes/types/TypeNodePassTests.scala:13-22"),
+    # TN:24-34 — reference-to-array typedef keeps the `char(&)[2]` form.
+    dict(name="cpp-typedef-ref-array", lang="cpp", wrap=False, code="""
+typedef const char (&TwoChars)[2];
+""",
+         tdalias=[["TwoChars", "char(&)[2]"]],
+         cite="c2cpg/.../passes/types/TypeNodePassTests.scala:24-34"),
+    # TN:49-70 — static storage class drops from the local type; no stray
+    # nodes in the block.
+    dict(name="c-static-decl", lang="c", wrap=False, code="""
+void method() {
+  static int local = 1;
+}
+""",
+         locals=[["method.local", "int local|int"]],
+         ast={("<empty>", 0): ["int local", "local = 1"],
+              ("local = 1", 0): ["local", "1"]},
+         nodetype={("local", 0, "IDENTIFIER"): "int",
+                   ("1", 0, "LITERAL"): "int"},
+         cite="c2cpg/.../passes/types/TypeNodePassTests.scala:49-70"),
+    # TN:72-93
+    dict(name="c-const-decl", lang="c", wrap=False, code="""
+void method() {
+  const int local = 1;
+}
+""",
+         locals=[["method.local", "int local|int"]],
+         ast={("<empty>", 0): ["int local", "local = 1"],
+              ("local = 1", 0): ["local", "1"]},
+         cite="c2cpg/.../passes/types/TypeNodePassTests.scala:72-93"),
+    # TN:95-116
+    dict(name="c-static-const-decl", lang="c", wrap=False, code="""
+void method() {
+  static const int local = 1;
+}
+""",
+         locals=[["method.local", "int local|int"]],
+         ast={("<empty>", 0): ["int local", "local = 1"],
+              ("local = 1", 0): ["local", "1"]},
+         cite="c2cpg/.../passes/types/TypeNodePassTests.scala:95-116"),
+    # TN:126-140 — sized array local type.
+    dict(name="c-local-array-1024", lang="c", wrap=False, code="""
+int main() {
+  char test[1024];
+}""",
+         locals=[["main.test", "char test[1024]|char[1024]"]],
+         cite="c2cpg/.../passes/types/TypeNodePassTests.scala:126-140"),
+    # TN:142-179 — struct pointer locals spell `test*`.
+    dict(name="c-struct-ptr-types", lang="c", wrap=False, code="""
+struct test {
+  int a;
+};
+
+void free_struct() {
+  struct test *ptr;
+  ptr = kzalloc(sizeof(struct test), GFP_KERNEL);
+  free(ptr);
+}
+""",
+         locals=[["free_struct.ptr", "test* ptr|test*"]],
+         nodetype={("ptr", 0, "IDENTIFIER"): "test*",
+                   ("ptr", 1, "IDENTIFIER"): "test*"},
+         cite="c2cpg/.../passes/types/TypeNodePassTests.scala:142-179"),
+    # TN:181-191 — array argument eval type.
+    dict(name="c-memcpy-array-type", lang="c", wrap=False, code="""
+void bad1(size_t a) {
+  uint8_t src[1], dst[1];
+  memcpy(dst, src, a);
+}
+""",
+         locals=[["bad1.src", "uint8_t src[1]|uint8_t[1]"],
+                 ["bad1.dst", "uint8_t src[1], dst[1]|uint8_t[1]"]],
+         nodetype={("dst", 0, "IDENTIFIER"): "uint8_t[1]",
+                   ("src", 0, "IDENTIFIER"): "uint8_t[1]"},
+         cite="c2cpg/.../passes/types/TypeNodePassTests.scala:181-191"),
+    # TN:208-228 — identifier types through malloc'd pointers.
+    dict(name="c-identifier-types", lang="c", wrap=False, code="""
+void test_func() {
+  char * badChar = malloc(0x100);
+  free(badChar);
+  return;
+}""",
+         locals=[["test_func.badChar", "char* badChar|char*"]],
+         nodetype={("badChar", 0, "IDENTIFIER"): "char*",
+                   ("badChar", 1, "IDENTIFIER"): "char*"},
+         cite="c2cpg/.../passes/types/TypeNodePassTests.scala:208-228"),
+    # TN:230-248 — volatile survives into the type; const/static drop.
+    dict(name="c-volatile-types", lang="c", wrap=False, code="""
+void func(void) {
+  static volatile int **ipp;
+  static int *ip;
+  static volatile int i = 0;
+
+  ipp = &ip;
+  ipp = (int**) &ip;
+  *ipp = &i;
+  if (*ip != 0) {}
+}""",
+         locals=[["func.ipp", "volatile int** ipp|volatile int**"],
+                 ["func.ip", "int* ip|int*"],
+                 ["func.i", "volatile int i|volatile int"]],
+         nodetype={("ipp", 0, "IDENTIFIER"): "volatile int**",
+                   ("ipp", 1, "IDENTIFIER"): "volatile int**",
+                   ("ip", 0, "IDENTIFIER"): "int*",
+                   ("i", 0, "IDENTIFIER"): "volatile int",
+                   ("i", 1, "IDENTIFIER"): "volatile int"},
+         cite="c2cpg/.../passes/types/TypeNodePassTests.scala:230-248"),
+
     # :2530-2540 — array types keep the size in members, params, locals.
     _c("c-array-type-consistency", "c", """
 struct x { char z[1]; };
