@@ -526,6 +526,8 @@ class CParser:
         return roots
 
     def parse_top_level(self):
+        if self.lang == "cpp":
+            self.skip_cpp_attributes()
         t = self.peek()
         if t is None:
             return None
@@ -590,8 +592,19 @@ class CParser:
             if self.at(";"):
                 self.next()
             return None
-        if t.v in ("struct", "class", "union") and self.peek(1) is not None and self.peek(1).t == "id" \
-                and self.peek(2) is not None and self.peek(2).v in ("{", ":"):
+        k = 1
+        if self.lang == "cpp" and t.v in ("struct", "class", "union"):
+            # look past `[[nodiscard]]`-style attributes after the keyword
+            while self.at("[", k) and self.at("[", k + 1):
+                depth = 0
+                while self.peek(k) is not None:
+                    v = self.peek(k).v
+                    k += 1
+                    depth += (v == "[") - (v == "]")
+                    if depth == 0:
+                        break
+        if t.v in ("struct", "class", "union") and self.peek(k) is not None and self.peek(k).t == "id" \
+                and self.peek(k + 1) is not None and self.peek(k + 1).v in ("{", ":"):
             return self.parse_class()
         if t.v == "enum":
             return self.parse_enum(t)
@@ -625,6 +638,27 @@ class CParser:
         # Q -> "Test0.cpp:Q", V -> "Test0.cpp:Q.V")
         segs: list[str] = []
         if self.peek() and self.peek().t == "id":
+            if self.at("=", 1):
+                # namespace alias `namespace B = A;` — qualified reads
+                # through B resolve against A (Cpp17FeaturesTests
+                # "namespace alias")
+                alias = self.next().v
+                self.next()
+                parts = [self.next().v] if self.peek() is not None \
+                    and self.peek().t == "id" else []
+                while self.at("::") and self.peek(1) is not None \
+                        and self.peek(1).t == "id":
+                    self.next()
+                    parts.append(self.next().v)
+                if self.at(";"):
+                    self.next()
+                if parts:
+                    target = ".".join(parts)
+                    self.declared_types.setdefault(alias, target)
+                    if not hasattr(self, "ns_aliases"):
+                        self.ns_aliases = {}
+                    self.ns_aliases[alias] = target
+                return None
             segs.append(self.next().v)
             while self.at("::") and self.peek(1) is not None \
                     and self.peek(1).t == "id":
@@ -1090,6 +1124,8 @@ class CParser:
     # ---------------- class / struct ----------------
     def parse_class(self, nested_in: str | None = None) -> N:
         kw = self.next()  # struct/class/union
+        if self.lang == "cpp":
+            self.skip_cpp_attributes()
         name_tok = self.next()
         name = name_tok.v
         full = self.qual(name)
@@ -1327,6 +1363,37 @@ class CParser:
         finally:
             for _ in range(pushed):
                 self.ns.pop()
+        if not pushed and self.at("{") and self.lang == "cpp":
+            # global brace-init declaration `byte b {0};` / `auto x2 {3};`
+            # — the LOCAL types from the declared type, or from a single
+            # brace literal under `auto` (Cpp17FeaturesTests "auto
+            # deduction from braced-init-list": x2 int, x3 double,
+            # multi-element stays ANY)
+            init = self._parse_brace_init(self.next())
+            if self.at(";"):
+                self.next()
+            lty = ty
+            if ty == "auto":
+                elems = [c for c in init.children]
+                if len(elems) == 1 and elems[0].kind == M.LITERAL \
+                        and elems[0].type_full_name:
+                    lty = elems[0].type_full_name
+                else:
+                    lty = M.ANY
+            loc = N(M.LOCAL, code=f"{ty} {name}", name=name,
+                    type_full_name=lty, line=start.line)
+            self.declare(name, loc)
+            ident = N(M.IDENTIFIER, code=name, name=name,
+                      type_full_name=lty, line=start.line, arg_index=1)
+            ident.ref_target = loc
+            init.arg_index = 2
+            asg = N(M.CALL, code=f"{name} = {init.code}",
+                    name=M.OP_ASSIGNMENT, method_full_name=M.OP_ASSIGNMENT,
+                    dispatch_type=M.STATIC_DISPATCH, type_full_name=lty,
+                    line=start.line)
+            asg.add(ident, init)
+            self.global_stmts.extend([loc, asg])
+            return None
         # global variable declaration: LOCAL (+ assignment) statements in
         # the file's `<global>` method (c2cpg global handling;
         # DataFlowTest81 flows from top-level initializers)
@@ -1341,7 +1408,21 @@ class CParser:
                 if self.at("="):
                     self.next()
                     try:
-                        init = self.parse_assignment_expr()
+                        if self.at("{"):
+                            init = self._parse_brace_init(self.next())
+                            if ty == "auto":
+                                # `auto x1 = {1, 2, 3}` deduces ANY; a
+                                # single literal deduces its type
+                                # (Cpp17FeaturesTests "auto deduction from
+                                # braced-init-list")
+                                elems = init.children
+                                loc.type_full_name = (
+                                    elems[0].type_full_name
+                                    if len(elems) == 1
+                                    and elems[0].kind == M.LITERAL
+                                    and elems[0].type_full_name else M.ANY)
+                        else:
+                            init = self.parse_assignment_expr()
                     except ParseError:
                         self.skip_to_semicolon()
                         self.global_stmts.extend(decls)
@@ -1398,6 +1479,8 @@ class CParser:
         # (type, name, variadic, raw code)
         params: list[tuple[str, str, bool, str]] = []
         while not self.at(")"):
+            if self.lang == "cpp":
+                self.skip_cpp_attributes()
             if self.at("..."):
                 self.next()
                 # the ellipsis parameter: named `<param>{i}`, typed like the
@@ -1494,13 +1577,29 @@ class CParser:
         if self.at("->"):  # trailing return type
             self.next()
             ret_ty = self.parse_type()
+        ctor_inits = None
         if self.at(":") and self.lang == "cpp":
-            # constructor member-initializer list — skip to the body
-            while self.peek() is not None and not self.at_any(("{", ";")):
+            # constructor member-initializer list — remember the token
+            # range; the inits parse AFTER the parameter scope exists so
+            # `i(i)` refs the param (Cpp17FeaturesTests "member
+            # initializer lists")
+            self.next()
+            init_start = self.pos
+            prev_was_id = False
+            while self.peek() is not None and not self.at(";"):
                 if self.at("("):
                     self.skip_balanced("(", ")")
+                    prev_was_id = False
                     continue
+                if self.at("{"):
+                    if prev_was_id:  # brace init `b{i}`, not the body
+                        self.skip_balanced("{", "}")
+                        prev_was_id = False
+                        continue
+                    break
+                prev_was_id = self.peek().t == "id"
                 self.next()
+            ctor_inits = (init_start, self.pos)
         # implicit receiver for C++ non-static member functions (typed
         # `Class*`, MethodTests.scala "implicit member access")
         this_ty = None
@@ -1523,11 +1622,12 @@ class CParser:
             return None
         return self._make_method(ret_ty, name, start, class_full, params,
                                  body="parse", const_method=const_method,
-                                 this_type=this_ty)
+                                 this_type=this_ty, ctor_inits=ctor_inits)
 
     def _make_method(self, ret_ty: str, name: str, start: Tok,
                      class_full: str | None, params, body,
-                     const_method: bool = False, this_type: str | None = None):
+                     const_method: bool = False, this_type: str | None = None,
+                     ctor_inits: "tuple[int, int] | None" = None):
         # ellipsis params spell `...` in the signature (int(char*,...));
         # named parameter packs keep their type (void(int,int*))
         sig_params = ",".join(
@@ -1592,6 +1692,12 @@ class CParser:
                 blk = self.parse_compound()
             finally:
                 self.cpp_method_stack.pop()
+            if ctor_inits is not None:
+                # member initializers lower to `this->x = <expr>`
+                # assignments at the ctor body front; they parse here so
+                # the parameter scope shadows same-named members
+                # (Cpp17FeaturesTests "member initializer lists")
+                blk.children[:0] = self._parse_ctor_init_list(*ctor_inits)
             method.add(blk)
             method.line_end = blk.line_end
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=ret_ty,
@@ -1611,7 +1717,87 @@ class CParser:
         self.pop_scope()
         return block
 
+    def _parse_ctor_init_list(self, start_pos: int, end_pos: int) -> list:
+        """Parse the remembered `: r(a), b{i}, ...` token range into
+        `this->x = <expr>` assignments. Qualified entries (`Bar::Foo(a,b)`
+        base-class inits) are skipped. Runs inside the ctor's parameter
+        scope; the position restores afterwards."""
+        save = self.pos
+        self.pos = start_pos
+        out: list[N] = []
+        try:
+            while self.pos < end_pos and self.peek() is not None:
+                if self.at(","):
+                    self.next()
+                    continue
+                if self.peek().t != "id":
+                    self.next()
+                    continue
+                name_tok = self.next()
+                if self.at("::"):  # base-class initializer — skip
+                    while self.pos < end_pos and not self.at_any((",",)):
+                        if self.at("("):
+                            self.skip_balanced("(", ")")
+                        elif self.at("{"):
+                            self.skip_balanced("{", "}")
+                        else:
+                            self.next()
+                    continue
+                opener = self.peek().v if self.peek() is not None else ""
+                if opener not in ("(", "{"):
+                    continue
+                self.next()
+                closer = ")" if opener == "(" else "}"
+                if self.at(closer):
+                    self.next()
+                    rhs = N(M.BLOCK, code="{}", line=name_tok.line)
+                    rhs_code = "{}"
+                else:
+                    rhs = self.parse_expression()
+                    if self.at(closer):
+                        self.next()
+                    rhs_code = rhs.code
+                fname = name_tok.v
+                this_id = N(M.IDENTIFIER, code="this", name="this",
+                            line=name_tok.line, arg_index=1)
+                fld = N(M.FIELD_IDENTIFIER, code=fname, name=fname,
+                        canonical_name=fname, line=name_tok.line,
+                        arg_index=2)
+                fa = N(M.CALL, code=f"this->{fname}",
+                       name=M.OP_INDIRECT_FIELD_ACCESS,
+                       method_full_name=M.OP_INDIRECT_FIELD_ACCESS,
+                       dispatch_type=M.STATIC_DISPATCH, line=name_tok.line,
+                       arg_index=1)
+                fa.add(this_id, fld)
+                rhs.arg_index = 2
+                asg = N(M.CALL, code=f"this->{fname} = {rhs_code}",
+                        name=M.OP_ASSIGNMENT,
+                        method_full_name=M.OP_ASSIGNMENT,
+                        dispatch_type=M.STATIC_DISPATCH,
+                        line=name_tok.line)
+                asg.add(fa, rhs)
+                out.append(asg)
+        except ParseError:
+            pass
+        self.pos = save
+        return out
+
+    def skip_cpp_attributes(self) -> None:
+        """`[[fallthrough]]`, `[[nodiscard]]`, `[[maybe_unused]]` ... —
+        C++11 attributes are no-ops in the graph (Cpp17FeaturesTests
+        "fallthrough, nodiscard, maybe_unused attributes")."""
+        while self.at("[") and self.at("[", 1):
+            self.skip_balanced("[", "]")
+            if self.at(";"):
+                self.next()
+
     def parse_statement(self) -> list[N]:
+        if self.lang == "cpp" and self.at("[") and self.at("[", 1):
+            self.skip_cpp_attributes()
+            # `[[fallthrough]];` directly before the next case label —
+            # hand control back to the switch-body loop
+            if self.at_any(("case", "default", "}")):
+                return []
         t = self.peek()
         if t is None:
             return []

@@ -683,6 +683,101 @@ void func(void) {
                    ("i", 1, "IDENTIFIER"): "volatile int"},
          cite="c2cpg/.../passes/types/TypeNodePassTests.scala:230-248"),
 
+    # -- passes/ast/Cpp17FeaturesTests.scala breadth ------------------- #
+    # C17:14-36 — member initializer lists lower to `this->x = <expr>`
+    # assignments; the param shadows the same-named member (`i(i)`).
+    dict(name="cpp17-member-init-list", lang="cpp", wrap=False, code="""
+class X
+{
+    int a, b, i, j;
+public:
+    const int& r;
+    X(int i)
+      : r(a)
+      , b{i}
+      , i(i)
+      , j(this->i)
+    {}
+};
+""",
+         ast={("<empty>", 0): ["this->r = this->a", "this->b = i",
+                               "this->i = i", "this->j = this->i"],
+              ("this->r = this->a", 0): ["this->r", "this->a"],
+              ("this->b = i", 0): ["this->b", "i"],
+              ("this->i = i", 0): ["this->i", "i"],
+              ("this->j = this->i", 0): ["this->j", "this->i"]},
+         callmfn=[["<operator>.assignment", "<operator>.assignment"],
+                  ["<operator>.indirectFieldAccess",
+                   "<operator>.indirectFieldAccess"]],
+         cite="c2cpg/.../passes/ast/Cpp17FeaturesTests.scala:14-36"),
+    # C17:178-196 — auto deduction from braced-init-lists.
+    dict(name="cpp17-auto-braced", lang="cpp", wrap=False, code="""
+auto x1 = {1, 2, 3};
+auto x2 {3};
+auto x3 {3.0};
+""",
+         locals=[["<global>.x1", "auto x1|ANY"],
+                 ["<global>.x2", "auto x2|int"],
+                 ["<global>.x3", "auto x3|double"]],
+         cite="c2cpg/.../passes/ast/Cpp17FeaturesTests.scala:178-196"),
+    # C17:598-608 — direct list initialization of enums.
+    dict(name="cpp17-enum-list-init", lang="cpp", wrap=False, code="""
+enum byte : unsigned char {};
+byte b {0};
+byte d = byte{1};
+""",
+         locals=[["<global>.b", "byte b|byte"],
+                 ["<global>.d", "byte d|byte"]],
+         nodetype={("b", 0, "IDENTIFIER"): "byte",
+                   ("d", 0, "IDENTIFIER"): "byte"},
+         cite="c2cpg/.../passes/ast/Cpp17FeaturesTests.scala:598-608"),
+    # C17:610-652 — [[fallthrough]]/[[nodiscard]]/[[maybe_unused]]
+    # attributes are transparent: methods/params/jump targets survive.
+    dict(name="cpp17-attrs", lang="cpp", wrap=False, code="""
+void foo() {
+  switch (n) {
+    case 1:
+      [[fallthrough]];
+    case 2:
+      break;
+    case 3:
+      [[fallthrough]];
+    default:
+      ;
+  }
+}
+
+[[nodiscard]] bool do_something() {
+  return is_success;
+}
+struct [[nodiscard]] error_info {
+};
+
+void my_callback(std::string msg, [[maybe_unused]] bool error) {
+  log(msg);
+}
+""",
+         methods=[["foo", "foo:void()"],
+                  ["do_something", "do_something:bool()"],
+                  ["my_callback", "my_callback:void(std.string,bool)"]],
+         params=[["my_callback.msg", "1:std.string:BY_VALUE"],
+                 ["my_callback.error", "2:bool:BY_VALUE"]],
+         ast={("<empty>", 1): ["case 1:", "1", "case 2:", "2", "break;",
+                               "case 3:", "3", "default:"]},
+         cite="c2cpg/.../passes/ast/Cpp17FeaturesTests.scala:610-652"),
+    # C17:298-309 — namespace aliases parse; the aliased class keeps its
+    # canonical fullname.
+    dict(name="cpp17-ns-alias", lang="cpp", wrap=False, code="""
+namespace A {
+  class Foo {};
+}
+
+namespace B = A;
+auto f = B::Foo();
+""",
+         tdowner=[["Foo", "cpp17-ns-alias.cpp:<global>"]],
+         cite="c2cpg/.../passes/ast/Cpp17FeaturesTests.scala:298-309"),
+
     # :2530-2540 — array types keep the size in members, params, locals.
     _c("c-array-type-consistency", "c", """
 struct x { char z[1]; };
