@@ -3036,12 +3036,19 @@ class CParser:
             # inferred return type from a literal/typed return expression
             # (LambdaExpressionTests "different return type annotations":
             # `[] () { return 1; }` -> int())
+            has_value_return = False
             for st_node in blk.children:
                 if st_node.kind == M.RETURN and st_node.children:
+                    has_value_return = True
                     t0 = st_node.children[0].type_full_name
                     if t0 and t0 != M.ANY:
                         ret_ty = t0
                         break
+            if ret_ty == M.ANY and not has_value_return:
+                # no value-returning statement: the lambda is void
+                # (CallTests "call on lambda function without explicit
+                # return type": <operator>():void(int))
+                ret_ty = "void"
             sig = f"{ret_ty}({','.join(p[0] for p in params)})"
             full = f"{encl}.{lam}:{sig}"
             method.full_name = full
@@ -3491,13 +3498,28 @@ class CParser:
             # AstCreationPassTests "indirection on call")
             callee.role = M.ROLE_RECEIVER
             callee.arg_index = 0
-            if self.lang in ("c", "cpp"):
+            ret_ty = None
+            if callee.kind == M.METHOD_REF and self.lang == "cpp" \
+                    and ":" in (callee.method_full_name or ""):
+                # direct lambda invocation `[](int a) -> int {...}(1)` —
+                # the reference binds through `<operator>()` with the
+                # lambda's signature (CallTests "call on lambda function
+                # with explicit return type")
+                sig = callee.method_full_name.split(":")[-1]
+                nm = "<operator>()"
+                mfn = f"<operator>():{sig}"
+                ret_ty = sig.split("(", 1)[0]
+                callee.arg_index = -1
+            elif self.lang in ("c", "cpp"):
                 nm = mfn = M.OP_POINTER_CALL
             else:
                 nm, mfn = callee.code, M.UNKNOWN_FULL_NAME
             call = N(M.CALL, code=self.slice(start, close), name=nm,
                      method_full_name=mfn,
-                     dispatch_type=M.DYNAMIC_DISPATCH, line=start.line)
+                     dispatch_type=M.DYNAMIC_DISPATCH, line=start.line,
+                     type_full_name=ret_ty,
+                     signature=(mfn.split(":", 1)[1]
+                                if nm == "<operator>()" else None))
             call.add(callee)
         for i, a in enumerate(args, start=1):
             a.arg_index = i

@@ -778,6 +778,108 @@ auto f = B::Foo();
          tdowner=[["Foo", "cpp17-ns-alias.cpp:<global>"]],
          cite="c2cpg/.../passes/ast/Cpp17FeaturesTests.scala:298-309"),
 
+]
+
+# -- passes/ast/CallTests.scala breadth -------------------------------- #
+_CT_ADD = """
+int add(int x, int y) {
+  return x + y;
+}
+int main(int argc, char **argv) {
+  printf("%d\\n", add((1+2), 3));
+}
+"""
+
+CASES += [
+    # CAT:24-35 — the add call keeps code/name; C fullname is the bare name.
+    dict(name="c-call-add-fields", lang="c", wrap=False, code=_CT_ADD,
+         callmfn=[["add", "add"], ["printf", "printf"],
+                  ["<operator>.addition", "<operator>.addition"]],
+         cite="c2cpg/.../passes/ast/CallTests.scala:24-35"),
+    # CAT:37-53 — argument shapes: (1+2) addition + literal 3.
+    dict(name="c-call-add-args", lang="c", wrap=False, code=_CT_ADD,
+         ast={("add((1+2), 3)", 0): ["1+2", "3"],
+              ("1+2", 0): ["1", "2"]},
+         cite="c2cpg/.../passes/ast/CallTests.scala:37-53"),
+    # CAT:55-63 — call-to-method / call-to-callee traversals.
+    dict(name="c-call-add-traversals", lang="c", wrap=False, code=_CT_ADD,
+         calls=[["main", "add"], ["main", "printf"]],
+         cite="c2cpg/.../passes/ast/CallTests.scala:55-63"),
+    # CAT:207-238 — non-virtual member call: resolved mfn, receiver `a`.
+    dict(name="cpp-call-nonvirtual", lang="cpp", wrap=False, code="""
+namespace NNN {
+  class A {
+    public:
+      void foo(int a){}
+  };
+}
+
+void outer() {
+  NNN::A a;
+  a.foo(1);
+}
+""",
+         callmfn=[["foo", "NNN.A.foo:void(int)"]],
+         ast={("a.foo(1)", 0): ["a", "1"]},
+         cite="c2cpg/.../passes/ast/CallTests.scala:207-238"),
+    # CAT:240-272 — virtual member call resolves identically.
+    dict(name="cpp-call-virtual", lang="cpp", wrap=False, code="""
+namespace NNN {
+  class A {
+    public:
+      virtual void foo(int a){}
+  };
+}
+
+void outer() {
+  NNN::A a;
+  a.foo(1);
+}
+""",
+         callmfn=[["foo", "NNN.A.foo:void(int)"]],
+         cite="c2cpg/.../passes/ast/CallTests.scala:240-272"),
+    # CAT:300-323 — direct lambda invocation binds `<operator>()` with the
+    # lambda's signature.
+    dict(name="cpp-call-lambda-explicit", lang="cpp", wrap=False, code="""
+void outer() {
+  [](int a) -> int { return a; }(1);
+}
+""",
+         callmfn=[["<operator>()", "<operator>():int(int)"]],
+         ast={("[](int a) -> int { return a; }(1)", 0):
+                  ["<lambda>", "1"]},
+         cite="c2cpg/.../passes/ast/CallTests.scala:300-323"),
+    # CAT:325-348 — inferred-return lambda invocation.
+    dict(name="cpp-call-lambda-inferred", lang="cpp", wrap=False, code="""
+void outer() {
+  [](int a) {}(1);
+}
+""",
+         callmfn=[["<operator>()", "<operator>():void(int)"]],
+         cite="c2cpg/.../passes/ast/CallTests.scala:325-348"),
+    # CAT:448-469 — C standalone call keeps the bare-name fullname.
+    dict(name="c-call-standalone", lang="c", wrap=False, code="""
+void foo(int) {}
+void outer() {
+  foo(1);
+}
+""",
+         callmfn=[["foo", "foo"]],
+         ast={("foo(1)", 0): ["1"]},
+         cite="c2cpg/.../passes/ast/CallTests.scala:448-469"),
+    # CAT:471-498 — extern "C" functions keep C naming in C++ units.
+    dict(name="cpp-call-externc", lang="cpp", wrap=False, code="""
+extern "C" {
+  void foo(int a){}
+}
+
+void outer() {
+  foo(1);
+}
+""",
+         callmfn=[["foo", "foo"]],
+         cite="c2cpg/.../passes/ast/CallTests.scala:471-498"),
+
     # :2530-2540 — array types keep the size in members, params, locals.
     _c("c-array-type-consistency", "c", """
 struct x { char z[1]; };
