@@ -35,13 +35,14 @@ KEYWORDS = frozenset(
     static struct switch typedef union unsigned void volatile while
     class namespace template typename public private protected virtual
     override final new delete try catch throw operator this nullptr bool
-    true false using friend explicit constexpr mutable""".split()
+    true false using friend explicit constexpr mutable
+    consteval constinit""".split()
 )
 
 TYPE_KEYWORDS = frozenset(
     """void char short int long float double signed unsigned bool auto
     const volatile struct union enum class typename constexpr
-    static extern register inline""".split()
+    static extern register inline consteval constinit""".split()
 )
 
 _TOKEN_RE = re.compile(
@@ -417,7 +418,8 @@ class CParser:
                 # qualifiers do not end the specifier — `const struct X&`
                 # must still take X as the core type
                 if t.v not in ("const", "volatile", "static", "inline",
-                               "extern", "register", "constexpr"):
+                               "extern", "register", "constexpr",
+                               "consteval", "constinit"):
                     saw_core = True
                 continue
             if t.t == "id" and not saw_core:
@@ -443,7 +445,7 @@ class CParser:
         # TypeNodePassTests "be correct for volatile types"); const/static
         # and the other storage classes drop
         saw_volatile = "volatile" in parts
-        core = [p for p in parts if p not in ("const", "volatile", "static", "inline", "extern", "register", "constexpr")]
+        core = [p for p in parts if p not in ("const", "volatile", "static", "inline", "extern", "register", "constexpr", "consteval", "constinit")]
         # CDT-style size-specifier normalization (MethodTests.scala:
         # "long int"->"long", "long long int"->"longlong", "short int"->
         # "short"): a redundant `int` next to a size keyword drops; the
@@ -1698,6 +1700,29 @@ class CParser:
                 # the parameter scope shadows same-named members
                 # (Cpp17FeaturesTests "member initializer lists")
                 blk.children[:0] = self._parse_ctor_init_list(*ctor_inits)
+            if ret_ty == "auto" and self.lang == "cpp":
+                # auto return deduction: a returned lambda deduces
+                # std.function (Cpp17FeaturesTests "lambda capture this by
+                # value"), otherwise ANY (Cpp20FeaturesTests "lambda
+                # capture of parameter pack": f1:ANY(Args&&))
+                ret_ty = M.ANY
+                for st_node in blk.children:
+                    if st_node.kind == M.RETURN and st_node.children:
+                        if st_node.children[0].kind == M.METHOD_REF:
+                            ret_ty = "std.function"
+                        break
+                signature = f"{ret_ty}({sig_params})" \
+                    + (M.CONST_SUFFIX if const_method else "")
+                method.signature = signature
+                if ":" in method.full_name:
+                    method.full_name = (method.full_name.rsplit(":", 1)[0]
+                                        + ":" + signature)
+                if class_full is None and "." not in name:
+                    self.cpp_free_funcs[name] = (method.full_name, signature)
+                if class_full:
+                    cm = self.cpp_class_methods.get(class_full.rstrip("."))
+                    if cm is not None and name in cm:
+                        cm[name] = (method.full_name, signature, ret_ty)
             method.add(blk)
             method.line_end = blk.line_end
         method.add(N(M.METHOD_RETURN, code="RET", type_full_name=ret_ty,
@@ -2337,9 +2362,11 @@ class CParser:
                                                             3))):
             return None
         out: list[N] = []
+        first_declarator = True
         while True:
             ptr = ""
             amp = False
+            paren_decl = False
             while self.at_any(("*", "&")):
                 if self.next().v == "*":
                     ptr += "*"
@@ -2348,6 +2375,7 @@ class CParser:
             if self.at("(") and self.peek(1) is not None \
                     and self.peek(1).t == "id" and self.at(")", 2) \
                     and self.at_any(("=", ";", ","), 3):
+                paren_decl = True
                 # parenthesized declarator `int (x) = a` (MethodTests
                 # "Name for method parameter in parentheses")
                 self.next()
@@ -2371,10 +2399,18 @@ class CParser:
                 arr_size_txt = suf[1:-1]
                 ty += suf
             ty = ty + "&" if amp else ty
-            # reference declarators keep the raw CDT spelling
-            # ("struct x &bar", AstCreationPassTests "decl assignment with
-            # references"); plain declarators keep the normalized one
-            if arr_close is not None:
+            # locals keep the raw CDT declarator spelling ("char * badChar",
+            # "struct test *ptr", "std::lock_guard<std::mutex> lk" —
+            # TypeNodePassTests "create correct types for identifiers"/
+            # "structs", Cpp17FeaturesTests "selection statements")
+            if self.lang in ("c", "cpp") and first_declarator \
+                    and not paren_decl:
+                loc_code = self.slice(start, arr_close or name_tok)
+                # CDT does not surface `constinit` in rawSignature
+                # (Cpp20FeaturesTests "handle constinit")
+                if loc_code.startswith("constinit "):
+                    loc_code = loc_code[len("constinit "):]
+            elif arr_close is not None:
                 loc_code = self.slice(start, arr_close)
             elif amp or ty.endswith("&"):
                 loc_code = self.slice(start, name_tok)
@@ -2491,6 +2527,7 @@ class CParser:
                 out.append(call)
             if self.at(","):
                 self.next()
+                first_declarator = False
                 continue
             break
         if consume_semi:

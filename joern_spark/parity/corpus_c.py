@@ -1755,7 +1755,7 @@ void foo() {
 }
 """,
         # the init hoists before the if at statement level (:532-560)
-        locals=[["foo.lk", "std.lock_guard lk|std.lock_guard"]],
+        locals=[["foo.lk", "std::lock_guard<std::mutex> lk|std.lock_guard"]],
         cscond=[["foo:IF", "v.empty()"]],
         cite=f"{C17}:532-560 (init-declaration hoisted; ctor-arg init "
              "not yet modeled)",

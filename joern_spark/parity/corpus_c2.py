@@ -29,7 +29,7 @@ void method() {
        ast={("val (new int[3])", 0): ["val", "(new int[3])"],
             ("(new int[3])", 0): ["new int[3]"],
             ("new int[3]", 0): ["int", "3"]},
-       locals=[["method.val", "int* val|int*"]],
+       locals=[["method.val", "int *val|int*"]],
        callmfn=[["<operator>.assignment", "<operator>.assignment"],
                 ["<operator>.new", "<operator>.new"],
                 ["<operator>.alloc", "<operator>.alloc"]]),
@@ -46,7 +46,8 @@ void method() {
             ("decltype(local)::value", 0): ["decltype(local)", "value"],
             ("decltype(local)", 0): ["local"]},
        locals=[["method.local", "int local|int"],
-               ["method.is_std_array_v", "bool is_std_array_v|bool"]],
+               ["method.is_std_array_v",
+                "constexpr bool is_std_array_v|bool"]],
        callmfn=[["<operator>.typeOf", "<operator>.typeOf"],
                 ["<operator>.fieldAccess", "<operator>.fieldAccess"],
                 ["<operator>.assignment", "<operator>.assignment"]],
@@ -470,8 +471,8 @@ constexpr int foo2 = [](int n) -> int
                    "cpp-lambda-calling.cpp:<global>.foo.<lambda>1:int(int)"],
                   ["foo", "foo:void()"]],
          locals=[["foo.x", "auto x|std.function"],
-                 ["foo.foo1", "int foo1|int"],
-                 ["foo.foo2", "int foo2|int"]],
+                 ["foo.foo1", "constexpr int foo1|int"],
+                 ["foo.foo2", "constexpr int foo2|int"]],
          ast={("x(10)", 0): ["x", "10"]},
          cite="c2cpg/.../passes/ast/LambdaExpressionTests.scala:555-580"),
 
@@ -589,8 +590,8 @@ void method() {
   static int local = 1;
 }
 """,
-         locals=[["method.local", "int local|int"]],
-         ast={("<empty>", 0): ["int local", "local = 1"],
+         locals=[["method.local", "static int local|int"]],
+         ast={("<empty>", 0): ["static int local", "local = 1"],
               ("local = 1", 0): ["local", "1"]},
          nodetype={("local", 0, "IDENTIFIER"): "int",
                    ("1", 0, "LITERAL"): "int"},
@@ -601,8 +602,8 @@ void method() {
   const int local = 1;
 }
 """,
-         locals=[["method.local", "int local|int"]],
-         ast={("<empty>", 0): ["int local", "local = 1"],
+         locals=[["method.local", "const int local|int"]],
+         ast={("<empty>", 0): ["const int local", "local = 1"],
               ("local = 1", 0): ["local", "1"]},
          cite="c2cpg/.../passes/types/TypeNodePassTests.scala:72-93"),
     # TN:95-116
@@ -611,8 +612,8 @@ void method() {
   static const int local = 1;
 }
 """,
-         locals=[["method.local", "int local|int"]],
-         ast={("<empty>", 0): ["int local", "local = 1"],
+         locals=[["method.local", "static const int local|int"]],
+         ast={("<empty>", 0): ["static const int local", "local = 1"],
               ("local = 1", 0): ["local", "1"]},
          cite="c2cpg/.../passes/types/TypeNodePassTests.scala:95-116"),
     # TN:126-140 — sized array local type.
@@ -634,7 +635,7 @@ void free_struct() {
   free(ptr);
 }
 """,
-         locals=[["free_struct.ptr", "test* ptr|test*"]],
+         locals=[["free_struct.ptr", "struct test *ptr|test*"]],
          nodetype={("ptr", 0, "IDENTIFIER"): "test*",
                    ("ptr", 1, "IDENTIFIER"): "test*"},
          cite="c2cpg/.../passes/types/TypeNodePassTests.scala:142-179"),
@@ -657,7 +658,7 @@ void test_func() {
   free(badChar);
   return;
 }""",
-         locals=[["test_func.badChar", "char* badChar|char*"]],
+         locals=[["test_func.badChar", "char * badChar|char*"]],
          nodetype={("badChar", 0, "IDENTIFIER"): "char*",
                    ("badChar", 1, "IDENTIFIER"): "char*"},
          cite="c2cpg/.../passes/types/TypeNodePassTests.scala:208-228"),
@@ -673,9 +674,10 @@ void func(void) {
   *ipp = &i;
   if (*ip != 0) {}
 }""",
-         locals=[["func.ipp", "volatile int** ipp|volatile int**"],
-                 ["func.ip", "int* ip|int*"],
-                 ["func.i", "volatile int i|volatile int"]],
+         locals=[["func.ipp",
+                  "static volatile int **ipp|volatile int**"],
+                 ["func.ip", "static int *ip|int*"],
+                 ["func.i", "static volatile int i|volatile int"]],
          nodetype={("ipp", 0, "IDENTIFIER"): "volatile int**",
                    ("ipp", 1, "IDENTIFIER"): "volatile int**",
                    ("ip", 0, "IDENTIFIER"): "int*",
@@ -778,6 +780,69 @@ auto f = B::Foo();
          tdowner=[["Foo", "cpp17-ns-alias.cpp:<global>"]],
          cite="c2cpg/.../passes/ast/Cpp17FeaturesTests.scala:298-309"),
 
+    # -- cpp/features20/Cpp20FeaturesTests.scala ----------------------- #
+    # C20:193-212 — C++20 designated initializers on a declaration lower
+    # to per-member assignments.
+    dict(name="cpp20-designated", lang="cpp", wrap=False, code="""
+struct A {
+  int x;
+  int y;
+  int z = 123;
+};
+
+void foo() {
+  A a {.x = 1, .z = 2};
+}
+""",
+         ast={("a.x = 1", 0): ["a.x", "1"],
+              ("a.z = 2", 0): ["a.z", "2"],
+              ("a.x", 0): ["a", "x"]},
+         callmfn=[["<operator>.assignment", "<operator>.assignment"],
+                  ["<operator>.fieldAccess", "<operator>.fieldAccess"]],
+         cite="c2cpg/.../cpp/features20/Cpp20FeaturesTests.scala:193-212"),
+    # C20:415-429 — consteval strips from the immediate function's
+    # signature; the constexpr local keeps its raw code.
+    dict(name="cpp20-consteval", lang="cpp", wrap=False, code="""
+consteval int sqr(int n) {
+  return n * n;
+}
+
+void foo() {
+  constexpr int r = sqr(100);
+}
+""",
+         methods=[["sqr", "sqr:int(int)"], ["foo", "foo:void()"]],
+         locals=[["foo.r", "constexpr int r|int"]],
+         cite="c2cpg/.../cpp/features20/Cpp20FeaturesTests.scala:415-429"),
+    # C20:431-462 — `using enum` bodies keep the case labels.
+    dict(name="cpp20-using-enum", lang="cpp", wrap=False, code="""
+enum class rgba_color_channel { red, green, blue, alpha };
+
+std::string_view to_string(rgba_color_channel my_channel) {
+  switch (my_channel) {
+    using enum rgba_color_channel;
+    case red:   return "red";
+    case green: return "green";
+    case blue:  return "blue";
+    case alpha: return "alpha";
+  }
+}
+""",
+         methods=[["to_string",
+                   "to_string:std.string_view(rgba_color_channel)"]],
+         cite="c2cpg/.../cpp/features20/Cpp20FeaturesTests.scala:431-462"),
+    # C20:505-517 — constinit drops from the CDT raw code; the function
+    # signature strips constexpr.
+    dict(name="cpp20-constinit", lang="cpp", wrap=False, code="""
+constexpr const char* f(bool p) { return p ? "constant initializer" : g(); }
+
+void foo() {
+  constinit const char *c = f(true);
+}
+""",
+         methods=[["f", "f:char*(bool)"], ["foo", "foo:void()"]],
+         locals=[["foo.c", "const char *c|char*"]],
+         cite="c2cpg/.../cpp/features20/Cpp20FeaturesTests.scala:505-517"),
 ]
 
 # -- passes/ast/CallTests.scala breadth -------------------------------- #
@@ -914,7 +979,7 @@ char *a(char *y) {
 """, "2517-2528",
        members=[["x.z", "char*"]],
        params=[["a.y", "1:char*:BY_VALUE"]],
-       locals=[["a.x", "char* x|char*"]],
+       locals=[["a.x", "char *x|char*"]],
        nodetype={("RET", 0, "METHOD_RETURN"): "char*"}),
     # :1521-1540 — `Foo x = Foo{0}`: brace-ctor expression lowers to the
     # tmp block with the resolved ctor call (args &<tmp>0, 0).
