@@ -1011,7 +1011,17 @@ class CParser:
             # qualified enum types resolve in conversion operators and
             # member declarations (ClassTypeTests "conversions": Foo.Kind)
             self.declared_types.setdefault(name, full)
-        decl = N(M.TYPE_DECL, code=f"enum{kw2} {name}".rstrip(), name=name,
+        anon = not name
+        if anon and self.at("{"):
+            # anonymous enums get `<enum>N` names, or the trailing alias
+            # declarator's name when present (EnumTypeTests "anonymous
+            # enum [with alias]")
+            self.anon_enum_n = getattr(self, "anon_enum_n", 0)
+            name = f"<enum>{self.anon_enum_n}"
+            self.anon_enum_n += 1
+            full = self.qual(name)
+        decl = N(M.TYPE_DECL, code=f"enum{kw2} {name}".rstrip() if not anon
+                 else "enum", name=name,
                  full_name=full, line=t.line,
                  ast_parent_type=M.NAMESPACE_BLOCK,
                  ast_parent_full_name=self.global_block) if name else None
@@ -1073,6 +1083,18 @@ class CParser:
                              type_full_name=name,
                              evaluation_strategy=M.BY_VALUE, line=t.line))
                 decl.add(clinit)
+        if anon and decl is not None and self.peek() is not None \
+                and self.peek().t == "id":
+            # `enum { ... } testing;` — the declarator names the decl
+            # (EnumTypeTests "anonymous enum with alias")
+            alias_tok = self.next()
+            decl.name = alias_tok.v
+            decl.full_name = self.qual(alias_tok.v)
+            for ch in decl.children:
+                if ch.kind == M.MEMBER:
+                    ch.ast_parent_full_name = decl.full_name
+            self.anon_enum_n -= 1
+            name = alias_tok.v
         if self.at(";"):
             self.next()
         if name:

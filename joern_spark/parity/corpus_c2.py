@@ -843,6 +843,58 @@ void foo() {
          methods=[["f", "f:char*(bool)"], ["foo", "foo:void()"]],
          locals=[["foo.c", "const char *c|char*"]],
          cite="c2cpg/.../cpp/features20/Cpp20FeaturesTests.scala:505-517"),
+    # -- passes/types/EnumTypeTests.scala remainder -------------------- #
+    # ET:106-128 — typed enum: members adopt the underlying type, no
+    # clinit without initializers.
+    dict(name="cpp-enum-with-type", lang="cpp", wrap=False, code="""
+enum smallenum: int
+{
+    a,
+    b,
+    c
+};""",
+         members=[["smallenum.a", "int"], ["smallenum.b", "int"],
+                  ["smallenum.c", "int"]],
+         tdcode=[["smallenum", "enum smallenum"]],
+         cite="c2cpg/.../passes/types/EnumTypeTests.scala:106-128"),
+    # ET:129-148 — anonymous enums get `<enum>N` names.
+    dict(name="c-enum-anon", lang="c", wrap=False, code="""
+enum
+{
+    d,
+    e,
+    f
+};""",
+         members=[["<enum>0.d", "int"], ["<enum>0.e", "int"],
+                  ["<enum>0.f", "int"]],
+         tdcode=[["<enum>0", "enum"]],
+         cite="c2cpg/.../passes/types/EnumTypeTests.scala:129-148"),
+    # ET:149-165 — the trailing declarator names the anonymous enum.
+    dict(name="c-enum-anon-alias", lang="c", wrap=False, code="""
+enum
+{
+    d,
+    e,
+    f
+} testing;""",
+         members=[["testing.d", "int"], ["testing.e", "int"],
+                  ["testing.f", "int"]],
+         cite="c2cpg/.../passes/types/EnumTypeTests.scala:149-165"),
+    # ET:166-198 — `X::a` enum access is a fieldAccess.
+    dict(name="cpp-enum-access", lang="cpp", wrap=False, code="""
+enum X: int
+{
+    a,
+    b
+};
+int x = X::a;
+""",
+         members=[["X.a", "int"], ["X.b", "int"]],
+         ast={("x = X::a", 0): ["x", "X::a"],
+              ("X::a", 0): ["X", "a"]},
+         callmfn=[["<operator>.fieldAccess", "<operator>.fieldAccess"],
+                  ["<operator>.assignment", "<operator>.assignment"]],
+         cite="c2cpg/.../passes/types/EnumTypeTests.scala:166-198"),
 ]
 
 # -- passes/ast/CallTests.scala breadth -------------------------------- #
