@@ -895,6 +895,69 @@ int x = X::a;
          callmfn=[["<operator>.fieldAccess", "<operator>.fieldAccess"],
                   ["<operator>.assignment", "<operator>.assignment"]],
          cite="c2cpg/.../passes/types/EnumTypeTests.scala:166-198"),
+    # -- passes/ast/MethodTests.scala remainder ------------------------ #
+    # MT1:19-33 — main's C fullname/signature.
+    dict(name="c-mt1-fields", lang="c", wrap=False, code="""
+  int main(int argc, char **argv) {
+  }""",
+         methods=[["main", "main"]],
+         msig=[["main", "int(int,char**)"]],
+         nodetype={("RET", 0, "METHOD_RETURN"): "int"},
+         cite="c2cpg/.../passes/ast/MethodTests.scala:19-33"),
+    # MT1:39-41 — parameter names.
+    dict(name="c-mt1-params", lang="c", wrap=False, code="""
+  int main2(int argc, char **argv) {
+  }""",
+         params=[["main2.argc", "1:int:BY_VALUE"],
+                 ["main2.argv", "2:char**:BY_VALUE"]],
+         paramcode=[["main2.argc", "int argc"],
+                    ["main2.argv", "char **argv"]],
+         cite="c2cpg/.../passes/ast/MethodTests.scala:39-41"),
+    # MT7:130-157 — METHOD/param/return fields.
+    dict(name="c-mt7", lang="c", wrap=False, code="""
+int foo(int x, int y) {
+
+}
+""",
+         methods=[["foo", "foo"]],
+         msig=[["foo", "int(int,int)"]],
+         params=[["foo.x", "1:int:BY_VALUE"], ["foo.y", "2:int:BY_VALUE"]],
+         paramcode=[["foo.x", "int x"], ["foo.y", "int y"]],
+         nodetype={("RET", 0, "METHOD_RETURN"): "int"},
+         cite="c2cpg/.../passes/ast/MethodTests.scala:130-175"),
+    # MT8:195-254 — identifier REFs resolve to the nearest declaration:
+    # method1's local, method2's parameter, method3's shadowing pairs.
+    dict(name="c-mt8-ref-scoping", lang="c", wrap=False, code="""
+void method1() {
+  int x;
+  x = 1;
+}
+
+void method2(int x) {
+  x = 1;
+}
+
+void method3(int x) {
+  int y;
+  {
+    int x;
+    int y;
+
+    x = 1;
+    y = 1;
+  }
+
+  x = 1;
+  y = 1;
+}
+""",
+         refs={("x", 0, "IDENTIFIER"): ["int x&<empty>@0"],
+               ("x", 1, "IDENTIFIER"): ["int x&method2@0"],
+               ("x", 2, "IDENTIFIER"): ["int x&<empty>@3"],
+               ("x", 3, "IDENTIFIER"): ["int x&method3@0"],
+               ("y", 0, "IDENTIFIER"): ["int y&<empty>@3"],
+               ("y", 1, "IDENTIFIER"): ["int y&<empty>@2"]},
+         cite="c2cpg/.../passes/ast/MethodTests.scala:195-254"),
 ]
 
 # -- passes/ast/CallTests.scala breadth -------------------------------- #
