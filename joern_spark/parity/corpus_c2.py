@@ -958,6 +958,53 @@ void method3(int x) {
                ("y", 0, "IDENTIFIER"): ["int y&<empty>@3"],
                ("y", 1, "IDENTIFIER"): ["int y&<empty>@2"]},
          cite="c2cpg/.../passes/ast/MethodTests.scala:195-254"),
+    # -- passes/ast/MacroHandlingTests.scala remainder ----------------- #
+    # MH9:292-309 — un-parsable paste macros recover; the surrounding
+    # declarations stay intact.
+    dict(name="c-macro-unparsable", lang="c", wrap=False, code="""
+#define A_THING(x) y ## y
+int type_num(int x) { return x; }
+int foo() {
+  int z = type_num(2);
+}
+""",
+         locals=[["foo.z", "int z|int"]],
+         ast={("z = type_num(2)", 0): ["z", "type_num(2)"],
+              ("type_num(2)", 0): ["2"]},
+         callmfn=[["type_num", "type_num"],
+                  ["<operator>.assignment", "<operator>.assignment"]],
+         cite="c2cpg/.../passes/ast/MacroHandlingTests.scala:292-309"),
+    # MH10:333-354 — each local keeps exactly one AST parent across
+    # repeated macro expansions.
+    dict(name="cpp-macro-deletereset", lang="cpp", wrap=False, code="""
+#define deleteReset(ptr) do { delete ptr; ptr = nullptr; } while(0)
+void func(void) {
+  int *foo = new int;
+  int *bar = new int;
+  int *baz = new int;
+  deleteReset(foo);
+  deleteReset(bar);
+  deleteReset(baz);
+}
+""",
+         locals=[["func.foo", "int *foo|int*"],
+                 ["func.bar", "int *bar|int*"],
+                 ["func.baz", "int *baz|int*"]],
+         cite="c2cpg/.../passes/ast/MacroHandlingTests.scala:333-354"),
+    # MH10/11:356-380 — a broken-macro assignment creates no duplicate
+    # local, and the macro method stubs exactly once.
+    dict(name="c-macro-broken-local", lang="c", wrap=False, code="""
+#define FOO() (long)va_arg(ap, int)
+void func(void) {
+  int foo;
+  foo = FOO();
+  foo = FOO();
+}
+""",
+         locals=[["func.foo", "int foo|int"]],
+         mcount=[["c-macro-broken-local.c:FOO:ANY(0)", 1],
+                 ["func", 1]],
+         cite="c2cpg/.../passes/ast/MacroHandlingTests.scala:356-380"),
 ]
 
 # -- passes/ast/CallTests.scala breadth -------------------------------- #
