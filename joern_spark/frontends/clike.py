@@ -608,6 +608,19 @@ class CParser:
         if t.v in ("struct", "class", "union") and self.peek(k) is not None and self.peek(k).t == "id" \
                 and self.peek(k + 1) is not None and self.peek(k + 1).v in ("{", ":"):
             return self.parse_class()
+        if t.v in ("struct", "class", "union") and self.peek(1) is not None \
+                and self.peek(1).t == "id" and self.at(";", 2):
+            # forward declaration `struct foo;` keeps a bodyless TYPE_DECL
+            # (AstCreationPassTests "be correct for struct decl")
+            kw = self.next()
+            nm = self.next().v
+            self.next()
+            full = self.qual(nm)
+            self.declared_types.setdefault(nm, full)
+            return N(M.TYPE_DECL, code=f"{kw.v} {nm}", name=nm,
+                     full_name=full, line=kw.line,
+                     ast_parent_type=M.NAMESPACE_BLOCK,
+                     ast_parent_full_name=self.global_block)
         if t.v == "enum":
             return self.parse_enum(t)
         if t.v == "extern" and self.peek(1) is not None and self.peek(1).t == "str":
@@ -1421,6 +1434,11 @@ class CParser:
         # global variable declaration: LOCAL (+ assignment) statements in
         # the file's `<global>` method (c2cpg global handling;
         # DataFlowTest81 flows from top-level initializers)
+        if not pushed and self.at("[") and self.lang in ("c", "cpp"):
+            # global array declarator `int x[] = {...};` — the dims fold
+            # into the type (AstCreationPassTests "array init")
+            while self.at("["):
+                ty += self._array_dim_suffix()
         if not pushed and self.at_any(("=", ",", ";")):
             decls: list[N] = []
             cur_name = name

@@ -1005,6 +1005,86 @@ void func(void) {
          mcount=[["c-macro-broken-local.c:FOO:ANY(0)", 1],
                  ["func", 1]],
          cite="c2cpg/.../passes/ast/MacroHandlingTests.scala:356-380"),
+    # -- AstCreationPassTests array-init region ------------------------ #
+    # :1819-1862 — sized stack arrays: alloc with the raw-size code,
+    # locals typed with the size expression.
+    _c("c-array-size", "c", """
+int main() {
+  char bufA[256];
+  char bufB[1+2];
+}
+""", "1819-1862",
+       locals=[["main.bufA", "char bufA[256]|char[256]"],
+               ["main.bufB", "char bufB[1+2]|char[1+2]"]],
+       ast={("bufA[256]", 0): ["256"], ("bufB[1+2]", 0): ["1+2"]},
+       callmfn=[["<operator>.alloc", "<operator>.alloc"]],
+       nodetype={("bufA[256]", 0, "CALL"): "char[256]",
+                 ("bufB[1+2]", 0, "CALL"): "char[1+2]"}),
+    # :1863-1876 — `char str[] = "abc"` types char[]; NO alloc call.
+    _c("c-empty-array-init", "c", """
+void other(void) {
+  int i = 0;
+  char str[] = "abc";
+  printf("%d %s", i, str);
+}
+""", "1863-1876",
+       locals=[["other.i", "int i|int"],
+               ["other.str", "char str[]|char[]"]],
+       nodetype={("str", 0, "IDENTIFIER"): "char[]",
+                 ("str", 1, "IDENTIFIER"): "char[]"}),
+    # :1877-1902 — global array init: arrayInitializer with the literal
+    # children in order.
+    _c("c-array-init", "c", """
+int x[] = {0, 1, 2, 3};
+""", "1877-1902",
+       locals=[["<global>.x", "int[] x|int[]"]],
+       ast={("x = {0, 1, 2, 3}", 0): ["x", "{0, 1, 2, 3}"],
+            ("{0, 1, 2, 3}", 0): ["0", "1", "2", "3"]},
+       callmfn=[["<operator>.arrayInitializer",
+                 "<operator>.arrayInitializer"],
+                ["<operator>.assignment", "<operator>.assignment"]],
+       nodetype={("x", 0, "IDENTIFIER"): "int[]"}),
+    # :1904-1930
+    _c("c-static-array-init", "c", """
+static int x[] = {0, 1, 2, 3};
+""", "1904-1930",
+       ast={("x = {0, 1, 2, 3}", 0): ["x", "{0, 1, 2, 3}"],
+            ("{0, 1, 2, 3}", 0): ["0", "1", "2", "3"]},
+       nodetype={("x", 0, "IDENTIFIER"): "int[]"}),
+    # :1931-1957
+    _c("c-const-array-init", "c", """
+const int x[] = {0, 1, 2, 3};
+""", "1931-1957",
+       ast={("x = {0, 1, 2, 3}", 0): ["x", "{0, 1, 2, 3}"],
+            ("{0, 1, 2, 3}", 0): ["0", "1", "2", "3"]},
+       nodetype={("x", 0, "IDENTIFIER"): "int[]"}),
+    # NamespaceBlockTests:37-42 — namespace block -> method traversal.
+    dict(name="c-nsblock-methods", lang="c", wrap=False, code="""
+int foo() {}
+struct my_struct{};
+""",
+         methods=[["foo", "foo"]],
+         cite="c2cpg/.../passes/ast/NamespaceBlockTests.scala:37-42"),
+    # NamespaceBlockTests:44-53 — namespace block -> type decl traversal.
+    dict(name="c-nsblock-typedecl", lang="c", wrap=False, code="""
+int foo2() {}
+struct my_struct{};
+""",
+         tdowner=[["my_struct", "c-nsblock-typedecl.c:<global>"]],
+         cite="c2cpg/.../passes/ast/NamespaceBlockTests.scala:44-53"),
+    # :1102-1109 — empty named struct keeps its TYPE_DECL.
+    _c("c-empty-struct", "c", """
+ struct foo {
+ };
+""", "1102-1109",
+       tdcode=[["foo", "struct foo"]],
+       tdowner=[["foo", "c-empty-struct.c:<global>"]]),
+    # :1110-1116 — a bare forward declaration keeps a bodyless TYPE_DECL.
+    _c("c-struct-fwd-decl", "c", """
+ struct foo;
+""", "1110-1116",
+       tdcode=[["foo", "struct foo"]],
+       tdowner=[["foo", "c-struct-fwd-decl.c:<global>"]]),
 ]
 
 # -- passes/ast/CallTests.scala breadth -------------------------------- #
