@@ -233,6 +233,29 @@ CASES += [
          cite=f"{JQ}/MethodReturnTests.scala:33-35"),
 ]
 
+CASES += [
+    # ImportTests.scala:26-36 — IMPORT nodes carry importedAs /
+    # importedEntity / the `import ...` code (wildcards as `*`).
+    dict(name="java-imports-nodes", lang="java", wrap=False, code="""
+package org.codeminers.controller;
+
+import org.codeminers.thirdparty.ThirdParty;
+import org.codeminers.thirdparty.util.*;
+
+public class Controller {
+
+    public void foo() {
+        Request request = new Request();
+        ThirdParty.getSgClient().api(request);
+    }
+}""",
+         imports=[["import org.codeminers.thirdparty.ThirdParty",
+                   "ThirdParty|org.codeminers.thirdparty.ThirdParty"],
+                  ["import org.codeminers.thirdparty.util.*",
+                   "*|org.codeminers.thirdparty.util"]],
+         cite=f"{JQ}/ImportTests.scala:26-36"),
+]
+
 _NS_CODE = """
 package foo.bar;
 class A {
