@@ -425,6 +425,34 @@ def q_cpg_usage_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
                        _s("detail").alias("detail"))
 
 
+def q_cpg_usage_slice_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed ObjectUsageSlice fields (ObservedCall paramTypes/returnType/
+    resolvedMethod/position — JsUsageSliceTests goldens)."""
+    from joern_spark.operators.slicing import usage_slice_types
+    c = _cpg(spark)
+    rows = usage_slice_types(c["nodes"].filter(F.col("parse_error") == ""),
+                             c["edges"])
+    return rows.select(_s("method_full_name").alias("method_full_name"),
+                       _s("var_name").alias("var_name"),
+                       _s("relation").alias("relation"),
+                       _s("call_name").alias("call_name"),
+                       _s("param_types").alias("param_types"),
+                       _s("return_type").alias("return_type"),
+                       _s("resolved_method").alias("resolved_method"),
+                       F.col("position").cast("long").alias("position"))
+
+
+def q_cpg_udts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UserDefinedType records (UsageSlicing.userDefinedTypes)."""
+    from joern_spark.operators.slicing import user_defined_types
+    c = _cpg(spark)
+    rows = user_defined_types(c["nodes"].filter(F.col("parse_error") == ""))
+    return rows.select(_s("udt_full_name").alias("udt_full_name"),
+                       _s("procedure_name").alias("procedure_name"),
+                       _s("procedure_full_name").alias("procedure_full_name"),
+                       _s("return_type").alias("return_type"))
+
+
 def q_cpg_dataflow_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged data-flow slice (DataFlowSlicing.scala): depth-20 backward
     REACHING_DEF closure of all call arguments, flattened SliceNode rows."""
@@ -531,6 +559,14 @@ def _cpg_oracles() -> dict[str, str]:
             O.expected_usage_slices(),
             ["method_full_name", "var_name", "var_kind", "relation",
              "call_name", "detail"]),
+        "cpg_usage_slice_types": O.values_sql(
+            O.expected_usage_slice_types(),
+            ["method_full_name", "var_name", "relation", "call_name",
+             "param_types", "return_type", "resolved_method", "position"]),
+        "cpg_udts": O.values_sql(
+            O.expected_udts(),
+            ["udt_full_name", "procedure_name", "procedure_full_name",
+             "return_type"]),
         "cpg_dataflow_slices": O.values_sql(
             O.expected_dataflow_slices(),
             ["method_full_name", "node_kind", "name", "code",
@@ -593,6 +629,8 @@ CPG_QUERIES = {
     "cpg_captures": q_cpg_captures,
     "cpg_bindings": q_cpg_bindings,
     "cpg_usage_slices": q_cpg_usage_slices,
+    "cpg_usage_slice_types": q_cpg_usage_slice_types,
+    "cpg_udts": q_cpg_udts,
     "cpg_dataflow_slices": q_cpg_dataflow_slices,
     "cpg_api_vectors": q_cpg_api_vectors,
     "cpg_parity": q_cpg_parity,

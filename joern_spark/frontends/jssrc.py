@@ -907,6 +907,15 @@ class JsParser(CParser):
                 # function expression assigned to a var: remember for linking
                 if init.kind == M.METHOD_REF and init.method_full_name:
                     loc.method_full_name = init.method_full_name
+                # literal initializers seed the declaration type, like the
+                # reference's literal-assignment type hints
+                # (JsUsageSliceTests `listen` paramTypes __ecma.Number for
+                # the `port = 3000` local)
+                if init.kind == M.LITERAL and init.type_full_name \
+                        and init.type_full_name != M.ANY \
+                        and loc.type_full_name == M.ANY:
+                    loc.type_full_name = init.type_full_name
+                    ident.type_full_name = init.type_full_name
             if self.at(","):
                 self.next()
                 continue

@@ -1382,3 +1382,92 @@ def values_sql(rows: list[tuple], cols: list[str]) -> str:
         return f"SELECT {sel} WHERE 1 = 0"
     body = ",\n  ".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
     return f"SELECT * FROM (VALUES\n  {body}\n) AS t({', '.join(cols)})"
+
+
+def expected_usage_slice_types() -> list[tuple[str, str, str, str, str,
+                                               str, str, int]]:
+    """(method_full_name, var_name, relation, call_name, param_types,
+    return_type, resolved_method, position) — sequential mirror of
+    operators.slicing.usage_slice_types (ObservedCall fields,
+    JsUsageSliceTests goldens)."""
+    out = set()
+    for repo, path, commit, lang, rows in local_files():
+        by_idx = {r["node_idx"]: r for r in rows}
+        decls = {}
+        for r in rows:
+            if r["kind"] in (M.LOCAL, M.METHOD_PARAMETER_IN) and \
+                    not r["name"].startswith("_tmp_") and \
+                    r["name"] not in ("this", "self"):
+                m = by_idx.get(r["method_idx"]
+                               if r["method_idx"] is not None
+                               and r["method_idx"] >= 0 else r["parent_idx"])
+                if m is not None and m["kind"] == M.METHOD \
+                        and not m.get("is_external"):
+                    decls[r["node_idx"]] = (m["full_name"], r["name"])
+
+        decl_ty = {r["node_idx"]: r["type_full_name"] for r in rows
+                   if r["kind"] in (M.LOCAL, M.METHOD_PARAMETER_IN)}
+
+        def _arg_ty(a):
+            if a["kind"] == M.METHOD_REF:
+                return "LAMBDA"
+            t = a["type_full_name"]
+            if t and t != M.ANY:
+                return t
+            rt = decl_ty.get(a.get("ref_idx", -1))
+            if rt and rt != M.ANY:
+                return rt
+            return M.ANY
+
+        call_args: dict[int, list] = {}
+        for r in rows:
+            if (r.get("arg_index") or 0) >= 1 and r["parent_idx"] is not None:
+                call_args.setdefault(r["parent_idx"], []).append(r)
+        for r in rows:
+            if r["kind"] != M.IDENTIFIER or r.get("ref_idx", -1) < 0 \
+                    or r["ref_idx"] not in decls:
+                continue
+            fn, vname = decls[r["ref_idx"]]
+            call = by_idx.get(r["parent_idx"])
+            if call is None or call["kind"] != M.CALL:
+                continue
+            cname = call["name"]
+            if cname.startswith(M.OP):
+                continue
+            ptypes = ",".join(
+                _arg_ty(a) for a in sorted(call_args.get(call["node_idx"],
+                                                         []),
+                                           key=lambda a: a["arg_index"]))
+            rtype = call["type_full_name"] or M.ANY
+            rmeth = call["method_full_name"] or ""
+            if r["arg_index"] == 0 \
+                    and call["dispatch_type"] == M.DYNAMIC_DISPATCH:
+                out.add((fn, vname, "invokedCall", cname, ptypes, rtype,
+                         rmeth, -1))
+            if r["arg_index"] >= 1 and cname != M.OP_ASSIGNMENT:
+                out.add((fn, vname, "argToCall", cname, ptypes, rtype,
+                         rmeth, r["arg_index"]))
+    return sorted(out)
+
+
+def expected_udts() -> list[tuple[str, str, str, str]]:
+    """(udt_full_name, procedure_name, procedure_full_name, return_type)
+    — sequential mirror of operators.slicing.user_defined_types."""
+    out = set()
+    for repo, path, commit, lang, rows in local_files():
+        tds = {r["full_name"] for r in rows
+               if r["kind"] == M.TYPE_DECL and not r.get("is_external")}
+        rets = {}
+        for r in rows:
+            if r["kind"] == M.METHOD_RETURN:
+                rets[r["method_idx"] if r["method_idx"] is not None
+                     and r["method_idx"] >= 0 else r["parent_idx"]] = \
+                    r["type_full_name"] or M.ANY
+        for r in rows:
+            if r["kind"] == M.METHOD \
+                    and r["ast_parent_type"] == M.TYPE_DECL \
+                    and r["ast_parent_full_name"] in tds:
+                out.add((r["ast_parent_full_name"], r["name"],
+                         r["full_name"],
+                         rets.get(r["node_idx"], M.ANY)))
+    return sorted(out)
