@@ -3370,10 +3370,18 @@ class CParser:
                 if tagged is not None:
                     node = tagged
                     continue
+                cast = self.try_as_cast(node, start)
+                if cast is not None:
+                    node = cast
+                    continue
                 return node
 
     def try_tagged_template(self, node: "N", start: "Tok") -> "N | None":
         """JS hook: `tag\`...\`` tagged template calls; no-op for C."""
+        return None
+
+    def try_as_cast(self, node: "N", start: "Tok") -> "N | None":
+        """TS hook: `expr as Type` casts; no-op for C."""
         return None
 
     def try_qualified_new(self, node: "N", start: "Tok") -> "N | None":

@@ -346,6 +346,20 @@ class JsParser(CParser):
                       evaluation_strategy=M.BY_VALUE, line=1))
         self._resolve_program_pendings(block)
         self._rename_const_closures(program)
+        # TS type-alias back-links: the TARGET declaration's
+        # aliasTypeFullName points at the alias (TSTypesTests "type alias
+        # from class defined first")
+        targets = getattr(self, "ts_alias_targets", None)
+        if targets:
+            def _link(n: N) -> None:
+                if n.kind == M.TYPE_DECL and n.name in targets \
+                        and not n.alias_type_full_name:
+                    alias_full = targets[n.name]
+                    if n.full_name != alias_full:
+                        n.alias_type_full_name = alias_full
+                for ch in n.children:
+                    _link(ch)
+            _link(program)
         return [program]
 
     def _rename_const_closures(self, program: N) -> None:
@@ -524,6 +538,10 @@ class JsParser(CParser):
                 elems, rhs_raw, code_str, lp.line, is_array)]
         if v in ("var", "let", "const"):
             return self.parse_var_decl()
+        if v == "type" and self.peek(1) is not None \
+                and self.peek(1).t == "id" \
+                and self.peek(2) is not None and self.peek(2).v == "=":
+            return self._parse_ts_type_alias(t)
         if v == "function":
             return self._function_declaration_stmt()
         if v == "class":
@@ -885,12 +903,27 @@ class JsParser(CParser):
                 self.declare_var(name, loc)
             else:
                 self.declare(name, loc)
+            if self.at("?"):
+                self.next()
+            if self.at(":"):
+                # TS variable annotation `var x: string` — primitives map
+                # to reference fullnames, user types stay raw
+                # (TSTypesTests "have correct types for variables")
+                self.next()
+                a0 = self.peek()
+                self._skip_ts_annotation_tokens()
+                if a0 is not None and self.pos > 0 \
+                        and self.toks[self.pos - 1].a >= a0.a:
+                    raw_ann = self.src[a0.a:self.toks[self.pos - 1].b].strip()
+                    mapped = TS_PRIMS.get(raw_ann)
+                    if mapped and mapped != M.ANY:
+                        loc.type_full_name = mapped
             if self.at("="):
                 self.next()
                 rhs_start = self.pos
                 init = self.parse_assignment_expr()
                 ident = N(M.IDENTIFIER, code=name, name=name, line=name_tok.line,
-                          arg_index=1, type_full_name=M.ANY)
+                          arg_index=1, type_full_name=loc.type_full_name)
                 ident.ref_target = loc
                 init.arg_index = 2
                 # code carries the declaration keyword and the RAW source
@@ -911,8 +944,12 @@ class JsParser(CParser):
                 # reference's literal-assignment type hints
                 # (JsUsageSliceTests `listen` paramTypes __ecma.Number for
                 # the `port = 3000` local)
-                if init.kind == M.LITERAL and init.type_full_name \
-                        and init.type_full_name != M.ANY \
+                if init.type_full_name \
+                        and (init.kind == M.LITERAL
+                             or (init.kind == M.CALL
+                                 and init.name == M.OP_CAST)) \
+                        and init.type_full_name not in (M.ANY,
+                                                        "__ecma.Null") \
                         and loc.type_full_name == M.ANY:
                     loc.type_full_name = init.type_full_name
                     ident.type_full_name = init.type_full_name
@@ -1161,8 +1198,20 @@ class JsParser(CParser):
                     self._skip_ts_annotation_tokens()
                     if a0 is not None and self.pos > 0 \
                             and self.toks[self.pos - 1].a >= a0.a:
-                        p.type_full_name = self.src[
-                            a0.a:self.toks[self.pos - 1].b].strip() or M.ANY
+                        raw_ann = self.src[
+                            a0.a:self.toks[self.pos - 1].b].strip()
+                        # TS primitives map to the reference fullnames
+                        # (TSTypesTests "TS function parameters":
+                        # `a: string` -> __ecma.String, code "a: string");
+                        # any array-ish annotation erases to __ecma.Array
+                        # ("various array types")
+                        if raw_ann.endswith("[]"):
+                            p.type_full_name = "__ecma.Array"
+                        else:
+                            p.type_full_name = TS_PRIMS.get(
+                                raw_ann, raw_ann) or M.ANY
+                        if raw_ann:
+                            p.code = f"{pn.v}: {raw_ann}"
                 if self.at("="):  # default value
                     self.next()
                     defaults.append((pn.v, self.parse_assignment_expr().code))
@@ -2186,6 +2235,34 @@ class JsParser(CParser):
                 continue
             return node
 
+    def try_as_cast(self, node: N, start: Tok) -> N | None:
+        """TS `expr as Type` -> <operator>.cast with the type name at
+        argument 1 and the expression at argument 2; the cast evaluates to
+        the mapped builtin type (TSTypesTests "have correct types for
+        casts": x -> __ecma.String)."""
+        t = self.peek()
+        if t is None or t.v != "as" or self.peek(1) is None \
+                or self.peek(1).t not in ("id", "kw"):
+            return None
+        self.next()
+        ty_tok = self.next()
+        ty_raw = ty_tok.v
+        mapped = TS_PRIMS.get(ty_raw, M.ANY)
+        if mapped == M.ANY and node.type_full_name \
+                and node.type_full_name != M.ANY:
+            # unknown target type: the cast keeps the operand's type
+            # (`1 as int` evaluates __ecma.Number)
+            mapped = node.type_full_name
+        tref = N(M.IDENTIFIER, code=ty_raw, name=ty_raw,
+                 type_full_name=mapped, line=ty_tok.line, arg_index=1)
+        node.arg_index = 2
+        call = N(M.CALL, code=self.slice(start, ty_tok), name=M.OP_CAST,
+                 method_full_name=M.OP_CAST,
+                 dispatch_type=M.STATIC_DISPATCH, line=start.line,
+                 type_full_name=mapped)
+        call.add(tref, node)
+        return call
+
     def try_tagged_template(self, node: N, start: Tok) -> N | None:
         """`String.raw\`../${42}\\..\`` -> a DYNAMIC call (code = the whole
         tagged source) with the tag as receiver/base and arguments
@@ -2470,6 +2547,58 @@ class JsParser(CParser):
             stmt = self._parse_sub_expression(src, eline)
             self._strip_void_arg(stmt)
             out.append(stmt)
+
+    def _parse_ts_type_alias(self, kw: "Tok") -> list[N]:
+        """`type Alias = <rhs>` — a TYPE_DECL for the alias with the raw
+        code; when the rhs names another declared type, THAT declaration's
+        aliasTypeFullName points back at the alias (TSTypesTests "have
+        correct types for type alias [from class] [declared first]"). The
+        inverse direction resolves at parse end through
+        `ts_alias_targets` so later-declared targets link too."""
+        self.next()
+        name_tok = self.next()
+        self.next()  # '='
+        target = None
+        if self.peek() is not None and self.peek().t == "id" \
+                and (self.peek(1) is None or self.peek(1).v in (";", "\n")
+                     or self.peek(1).line != name_tok.line):
+            target = self.peek().v
+        a0 = self.peek()
+        depth = 0
+        prev_v = "="
+        while self.peek() is not None:
+            v2 = self.peek().v
+            if depth == 0 and self.peek().line > name_tok.line \
+                    and prev_v not in ("=", "|", "&", ",", "<", "extends"):
+                break  # ASI: the alias rhs ended on the previous line
+            if v2 in ("{", "(", "["):
+                depth += 1
+            elif v2 in ("}", ")", "]"):
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and v2 == ";":
+                break
+            prev_v = v2
+            self.next()
+        end = self.toks[self.pos - 1] if self.pos else name_tok
+        if self.at(";"):
+            self.next()
+        name = name_tok.v
+        full = self.fullname(name)
+        code = self.src[kw.a:end.b].strip()
+        decl = N(M.TYPE_DECL, code=code, name=name, full_name=full,
+                 line=kw.line, ast_parent_type=M.NAMESPACE_BLOCK,
+                 ast_parent_full_name=self.global_block)
+        self.declared_types.setdefault(name, full)
+        if target:
+            if not hasattr(self, "ts_alias_targets"):
+                self.ts_alias_targets = {}
+            self.ts_alias_targets[target] = full
+        if not hasattr(self, "ts_alias_decls"):
+            self.ts_alias_decls = []
+        self.ts_alias_decls.append(decl)
+        return [decl]
 
     def _function_declaration_stmt(self) -> list[N]:
         """`function foo() {}` as a STATEMENT also emits the Babel-style

@@ -61,9 +61,9 @@ def corpus() -> list[dict]:
                                     corpus_java_records,
                                     corpus_java_localcls2,
                                     corpus_java_patterns,
-                                    corpus_js, corpus_js_flows)
+                                    corpus_js, corpus_js2, corpus_js_flows)
     return (corpus_c.CASES + corpus_c2.CASES
-            + corpus_c_flows.CASES + corpus_js.CASES
+            + corpus_c_flows.CASES + corpus_js.CASES + corpus_js2.CASES
             + corpus_js_flows.CASES
             + corpus_java.CASES + corpus_java_flows.CASES
             + corpus_java_patterns.CASES + corpus_java_gensig.CASES
