@@ -172,6 +172,20 @@ def _js_cooked(raw: str) -> str:
     return "".join(out)
 
 
+# dotted GlobalBuiltins entries that resolve member calls statically
+# (x2cpg/.../frontendspecific/jssrc2cpg/GlobalBuiltins.scala — the dotted
+# subset; bare-name builtins resolve through the identifier path)
+JS_GLOBAL_BUILTINS = frozenset((
+    "JSON.parse", "JSON.stringify", "Number.parseFloat", "Number.parseInt",
+    "Buffer.from", "Object.assign", "Object.create",
+    "Object.defineProperties", "Object.defineProperty", "Object.entries",
+    "Object.freeze", "Object.fromEntries",
+    "Object.getOwnPropertyDescriptor", "Object.getOwnPropertyDescriptors",
+    "Object.getOwnPropertyNames", "Object.getOwnPropertySymbols",
+    "Object.getPrototypeOf", "Object.is", "Object.isExtensible",
+    "Object.isFrozen",
+))
+
 # TS primitive annotations -> reference type fullnames (Defines.scala)
 TS_PRIMS = {"number": "__ecma.Number", "string": "__ecma.String",
             "boolean": "__ecma.Boolean", "any": "ANY",
@@ -2761,9 +2775,21 @@ class JsParser(CParser):
             if self.at(","):
                 self.next()
         close = self.expect(")")
-        call = N(M.CALL, code=self.slice(start, close), name=fld_tok.v,
-                 method_full_name=M.UNKNOWN_FULL_NAME,
-                 dispatch_type=M.DYNAMIC_DISPATCH, line=start.line)
+        # exact GlobalBuiltins dictionary matches become STATIC calls with
+        # the dotted methodFullName (AstForExpressionsCreator.scala:98;
+        # DependencyAstCreationPassTests "JSON.parse": STATIC_DISPATCH,
+        # mfn "JSON.parse"; `JSON.parse.apply` does NOT match and stays
+        # dynamic)
+        callee_code = f"{receiver.code}.{fld_tok.v}" \
+            if receiver.kind == M.IDENTIFIER else None
+        if callee_code in JS_GLOBAL_BUILTINS:
+            call = N(M.CALL, code=self.slice(start, close), name=fld_tok.v,
+                     method_full_name=callee_code,
+                     dispatch_type=M.STATIC_DISPATCH, line=start.line)
+        else:
+            call = N(M.CALL, code=self.slice(start, close), name=fld_tok.v,
+                     method_full_name=M.UNKNOWN_FULL_NAME,
+                     dispatch_type=M.DYNAMIC_DISPATCH, line=start.line)
         fld = N(M.FIELD_IDENTIFIER, code=fld_tok.v, name=fld_tok.v,
                 canonical_name=fld_tok.v, line=fld_tok.line, arg_index=2)
         if receiver.kind == M.IDENTIFIER:

@@ -114,6 +114,34 @@ let z = true as boolean;
             ("true as boolean", 0): ["boolean", "true"]},
        callmfn=[["<operator>.cast", "<operator>.cast"],
                 ["<operator>.assignment", "<operator>.assignment"]]),
+    # -- passes/ast/DependencyAstCreationPassTests.scala --------------- #
+    # DEP:11-24 — JSON.parse matches GlobalBuiltins: STATIC with the
+    # dotted methodFullName; the literal is argument 1.
+    dict(name="js-json-parse", lang="javascript", wrap=False,
+         code='JSON.parse("foo");',
+         callmfn=[["parse", "JSON.parse"],
+                  ["<operator>.fieldAccess", "<operator>.fieldAccess"]],
+         ast={("JSON.parse(\"foo\")", 0): ["JSON", "JSON.parse",
+                                           "\"foo\""]},
+         cite="jssrc2cpg/.../passes/ast/DependencyAstCreationPassTests.scala:11-24"),
+    # DEP:26-40
+    dict(name="js-json-stringify", lang="javascript", wrap=False,
+         code='JSON.stringify(foo);',
+         callmfn=[["stringify", "JSON.stringify"],
+                  ["<operator>.fieldAccess", "<operator>.fieldAccess"]],
+         cite="jssrc2cpg/.../passes/ast/DependencyAstCreationPassTests.scala:26-40"),
+    # DEP:42-48 — non-exact dictionary matches stay DYNAMIC/unresolved.
+    dict(name="js-json-parse-apply", lang="javascript", wrap=False,
+         code='JSON.parse.apply("foo");',
+         callmfn=[["apply", "<unknownFullName>"]],
+         cite="jssrc2cpg/.../passes/ast/DependencyAstCreationPassTests.scala:42-48"),
+    # DEP:52-56 — exported const references: declaration + read + the
+    # exports-object write all REF the same local.
+    dict(name="js-export-const-refs", lang="javascript", wrap=False,
+         code='export const foo = bar();',
+         refs={("foo", 0, "IDENTIFIER"): ["foo&<empty>@0"],
+               ("foo", 1, "IDENTIFIER"): ["foo&<empty>@0"]},
+         cite="jssrc2cpg/.../passes/ast/DependencyAstCreationPassTests.scala:52-56"),
     # :370-377 — every array-ish annotation erases to __ecma.Array.
     _c("ts-array-params", """
 function foo(a: string[], b: Bar[]) {}
