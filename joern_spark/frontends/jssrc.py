@@ -556,6 +556,19 @@ class JsParser(CParser):
                 and self.peek(1).t == "id" \
                 and self.peek(2) is not None and self.peek(2).v == "=":
             return self._parse_ts_type_alias(t)
+        if v == "enum" and self.peek(1) is not None \
+                and self.peek(1).t == "id" \
+                and self.peek(2) is not None and self.peek(2).v == "{":
+            return self._parse_ts_enum(t)
+        if v == "const" and self.peek(1) is not None \
+                and self.peek(1).v == "enum":
+            self.next()
+            return self._parse_ts_enum(self.peek())
+        if v == "interface" and self.peek(1) is not None \
+                and self.peek(1).t == "id" \
+                and self.peek(2) is not None \
+                and self.peek(2).v in ("{", "extends"):
+            return self._parse_ts_interface(t)
         if v == "function":
             return self._function_declaration_stmt()
         if v == "class":
@@ -2561,6 +2574,136 @@ class JsParser(CParser):
             stmt = self._parse_sub_expression(src, eline)
             self._strip_void_arg(stmt)
             out.append(stmt)
+
+    def _parse_ts_enum(self, kw: "Tok") -> list[N]:
+        """TS `enum Direction { Up = 1, Down, ... }` — a TYPE_DECL (code
+        `enum Direction`) with one MEMBER per enumerator (code `Up = 1` /
+        `Down`) and a `<clinit>` static-init METHOD holding the
+        initializer assignments (TsClassesAstCreationPassTests "have
+        correct structure for simple enum")."""
+        self.next()
+        name_tok = self.next()
+        name = name_tok.v
+        full = self.fullname(name)
+        decl = N(M.TYPE_DECL, code=f"enum {name}", name=name,
+                 full_name=full, line=kw.line,
+                 ast_parent_type=M.NAMESPACE_BLOCK,
+                 ast_parent_full_name=self.global_block)
+        self.declared_types.setdefault(name, full)
+        self.expect("{")
+        inits: list[N] = []
+        while self.peek() is not None and not self.at("}"):
+            if self.peek().t not in ("id", "str"):
+                self.next()
+                continue
+            etok = self.next()
+            ename = etok.v.strip("'\"")
+            ecode = ename
+            if self.at("="):
+                self.next()
+                v0 = self.peek()
+                depth = 0
+                while self.peek() is not None:
+                    vv = self.peek().v
+                    if vv in ("(", "[", "{"):
+                        depth += 1
+                    elif vv in (")", "]"):
+                        depth -= 1
+                    elif depth == 0 and vv in (",", "}"):
+                        break
+                    self.next()
+                ecode = self.slice(etok, self.toks[self.pos - 1])
+                ident = N(M.IDENTIFIER, code=ename, name=ename,
+                          line=etok.line, arg_index=1)
+                rhs = N(M.LITERAL,
+                        code=self.slice(v0, self.toks[self.pos - 1])
+                        if v0 is not None else "", line=etok.line,
+                        arg_index=2)
+                asg = N(M.CALL, code=ecode, name=M.OP_ASSIGNMENT,
+                        method_full_name=M.OP_ASSIGNMENT,
+                        dispatch_type=M.STATIC_DISPATCH, line=etok.line)
+                asg.add(ident, rhs)
+                inits.append(asg)
+            decl.add(N(M.MEMBER, code=ecode, name=ename,
+                       type_full_name=M.ANY, line=etok.line,
+                       ast_parent_type=M.TYPE_DECL,
+                       ast_parent_full_name=full))
+            if self.at(","):
+                self.next()
+        if self.at("}"):
+            self.next()
+        if inits:
+            clinit = N(M.METHOD, code=M.STATIC_INIT, name=M.STATIC_INIT,
+                       full_name=f"{full}:{M.STATIC_INIT}",
+                       line=kw.line, ast_parent_type=M.TYPE_DECL,
+                       ast_parent_full_name=full)
+            body = N(M.BLOCK, line=kw.line)
+            body.add(*inits)
+            clinit.add(body)
+            clinit.add(N(M.METHOD_RETURN, code="RET", type_full_name=M.ANY,
+                         evaluation_strategy=M.BY_VALUE, line=kw.line))
+            decl.add(clinit)
+        return [decl]
+
+    def _parse_ts_interface(self, kw: "Tok") -> list[N]:
+        """TS `interface Greeter { ... }` — a TYPE_DECL (code `interface
+        Greeter`) with a synthetic `<init>` constructor METHOD and one
+        MEMBER per property signature keeping the raw `name: type;` code
+        (TsClassesAstCreationPassTests "empty interfaces" /
+        "simple interfaces")."""
+        self.next()
+        name_tok = self.next()
+        name = name_tok.v
+        full = self.fullname(name)
+        decl = N(M.TYPE_DECL, code=f"interface {name}", name=name,
+                 full_name=full, line=kw.line,
+                 ast_parent_type=M.NAMESPACE_BLOCK,
+                 ast_parent_full_name=self.global_block)
+        self.declared_types.setdefault(name, full)
+        if self.at("extends"):
+            self.next()
+            sups = []
+            while self.peek() is not None and not self.at("{"):
+                if self.peek().t == "id":
+                    sups.append(self.peek().v)
+                self.next()
+            if sups:
+                decl.inherits_from = sups
+        self.expect("{")
+        depth = 1
+        m_start = None
+        m_name = None
+        while self.peek() is not None and depth:
+            tk = self.peek()
+            if tk.v == "{":
+                depth += 1
+            elif tk.v == "}":
+                depth -= 1
+                if depth == 0:
+                    self.next()
+                    break
+            elif depth == 1 and tk.v in (";", ",") :
+                if m_name is not None and m_start is not None:
+                    code = self.slice(m_start, tk).strip()
+                    decl.add(N(M.MEMBER, code=code, name=m_name,
+                               type_full_name=M.ANY, line=m_start.line,
+                               ast_parent_type=M.TYPE_DECL,
+                               ast_parent_full_name=full))
+                m_start, m_name = None, None
+            elif depth == 1 and m_start is None:
+                m_start = tk
+                if tk.t in ("id", "str"):
+                    m_name = tk.v.strip("'\"")
+            self.next()
+        ctor = N(M.METHOD, code=f"new: {name}", name=M.CONSTRUCTOR,
+                 full_name=f"{full}:{M.CONSTRUCTOR}", line=kw.line,
+                 ast_parent_type=M.TYPE_DECL, ast_parent_full_name=full)
+        ctor.add(N(M.METHOD_RETURN, code="RET", type_full_name=full,
+                   evaluation_strategy=M.BY_VALUE, line=kw.line))
+        decl.add(ctor)
+        if self.at(";"):
+            self.next()
+        return [decl]
 
     def _parse_ts_type_alias(self, kw: "Tok") -> list[N]:
         """`type Alias = <rhs>` — a TYPE_DECL for the alias with the raw

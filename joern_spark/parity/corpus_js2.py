@@ -142,6 +142,68 @@ let z = true as boolean;
          refs={("foo", 0, "IDENTIFIER"): ["foo&<empty>@0"],
                ("foo", 1, "IDENTIFIER"): ["foo&<empty>@0"]},
          cite="jssrc2cpg/.../passes/ast/DependencyAstCreationPassTests.scala:52-56"),
+    # -- passes/ast/TsClassesAstCreationPassTests.scala ---------------- #
+    # TSC:90-119 — TS enum: TYPE_DECL `enum Direction`, MEMBER per
+    # enumerator (raw codes), `<clinit>` holding `Up = 1`.
+    dict(name="ts-enum", lang="javascript", wrap=False, code="""
+enum Direction {
+  Up = 1,
+  Down,
+  Left,
+  Right,
+}
+""",
+         tdcode=[["Direction", "enum Direction"]],
+         membercode=[["Direction.Up", "Up = 1"],
+                     ["Direction.Down", "Down"],
+                     ["Direction.Left", "Left"],
+                     ["Direction.Right", "Right"]],
+         methods=[["<clinit>", "ts-enum.js::program:Direction:<clinit>"],
+                  [":program", "ts-enum.js::program"]],
+         ast={("Up = 1", 0): ["Up", "1"]},
+         cite="jssrc2cpg/.../passes/ast/TsClassesAstCreationPassTests.scala:90-119"),
+    # TSC:158-183 — simple class: ctor + member + method fullnames.
+    dict(name="ts-simple-class", lang="javascript", wrap=False, code="""
+class Greeter {
+  greeting: string;
+  greet() {
+    return "Hello, " + this.greeting;
+  }
+}
+""",
+         tdcode=[["Greeter", "class Greeter"]],
+         methods=[["<init>", "ts-simple-class.js::program:Greeter:<init>"],
+                  ["greet", "ts-simple-class.js::program:Greeter:greet"],
+                  [":program", "ts-simple-class.js::program"]],
+         members=[["Greeter.greeting", "string"]],
+         cite="jssrc2cpg/.../passes/ast/TsClassesAstCreationPassTests.scala:158-183"),
+    # TSC:228-238 — empty interfaces each get a constructor METHOD.
+    dict(name="ts-iface-empty", lang="javascript", wrap=False, code="""
+interface A {};
+interface B {};
+""",
+         methods=[["<init>", "ts-iface-empty.js::program:A:<init>"],
+                  ["<init>", "ts-iface-empty.js::program:B:<init>"],
+                  [":program", "ts-iface-empty.js::program"]],
+         cite="jssrc2cpg/.../passes/ast/TsClassesAstCreationPassTests.scala:228-238"),
+    # TSC:240-289 — interface property members keep the raw signature
+    # codes (optional markers, string keys, method signatures).
+    dict(name="ts-iface-simple", lang="javascript", wrap=False, code="""
+interface Greeter {
+  greeting: string;
+  name?: string;
+  "foo": string;
+  toString(): string;
+}
+""",
+         tdcode=[["Greeter", "interface Greeter"]],
+         membercode=[["Greeter.greeting", "greeting: string;"],
+                     ["Greeter.name", "name?: string;"],
+                     ["Greeter.foo", "\"foo\": string;"],
+                     ["Greeter.toString", "toString(): string;"]],
+         methods=[["<init>", "ts-iface-simple.js::program:Greeter:<init>"],
+                  [":program", "ts-iface-simple.js::program"]],
+         cite="jssrc2cpg/.../passes/ast/TsClassesAstCreationPassTests.scala:240-289"),
     # :370-377 — every array-ish annotation erases to __ecma.Array.
     _c("ts-array-params", """
 function foo(a: string[], b: Bar[]) {}
